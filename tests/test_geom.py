@@ -1,0 +1,118 @@
+"""Geometry kernel conformance — the reference's square-with-island truth
+table (`UtilTest.java:60-81`) ported verbatim, plus area/clip/envelope."""
+
+import numpy as np
+import pytest
+
+from timezonemap_ray import geom
+from timezonemap_ray.worlds import square_with_island_zone
+
+
+@pytest.fixture(scope="module")
+def square():
+    z = square_with_island_zone()
+    return z.flat()  # xs (lng), ys (lat), ring_start
+
+
+# (x=lng, y=lat, expected) — exactly UtilTest.containsInclusive
+TRUTH_TABLE = [
+    (1.0, 1.65, True),    # on outer left side
+    (1.1, 1.65, True),    # on hole left side
+    (1.2, 1.65, True),    # on island left side
+    (1.0, 1.0, True),     # outer LL corner
+    (1.5, 1.5, True),     # hole UR corner
+    (1.3, 1.6, True),     # island LR corner
+    (1.3, 1.3, True),     # main area
+    (1.25, 1.65, True),   # island interior
+    (10.0, 10.0, False),  # far outside
+    (1.4, 1.8, False),    # hole interior
+]
+
+
+def test_contains_inclusive_truth_table(square):
+    xs, ys, rs = square
+    # reference queries with Java float literals (Point(1.2f, 1.65f)) —
+    # round-trip the test points through float32 the same way
+    px = np.array([t[0] for t in TRUTH_TABLE], dtype=np.float32).astype(np.float64)
+    py = np.array([t[1] for t in TRUTH_TABLE], dtype=np.float32).astype(np.float64)
+    exp = np.array([t[2] for t in TRUTH_TABLE])
+    got = geom.points_in_polygon(px, py, xs, ys, rs)
+    assert got.tolist() == exp.tolist()
+
+
+def test_area_even_odd(square):
+    xs, ys, rs = square
+    # |outer| - |hole| + |island| = 1 - 0.16 + 0.01
+    assert geom.polygon_area_deg2(xs, ys, rs) == pytest.approx(0.85, abs=1e-6)
+
+
+def test_envelope(square):
+    xs, ys, rs = square
+    assert geom.polygon_envelope(xs, ys) == (1.0, 1.0, 2.0, 2.0)
+
+
+def test_clip_passthrough_and_cut(square):
+    xs, ys, rs = square
+    # clip to a rect containing everything → same containment behavior
+    cx, cy, crs = geom.clip_polygon_to_rect(xs, ys, rs, 0.0, 0.0, 3.0, 3.0)
+    px = np.array([t[0] for t in TRUTH_TABLE], dtype=np.float32).astype(np.float64)
+    py = np.array([t[1] for t in TRUTH_TABLE], dtype=np.float32).astype(np.float64)
+    exp = [t[2] for t in TRUTH_TABLE]
+    assert geom.points_in_polygon(px, py, cx, cy, crs).tolist() == exp
+    # clip to the left half: right-half points fall out, hole still a hole
+    cx, cy, crs = geom.clip_polygon_to_rect(xs, ys, rs, 1.0, 1.0, 1.45, 2.0)
+    assert geom.points_in_polygon(
+        np.array([1.3, 1.25, 1.4]), np.array([1.3, 1.65, 1.8]),
+        cx, cy, crs).tolist() == [True, True, False]
+    # fully outside clip → empty
+    cx, cy, crs = geom.clip_polygon_to_rect(xs, ys, rs, 5.0, 5.0, 6.0, 6.0)
+    assert cx.size == 0
+
+
+def test_clip_distributes_over_rings():
+    # even-odd region of (outer xor hole) clipped == clip of each ring
+    z = square_with_island_zone()
+    xs, ys, rs = z.flat()
+    rng = np.random.default_rng(3)
+    px = rng.uniform(0.9, 2.1, 500)
+    py = rng.uniform(0.9, 2.1, 500)
+    rect = (1.05, 1.2, 1.8, 1.95)  # min_x, min_y, max_x, max_y
+    cx, cy, crs = geom.clip_polygon_to_rect(xs, ys, rs, *rect)
+    in_rect = ((px >= rect[0]) & (px <= rect[2]) &
+               (py >= rect[1]) & (py <= rect[3]))
+    expected = geom.points_in_polygon(px, py, xs, ys, rs) & in_rect
+    got = geom.points_in_polygon(px, py, cx, cy, crs)
+    # ignore points exactly on the clip boundary (measure-zero, none sampled)
+    assert (got == expected).all()
+
+
+def test_ring_orientation_irrelevant():
+    # even-odd: reversing any ring's orientation changes nothing
+    z = square_with_island_zone()
+    xs, ys, rs = z.flat()
+    xs2, ys2 = xs.copy(), ys.copy()
+    s, e = rs[1], rs[2]
+    xs2[s:e] = xs[s:e][::-1]
+    ys2[s:e] = ys[s:e][::-1]
+    rng = np.random.default_rng(4)
+    px = rng.uniform(0.5, 2.5, 300)
+    py = rng.uniform(0.5, 2.5, 300)
+    a = geom.points_in_polygon(px, py, xs, ys, rs)
+    b = geom.points_in_polygon(px, py, xs2, ys2, rs)
+    assert (a == b).all()
+
+
+def test_envelope_to_ring():
+    lats, lngs = geom.envelope_to_ring(1.0, 2.0, 3.0, 4.0)
+    assert lats.tolist() == [3.0, 3.0, 1.0, 1.0, 3.0]
+    assert lngs.tolist() == [2.0, 4.0, 4.0, 2.0, 2.0]
+
+
+def test_rect_intersects_polygon(square):
+    xs, ys, rs = square
+    assert geom.rect_intersects_polygon(1.2, 1.2, 1.4, 1.4, xs, ys, rs)
+    assert not geom.rect_intersects_polygon(5, 5, 6, 6, xs, ys, rs)
+    # rect entirely inside the hole (no island overlap) → no intersection
+    assert not geom.rect_intersects_polygon(1.35, 1.75, 1.45, 1.85, xs, ys, rs)
+    # rect inside the island → intersects
+    assert geom.rect_intersects_polygon(1.22, 1.62, 1.28, 1.68, xs, ys, rs)

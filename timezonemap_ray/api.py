@@ -1,0 +1,136 @@
+"""Public engine API mirroring the reference's surface.
+
+Reference API (`/root/reference/timezonemap/src/main/java/us/dustinj/timezonemap/TimeZoneMap.kt:23-159`,
+`TimeZone.kt:11-47`) → ours:
+
+| reference                       | here                                  |
+|---------------------------------|---------------------------------------|
+| ``forEverywhere()``             | ``TimeZoneEngine.for_everywhere``     |
+| ``forRegion(minLat..maxLng)``   | ``TimeZoneEngine.for_region``         |
+| ``getOverlappingTimeZone``      | ``get_overlapping_time_zone``         |
+| ``getOverlappingTimeZones``     | ``get_overlapping_time_zones``        |
+| ``getTimeZones``                | ``get_time_zones``                    |
+| ``getMapVersion``               | ``map_version`` property              |
+| ``getInitializedRegion``        | ``initialized_region`` property       |
+| ``TimeZone.getDistanceFromBoundary`` | ``get_distance_from_boundary``  |
+| bring-your-own-archive stream   | zone-table path/Table argument        |
+
+Point-at-a-time calls are driver-side conveniences; the engine's real query
+surface is the Dataset methods ``lookup_points`` / ``lookup_points_shuffled``
+/ ``boundary_distance`` which run the join distributed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import ray
+
+from . import index as index_mod
+from .index import WORLD, ZoneIndex, build_index
+
+
+class TimeZoneEngine:
+    def __init__(self, idx: ZoneIndex):
+        self.index = idx
+        self._index_ref = None
+
+    # -- constructors (reference TimeZoneMap.kt:97-159) ---------------------
+    @classmethod
+    def for_everywhere(cls, zone_table, **kw) -> "TimeZoneEngine":
+        return cls(build_index(zone_table, region=WORLD, **kw))
+
+    @classmethod
+    def for_region(cls, zone_table, min_lat: float, min_lng: float,
+                   max_lat: float, max_lng: float, **kw) -> "TimeZoneEngine":
+        return cls(build_index(zone_table, region=(min_lat, min_lng, max_lat, max_lng), **kw))
+
+    # -- metadata accessors -------------------------------------------------
+    @property
+    def map_version(self) -> Optional[str]:
+        return self.index.map_version
+
+    @property
+    def initialized_region(self) -> tuple:
+        return self.index.region
+
+    def get_time_zones(self) -> list:
+        """Zone ids, smallest-area first (reference ``getTimeZones``,
+        `TimeZoneMap.kt:25-34`)."""
+        return list(self.index.zone_ids)
+
+    # -- point queries (driver-side; raise like the reference Q1 guard) -----
+    def _require_in_region(self, lat: float, lng: float) -> None:
+        if not bool(self.index.contains_region(lat, lng)):
+            raise ValueError("Requested point is outside the initialized area")
+
+    def get_overlapping_time_zone(self, lat: float, lng: float) -> Optional[str]:
+        self._require_in_region(lat, lng)
+        res = index_mod.lookup_batch(self.index, [lat], [lng])
+        return res["zone_id"][0]
+
+    def get_overlapping_time_zones(self, lat: float, lng: float) -> list:
+        self._require_in_region(lat, lng)
+        res = index_mod.lookup_batch(self.index, [lat], [lng], want_all=True)
+        return res["all_zones"][0]
+
+    def get_distance_from_boundary(self, zone_id: str, lat: float, lng: float) -> float:
+        """Geodesic meters to the zone's boundary; raises if the point is not
+        inside the zone (inclusive), matching ``TimeZone.kt:41-47``."""
+        d = index_mod.distance_from_boundary(self.index, zone_id, [lat], [lng])
+        if np.isnan(d[0]):
+            raise ValueError("Point is not within the time zone (inclusive)")
+        return float(d[0])
+
+    # -- distributed queries ------------------------------------------------
+    def broadcast(self):
+        """`ray.put` the index once; all actor-pool stages share the copy."""
+        if self._index_ref is None:
+            self._index_ref = ray.put(self.index)
+        return self._index_ref
+
+    def lookup_points(self, ds, lat_col="lat", lng_col="lng", want_all=False,
+                      fallback=False, concurrency=None, batch_size=8192):
+        """Broadcast PIP join: Dataset of points → + zone columns.
+
+        The polygon index is tiny relative to the point side (~10^4 zones vs
+        the full corpus), so the join is broadcast — the only data movement
+        is the one-time index transfer per node; the point side streams.
+        """
+        from .stages.joiner import ZoneJoiner
+        return ds.map_batches(
+            ZoneJoiner,
+            fn_constructor_kwargs=dict(
+                index_ref=self.broadcast(), lat_col=lat_col, lng_col=lng_col,
+                want_all=want_all, fallback=fallback),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    def lookup_points_shuffled(self, ds, lat_col="lat", lng_col="lng",
+                               want_all=False, fallback=False,
+                               salt_threshold: int = 250_000):
+        """Co-partitioned join: assign cell ids (salting hot cells), shuffle by
+        cell, then join per group. Same output as ``lookup_points`` (tested);
+        exists to bound per-task candidate sets and give per-cell lineage at
+        the 100 TB scale (SURVEY.md §4)."""
+        from .pipelines.flagship import shuffled_join
+        return shuffled_join(ds, self, lat_col=lat_col, lng_col=lng_col,
+                             want_all=want_all, fallback=fallback,
+                             salt_threshold=salt_threshold)
+
+    def boundary_distance(self, ds, lat_col="lat", lng_col="lng",
+                          zone_col="zone_id", concurrency=None, batch_size=8192):
+        from .stages.joiner import BoundaryDistance
+        return ds.map_batches(
+            BoundaryDistance,
+            fn_constructor_kwargs=dict(index_ref=self.broadcast(),
+                                       lat_col=lat_col, lng_col=lng_col,
+                                       zone_col=zone_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )

@@ -1,0 +1,83 @@
+"""Hierarchical lat/lng grid cells (dependency-free H3/S2 stand-in).
+
+The reference's only spatial pre-filter is the envelope-in-filename check
+(`/root/reference/timezonemap/src/main/java/us/dustinj/timezonemap/TimeZoneMap.kt:184-196`).
+We generalize it to a uniform grid cover: level = cell edge in degrees; a
+cell id is the packed (row, col) of the cell containing a point. Cell ids are
+the partitioning/shuffle key for the co-partitioned join path and the
+checkpoint/lineage partition key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DEFAULT_CELL_SIZE_DEG = 5.0
+
+
+def grid_dims(cell_size: float) -> tuple[int, int]:
+    n_lng = int(np.ceil(360.0 / cell_size))
+    n_lat = int(np.ceil(180.0 / cell_size))
+    return n_lat, n_lng
+
+
+def cell_ids(lats, lngs, cell_size: float = DEFAULT_CELL_SIZE_DEG) -> np.ndarray:
+    """Vectorized point → int64 cell id. lat=90 / lng=180 clamp into the last
+    row/col so the domain edges stay in-grid."""
+    lats = np.asarray(lats, dtype=np.float64)
+    lngs = np.asarray(lngs, dtype=np.float64)
+    n_lat, n_lng = grid_dims(cell_size)
+    iy = np.clip(np.floor((lats + 90.0) / cell_size).astype(np.int64), 0, n_lat - 1)
+    ix = np.clip(np.floor((lngs + 180.0) / cell_size).astype(np.int64), 0, n_lng - 1)
+    return iy * np.int64(n_lng) + ix
+
+
+def cell_bounds(cell_id: int, cell_size: float = DEFAULT_CELL_SIZE_DEG):
+    """cell id → (min_lat, min_lng, max_lat, max_lng)."""
+    _, n_lng = grid_dims(cell_size)
+    iy, ix = divmod(int(cell_id), n_lng)
+    min_lat = -90.0 + iy * cell_size
+    min_lng = -180.0 + ix * cell_size
+    return min_lat, min_lng, min_lat + cell_size, min_lng + cell_size
+
+
+def cells_overlapping_envelope(min_lat, min_lng, max_lat, max_lng,
+                               cell_size: float = DEFAULT_CELL_SIZE_DEG) -> np.ndarray:
+    """All cell ids whose rect overlaps the envelope (inclusive edges)."""
+    n_lat, n_lng = grid_dims(cell_size)
+    iy0 = int(np.clip(np.floor((min_lat + 90.0) / cell_size), 0, n_lat - 1))
+    iy1 = int(np.clip(np.floor((max_lat + 90.0) / cell_size), 0, n_lat - 1))
+    ix0 = int(np.clip(np.floor((min_lng + 180.0) / cell_size), 0, n_lng - 1))
+    ix1 = int(np.clip(np.floor((max_lng + 180.0) / cell_size), 0, n_lng - 1))
+    iys = np.arange(iy0, iy1 + 1, dtype=np.int64)
+    ixs = np.arange(ix0, ix1 + 1, dtype=np.int64)
+    return (iys[:, None] * np.int64(n_lng) + ixs[None, :]).ravel()
+
+
+def neighbor_cells(cell_id: int, radius: int,
+                   cell_size: float = DEFAULT_CELL_SIZE_DEG) -> np.ndarray:
+    """Ring of cells at Chebyshev distance <= radius (for kNN fallback)."""
+    n_lat, n_lng = grid_dims(cell_size)
+    iy, ix = divmod(int(cell_id), n_lng)
+    iys = np.arange(max(0, iy - radius), min(n_lat, iy + radius + 1), dtype=np.int64)
+    ixs = (np.arange(ix - radius, ix + radius + 1, dtype=np.int64)) % n_lng
+    return (iys[:, None] * np.int64(n_lng) + ixs[None, :]).ravel()
+
+
+def salted_keys(cell: np.ndarray, salt_counts: dict[int, int],
+                row_hash: np.ndarray, max_salt: int = 1024) -> np.ndarray:
+    """Skew handling: hot cells get `cell_id * max_salt + (hash % k)` keys so
+    one dense urban cell fans out over k shuffle partitions. Cells absent
+    from ``salt_counts`` keep salt 0."""
+    salt = np.zeros(cell.shape, dtype=np.int64)
+    if salt_counts:
+        hot = np.array(list(salt_counts.keys()), dtype=np.int64)
+        ks = np.array(list(salt_counts.values()), dtype=np.int64)
+        order = np.argsort(hot)
+        hot, ks = hot[order], ks[order]
+        idx = np.searchsorted(hot, cell)
+        idx = np.clip(idx, 0, len(hot) - 1)
+        is_hot = hot[idx] == cell
+        k = np.where(is_hot, ks[idx], 1)
+        salt = np.where(k > 1, row_hash % np.maximum(k, 1), 0)
+    return cell * np.int64(max_salt) + salt

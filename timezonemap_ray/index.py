@@ -1,0 +1,329 @@
+"""Zone index build + vectorized lookup kernels.
+
+Reimplements ``TimeZoneMap.forRegion`` / ``forEverywhere``
+(`/root/reference/timezonemap/src/main/java/us/dustinj/timezonemap/TimeZoneMap.kt:97-243`)
+as a build-once, broadcast-many index:
+
+1. envelope predicate pushdown on the parquet zone table (reference M7,
+   the envelope-in-filename prefilter, `TimeZoneMap.kt:184-196`);
+2. exact-extents recompute + filter (M11/M12, `TimeZoneMap.kt:209-215`);
+3. rectangle clip to the init region (M13, `TimeZoneMap.kt:218-235`);
+4. records kept area-ascending (A1 global sort, `TimeZoneMap.kt:216-217` —
+   pre-computed in the zone table as ``area_rank``; clip preserves order);
+5. NEW vs reference: a cell → candidate-zone cover (SURVEY.md §3.2) so the
+   per-point query tests only a handful of candidate polygons instead of the
+   reference's full linear scan (`TimeZoneMap.kt:84`) — output must equal
+   linear-scan semantics exactly (tested against the brute-force oracle).
+
+The built index is a plain picklable object, `ray.put` once and shared by
+every `ZoneJoiner` actor — the broadcast side of the join.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import cells, geom
+from .zonetable import check_map_version, table_to_records
+
+WORLD = (-90.0, -180.0, 90.0, 180.0)  # (min_lat, min_lng, max_lat, max_lng)
+
+
+@dataclass
+class ZoneIndex:
+    """Compact, broadcastable polygon index (area-ascending records)."""
+    zone_ids: list
+    xs: list                      # per-record float64 lng arrays
+    ys: list                      # per-record float64 lat arrays
+    ring_starts: list
+    envs: np.ndarray              # (n, 4): min_lng, min_lat, max_lng, max_lat
+    area_rank: np.ndarray         # original table rank (pre-clip area order)
+    area_deg2: np.ndarray
+    region: tuple                 # (min_lat, min_lng, max_lat, max_lng)
+    cell_size: float
+    cover: dict = field(default_factory=dict)  # cell_id -> np.ndarray[rec idx]
+    map_version: Optional[str] = None
+
+    def __len__(self):
+        return len(self.zone_ids)
+
+    def contains_region(self, lat, lng) -> np.ndarray:
+        """Init-region bounds check (reference Q1 guard, `TimeZoneMap.kt:80-82`)."""
+        min_lat, min_lng, max_lat, max_lng = self.region
+        lat = np.asarray(lat, dtype=np.float64)
+        lng = np.asarray(lng, dtype=np.float64)
+        return (lat >= min_lat) & (lat <= max_lat) & (lng >= min_lng) & (lng <= max_lng)
+
+
+def _region_filter_expr(region):
+    min_lat, min_lng, max_lat, max_lng = region
+    f = pq.filters_to_expression  # build an envelope-overlap expression
+    return f([("max_lat", ">=", min_lat), ("min_lat", "<=", max_lat),
+              ("max_lng", ">=", min_lng), ("min_lng", "<=", max_lng)])
+
+
+def build_index(zone_table, region: tuple = WORLD,
+                cell_size: float = cells.DEFAULT_CELL_SIZE_DEG,
+                refine_cover: bool = True,
+                check_version: bool = True) -> ZoneIndex:
+    """Build the queryable index for an init region.
+
+    ``zone_table``: parquet path or in-memory ``pa.Table``. Region is
+    (min_lat, min_lng, max_lat, max_lng); must satisfy min<max
+    (`TimeZoneMap.kt:160-161`).
+    """
+    min_lat, min_lng, max_lat, max_lng = region
+    if not (min_lat < max_lat and min_lng < max_lng):
+        raise ValueError("Invalid region: min must be < max in both dimensions")
+
+    map_version = None
+    if isinstance(zone_table, str):
+        if check_version:
+            map_version = check_map_version(zone_table)  # M5 gate
+        # M7: envelope predicate pushdown — non-overlapping zones never leave
+        # the parquet row groups, mirroring the skip-deserialization win
+        table = pq.read_table(zone_table, filters=_region_filter_expr(region))
+    else:
+        table = zone_table
+
+    recs = table_to_records(table)
+
+    zone_ids, xs_l, ys_l, rs_l, envs, ranks, areas = [], [], [], [], [], [], []
+    whole_world = region == WORLD
+    for rec in recs:
+        xs, ys, rs = rec["xs"], rec["ys"], rec["ring_start"]
+        if xs.size == 0:
+            continue
+        # M11/M12: recompute exact extents and filter again
+        e_min_x, e_min_y, e_max_x, e_max_y = geom.polygon_envelope(xs, ys)
+        if (e_min_x > max_lng or e_max_x < min_lng or
+                e_min_y > max_lat or e_max_y < min_lat):
+            continue
+        # M13: clip unless extents fully inside the region
+        fully_inside = (whole_world or
+                        (e_min_y >= min_lat and e_max_y <= max_lat and
+                         e_min_x >= min_lng and e_max_x <= max_lng))
+        if not fully_inside:
+            xs, ys, rs = geom.clip_polygon_to_rect(
+                xs, ys, rs, min_lng, min_lat, max_lng, max_lat)
+            if xs.size == 0:
+                continue
+            e_min_x, e_min_y, e_max_x, e_max_y = geom.polygon_envelope(xs, ys)
+        zone_ids.append(rec["zone_id"])
+        xs_l.append(xs)
+        ys_l.append(ys)
+        rs_l.append(rs)
+        envs.append((e_min_x, e_min_y, e_max_x, e_max_y))
+        ranks.append(rec["area_rank"])
+        areas.append(rec["area_deg2"])
+
+    order = np.argsort(np.asarray(ranks, dtype=np.int64), kind="stable")
+    idx = ZoneIndex(
+        zone_ids=[zone_ids[i] for i in order],
+        xs=[xs_l[i] for i in order],
+        ys=[ys_l[i] for i in order],
+        ring_starts=[rs_l[i] for i in order],
+        envs=np.asarray(envs, dtype=np.float64)[order] if envs else np.zeros((0, 4)),
+        area_rank=np.asarray(ranks, dtype=np.int64)[order] if ranks else np.zeros(0, np.int64),
+        area_deg2=np.asarray(areas, dtype=np.float64)[order] if areas else np.zeros(0),
+        region=region,
+        cell_size=cell_size,
+        map_version=map_version,
+    )
+    idx.cover = _build_cover(idx, refine=refine_cover)
+    return idx
+
+
+def _build_cover(idx: ZoneIndex, refine: bool) -> dict:
+    """cell_id → record indices (area-ascending) whose geometry may touch the
+    cell. Envelope-based, optionally refined by an exact rect∩polygon test for
+    records covering many cells (cheap at build time, shrinks per-cell
+    candidate lists at query time)."""
+    cover: dict[int, list] = {}
+    for i in range(len(idx)):
+        min_x, min_y, max_x, max_y = idx.envs[i]
+        cids = cells.cells_overlapping_envelope(
+            min_y, min_x, max_y, max_x, idx.cell_size)
+        do_refine = refine and cids.size > 4
+        for cid in cids:
+            if do_refine:
+                c_min_lat, c_min_lng, c_max_lat, c_max_lng = cells.cell_bounds(
+                    int(cid), idx.cell_size)
+                if not geom.rect_intersects_polygon(
+                        c_min_lng, c_min_lat, c_max_lng, c_max_lat,
+                        idx.xs[i], idx.ys[i], idx.ring_starts[i]):
+                    continue
+            cover.setdefault(int(cid), []).append(i)
+    return {k: np.asarray(v, dtype=np.int64) for k, v in cover.items()}
+
+
+# ---------------------------------------------------------------------------
+# Vectorized lookup kernels (used by the ZoneJoiner actor and the driver API)
+# ---------------------------------------------------------------------------
+
+def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
+                 fallback: bool = False):
+    """Batched point → zone join.
+
+    Returns dict of numpy/object arrays:
+      ``zone_id`` (object, None where unmatched) — smallest-area containing
+      zone, reference Q4 `first()` semantics (`TimeZoneMap.kt:56-57`);
+      ``all_zones`` (list of lists, only if ``want_all``) — Q5 order
+      (`TimeZoneMap.kt:77-78`);
+      ``matched`` (bool), ``fallback`` (bool), ``error`` (object|None).
+    Out-of-region points get error="outside_initialized_region" instead of
+    the reference's IllegalArgumentException (Q1) — never throw mid-pipeline.
+    """
+    lats = np.asarray(lats, dtype=np.float64)
+    lngs = np.asarray(lngs, dtype=np.float64)
+    m = lats.size
+    zone = np.full(m, None, dtype=object)
+    matched = np.zeros(m, dtype=bool)
+    used_fb = np.zeros(m, dtype=bool)
+    error = np.full(m, None, dtype=object)
+    all_zones = [[] for _ in range(m)] if want_all else None
+
+    in_region = idx.contains_region(lats, lngs)
+    error[~in_region] = "outside_initialized_region"
+
+    cell = cells.cell_ids(lats, lngs, idx.cell_size)
+    cell = np.where(in_region, cell, -1)
+    uniq = np.unique(cell[in_region]) if in_region.any() else np.empty(0, np.int64)
+
+    for cid in uniq:
+        sel = np.nonzero(cell == cid)[0]
+        cand = idx.cover.get(int(cid))
+        if cand is None:
+            continue
+        plats, plngs = lats[sel], lngs[sel]
+        pending = np.ones(sel.size, dtype=bool)  # for top-1 early exit
+        for rec_i in cand:  # area-ascending: first hit is the answer
+            if not want_all and not pending.any():
+                break
+            test_mask = pending if not want_all else np.ones(sel.size, bool)
+            # envelope pre-check (exact envelope filter, M12 analogue)
+            e = idx.envs[rec_i]
+            env_ok = ((plngs >= e[0]) & (plngs <= e[2]) &
+                      (plats >= e[1]) & (plats <= e[3]))
+            test = np.nonzero(test_mask & env_ok)[0]
+            if test.size == 0:
+                continue
+            hit = geom.points_in_polygon(
+                plngs[test], plats[test],
+                idx.xs[rec_i], idx.ys[rec_i], idx.ring_starts[rec_i])
+            hits = test[hit]
+            if hits.size == 0:
+                continue
+            rows = sel[hits]
+            newly = ~matched[rows]
+            zone[rows[newly]] = idx.zone_ids[rec_i]
+            matched[rows] = True
+            pending[hits] = False
+            if want_all:
+                for r in rows:
+                    all_zones[r].append(idx.zone_ids[rec_i])
+
+    if fallback:
+        miss = np.nonzero(in_region & ~matched)[0]
+        if miss.size:
+            fz = _nearest_zone_fallback(idx, lats[miss], lngs[miss], cell[miss])
+            for k, r in enumerate(miss):
+                if fz[k] is not None:
+                    zone[r] = fz[k]
+                    matched[r] = True
+                    used_fb[r] = True
+                    if want_all:
+                        all_zones[r].append(fz[k])
+
+    out = {"zone_id": zone, "matched": matched, "fallback": used_fb, "error": error}
+    if want_all:
+        out["all_zones"] = all_zones
+    return out
+
+
+def _nearest_zone_fallback(idx: ZoneIndex, lats, lngs, cell, max_radius: int = 8):
+    """kNN fallback (north_star extension): nearest zone by boundary distance,
+    searching candidates in expanding cell rings."""
+    out = [None] * lats.size
+    for k in range(lats.size):
+        best_d, best_z = np.inf, None
+        seen = set()
+        for radius in range(0, max_radius + 1):
+            cand_ids = set()
+            for cid in cells.neighbor_cells(int(cell[k]), radius, idx.cell_size):
+                for rec_i in idx.cover.get(int(cid), ()):
+                    if rec_i not in seen:
+                        cand_ids.add(int(rec_i))
+            if cand_ids:
+                for rec_i in sorted(cand_ids):
+                    seen.add(rec_i)
+                    nx, ny = geom.nearest_on_boundary(
+                        np.array([lngs[k]]), np.array([lats[k]]),
+                        idx.xs[rec_i], idx.ys[rec_i], idx.ring_starts[rec_i])
+                    d = float(geom.geodesic_distance_m(
+                        np.array([lats[k]]), np.array([lngs[k]]), ny, nx)[0])
+                    if d < best_d:
+                        best_d, best_z = d, idx.zone_ids[rec_i]
+            if best_z is not None and radius >= 1:
+                break  # one extra ring beyond first hit guards edge cases
+        out[k] = best_z
+    return out
+
+
+def lookup_linear_scan(idx: ZoneIndex, lats, lngs, want_all: bool = False):
+    """Brute-force oracle: the reference's exact Q3 semantics — linear scan of
+    the area-sorted zone list, no cell cover (`TimeZoneMap.kt:84`). Used in
+    tests to prove cell-indexed output ≡ linear-scan output."""
+    lats = np.asarray(lats, dtype=np.float64)
+    lngs = np.asarray(lngs, dtype=np.float64)
+    m = lats.size
+    zone = np.full(m, None, dtype=object)
+    matched = np.zeros(m, dtype=bool)
+    all_zones = [[] for _ in range(m)]
+    in_region = idx.contains_region(lats, lngs)
+    for rec_i in range(len(idx)):
+        hit = geom.points_in_polygon(lngs, lats, idx.xs[rec_i], idx.ys[rec_i],
+                                     idx.ring_starts[rec_i])
+        hit &= in_region
+        newly = hit & ~matched
+        zone[newly] = idx.zone_ids[rec_i]
+        matched |= hit
+        for r in np.nonzero(hit)[0]:
+            all_zones[r].append(idx.zone_ids[rec_i])
+    out = {"zone_id": zone, "matched": matched}
+    if want_all:
+        out["all_zones"] = all_zones
+    return out
+
+
+def distance_from_boundary(idx: ZoneIndex, zone_id: str, lats, lngs) -> np.ndarray:
+    """WGS84 geodesic meters from points to the named zone's boundary.
+
+    Reference ``TimeZone.getDistanceFromBoundary`` (`TimeZone.kt:41-47`):
+    requires the point inside the zone (inclusive) — here out-of-zone points
+    get NaN instead of an exception (vectorized, never throws per-row).
+    Distance = geodesic meters to the planar-nearest boundary coordinate
+    (matching Esri getNearestCoordinate + geodesicDistanceOnWGS84).
+    """
+    lats = np.asarray(lats, dtype=np.float64)
+    lngs = np.asarray(lngs, dtype=np.float64)
+    out = np.full(lats.size, np.nan)
+    matches = [i for i in range(len(idx)) if fnmatch.fnmatchcase(idx.zone_ids[i], zone_id)]
+    for rec_i in matches:
+        inside = geom.points_in_polygon(lngs, lats, idx.xs[rec_i], idx.ys[rec_i],
+                                        idx.ring_starts[rec_i])
+        if not inside.any():
+            continue
+        sel = np.nonzero(inside & np.isnan(out))[0]
+        if sel.size == 0:
+            continue
+        nx, ny = geom.nearest_on_boundary(lngs[sel], lats[sel], idx.xs[rec_i],
+                                          idx.ys[rec_i], idx.ring_starts[rec_i])
+        out[sel] = geom.geodesic_distance_m(lats[sel], lngs[sel], ny, nx)
+    return out

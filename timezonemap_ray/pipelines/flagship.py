@@ -1,0 +1,124 @@
+"""Flagship pipeline: interleaved documents → geo spans → zone join.
+
+SURVEY.md §3.3::
+
+    span_documents(sf_dir)                      # doc_id, spans list<struct>
+      → map_batches(extract_geo_points)         # explode + parse "lat,lng"
+      → [broadcast path] map_batches(ZoneJoiner actors)
+        [shuffle path]   add cell_id (+salt) → groupby(cell) → per-group join
+      → write_parquet(out)  /  return Dataset
+
+Per-row invariant vs the reference: the span sequence
+``(kind, text, media_ref, order)`` passes through untouched — the join only
+appends zone columns (checked in tests/test_pipelines.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from .. import cells
+from ..sources.docgen import span_documents
+from ..stages.spans import extract_geo_points
+
+
+def geo_points(sf_dir: str, hotspots: bool = False):
+    """documents → one row per geo span: (doc_id, span_idx, kind, text,
+    media_ref, offset, lat, lng)."""
+    ds = span_documents(sf_dir, hotspots=hotspots)
+    return ds.map_batches(extract_geo_points, batch_format="pyarrow")
+
+
+def flagship(sf_dir: str, engine, out_dir: str | None = None,
+             want_all: bool = False, fallback: bool = False,
+             shuffle: bool = False, hotspots: bool = False):
+    """The engine's headline job: documents → geo spans → timezone join."""
+    pts = geo_points(sf_dir, hotspots=hotspots)
+    if shuffle:
+        joined = engine.lookup_points_shuffled(pts, want_all=want_all,
+                                               fallback=fallback)
+    else:
+        joined = engine.lookup_points(pts, want_all=want_all, fallback=fallback)
+    if out_dir is not None:
+        joined.write_parquet(out_dir)
+        return None
+    return joined
+
+
+# ---------------------------------------------------------------------------
+# Co-partitioned (shuffle) join path
+# ---------------------------------------------------------------------------
+
+class _CellAssigner:
+    """Append ``cell_id`` (and salted ``shuffle_key``) columns."""
+
+    def __init__(self, cell_size: float, salt_counts: dict | None = None,
+                 lat_col="lat", lng_col="lng", max_salt: int = 1024):
+        self.cell_size = cell_size
+        self.salt_counts = salt_counts or {}
+        self.lat_col, self.lng_col = lat_col, lng_col
+        self.max_salt = max_salt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lats = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        lngs = batch[self.lng_col].to_numpy(zero_copy_only=False)
+        cell = cells.cell_ids(lats, lngs, self.cell_size)
+        # cheap per-row hash for salting: quantized coords
+        row_hash = (np.abs((lats * 1e6).astype(np.int64) * 31
+                           + (lngs * 1e6).astype(np.int64))).astype(np.int64)
+        key = cells.salted_keys(cell, self.salt_counts, row_hash, self.max_salt)
+        batch = batch.append_column("cell_id", pa.array(cell, type=pa.int64()))
+        return batch.append_column("shuffle_key", pa.array(key, type=pa.int64()))
+
+
+def cell_histogram(ds, cell_size: float, lat_col="lat", lng_col="lng",
+                   sample_fraction: float = 0.05, seed: int = 7) -> dict:
+    """Sampled cell histogram (skew pre-pass, SURVEY.md §4): returns
+    estimated per-cell counts. Sampling keeps the pre-pass to a fraction of
+    a full scan at 100 TB."""
+    sample = ds.random_sample(sample_fraction, seed=seed)
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        c = cells.cell_ids(batch[lat_col].to_numpy(zero_copy_only=False),
+                           batch[lng_col].to_numpy(zero_copy_only=False),
+                           cell_size)
+        return pa.table({"cell_id": pa.array(c, type=pa.int64())})
+
+    counts = sample.map_batches(to_cells, batch_format="pyarrow") \
+                   .groupby("cell_id").count().to_pandas()
+    scale = 1.0 / max(sample_fraction, 1e-9)
+    return {int(r.cell_id): int(r["count()"] * scale)
+            for r in counts.itertuples(index=False)}
+
+
+def shuffled_join(ds, engine, lat_col="lat", lng_col="lng", want_all=False,
+                  fallback=False, salt_threshold: int = 250_000,
+                  sample_fraction: float = 0.05):
+    """groupby(cell) co-partitioned join. Hot cells (estimated count >
+    threshold) are salted over ``ceil(count/threshold)`` shuffle keys."""
+    hist = cell_histogram(ds, engine.index.cell_size, lat_col, lng_col,
+                          sample_fraction=sample_fraction)
+    salt_counts = {c: int(np.ceil(n / salt_threshold))
+                   for c, n in hist.items() if n > salt_threshold}
+
+    keyed = ds.map_batches(
+        _CellAssigner,
+        fn_constructor_kwargs=dict(cell_size=engine.index.cell_size,
+                                   salt_counts=salt_counts,
+                                   lat_col=lat_col, lng_col=lng_col),
+        batch_format="pyarrow")
+
+    index_ref = engine.broadcast()
+
+    def join_group(batch: pa.Table) -> pa.Table:
+        from ..stages.joiner import ZoneJoiner
+        joiner = ZoneJoiner(index_ref=index_ref, lat_col=lat_col,
+                            lng_col=lng_col, want_all=want_all,
+                            fallback=fallback)
+        return joiner(batch)
+
+    return keyed.groupby("shuffle_key").map_groups(
+        join_group, batch_format="pyarrow")
