@@ -1,0 +1,100 @@
+"""Ray-level pipeline E2E: span extraction invariant, flagship join,
+broadcast ≡ shuffled ≡ brute-force oracle, boundary-distance stage."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from timezonemap_ray import worlds
+from timezonemap_ray.api import TimeZoneEngine
+from timezonemap_ray.index import build_index, lookup_linear_scan
+from timezonemap_ray.pipelines import flagship as fs
+from timezonemap_ray.sources import docgen
+from timezonemap_ray.stages.spans import explode_spans, extract_geo_points
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session):
+    return TimeZoneEngine(build_index(worlds.conformance_table()))
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
+def test_span_sequence_invariant(ray_session, sf_dir):
+    """Per-row invariant (BASELINE.json input_hint): exploded spans keep
+    (kind, text, media_ref, order) exactly; geo parse only appends."""
+    ds = docgen.span_documents(sf_dir)
+    docs = ds.take_all()
+    exploded = ds.map_batches(explode_spans, batch_format="pyarrow").take_all()
+    by_doc = {}
+    for row in exploded:
+        by_doc.setdefault(row["doc_id"], []).append(row)
+    assert len(by_doc) == len(docs)
+    for doc in docs:
+        rows = sorted(by_doc[doc["doc_id"]], key=lambda r: r["span_idx"])
+        got = [(r["kind"], r["text"], r["media_ref"]) for r in rows]
+        exp = [(s["kind"], s["text"], s["media_ref"]) for s in doc["spans"]]
+        assert got == exp
+        assert [r["span_idx"] for r in rows] == list(range(len(exp)))
+
+
+def test_geo_parse_round_trip(ray_session, sf_dir):
+    """Parsed lat/lng equals the generator's float64 values bit-for-bit
+    (repr round-trip)."""
+    pts = fs.geo_points(sf_dir).take_all()
+    for row in pts[:200]:
+        doc_id = np.int64(int(row["doc_id"]))
+        j = row["span_idx"] - 1  # geo spans start at span_idx 1
+        lat, lng = docgen.geo_points_for(np.array([doc_id]), int(j))
+        assert row["lat"] == lat[0] and row["lng"] == lng[0]
+
+
+def test_flagship_matches_oracle(ray_session, sf_dir, engine):
+    """Broadcast-join output ≡ brute-force linear-scan oracle (the
+    reference's Q3/Q4 semantics) for every geo span in the corpus."""
+    out = fs.flagship(sf_dir, engine).to_pandas()
+    lats, lngs = out["lat"].to_numpy(), out["lng"].to_numpy()
+    oracle = lookup_linear_scan(engine.index, lats, lngs)
+    assert out["zone_id"].where(out["zone_id"].notna(), None).tolist() == \
+        oracle["zone_id"].tolist()
+    assert out["matched"].tolist() == oracle["matched"].tolist()
+    assert out["matched"].all()  # conformance world covers the whole planet
+
+
+def test_shuffled_equals_broadcast(ray_session, sf_dir, engine):
+    pts = fs.geo_points(sf_dir)
+    a = engine.lookup_points(pts).to_pandas()
+    b = engine.lookup_points_shuffled(pts, salt_threshold=50).to_pandas()
+    cols = ["doc_id", "span_idx", "lat", "lng", "zone_id", "matched"]
+    a = _sorted(a)[cols]
+    b = _sorted(b)[cols]
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_want_all_order(ray_session, engine):
+    """all_zones is smallest-area-first (Q5); disputed point returns both."""
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"lat": [42.534980], "lng": [87.615030]}))
+    out = engine.lookup_points(ds, want_all=True).take_all()
+    assert out[0]["all_zones"][:2] == ["Test/Urumqi", "Test/Shanghai"]
+    assert out[0]["zone_id"] == "Test/Urumqi"
+
+
+def test_boundary_distance_stage(ray_session):
+    import ray.data as rd
+    from timezonemap_ray.zonetable import zones_to_table
+    eng = TimeZoneEngine(build_index(
+        zones_to_table([worlds.square_with_island_zone()]), cell_size=1.0))
+    f32 = lambda v: float(np.float32(v))
+    ds = rd.from_arrow(pa.table({
+        "lat": [f32(1.5), f32(1.65), 10.0],
+        "lng": [f32(1.999), f32(1.25), 10.0]}))
+    joined = eng.lookup_points(ds)
+    out = eng.boundary_distance(joined).to_pandas().sort_values("lat")
+    vals = out["distance_m"].tolist()
+    assert vals[0] == pytest.approx(111.286, abs=0.001)
+    assert vals[1] == pytest.approx(5563.676, abs=0.001)
+    assert np.isnan(vals[2])  # unmatched point → NaN, never throws

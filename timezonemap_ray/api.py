@@ -91,6 +91,15 @@ class TimeZoneEngine:
             self._index_ref = ray.put(self.index)
         return self._index_ref
 
+    @staticmethod
+    def _default_concurrency() -> tuple:
+        """Autoscaling actor pool sized to the session: (1, num_cpus)."""
+        try:
+            n = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            n = 4
+        return (1, max(2, n))
+
     def lookup_points(self, ds, lat_col="lat", lng_col="lng", want_all=False,
                       fallback=False, concurrency=None, batch_size=8192):
         """Broadcast PIP join: Dataset of points → + zone columns.
@@ -107,7 +116,7 @@ class TimeZoneEngine:
                 want_all=want_all, fallback=fallback),
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
+            concurrency=concurrency or self._default_concurrency(),
         )
 
     def lookup_points_shuffled(self, ds, lat_col="lat", lng_col="lng",
@@ -132,5 +141,5 @@ class TimeZoneEngine:
                                        zone_col=zone_col),
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
+            concurrency=concurrency or self._default_concurrency(),
         )

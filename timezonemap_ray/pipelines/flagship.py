@@ -52,26 +52,23 @@ def flagship(sf_dir: str, engine, out_dir: str | None = None,
 # Co-partitioned (shuffle) join path
 # ---------------------------------------------------------------------------
 
-class _CellAssigner:
-    """Append ``cell_id`` (and salted ``shuffle_key``) columns."""
+def make_cell_assigner(cell_size: float, salt_counts: dict | None = None,
+                       lat_col="lat", lng_col="lng", max_salt: int = 1024):
+    """Stateless batch fn appending ``cell_id`` + salted ``shuffle_key``."""
+    salt_counts = salt_counts or {}
 
-    def __init__(self, cell_size: float, salt_counts: dict | None = None,
-                 lat_col="lat", lng_col="lng", max_salt: int = 1024):
-        self.cell_size = cell_size
-        self.salt_counts = salt_counts or {}
-        self.lat_col, self.lng_col = lat_col, lng_col
-        self.max_salt = max_salt
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        lats = batch[self.lat_col].to_numpy(zero_copy_only=False)
-        lngs = batch[self.lng_col].to_numpy(zero_copy_only=False)
-        cell = cells.cell_ids(lats, lngs, self.cell_size)
-        # cheap per-row hash for salting: quantized coords
+    def assign(batch: pa.Table) -> pa.Table:
+        lats = batch[lat_col].to_numpy(zero_copy_only=False)
+        lngs = batch[lng_col].to_numpy(zero_copy_only=False)
+        cell = cells.cell_ids(lats, lngs, cell_size)
+        # cheap deterministic per-row hash for salting: quantized coords
         row_hash = (np.abs((lats * 1e6).astype(np.int64) * 31
                            + (lngs * 1e6).astype(np.int64))).astype(np.int64)
-        key = cells.salted_keys(cell, self.salt_counts, row_hash, self.max_salt)
+        key = cells.salted_keys(cell, salt_counts, row_hash, max_salt)
         batch = batch.append_column("cell_id", pa.array(cell, type=pa.int64()))
         return batch.append_column("shuffle_key", pa.array(key, type=pa.int64()))
+
+    return assign
 
 
 def cell_histogram(ds, cell_size: float, lat_col="lat", lng_col="lng",
@@ -89,9 +86,10 @@ def cell_histogram(ds, cell_size: float, lat_col="lat", lng_col="lng",
 
     counts = sample.map_batches(to_cells, batch_format="pyarrow") \
                    .groupby("cell_id").count().to_pandas()
+    count_col = [c for c in counts.columns if c != "cell_id"][0]
     scale = 1.0 / max(sample_fraction, 1e-9)
-    return {int(r.cell_id): int(r["count()"] * scale)
-            for r in counts.itertuples(index=False)}
+    return {int(c): int(n * scale)
+            for c, n in zip(counts["cell_id"], counts[count_col])}
 
 
 def shuffled_join(ds, engine, lat_col="lat", lng_col="lng", want_all=False,
@@ -105,10 +103,8 @@ def shuffled_join(ds, engine, lat_col="lat", lng_col="lng", want_all=False,
                    for c, n in hist.items() if n > salt_threshold}
 
     keyed = ds.map_batches(
-        _CellAssigner,
-        fn_constructor_kwargs=dict(cell_size=engine.index.cell_size,
-                                   salt_counts=salt_counts,
-                                   lat_col=lat_col, lng_col=lng_col),
+        make_cell_assigner(engine.index.cell_size, salt_counts,
+                           lat_col=lat_col, lng_col=lng_col),
         batch_format="pyarrow")
 
     index_ref = engine.broadcast()

@@ -16,11 +16,12 @@ Span layout per doc (n_geo = 1 + doc_id % 3):
   idx 1..n_geo     : geo spans, text = "{lat!r},{lng!r}"
   idx n_geo + 1    : media span (opaque binary ref)
 
-Geo point formula (span j, 0-based)::
+Geo point formula (span j, 0-based; two independent integer hashes)::
 
   s   = (doc_id * 37 + j) * 2654435761 % 1000000007
-  lat = (s % 1300001)             / 10000.0 - 65.0     # [-65.0, 65.0001)
-  lng = ((s // 1300001) % 3400001) / 10000.0 - 170.0   # [-170.0, 170.0001)
+  s2  = (doc_id * 37 + j) * 1779033703 % 999999937
+  lat = (s  % 1300001) / 10000.0 - 65.0     # [-65.0, 65.0001)
+  lng = (s2 % 3400001) / 10000.0 - 170.0    # [-170.0, 170.0001)
 
 With ``hotspots=True`` a skew mixture is added (s % 5 == 0 → one of 4 dense
 "urban" clusters) to exercise cell salting; this variant is used by the
@@ -34,6 +35,8 @@ import pyarrow as pa
 
 MULT = np.int64(2654435761)
 MOD = np.int64(1000000007)
+MULT2 = np.int64(1779033703)
+MOD2 = np.int64(999999937)
 LAT_MOD = np.int64(1300001)
 LNG_MOD = np.int64(3400001)
 
@@ -46,8 +49,9 @@ def geo_points_for(doc_ids: np.ndarray, j: int, hotspots: bool = False):
     """Vectorized lat/lng for geo span j of each doc (float64)."""
     d = doc_ids.astype(np.int64)
     s = (d * np.int64(37) + np.int64(j)) * MULT % MOD
+    s2 = (d * np.int64(37) + np.int64(j)) * MULT2 % MOD2
     lat = (s % LAT_MOD).astype(np.float64) / 10000.0 - 65.0
-    lng = ((s // LAT_MOD) % LNG_MOD).astype(np.float64) / 10000.0 - 170.0
+    lng = (s2 % LNG_MOD).astype(np.float64) / 10000.0 - 170.0
     if hotspots:
         hot = (s % np.int64(5)) == 0
         ci = ((s // np.int64(5)) % np.int64(len(HOTSPOTS))).astype(np.int64)
@@ -64,8 +68,9 @@ def geo_point_sql_expr(j: str = "j") -> tuple[str, str]:
     """DuckDB SQL (lat, lng) expressions matching ``geo_points_for`` exactly
     (hotspots off). ``j`` is the SQL expression for the 0-based geo index."""
     s = f"(((doc_id * 37 + {j}) * 2654435761) % 1000000007)"
+    s2 = f"(((doc_id * 37 + {j}) * 1779033703) % 999999937)"
     lat = f"(CAST({s} % 1300001 AS DOUBLE) / 10000.0 - 65.0)"
-    lng = f"(CAST(({s} // 1300001) % 3400001 AS DOUBLE) / 10000.0 - 170.0)"
+    lng = f"(CAST({s2} % 3400001 AS DOUBLE) / 10000.0 - 170.0)"
     return lat, lng
 
 
