@@ -1,0 +1,117 @@
+"""ANN similarity search: brute-force == numpy oracle == DuckDB; IVF recall."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from timezonemap_ray.stages import ann
+
+
+@pytest.fixture(scope="module")
+def emb_path(sf_dir):
+    return f"{sf_dir}/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def queries(emb_path):
+    import pyarrow.parquet as pq
+    t = pq.read_table(emb_path)
+    ids = t["vec_id"].to_numpy()[:5]
+    mat = np.array(t["embedding"].to_pylist()[:5], dtype=np.float64)
+    return ids, mat
+
+
+def test_brute_topk_matches_numpy(ray_session, emb_path, queries):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    qids, qmat = queries
+    ds = rd.read_parquet(emb_path)
+    out = ann.brute_topk(ds, qids, qmat, k=10).to_pandas()
+
+    t = pq.read_table(emb_path)
+    all_ids = t["vec_id"].to_numpy()
+    allv = ann._normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    qn = ann._normalize(qmat)
+    sims = allv @ qn.T
+    for qi, qid in enumerate(qids):
+        order = np.lexsort((all_ids, -sims[:, qi]))[:10]
+        expect = all_ids[order].tolist()
+        got = out[out["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert got == expect, qid
+
+
+def test_brute_topk_matches_duckdb(ray_session, emb_path, queries):
+    import ray.data as rd
+    qids, qmat = queries
+    ds = rd.read_parquet(emb_path)
+    out = ann.brute_topk(ds, qids, qmat, k=10).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{emb_path}')")
+    qlist = ",".join(str(int(q)) for q in qids)
+    sql = con.sql(f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id IN ({qlist})),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(e.embedding, q.qv) AS score
+            FROM embeddings e CROSS JOIN q)
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+        QUALIFY rank <= 10
+        ORDER BY query_id, rank""").df()
+    pd.testing.assert_frame_equal(
+        out[["query_id", "vec_id", "rank"]],
+        sql.astype({"query_id": out["query_id"].dtype,
+                    "vec_id": out["vec_id"].dtype,
+                    "rank": out["rank"].dtype}))
+
+
+def test_ivf_recall(ray_session, emb_path, queries):
+    import ray.data as rd
+    qids, qmat = queries
+    ds = rd.read_parquet(emb_path)
+    brute = ann.brute_topk(ds, qids, qmat, k=10).to_pandas()
+    ivf = ann.ivf_topk(ds, qids, qmat, k=10, n_centroids=8, nprobe=4).to_pandas()
+    recalls = []
+    for qid in qids:
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        v = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        recalls.append(len(b & v) / len(b))
+    assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 lists
+    # each query's own vector is its top hit in both
+    for qid in qids:
+        assert len(ivf[(ivf["query_id"] == qid) & (ivf["rank"] == 1)]) == 1
+        assert brute[(brute["query_id"] == qid) &
+                     (brute["rank"] == 1)]["vec_id"].iloc[0] == qid
+
+
+def test_media_stages(ray_session):
+    import ray.data as rd
+    from timezonemap_ray.stages import media
+    t = media.synth_media_table([f"media://blob/{i}" for i in range(10)],
+                                kind="video")
+    ds = rd.from_arrow(t)
+    decoded = ds.map_batches(media.MediaDecoder, batch_format="pyarrow",
+                             batch_size=media.SUGGESTED_BATCH,
+                             concurrency=2).to_pandas()
+    assert len(decoded) == 10
+    assert len(decoded["features"].iloc[0]) == 32
+    # determinism: same payload → same features
+    again = ds.map_batches(media.MediaDecoder, batch_format="pyarrow",
+                           batch_size=media.SUGGESTED_BATCH,
+                           concurrency=2).to_pandas()
+    assert decoded["features"].iloc[3] == pytest.approx(again["features"].iloc[3])
+
+    frames = ds.map_batches(media.FrameSampler, batch_format="pyarrow",
+                            concurrency=2).to_pandas()
+    assert len(frames) == 10 * 5  # 5000ms / 1000ms
+    resized = ds.map_batches(media.ImageResizer, batch_format="pyarrow",
+                             concurrency=2).to_pandas()
+    assert (resized["resized_w"] == 224).all()
+
+    with pytest.raises(NotImplementedError):
+        media.MediaDecoder(fake=False)

