@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here (or in
+``timezonemap_ray``) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline (documents → geo spans → timezone join) on
+  sf0.001.
+- ``queries()``: one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data operator mandate).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query;
+  FP-accumulation columns are emitted as scaled integers on BOTH sides so
+  value hashes are exact (see timezonemap_ray/oracle.py for the geo SQL).
 """
 
 from __future__ import annotations
@@ -18,27 +17,382 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_ENGINE = None
+
+
+def _engine():
+    """Conformance-world engine, built once per process (reference semantics:
+    'initialize only once and keep it', README.MD:25)."""
+    global _ENGINE
+    if _ENGINE is None:
+        from timezonemap_ray import worlds
+        from timezonemap_ray.api import TimeZoneEngine
+        _ENGINE = TimeZoneEngine.for_everywhere(worlds.conformance_table())
+    return _ENGINE
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    from timezonemap_ray.pipelines.flagship import flagship
+    return flagship("/root/testdata/sf0.001", _engine())
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_geo_span_extract(sf_dir: str):
+    from timezonemap_ray.pipelines.flagship import geo_points
+    ds = geo_points(sf_dir)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "span_idx": pc.cast(b["span_idx"], pa.int64()),
+            "lat": b["lat"], "lng": b["lng"],
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_tz_lookup_top1(sf_dir: str):
+    from timezonemap_ray.pipelines.flagship import flagship
+    ds = flagship(sf_dir, _engine())
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "span_idx": pc.cast(b["span_idx"], pa.int64()),
+            "lat": b["lat"], "lng": b["lng"],
+            "zone_id": pc.cast(b["zone_id"], pa.string()),
+            "matched": b["matched"],
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_tz_lookup_all(sf_dir: str):
+    from timezonemap_ray.pipelines.flagship import flagship
+    ds = flagship(sf_dir, _engine(), want_all=True)
+
+    def project(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.list_value_length(b["all_zones"]), pa.int64())
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "span_idx": pc.cast(b["span_idx"], pa.int64()),
+            "all_zones": b["all_zones"],
+            "n_zones": n,
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_tz_lookup_shuffled(sf_dir: str):
+    """Cell-groupby co-partitioned path; output equals tz_lookup_top1."""
+    from timezonemap_ray.pipelines.flagship import flagship
+    ds = flagship(sf_dir, _engine(), shuffle=True)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "span_idx": pc.cast(b["span_idx"], pa.int64()),
+            "lat": b["lat"], "lng": b["lng"],
+            "zone_id": pc.cast(b["zone_id"], pa.string()),
+            "matched": b["matched"],
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_tz_distance(sf_dir: str):
+    """Geodesic boundary distance for each matched point (not SQL-expressible
+    — rows-only check)."""
+    from timezonemap_ray.pipelines.flagship import flagship
+    ds = flagship(sf_dir, _engine())
+    out = _engine().boundary_distance(ds)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "span_idx": pc.cast(b["span_idx"], pa.int64()),
+            "zone_id": pc.cast(b["zone_id"], pa.string()),
+            "distance_m": b["distance_m"],
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def _q_token_count(sf_dir: str):
+    import ray.data as rd
+    from timezonemap_ray.stages.text import token_count
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(token_count, batch_format="pyarrow")
+
+
+def _q_quality(sf_dir: str):
+    import ray.data as rd
+    from timezonemap_ray.stages.text import quality_score
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(quality_score, batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data as rd
+    from timezonemap_ray.stages.text import lang_id
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(lang_id, batch_format="pyarrow")
+
+
+def _q_fingerprint(sf_dir: str):
+    import ray.data as rd
+    from timezonemap_ray.stages.text import md5_digest
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(lambda b: md5_digest(b).select(["doc_id", "digest"]),
+                     batch_format="pyarrow")
+
+
+def _q_fingerprint_rolling(sf_dir: str):
+    import ray.data as rd
+    from timezonemap_ray.stages.text import rolling_fingerprint
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(rolling_fingerprint, batch_format="pyarrow")
+
+
+def _q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import exact_dedup
+    return exact_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                       columns=["doc_id", "text"]))
+
+
+def _q_dedup_minhash(sf_dir: str):
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import minhash_dedup
+    return minhash_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                         columns=["doc_id", "text"]))
+
+
+def _q_dedup_simhash(sf_dir: str):
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import simhash_dedup
+    return simhash_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                         columns=["doc_id", "text"]))
+
+
+def _q_dedup_ngram(sf_dir: str):
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import ngram_jaccard_dedup
+    return ngram_jaccard_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                               columns=["doc_id", "text"]))
+
+
+def _q_dedup_embedding(sf_dir: str):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from timezonemap_ray.stages.dedup import embedding_dedup
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet").column(
+        "embedding")[0].as_py())
+    return embedding_dedup(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                           dim=dim, threshold=0.95)
+
+
+def _ann_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()[:5]
+    mat = np.array(t["embedding"].to_pylist()[:5], dtype=np.float64)
+    return ids, mat
+
+
+def _q_ann_brute(sf_dir: str):
+    import ray.data as rd
+    from timezonemap_ray.stages.ann import brute_topk
+    ids, mat = _ann_queries(sf_dir)
+    out = brute_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                     ids, mat, k=10)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+def _q_ann_ivf(sf_dir: str):
+    import ray.data as rd
+    from timezonemap_ray.stages.ann import ivf_topk
+    ids, mat = _ann_queries(sf_dir)
+    out = ivf_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                   ids, mat, k=10, n_centroids=8, nprobe=4)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+def _q_media_decode(sf_dir: str):
+    import ray.data as rd
+    from timezonemap_ray.stages import media
+    refs = [f"media://blob/{i}" for i in range(200)]
+    ds = rd.from_arrow(media.synth_media_table(refs, kind="video"))
+    out = ds.map_batches(media.MediaDecoder, batch_format="pyarrow",
+                         batch_size=media.SUGGESTED_BATCH, concurrency=(1, 4))
+    return out.select_columns(["media_id", "media_ref", "decoded_bytes"])
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    from timezonemap_ray.pipelines.relational import lineitem_pricing_summary
+    ds = lineitem_pricing_summary(sf_dir)
+
+    def stabilize(b: pa.Table) -> pa.Table:
+        # FP sums → scaled integers so hash comparison is exact regardless of
+        # summation order (inputs have <=2 and <=4 decimals respectively)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty_c": pc.cast(pc.round(pc.multiply(b["sum_qty"],
+                                                      pa.scalar(100.0))),
+                                 pa.int64()),
+            "sum_base_price_c": pc.cast(
+                pc.round(pc.multiply(b["sum_base_price"], pa.scalar(100.0))),
+                pa.int64()),
+            "sum_disc_price_dm": pc.cast(
+                pc.round(pc.multiply(b["sum_disc_price"], pa.scalar(10000.0))),
+                pa.int64()),
+            "count_order": b["count_order"],
+        })
+
+    return ds.map_batches(stabilize, batch_format="pyarrow")
+
+
+def _q_top_orders(sf_dir: str):
+    from timezonemap_ray.pipelines.relational import top_revenue_orders
+    return top_revenue_orders(sf_dir, limit=20)
+
+
+def _q_events_hourly(sf_dir: str):
+    from timezonemap_ray.pipelines.relational import events_user_hourly
+    ds = events_user_hourly(sf_dir)
+
+    def stabilize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "hour": b["hour"],
+            "n_events": b["n_events"],
+        })
+
+    return ds.map_batches(stabilize, batch_format="pyarrow")
+
+
+def _q_customers_per_nation(sf_dir: str):
+    from timezonemap_ray.pipelines.relational import customers_per_nation
+    return customers_per_nation(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # geo engine (reference parity pipelines)
+        "geo_span_extract": _q_geo_span_extract,
+        "tz_lookup_top1": _q_tz_lookup_top1,
+        "tz_lookup_all": _q_tz_lookup_all,
+        "tz_lookup_shuffled": _q_tz_lookup_shuffled,
+        "tz_distance_boundary": _q_tz_distance,
+        # text analysis
+        "token_count": _q_token_count,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint_md5": _q_fingerprint,
+        "fingerprint_rolling": _q_fingerprint_rolling,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_embedding": _q_dedup_embedding,
+        # similarity search
+        "ann_brute_topk": _q_ann_brute,
+        "ann_ivf_topk": _q_ann_ivf,
+        # multimodal plumbing
+        "media_decode": _q_media_decode,
+        # relational / wide operators
+        "lineitem_pricing": _q_lineitem_pricing,
+        "top_revenue_orders": _q_top_orders,
+        "events_user_hourly": _q_events_hourly,
+        "customers_per_nation": _q_customers_per_nation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from timezonemap_ray import oracle
+
+    return {
+        "geo_span_extract": oracle.sql_geo_span_extract(),
+        "tz_lookup_top1": oracle.sql_tz_lookup_top1(),
+        "tz_lookup_all": oracle.sql_tz_lookup_all(),
+        "tz_lookup_shuffled": oracle.sql_tz_lookup_top1(),
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\\s+'))
+                   END::BIGINT AS n_tokens,
+                   length(text)::BIGINT AS n_chars
+            FROM documents""",
+        "quality_score": r"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS punct_count,
+                   len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b'))::BIGINT
+                       AS stop_count,
+                   CAST(len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b'))
+                        AS DOUBLE)
+                     / greatest(len(regexp_extract_all(text, '\S+')), 1)
+                   + CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                     / greatest(length(text), 1) AS quality
+            FROM documents""",
+        "fingerprint_md5": "SELECT doc_id, md5(text) AS digest FROM documents",
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+            FROM documents GROUP BY md5(text)""",
+        "ann_brute_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings
+                       WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                        ORDER BY vec_id LIMIT 5)),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qv) AS score
+                FROM embeddings e CROSS JOIN q)
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id) AS rank
+            FROM scored QUALIFY rank <= 10""",
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity) * 100.0) AS BIGINT) AS sum_qty_c,
+                   CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)
+                       AS sum_base_price_c,
+                   CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 10000.0)
+                        AS BIGINT) AS sum_disc_price_dm,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus""",
+        "top_revenue_orders": """
+            SELECT o_orderkey, o_custkey, c_name, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20""",
+        "events_user_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id, date_trunc('hour', ts)""",
+        "customers_per_nation": """
+            SELECT n_name, count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        # intentionally omitted (rows-only check — not SQL-expressible):
+        # tz_distance_boundary (WGS84 geodesic), lang_id (heuristic scorer),
+        # fingerprint_rolling (rolling hash), dedup_minhash / dedup_simhash /
+        # dedup_ngram_jaccard / dedup_embedding (LSH + union-find),
+        # ann_ivf_topk (approximate), media_decode (stubbed codec)
+    }

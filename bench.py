@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Bench harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <flagship sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "points_per_sec": ...}
+
+``--scaling`` runs the same synthetic-point join in TWO fresh processes
+(num_cpus=8 then 32) and reports both throughputs + scaling efficiency
+(north_rule: two-cluster-size criterion evidenced by two parallelism levels,
+see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_POINTS = int(os.environ.get("BENCH_POINTS", "32000000"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _grid_engine():
+    from timezonemap_ray import worlds
+    from timezonemap_ray.api import TimeZoneEngine
+    return TimeZoneEngine.for_everywhere(worlds.grid_world_table(n=12))
+
+
+def bench_points_join(engine, n_points: int, num_cpus: int) -> tuple[float, int]:
+    """Synthetic-point broadcast join; returns (sec, rows).
+
+    Fixed-size actor pool (= num_cpus) so every worker is busy from the
+    start; ~4 blocks per worker so the streaming executor pipelines
+    generation and join."""
+    from timezonemap_ray.sources.docgen import synthetic_points
+    pts = synthetic_points(n_points, hotspots=True,
+                           parallelism=max(num_cpus * 4, n_points // 250_000))
+    t0 = time.perf_counter()
+    # task-pool join: fuses with the generator, no actor-pool ramp-up
+    joined = engine.lookup_points(pts, batch_size=131072)
+    n = joined.count()
+    return time.perf_counter() - t0, n
+
+
+def run_bench(num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    from timezonemap_ray import worlds
+    from timezonemap_ray.api import TimeZoneEngine
+    from timezonemap_ray.pipelines.flagship import flagship
+
+    timings: dict[str, float] = {}
+
+    conf_engine = TimeZoneEngine.for_everywhere(worlds.conformance_table())
+
+    t0 = time.perf_counter()
+    out = flagship(SF_DIR, conf_engine)
+    n_flagship = out.count()
+    timings["flagship_docs_join"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out = flagship(SF_DIR, conf_engine, shuffle=True)
+    out.count()
+    timings["flagship_shuffled"] = time.perf_counter() - t0
+
+    grid_engine = _grid_engine()
+    sec, n_pts = bench_points_join(grid_engine, BENCH_POINTS, num_cpus)
+    timings["points_join_2m"] = sec
+    pps = n_pts / sec if sec > 0 else 0.0
+
+    # training-data operator benches
+    import ray.data as rd
+    from timezonemap_ray.stages.text import token_count
+    t0 = time.perf_counter()
+    rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]) \
+        .map_batches(token_count, batch_format="pyarrow").count()
+    timings["token_count"] = time.perf_counter() - t0
+
+    from timezonemap_ray.stages.dedup import exact_dedup
+    t0 = time.perf_counter()
+    exact_dedup(rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                columns=["doc_id", "text"])).count()
+    timings["dedup_exact"] = time.perf_counter() - t0
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    from timezonemap_ray.stages.ann import brute_topk
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()[:5]
+    mat = np.array(t["embedding"].to_pylist()[:5], dtype=np.float64)
+    t0 = time.perf_counter()
+    brute_topk(rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), ids, mat, k=10)
+    timings["ann_brute_topk"] = time.perf_counter() - t0
+
+    return {
+        "metric": "timezone-lookup join throughput (points/sec) + headline pipeline wall times",
+        "value": round(timings["flagship_docs_join"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "points_per_sec": round(pps),
+        "flagship_rows": n_flagship,
+        "bench_points": BENCH_POINTS,
+    }
+
+
+def run_scaling_worker(num_cpus: int) -> None:
+    _init_ray(num_cpus)
+    engine = _grid_engine()
+    # full-size warmup: spawns the worker-process pool, broadcasts the index,
+    # warms per-process caches — mirrors a long-running job's steady state
+    bench_points_join(engine, BENCH_POINTS, num_cpus)
+    best = None
+    for _ in range(2):
+        sec, n = bench_points_join(engine, BENCH_POINTS, num_cpus)
+        if best is None or sec < best[0]:
+            best = (sec, n)
+    sec, n = best
+    print(json.dumps({"num_cpus": num_cpus, "sec": round(sec, 3),
+                      "points": n, "points_per_sec": round(n / sec)}))
+
+
+def run_scaling() -> None:
+    """Same job, fresh ray sessions at num_cpus=8 and 32 (N vs 4N)."""
+    results = {}
+    for n in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+             str(n)],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)))
+        line = [l for l in proc.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    t8 = results[8]["points_per_sec"]
+    t32 = results[32]["points_per_sec"]
+    eff = (t32 / t8) / 4.0
+    print(json.dumps({
+        "metric": "scaling efficiency N->4N (num_cpus 8 vs 32)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "throughput_8": t8,
+        "throughput_32": t32,
+        "sec_8": results[8]["sec"],
+        "sec_32": results[32]["sec"],
+        "bench_points": BENCH_POINTS,
+        "sf": SF_DIR,
+    }))
+
+
+def main():
+    if "--scaling-worker" in sys.argv:
+        run_scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
+    elif "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench(NUM_CPUS)))
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

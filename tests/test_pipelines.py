@@ -20,6 +20,8 @@ def engine(ray_session):
 
 
 def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    if "zone_id" in df.columns:
+        df = df.assign(zone_id=df["zone_id"].astype("object"))
     return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
 
 

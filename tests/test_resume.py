@@ -24,6 +24,7 @@ def _result_df(out_dir):
     files = sorted(glob.glob(os.path.join(out_dir, "result", "**", "*.parquet"),
                              recursive=True))
     df = pd.concat([pd.read_parquet(f) for f in files])
+    df["zone_id"] = df["zone_id"].astype("object")
     return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
 
 

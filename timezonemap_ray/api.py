@@ -101,14 +101,29 @@ class TimeZoneEngine:
         return (1, max(2, n))
 
     def lookup_points(self, ds, lat_col="lat", lng_col="lng", want_all=False,
-                      fallback=False, concurrency=None, batch_size=8192):
+                      fallback=False, concurrency=None, batch_size=65536,
+                      compute="tasks"):
         """Broadcast PIP join: Dataset of points → + zone columns.
 
         The polygon index is tiny relative to the point side (~10^4 zones vs
         the full corpus), so the join is broadcast — the only data movement
         is the one-time index transfer per node; the point side streams.
+
+        ``compute="tasks"`` (default): plain task pool — the broadcast index
+        is fetched from the node-local plasma store and memoized per worker
+        process, so tasks are as warm as actors but fuse with upstream
+        stages and have no pool-startup latency. ``compute="actors"``: the
+        classic stateful actor pool (right when per-worker state is
+        genuinely expensive, e.g. lazy geometry decode at the full 2020d
+        dataset scale).
         """
-        from .stages.joiner import ZoneJoiner
+        from .stages.joiner import ZoneJoiner, make_join_fn
+        if compute == "tasks":
+            return ds.map_batches(
+                make_join_fn(self.broadcast(), lat_col=lat_col,
+                             lng_col=lng_col, want_all=want_all,
+                             fallback=fallback),
+                batch_format="pyarrow", batch_size=batch_size)
         return ds.map_batches(
             ZoneJoiner,
             fn_constructor_kwargs=dict(

@@ -142,6 +142,44 @@ def _even_odd_interior(px, py, xs, ys, ring_start) -> np.ndarray:
     return inside
 
 
+def pip_edges(px, py, edges, eps: float = BOUNDARY_EPS) -> np.ndarray:
+    """Boundary-inclusive even-odd PIP against a precomputed edge list
+    ``edges = (x1, y1, x2, y2)`` (all rings concatenated — even-odd parity
+    over the union of ring edges equals the XOR of per-ring parities).
+    One fused pass computes crossing parity AND the on-boundary test."""
+    px, py = as_f64(px), as_f64(py)
+    x1a, y1a, x2a, y2a = edges
+    m = px.size
+    n = x1a.size
+    inside = np.zeros(m, dtype=bool)
+    on = np.zeros(m, dtype=bool)
+    if n == 0:
+        return inside
+    step = max(1, _MAX_BROADCAST // max(m, 1))
+    ppx = px[:, None]
+    ppy = py[:, None]
+    for s in range(0, n, step):
+        x1 = x1a[s:s + step][None, :]
+        y1 = y1a[s:s + step][None, :]
+        x2 = x2a[s:s + step][None, :]
+        y2 = y2a[s:s + step][None, :]
+        straddle = (y1 > ppy) != (y2 > ppy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1 + (ppy - y1) * (x2 - x1) / (y2 - y1)
+        inside ^= (np.sum(straddle & (ppx < xint), axis=1) % 2).astype(bool)
+        dx, dy = x2 - x1, y2 - y1
+        seg2 = dx * dx + dy * dy
+        wx = ppx - x1
+        wy = ppy - y1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.clip(np.where(seg2 > 0, (wx * dx + wy * dy) / seg2, 0.0),
+                        0.0, 1.0)
+        cx = wx - t * dx
+        cy = wy - t * dy
+        on |= np.any(cx * cx + cy * cy <= eps * eps, axis=1)
+    return inside | on
+
+
 def points_on_boundary(px, py, xs, ys, ring_start, eps: float = BOUNDARY_EPS) -> np.ndarray:
     """True where a point lies on any ring edge (within eps, degrees)."""
     px, py = as_f64(px), as_f64(py)

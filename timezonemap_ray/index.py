@@ -21,7 +21,6 @@ every `ZoneJoiner` actor — the broadcast side of the join.
 
 from __future__ import annotations
 
-import fnmatch
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -49,6 +48,7 @@ class ZoneIndex:
     cell_size: float
     cover: dict = field(default_factory=dict)  # cell_id -> np.ndarray[rec idx]
     map_version: Optional[str] = None
+    edges: list = field(default_factory=list)  # per-record (x1,y1,x2,y2)
 
     def __len__(self):
         return len(self.zone_ids)
@@ -137,6 +137,10 @@ def build_index(zone_table, region: tuple = WORLD,
         map_version=map_version,
     )
     idx.cover = _build_cover(idx, refine=refine_cover)
+    # precompute per-record edge arrays once: the PIP hot path never
+    # re-rolls ring vertices per batch
+    idx.edges = [geom.all_edges(idx.xs[i], idx.ys[i], idx.ring_starts[i])
+                 for i in range(len(idx))]
     return idx
 
 
@@ -183,65 +187,82 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
     lats = np.asarray(lats, dtype=np.float64)
     lngs = np.asarray(lngs, dtype=np.float64)
     m = lats.size
-    zone = np.full(m, None, dtype=object)
+    zone_idx = np.full(m, -1, dtype=np.int32)  # index into idx.zone_ids
     matched = np.zeros(m, dtype=bool)
     used_fb = np.zeros(m, dtype=bool)
-    error = np.full(m, None, dtype=object)
     all_zones = [[] for _ in range(m)] if want_all else None
 
     in_region = idx.contains_region(lats, lngs)
-    error[~in_region] = "outside_initialized_region"
 
     cell = cells.cell_ids(lats, lngs, idx.cell_size)
-    cell = np.where(in_region, cell, -1)
-    uniq = np.unique(cell[in_region]) if in_region.any() else np.empty(0, np.int64)
+    cell = np.where(in_region, cell, np.int64(-1))
 
-    for cid in uniq:
-        sel = np.nonzero(cell == cid)[0]
+    # group point indices by cell via one counting sort (cell key space is
+    # tiny: (180/s)*(360/s) ids), then invert: gather each candidate ZONE's
+    # points and run one vectorized PIP per zone — the heavy work is
+    # per-zone numpy, never per-cell python
+    n_lat, n_lng = cells.grid_dims(idx.cell_size)
+    key_space = n_lat * n_lng + 1
+    keys = np.where(cell >= 0, cell, key_space - 1)
+    counts = np.bincount(keys, minlength=key_space)
+    starts_all = np.concatenate([[0], np.cumsum(counts)])
+    order = np.argsort(keys, kind="stable")
+    present = np.nonzero(counts[:-1])[0]  # cell ids with points, sorted
+    zone_points: dict[int, list] = {}
+    for cid in present:
         cand = idx.cover.get(int(cid))
         if cand is None:
             continue
+        sel = order[starts_all[cid]:starts_all[cid + 1]]
+        for rec_i in cand:
+            zone_points.setdefault(int(rec_i), []).append(sel)
+
+    for rec_i in sorted(zone_points):  # area-ascending record order
+        sel = np.concatenate(zone_points[rec_i])
+        if not want_all:
+            sel = sel[~matched[sel]]  # top-1: earlier (smaller) zones won
+            if sel.size == 0:
+                continue
+        # envelope pre-check (exact envelope filter, M12 analogue)
+        e = idx.envs[rec_i]
         plats, plngs = lats[sel], lngs[sel]
-        pending = np.ones(sel.size, dtype=bool)  # for top-1 early exit
-        for rec_i in cand:  # area-ascending: first hit is the answer
-            if not want_all and not pending.any():
-                break
-            test_mask = pending if not want_all else np.ones(sel.size, bool)
-            # envelope pre-check (exact envelope filter, M12 analogue)
-            e = idx.envs[rec_i]
-            env_ok = ((plngs >= e[0]) & (plngs <= e[2]) &
-                      (plats >= e[1]) & (plats <= e[3]))
-            test = np.nonzero(test_mask & env_ok)[0]
-            if test.size == 0:
-                continue
-            hit = geom.points_in_polygon(
-                plngs[test], plats[test],
-                idx.xs[rec_i], idx.ys[rec_i], idx.ring_starts[rec_i])
-            hits = test[hit]
-            if hits.size == 0:
-                continue
-            rows = sel[hits]
-            newly = ~matched[rows]
-            zone[rows[newly]] = idx.zone_ids[rec_i]
-            matched[rows] = True
-            pending[hits] = False
-            if want_all:
-                for r in rows:
-                    all_zones[r].append(idx.zone_ids[rec_i])
+        env_ok = ((plngs >= e[0]) & (plngs <= e[2]) &
+                  (plats >= e[1]) & (plats <= e[3]))
+        sel = sel[env_ok]
+        if sel.size == 0:
+            continue
+        hit = geom.pip_edges(lngs[sel], lats[sel], idx.edges[rec_i])
+        rows = sel[hit]
+        if rows.size == 0:
+            continue
+        newly = rows[~matched[rows]]
+        zone_idx[newly] = rec_i
+        matched[rows] = True
+        if want_all:
+            for r in rows:
+                all_zones[r].append(idx.zone_ids[rec_i])
 
     if fallback:
         miss = np.nonzero(in_region & ~matched)[0]
         if miss.size:
             fz = _nearest_zone_fallback(idx, lats[miss], lngs[miss], cell[miss])
+            name_to_i = {z: i for i, z in enumerate(idx.zone_ids)}
             for k, r in enumerate(miss):
                 if fz[k] is not None:
-                    zone[r] = fz[k]
+                    zone_idx[r] = name_to_i[fz[k]]
                     matched[r] = True
                     used_fb[r] = True
                     if want_all:
                         all_zones[r].append(fz[k])
 
-    out = {"zone_id": zone, "matched": matched, "fallback": used_fb, "error": error}
+    zone = np.full(m, None, dtype=object)
+    hitrows = zone_idx >= 0
+    if hitrows.any():
+        names = np.asarray(idx.zone_ids, dtype=object)
+        zone[hitrows] = names[zone_idx[hitrows]]
+    out = {"zone_id": zone, "zone_idx": zone_idx, "in_region": in_region,
+           "matched": matched, "fallback": used_fb,
+           "error": np.where(in_region, None, "outside_initialized_region")}
     if want_all:
         out["all_zones"] = all_zones
     return out
@@ -288,8 +309,7 @@ def lookup_linear_scan(idx: ZoneIndex, lats, lngs, want_all: bool = False):
     all_zones = [[] for _ in range(m)]
     in_region = idx.contains_region(lats, lngs)
     for rec_i in range(len(idx)):
-        hit = geom.points_in_polygon(lngs, lats, idx.xs[rec_i], idx.ys[rec_i],
-                                     idx.ring_starts[rec_i])
+        hit = geom.pip_edges(lngs, lats, idx.edges[rec_i])
         hit &= in_region
         newly = hit & ~matched
         zone[newly] = idx.zone_ids[rec_i]
@@ -314,7 +334,7 @@ def distance_from_boundary(idx: ZoneIndex, zone_id: str, lats, lngs) -> np.ndarr
     lats = np.asarray(lats, dtype=np.float64)
     lngs = np.asarray(lngs, dtype=np.float64)
     out = np.full(lats.size, np.nan)
-    matches = [i for i in range(len(idx)) if fnmatch.fnmatchcase(idx.zone_ids[i], zone_id)]
+    matches = [i for i in range(len(idx)) if idx.zone_ids[i] == zone_id]
     for rec_i in matches:
         inside = geom.points_in_polygon(lngs, lats, idx.xs[rec_i], idx.ys[rec_i],
                                         idx.ring_starts[rec_i])

@@ -1,0 +1,119 @@
+"""DuckDB oracle-SQL generation for the geo pipeline.
+
+The driver's correctness gate runs each ``queries()`` callable AND its
+``oracle_sql()`` string side-by-side. The geo points are derived from
+``documents.doc_id`` by pure int64 arithmetic (``sources/docgen.py``), so the
+SQL reproduces the exact float64 coordinates; the conformance world's zones
+are rectangles (plus one square-with-island), so containment is expressible
+as BETWEEN predicates — including even-odd hole semantics (hole strictly
+exclusive, island inclusive — matching boundary-inclusive PIP for nested
+rects).
+
+The zone predicates are GENERATED from the very same ``worlds`` table the
+engine indexes, with float64 bounds emitted via ``repr`` so both sides
+compare identical doubles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import worlds
+from .sources.docgen import geo_point_sql_expr
+
+
+def _sql_f(v: float) -> str:
+    return repr(float(v))
+
+
+def geo_points_cte() -> str:
+    """CTE ``pts(doc_id, span_idx, lat, lng)`` reproducing the generator."""
+    lat, lng = geo_point_sql_expr("g.j")
+    return f"""pts AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         CAST(1 + g.j AS BIGINT) AS span_idx,
+         {lat} AS lat,
+         {lng} AS lng
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, CAST(d.doc_id % 3 AS BIGINT))) AS j) g
+)"""
+
+
+def conformance_zone_predicates() -> list[tuple[str, int, str]]:
+    """[(zone_id, area_rank, sql_boolean_expr_over(lat,lng))] for every zone
+    in the conformance world, area-ascending."""
+    from .zonetable import table_to_records
+    table = worlds.conformance_table()
+    recs = table_to_records(table)
+    out = []
+    for r in recs:
+        xs, ys, rs = r["xs"], r["ys"], r["ring_start"]
+        n_rings = len(rs) - 1
+        ring_boxes = []
+        for k in range(n_rings):
+            s, e = int(rs[k]), int(rs[k + 1])
+            ring_boxes.append((float(ys[s:e].min()), float(xs[s:e].min()),
+                               float(ys[s:e].max()), float(xs[s:e].max())))
+        # ring 0 inclusive; ring 1 (hole) strictly inside; ring 2 (island)
+        # inclusive — even-odd + boundary-inclusive for nested rectangles
+        parts = []
+        b0 = ring_boxes[0]
+        outer = (f"(lat BETWEEN {_sql_f(b0[0])} AND {_sql_f(b0[2])} "
+                 f"AND lng BETWEEN {_sql_f(b0[1])} AND {_sql_f(b0[3])})")
+        expr = outer
+        if n_rings >= 2:
+            h = ring_boxes[1]
+            hole = (f"(lat > {_sql_f(h[0])} AND lat < {_sql_f(h[2])} "
+                    f"AND lng > {_sql_f(h[1])} AND lng < {_sql_f(h[3])})")
+            if n_rings >= 3:
+                i = ring_boxes[2]
+                isl = (f"(lat BETWEEN {_sql_f(i[0])} AND {_sql_f(i[2])} "
+                       f"AND lng BETWEEN {_sql_f(i[1])} AND {_sql_f(i[3])})")
+                expr = f"({outer} AND (NOT {hole} OR {isl}))"
+            else:
+                expr = f"({outer} AND NOT {hole})"
+        out.append((r["zone_id"], int(r["area_rank"]), expr))
+    out.sort(key=lambda t: t[1])
+    return out
+
+
+def zones_join_cte() -> str:
+    """CTE ``zone_match(doc_id, span_idx, lat, lng, zone_id, area_rank)``:
+    every (point, containing zone) pair."""
+    selects = []
+    for zid, rank, expr in conformance_zone_predicates():
+        zlit = zid.replace("'", "''")
+        selects.append(
+            f"SELECT doc_id, span_idx, lat, lng, '{zlit}' AS zone_id, "
+            f"{rank} AS area_rank FROM pts WHERE {expr}")
+    return "zone_match AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+def sql_geo_span_extract() -> str:
+    return f"WITH {geo_points_cte()} SELECT doc_id, span_idx, lat, lng FROM pts"
+
+
+def sql_tz_lookup_top1() -> str:
+    return f"""WITH {geo_points_cte()},
+{zones_join_cte()},
+ranked AS (
+  SELECT doc_id, span_idx, lat, lng, zone_id,
+         row_number() OVER (PARTITION BY doc_id, span_idx
+                            ORDER BY area_rank) AS rn
+  FROM zone_match)
+SELECT p.doc_id, p.span_idx, p.lat, p.lng,
+       r.zone_id AS zone_id,
+       (r.zone_id IS NOT NULL) AS matched
+FROM pts p
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+  USING (doc_id, span_idx)"""
+
+
+def sql_tz_lookup_all() -> str:
+    return f"""WITH {geo_points_cte()},
+{zones_join_cte()}
+SELECT doc_id, span_idx,
+       list(zone_id ORDER BY area_rank) AS all_zones,
+       count(*)::BIGINT AS n_zones
+FROM zone_match
+GROUP BY doc_id, span_idx"""

@@ -135,10 +135,14 @@ def span_documents(sf_dir: str, hotspots: bool = False, parallelism: int = -1):
                           batch_format="pyarrow")
 
 
-def synthetic_points(n: int, hotspots: bool = True, parallelism: int = 64):
+def synthetic_points(n: int, hotspots: bool = True, parallelism: int | None = None):
     """Large synthetic point Dataset for the bench harness: ``n`` rows of
-    (point_id, lat, lng), generated in parallel from ranges (no file IO)."""
+    (point_id, lat, lng), generated in parallel from ranges (no file IO).
+    Blocks sized ~128k rows so downstream vectorized kernels see full
+    batches (tiny blocks starve the PIP kernel)."""
     import ray.data as rd
+    if parallelism is None:
+        parallelism = max(8, min(512, n // 131072))
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)

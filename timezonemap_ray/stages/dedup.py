@@ -149,6 +149,8 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle=3,
     pairs_ds = band_rows.groupby("band_key").map_groups(
         pairs_of_group, batch_format="pyarrow")
     pdf = pairs_ds.to_pandas()
+    if pdf.empty or "a" not in pdf.columns:
+        return set()
     return set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
 
 
@@ -264,7 +266,8 @@ def simhash_dedup(ds, max_hamming: int = 3, text_col: str = "text",
 
     pdf = band_rows.groupby("band_key").map_groups(
         pairs_of_group, batch_format="pyarrow").to_pandas()
-    pairs = set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
+    pairs = set() if (pdf.empty or "a" not in pdf.columns) else \
+        set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
     ids = [r["doc_id"] for r in ds.select_columns(["doc_id"]).take_all()]
     cl = clusters_from_pairs(ids, pairs)
     doc = sorted(ids)
@@ -371,7 +374,8 @@ def embedding_dedup(ds, dim: int, threshold: float = 0.95, n_bits: int = 12,
 
     pdf = buckets.groupby("bucket").map_groups(
         pairs_of_group, batch_format="pyarrow").to_pandas()
-    pairs = set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
+    pairs = set() if (pdf.empty or "a" not in pdf.columns) else \
+        set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
     ids = [r["vec_id"] for r in ds.select_columns([id_col]).take_all()]
     cl = clusters_from_pairs(ids, pairs)
     vid = sorted(ids)

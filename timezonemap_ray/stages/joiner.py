@@ -15,16 +15,27 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
 from .. import index as index_mod
 
 
+# per-worker-process memo: task-pool stages re-resolve the broadcast ref on
+# every task; warm workers skip the plasma unpickle entirely
+_INDEX_CACHE: dict = {}
+
+
 def resolve_index(index_ref_or_path, region=None, cell_size=None):
     """Accept a ray ObjectRef (broadcast), a ZoneIndex, or a parquet path."""
     if isinstance(index_ref_or_path, ray.ObjectRef):
-        return ray.get(index_ref_or_path)
+        key = index_ref_or_path.hex()
+        if key not in _INDEX_CACHE:
+            _INDEX_CACHE[key] = ray.get(index_ref_or_path)
+            if len(_INDEX_CACHE) > 4:  # bound worker memory
+                _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+        return _INDEX_CACHE[key]
     if isinstance(index_ref_or_path, index_mod.ZoneIndex):
         return index_ref_or_path
     kwargs = {}
@@ -58,14 +69,41 @@ class ZoneJoiner:
         res = index_mod.lookup_batch(self.idx, lats, lngs,
                                      want_all=self.want_all,
                                      fallback=self.fallback)
-        batch = batch.append_column("zone_id", pa.array(res["zone_id"], type=pa.string()))
+        # dictionary-encode zone ids from the integer indices — no per-row
+        # python string objects in the hot path; stays dictionary-typed
+        # through parquet/pandas (cast to plain string at the edges if a
+        # consumer needs it)
+        zi = res["zone_idx"]
+        zone_col = pa.DictionaryArray.from_arrays(
+            pa.array(zi, type=pa.int32(), mask=zi < 0),
+            pa.array(self.idx.zone_ids, type=pa.string()))
+        batch = batch.append_column("zone_id", zone_col)
         if self.want_all:
             batch = batch.append_column(
                 "all_zones", pa.array(res["all_zones"], type=pa.list_(pa.string())))
         batch = batch.append_column("matched", pa.array(res["matched"]))
         batch = batch.append_column("fallback", pa.array(res["fallback"]))
-        batch = batch.append_column("error", pa.array(res["error"], type=pa.string()))
+        in_region = res["in_region"]
+        err_col = pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(len(in_region), dtype=np.int32),
+                     mask=in_region),
+            pa.array(["outside_initialized_region"], type=pa.string()))
+        batch = batch.append_column("error", err_col)
         return batch
+
+
+def make_join_fn(index_ref, lat_col="lat", lng_col="lng", want_all=False,
+                 fallback=False):
+    """Task-pool variant of ZoneJoiner: a stateless closure over the
+    broadcast ref (resolved through the per-process memo). Fuses with
+    upstream map stages; no actor-pool startup."""
+    def join(batch: pa.Table) -> pa.Table:
+        joiner = ZoneJoiner.__new__(ZoneJoiner)
+        joiner.idx = resolve_index(index_ref)
+        joiner.lat_col, joiner.lng_col = lat_col, lng_col
+        joiner.want_all, joiner.fallback = want_all, fallback
+        return joiner(batch)
+    return join
 
 
 class BoundaryDistance:
