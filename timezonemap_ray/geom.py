@@ -43,6 +43,9 @@ WGS84_B = WGS84_A * (1.0 - WGS84_F)
 
 # Max cells in a (points x edges) broadcast before chunking the edge axis.
 _MAX_BROADCAST = 4_000_000
+# Target elements per (point-chunk x edges) temporary in pip_edges: ~2 MB of
+# float64 keeps the whole working set in L2/L3.
+_CHUNK_ELEMS = 262_144
 
 
 def as_f64(a) -> np.ndarray:
@@ -151,33 +154,36 @@ def pip_edges(px, py, edges, eps: float = BOUNDARY_EPS) -> np.ndarray:
     x1a, y1a, x2a, y2a = edges
     m = px.size
     n = x1a.size
-    inside = np.zeros(m, dtype=bool)
-    on = np.zeros(m, dtype=bool)
+    out = np.zeros(m, dtype=bool)
     if n == 0:
-        return inside
-    step = max(1, _MAX_BROADCAST // max(m, 1))
-    ppx = px[:, None]
-    ppy = py[:, None]
-    for s in range(0, n, step):
-        x1 = x1a[s:s + step][None, :]
-        y1 = y1a[s:s + step][None, :]
-        x2 = x2a[s:s + step][None, :]
-        y2 = y2a[s:s + step][None, :]
+        return out
+    # chunk the POINT axis so each (chunk × n_edges) temporary stays
+    # cache-resident — the m×n broadcasts would otherwise stream hundreds of
+    # MB per batch through memory and collapse multi-core scaling
+    pt_step = max(256, min(m, _CHUNK_ELEMS // max(n, 1)))
+    x1 = x1a[None, :]
+    y1 = y1a[None, :]
+    x2 = x2a[None, :]
+    y2 = y2a[None, :]
+    dx, dy = x2 - x1, y2 - y1
+    seg2 = dx * dx + dy * dy
+    seg2_safe = np.where(seg2 > 0, seg2, 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = dx / np.where(dy == 0, 1.0, dy)
+    for s in range(0, m, pt_step):
+        ppx = px[s:s + pt_step][:, None]
+        ppy = py[s:s + pt_step][:, None]
         straddle = (y1 > ppy) != (y2 > ppy)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = x1 + (ppy - y1) * (x2 - x1) / (y2 - y1)
-        inside ^= (np.sum(straddle & (ppx < xint), axis=1) % 2).astype(bool)
-        dx, dy = x2 - x1, y2 - y1
-        seg2 = dx * dx + dy * dy
+        xint = x1 + (ppy - y1) * slope
+        inside_c = (np.sum(straddle & (ppx < xint), axis=1) % 2).astype(bool)
         wx = ppx - x1
         wy = ppy - y1
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = np.clip(np.where(seg2 > 0, (wx * dx + wy * dy) / seg2, 0.0),
-                        0.0, 1.0)
+        t = np.clip((wx * dx + wy * dy) / seg2_safe, 0.0, 1.0)
         cx = wx - t * dx
         cy = wy - t * dy
-        on |= np.any(cx * cx + cy * cy <= eps * eps, axis=1)
-    return inside | on
+        on_c = np.any(cx * cx + cy * cy <= eps * eps, axis=1)
+        out[s:s + pt_step] = inside_c | on_c
+    return out
 
 
 def points_on_boundary(px, py, xs, ys, ring_start, eps: float = BOUNDARY_EPS) -> np.ndarray:
