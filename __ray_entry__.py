@@ -289,6 +289,34 @@ def _q_customers_per_nation(sf_dir: str):
     return customers_per_nation(sf_dir)
 
 
+def _q_events_sessionize(sf_dir: str):
+    from timezonemap_ray.pipelines.relational import events_sessionize
+    return events_sessionize(sf_dir)
+
+
+def _q_tile_assignments(sf_dir: str):
+    """vector→raster: per-cell tile assignment over the whole world grid
+    (independent of sf tables; deterministic)."""
+    from timezonemap_ray.pipelines.tiles import tile_assignments
+    ds = tile_assignments(_engine(), cell_size=1.0)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cell_id": b["cell_id"],
+            "lat": b["lat"], "lng": b["lng"],
+            "zone_id": pc.cast(b["zone_id"], pa.string()),
+            "matched": b["matched"],
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_tiles_boxes(sf_dir: str):
+    """raster→vector: merged maximal same-zone boxes (rows-only check)."""
+    from timezonemap_ray.pipelines.tiles import rasterize_then_vectorize
+    return rasterize_then_vectorize(_engine(), cell_size=2.0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # geo engine (reference parity pipelines)
@@ -318,7 +346,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "top_revenue_orders": _q_top_orders,
         "events_user_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
         "customers_per_nation": _q_customers_per_nation,
+        # raster <-> vector tiling
+        "tile_assignments": _q_tile_assignments,
+        "tiles_boxes": _q_tiles_boxes,
     }
 
 
@@ -390,6 +422,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name, count(*) AS n_customers
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name""",
+        "events_sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+                FROM events),
+            m AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN prev IS NULL
+                                 OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e),
+            s AS (
+                SELECT user_id, event_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM m)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY user_id, session_id""",
+        "tile_assignments": oracle.sql_tile_assignments(cell_size=1.0),
         # intentionally omitted (rows-only check — not SQL-expressible):
         # tz_distance_boundary (WGS84 geodesic), lang_id (heuristic scorer),
         # fingerprint_rolling (rolling hash), dedup_minhash / dedup_simhash /

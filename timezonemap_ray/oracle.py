@@ -77,16 +77,42 @@ def conformance_zone_predicates() -> list[tuple[str, int, str]]:
     return out
 
 
-def zones_join_cte() -> str:
-    """CTE ``zone_match(doc_id, span_idx, lat, lng, zone_id, area_rank)``:
-    every (point, containing zone) pair."""
+def zones_join_cte(key_cols=("doc_id", "span_idx"), src="pts") -> str:
+    """CTE ``zone_match(<keys>, lat, lng, zone_id, area_rank)``: every
+    (point, containing zone) pair, for any point CTE with the given keys."""
+    keys = ", ".join(key_cols)
     selects = []
     for zid, rank, expr in conformance_zone_predicates():
         zlit = zid.replace("'", "''")
         selects.append(
-            f"SELECT doc_id, span_idx, lat, lng, '{zlit}' AS zone_id, "
-            f"{rank} AS area_rank FROM pts WHERE {expr}")
+            f"SELECT {keys}, lat, lng, '{zlit}' AS zone_id, "
+            f"{rank} AS area_rank FROM {src} WHERE {expr}")
     return "zone_match AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+def sql_tile_assignments(cell_size: float = 1.0) -> str:
+    """Oracle for the vector→raster tile pass: every world grid cell's
+    center joined to the conformance zones (smallest-area wins)."""
+    n_lat = int(round(180.0 / cell_size))
+    n_lng = int(round(360.0 / cell_size))
+    cs = _sql_f(cell_size)
+    grid = f"""pts AS (
+  SELECT CAST(iy.v * {n_lng} + ix.v AS BIGINT) AS cell_id,
+         (-90.0 + (CAST(iy.v AS DOUBLE) + 0.5) * {cs}) AS lat,
+         (-180.0 + (CAST(ix.v AS DOUBLE) + 0.5) * {cs}) AS lng
+  FROM (SELECT unnest(generate_series(0, {n_lat - 1})) AS v) iy,
+       (SELECT unnest(generate_series(0, {n_lng - 1})) AS v) ix
+)"""
+    return f"""WITH {grid},
+{zones_join_cte(key_cols=("cell_id",))},
+ranked AS (
+  SELECT cell_id, zone_id,
+         row_number() OVER (PARTITION BY cell_id ORDER BY area_rank) AS rn
+  FROM zone_match)
+SELECT p.cell_id, p.lat, p.lng, r.zone_id AS zone_id,
+       (r.zone_id IS NOT NULL) AS matched
+FROM pts p
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (cell_id)"""
 
 
 def sql_geo_span_extract() -> str:

@@ -90,6 +90,35 @@ def events_user_hourly(sf_dir: str):
     return out.sort(["user_id", "hour"])
 
 
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization: per user, a new session starts when the gap
+    to the previous event exceeds ``gap_minutes``. The per-key stateful pass
+    runs inside ``groupby(user_id).map_groups`` — each user's history is
+    co-located by the shuffle, the cumulative scan is pandas-vectorized."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        new_s = (g["ts"].diff().isna() | (g["ts"].diff() > gap)).astype("int64")
+        g["session_id"] = new_s.cumsum()
+        out = g.groupby("session_id", sort=True).agg(
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"))
+        out = out.reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas") \
+             .sort(["user_id", "session_id"])
+
+
 def customers_per_nation(sf_dir: str):
     """customer ⋈ nation (broadcast) → count per nation name."""
     import ray.data as rd
