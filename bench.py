@@ -38,7 +38,7 @@ def _init_ray(num_cpus: int):
 def _grid_engine():
     from timezonemap_ray import worlds
     from timezonemap_ray.api import TimeZoneEngine
-    return TimeZoneEngine.for_everywhere(worlds.grid_world_table(n=12))
+    return TimeZoneEngine.for_everywhere(worlds.grid_world_table(n=12, jagged=True))
 
 
 def bench_points_join(engine, n_points: int, num_cpus: int) -> tuple[float, int]:

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the geometry kernels and index —
+SURVEY §5's property/contract tier."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from timezonemap_ray import geom, worlds
+from timezonemap_ray.index import build_index, lookup_batch, lookup_linear_scan
+from timezonemap_ray.stages.dedup import (_perm_params, minhash_signature)
+from timezonemap_ray.stages.text import token_hashes
+
+finite_lat = st.floats(min_value=-89.9, max_value=89.9)
+finite_lng = st.floats(min_value=-179.9, max_value=179.9)
+
+
+@pytest.fixture(scope="module")
+def conf_index():
+    return build_index(worlds.conformance_table())
+
+
+@settings(max_examples=60, deadline=None)
+@given(lat=finite_lat, lng=finite_lng)
+def test_cell_path_equals_linear_scan_property(lat, lng):
+    idx = _IDX
+    fast = lookup_batch(idx, [lat], [lng], want_all=True)
+    slow = lookup_linear_scan(idx, [lat], [lng], want_all=True)
+    assert fast["zone_id"][0] == slow["zone_id"][0]
+    assert fast["all_zones"][0] == slow["all_zones"][0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(lat=finite_lat, lng=finite_lng)
+def test_scoped_equals_everywhere_property(lat, lng):
+    """Reference `TimeZoneMapTest.java:112-123` generalized to random points."""
+    idx = _IDX
+    scoped = build_index(_TABLE, region=(lat - 1, lng - 1, lat + 1, lng + 1))
+    a = lookup_batch(idx, [lat], [lng])["zone_id"][0]
+    b = lookup_batch(scoped, [lat], [lng])["zone_id"][0]
+    assert a == b
+
+
+@settings(max_examples=60, deadline=None)
+@given(t=st.floats(min_value=0.0, max_value=1.0),
+       edge=st.integers(min_value=0, max_value=11))
+def test_points_on_edges_are_inside(t, edge):
+    """Boundary inclusivity: every point ON any ring segment is contained."""
+    xs, ys, rs = _SQUARE
+    x1, y1, x2, y2 = (a[edge] for a in geom.all_edges(xs, ys, rs))
+    px = x1 + t * (x2 - x1)
+    py = y1 + t * (y2 - y1)
+    assert geom.points_in_polygon(np.array([px]), np.array([py]), xs, ys, rs)[0]
+
+
+@settings(max_examples=30, deadline=None)
+@given(lat1=finite_lat, lng1=finite_lng, lat2=finite_lat, lng2=finite_lng)
+def test_geodesic_symmetry_and_positivity(lat1, lng1, lat2, lng2):
+    d1 = float(geom.geodesic_distance_m(lat1, lng1, lat2, lng2))
+    d2 = float(geom.geodesic_distance_m(lat2, lng2, lat1, lng1))
+    assert d1 >= 0 and np.isfinite(d1)
+    assert d1 == pytest.approx(d2, rel=1e-9, abs=1e-6)
+    if (lat1, lng1) == (lat2, lng2):
+        assert d1 == 0.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(words=st.lists(st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+     "iota", "kappa"]), min_size=6, max_size=40),
+    drop=st.integers(min_value=0, max_value=3))
+def test_minhash_estimates_jaccard(words, drop):
+    """Signature agreement ≈ true shingle-set Jaccard (±0.25 at 128 perms)."""
+    a_text = " ".join(words)
+    b_words = words[drop:]
+    b_text = " ".join(b_words)
+    ha, hb = token_hashes(a_text), token_hashes(b_text)
+    inter = np.intersect1d(ha, hb, assume_unique=True).size
+    union = ha.size + hb.size - inter
+    true_j = inter / union if union else 1.0
+    a, b = _perm_params(128)
+    sa = minhash_signature(ha, a, b)
+    sb = minhash_signature(hb, a, b)
+    est = float((sa == sb).mean())
+    assert est == pytest.approx(true_j, abs=0.25)
+
+
+def test_salting_splits_hot_cells():
+    from timezonemap_ray import cells
+    rng = np.random.default_rng(2)
+    # 10k points in one cell, 100 spread out
+    lats = np.concatenate([np.full(10_000, 40.2) + rng.uniform(0, 0.5, 10_000),
+                           rng.uniform(-50, 50, 100)])
+    lngs = np.concatenate([np.full(10_000, -74.3) + rng.uniform(0, 0.5, 10_000),
+                           rng.uniform(-150, 150, 100)])
+    cell = cells.cell_ids(lats, lngs, 5.0)
+    hot_cell = int(cells.cell_ids([40.4], [-74.1], 5.0)[0])
+    salt_counts = {hot_cell: 8}
+    row_hash = rng.integers(0, 1 << 62, size=lats.size)
+    keys = cells.salted_keys(cell, salt_counts, row_hash)
+    hot_keys = set(keys[cell == hot_cell])
+    assert len(hot_keys) == 8          # hot cell fans out over 8 keys
+    cold = cell != hot_cell
+    assert (keys[cold] == cell[cold] * 1024).all()  # cold cells: salt 0
+
+
+_TABLE = worlds.conformance_table()
+_IDX = build_index(_TABLE)
+_SQUARE = worlds.square_with_island_zone().flat()

@@ -49,6 +49,7 @@ class ZoneIndex:
     cover: dict = field(default_factory=dict)  # cell_id -> np.ndarray[rec idx]
     map_version: Optional[str] = None
     edges: list = field(default_factory=list)  # per-record (x1,y1,x2,y2)
+    is_rect: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=bool))
 
     def __len__(self):
         return len(self.zone_ids)
@@ -141,7 +142,22 @@ def build_index(zone_table, region: tuple = WORLD,
     # re-rolls ring vertices per batch
     idx.edges = [geom.all_edges(idx.xs[i], idx.ys[i], idx.ring_starts[i])
                  for i in range(len(idx))]
+    # rectangle fast path: a single-ring polygon that IS its envelope needs
+    # only the (already applied) envelope test — boundary-inclusive PIP on
+    # an axis-aligned rect == inclusive envelope compare. Real timezone data
+    # has such records too (clipped ocean pieces, builder rectangles).
+    idx.is_rect = np.array([_is_axis_rect(idx.xs[i], idx.ys[i],
+                                          idx.ring_starts[i], idx.envs[i])
+                            for i in range(len(idx))], dtype=bool)
     return idx
+
+
+def _is_axis_rect(xs, ys, ring_start, env) -> bool:
+    if len(ring_start) != 2 or xs.size != 4:
+        return False
+    min_x, min_y, max_x, max_y = env
+    corners = {(min_x, min_y), (min_x, max_y), (max_x, min_y), (max_x, max_y)}
+    return set(zip(xs.tolist(), ys.tolist())) == corners
 
 
 def _build_cover(idx: ZoneIndex, refine: bool) -> dict:
@@ -231,8 +247,11 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
         sel = sel[env_ok]
         if sel.size == 0:
             continue
-        hit = geom.pip_edges(lngs[sel], lats[sel], idx.edges[rec_i])
-        rows = sel[hit]
+        if idx.is_rect[rec_i]:
+            rows = sel  # rect zone: the envelope test IS the PIP test
+        else:
+            hit = geom.pip_edges(lngs[sel], lats[sel], idx.edges[rec_i])
+            rows = sel[hit]
         if rows.size == 0:
             continue
         newly = rows[~matched[rows]]

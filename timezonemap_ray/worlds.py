@@ -135,11 +135,39 @@ def conformance_table():
     return zones_to_table(conformance_zones())
 
 
+def _jagged_ring(la_min, ln_min, la_max, ln_max, rng, pts_per_side=10):
+    """Sawtooth-perturbed rectangle outer ring (~4*pts_per_side vertices) —
+    gives bench zones realistic vertex counts instead of 4-corner rects
+    (real timezone polygons have hundreds of vertices)."""
+    amp_la = 0.04 * (la_max - la_min)
+    amp_ln = 0.04 * (ln_max - ln_min)
+    lats, lngs = [], []
+    for k in range(pts_per_side):  # top edge, left→right
+        t = k / pts_per_side
+        lats.append(la_max - amp_la * rng.uniform(0, 1))
+        lngs.append(ln_min + t * (ln_max - ln_min))
+    for k in range(pts_per_side):  # right edge, top→bottom
+        t = k / pts_per_side
+        lats.append(la_max - t * (la_max - la_min))
+        lngs.append(ln_max - amp_ln * rng.uniform(0, 1))
+    for k in range(pts_per_side):  # bottom edge, right→left
+        t = k / pts_per_side
+        lats.append(la_min + amp_la * rng.uniform(0, 1))
+        lngs.append(ln_max - t * (ln_max - ln_min))
+    for k in range(pts_per_side):  # left edge, bottom→top
+        t = k / pts_per_side
+        lats.append(la_min + t * (la_max - la_min))
+        lngs.append(ln_min + amp_ln * rng.uniform(0, 1))
+    return np.array(lats), np.array(lngs)
+
+
 def grid_world_zones(n: int = 12, seed: int = 7,
-                     lat0=-60.0, lat1=70.0, lng0=-170.0, lng1=170.0) -> list[ZoneRecord]:
-    """Jittered n×n grid of rectangular zones, every 4th with a hole, plus
-    ocean background bands so every point on the planet matches something.
-    Deterministic (seeded); used for scale tests and the bench harness."""
+                     lat0=-60.0, lat1=70.0, lng0=-170.0, lng1=170.0,
+                     jagged: bool = False) -> list[ZoneRecord]:
+    """Jittered n×n grid of zones (rect, or ~40-vertex jagged polygons with
+    ``jagged=True``), every 4th with a hole, plus ocean background bands so
+    every point on the planet matches something. Deterministic (seeded);
+    used for scale tests and the bench harness."""
     rng = np.random.default_rng(seed)
     dla = (lat1 - lat0) / n
     dln = (lng1 - lng0) / n
@@ -151,7 +179,10 @@ def grid_world_zones(n: int = 12, seed: int = 7,
             la_max = lat0 + (i + 1) * dla - rng.uniform(0, 0.2 * dla)
             ln_min = lng0 + j * dln + rng.uniform(0, 0.2 * dln)
             ln_max = lng0 + (j + 1) * dln - rng.uniform(0, 0.2 * dln)
-            rings = rect_rings(la_min, ln_min, la_max, ln_max)
+            if jagged:
+                rings = [_jagged_ring(la_min, ln_min, la_max, ln_max, rng)]
+            else:
+                rings = rect_rings(la_min, ln_min, la_max, ln_max)
             if k % 4 == 0:
                 # hole in the middle third
                 hla = (la_max - la_min) / 3.0
@@ -166,5 +197,5 @@ def grid_world_zones(n: int = 12, seed: int = 7,
     return zones
 
 
-def grid_world_table(n: int = 12, seed: int = 7):
-    return zones_to_table(grid_world_zones(n=n, seed=seed))
+def grid_world_table(n: int = 12, seed: int = 7, jagged: bool = False):
+    return zones_to_table(grid_world_zones(n=n, seed=seed, jagged=jagged))
