@@ -61,6 +61,25 @@ class TimeZoneEngine:
         `TimeZoneMap.kt:25-34`)."""
         return list(self.index.zone_ids)
 
+    def get_zone_geometry(self, zone_id: str) -> list:
+        """Clipped geometry of a zone as rings of (lat, lng) float64 pairs —
+        the ``TimeZone.getRegion`` accessor (`TimeZone.kt:21-24`). A zone may
+        have multiple records after clipping; all are returned."""
+        out = []
+        for i in range(len(self.index)):
+            if self.index.zone_ids[i] != zone_id:
+                continue
+            xs, ys = self.index.xs[i], self.index.ys[i]
+            rs = self.index.ring_starts[i]
+            rings = []
+            for r in range(len(rs) - 1):
+                s, e = int(rs[r]), int(rs[r + 1])
+                rings.append(list(zip(ys[s:e].tolist(), xs[s:e].tolist())))
+            out.append(rings)
+        if not out:
+            raise KeyError(zone_id)
+        return out
+
     # -- point queries (driver-side; raise like the reference Q1 guard) -----
     def _require_in_region(self, lat: float, lng: float) -> None:
         if not bool(self.index.contains_region(lat, lng)):

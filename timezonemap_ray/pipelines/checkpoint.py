@@ -23,6 +23,8 @@ from __future__ import annotations
 import os
 import zlib
 
+import pyarrow.parquet as pq
+
 import numpy as np
 import pyarrow as pa
 
@@ -52,9 +54,14 @@ def _checksum(table: pa.Table, cols=("doc_id", "span_idx", "zone_id")) -> int:
 
 def run_checkpointed(points_ds, engine, out_dir: str, n_partitions: int = 16,
                      want_all: bool = False, fallback: bool = False,
-                     fail_after: int | None = None) -> Manifest:
+                     fail_after: int | None = None,
+                     wave_size: int = 8) -> Manifest:
     """Run the join with per-partition checkpointing; safe to re-invoke after
-    a crash. ``fail_after`` aborts after K partitions (test hook)."""
+    a crash. Pending partitions are processed in WAVES of ``wave_size`` —
+    one Dataset execution per wave (amortizes per-execution overhead) while
+    lineage stays per-partition, so a crash re-runs at most one wave and
+    resume still skips every manifested partition. ``fail_after`` aborts
+    after K partitions (test hook)."""
     import ray.data as rd
 
     os.makedirs(out_dir, exist_ok=True)
@@ -70,29 +77,50 @@ def run_checkpointed(points_ds, engine, out_dir: str, n_partitions: int = 16,
         with open(marker, "w") as f:
             f.write("ok")
 
+    pending = [k for k in range(n_partitions)
+               if os.path.isdir(os.path.join(staged, f"part_id={k}"))
+               and not manifest.is_done(k)]
+
     done_count = 0
-    for k in range(n_partitions):
-        part_dir = os.path.join(staged, f"part_id={k}")
-        if not os.path.isdir(part_dir):
-            continue  # no rows hashed into this shard
-        if manifest.is_done(k):
-            continue
-        if fail_after is not None and done_count >= fail_after:
-            raise RuntimeError("injected failure after "
-                               f"{done_count} partitions (test hook)")
-        shard = rd.read_parquet(part_dir)
-        joined = engine.lookup_points(shard, want_all=want_all, fallback=fallback)
-        result = joined.materialize()
-        res_dir = os.path.join(out_dir, "result", f"part_id={k}")
-        result.write_parquet(res_dir)
-        batches = list(result.iter_batches(batch_format="pyarrow"))
-        tbl = pa.concat_tables([pa.table(b) for b in batches]) if batches \
-            else pa.table({})
-        n_matched = int(sum(b["matched"].to_numpy(zero_copy_only=False).sum()
-                            for b in batches))
-        n_fb = int(sum(b["fallback"].to_numpy(zero_copy_only=False).sum()
-                       for b in batches))
-        manifest.record(k, n_rows=tbl.num_rows, n_matched=n_matched,
-                        n_fallback=n_fb, checksum=_checksum(tbl))
-        done_count += 1
+    while pending:
+        wave = pending[:wave_size]
+        if fail_after is not None:
+            if done_count >= fail_after:
+                raise RuntimeError("injected failure after "
+                                   f"{done_count} partitions (test hook)")
+            wave = wave[:fail_after - done_count]
+        pending = pending[len(wave):]
+        import glob
+        files = sorted(f for k in wave for f in glob.glob(
+            os.path.join(staged, f"part_id={k}", "*.parquet")))
+        shard = rd.read_parquet(files)
+
+        def reattach(b: pa.Table, _cs=engine.index.cell_size,
+                     _np=n_partitions) -> pa.Table:
+            # partition_cols strips part_id from row data on read; recompute
+            return _assign_partition(
+                b.drop_columns([c for c in ("cell_id", "part_id")
+                                if c in b.column_names]), _cs, _np)
+
+        shard = shard.map_batches(reattach, batch_format="pyarrow")
+        joined = engine.lookup_points(shard, want_all=want_all,
+                                      fallback=fallback)
+        per_part: dict[int, list] = {k: [] for k in wave}
+        for b in joined.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            t = pa.table(b)
+            parts = t["part_id"].to_numpy(zero_copy_only=False)
+            for k in np.unique(parts):
+                per_part[int(k)].append(t.filter(pa.array(parts == k)))
+        for k in wave:
+            tbl = pa.concat_tables(per_part[k]) if per_part[k] else pa.table({})
+            res_dir = os.path.join(out_dir, "result", f"part_id={k}")
+            os.makedirs(res_dir, exist_ok=True)
+            pq.write_table(tbl, os.path.join(res_dir, "data.parquet"))
+            n_matched = int(tbl["matched"].to_numpy(
+                zero_copy_only=False).sum()) if tbl.num_rows else 0
+            n_fb = int(tbl["fallback"].to_numpy(
+                zero_copy_only=False).sum()) if tbl.num_rows else 0
+            manifest.record(k, n_rows=tbl.num_rows, n_matched=n_matched,
+                            n_fallback=n_fb, checksum=_checksum(tbl))
+            done_count += 1
     return manifest
