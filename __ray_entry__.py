@@ -294,6 +294,28 @@ def _q_events_sessionize(sf_dir: str):
     return events_sessionize(sf_dir)
 
 
+def _q_order_lineitem_revenue(sf_dir: str):
+    from timezonemap_ray.pipelines.relational import order_lineitem_revenue
+    ds = order_lineitem_revenue(sf_dir)
+
+    def stabilize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "n_items": b["n_items"],
+            "sum_price_c": pc.cast(pc.round(pc.multiply(b["sum_price"],
+                                                        pa.scalar(100.0))),
+                                   pa.int64()),
+        })
+
+    return ds.map_batches(stabilize, batch_format="pyarrow")
+
+
+def _q_events_asof_orders(sf_dir: str):
+    from timezonemap_ray.pipelines.relational import events_asof_orders
+    return events_asof_orders(sf_dir).select_columns(
+        ["event_id", "user_id", "ts", "last_orderkey"])
+
+
 def _q_tile_assignments(sf_dir: str):
     """vector→raster: per-cell tile assignment over the whole world grid
     (independent of sf tables; deterministic)."""
@@ -347,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": _q_top_orders,
         "events_user_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "order_lineitem_revenue": _q_order_lineitem_revenue,
+        "events_asof_orders": _q_events_asof_orders,
         "customers_per_nation": _q_customers_per_nation,
         # raster <-> vector tiling
         "tile_assignments": _q_tile_assignments,
@@ -443,6 +467,21 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end
             FROM s GROUP BY user_id, session_id""",
         "tile_assignments": oracle.sql_tile_assignments(cell_size=1.0),
+        "order_lineitem_revenue": """
+            SELECT o_orderpriority, count(*) AS n_items,
+                   CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)
+                       AS sum_price_c
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
+        "events_asof_orders": """
+            WITH last AS (
+                SELECT o_custkey, o_orderdate,
+                       max(o_orderkey) AS last_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id, e.user_id, e.ts, r.last_orderkey
+            FROM events e
+            ASOF LEFT JOIN last r
+              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""",
         # intentionally omitted (rows-only check — not SQL-expressible):
         # tz_distance_boundary (WGS84 geodesic), lang_id (heuristic scorer),
         # fingerprint_rolling (rolling hash), dedup_minhash / dedup_simhash /

@@ -100,3 +100,25 @@ def test_boundary_distance_stage(ray_session):
     assert vals[0] == pytest.approx(111.286, abs=0.001)
     assert vals[1] == pytest.approx(5563.676, abs=0.001)
     assert np.isnan(vals[2])  # unmatched point → NaN, never throws
+
+
+def test_malformed_geo_spans_never_throw(ray_session, engine):
+    """Engine rule: bad rows get flagged, never raise (100 TB robustness)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.spans import parse_geo_spans
+    t = pa.table({
+        "doc_id": ["a", "a", "b", "b"],
+        "span_idx": pa.array([0, 1, 0, 1], type=pa.int32()),
+        "kind": ["geo", "geo", "geo", "geo"],
+        "text": ["39.5,-7.6", "not,a,point", "", "1000garbage"],
+        "media_ref": [""] * 4,
+        "offset": pa.array([0, 1, 0, 1], type=pa.int32()),
+    })
+    parsed = parse_geo_spans(t)
+    assert parsed["parse_error"].to_pylist() == [False, True, True, True]
+    joined = engine.lookup_points(rd.from_arrow(parsed)).to_pandas()
+    ok = joined[~joined["parse_error"]]
+    bad = joined[joined["parse_error"]]
+    assert ok["zone_id"].astype(str).tolist() == ["Test/West"]
+    assert bad["zone_id"].isna().all()
+    assert (bad["error"] == "outside_initialized_region").all()

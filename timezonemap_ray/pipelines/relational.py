@@ -90,6 +90,43 @@ def events_user_hourly(sf_dir: str):
     return out.sort(["user_id", "hour"])
 
 
+def order_lineitem_revenue(sf_dir: str):
+    """Big-big hash join (lineitem ⋈ orders on orderkey, Ray Data
+    hash-shuffle join) → revenue per order priority."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from ..stages.join import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    out = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"),
+        Sum("l_extendedprice", alias_name="sum_price"))
+    return out.sort("o_orderpriority")
+
+
+def events_asof_orders(sf_dir: str):
+    """As-of join: each event matched to the customer's latest order at or
+    before the event time (right side pre-reduced to one deterministic row
+    per (customer, date): max orderkey)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+    from ..stages.join import asof_join
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    last = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
+        Max("o_orderkey", alias_name="last_orderkey"))
+    return asof_join(events, last, key="user_id", right_key="o_custkey",
+                     on="ts", right_on="o_orderdate",
+                     value_cols=["last_orderkey"])
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization: per user, a new session starts when the gap
     to the previous event exceeds ``gap_minutes``. The per-key stateful pass

@@ -1,0 +1,106 @@
+"""Join operators beyond the spatial join.
+
+- ``broadcast_lookup``: fact ⋈ small-dim via a `ray.put` dict — the 100 TB
+  pattern for dimension joins (no shuffle; one object transfer per node).
+- ``hash_join``: big ⋈ big via Ray Data's hash-shuffle ``Dataset.join``.
+- ``asof_join``: per-key ordered as-of join (each left row matched to the
+  latest right row with ``right_on <= left_on``) — a custom operator Ray
+  Data lacks, composed from co-partitioning ``groupby(key)`` +
+  ``map_groups`` with a pandas ``merge_asof`` inside each group.
+  Partitioning assumption: all rows of one key fit in one group task
+  (bounded per-key history); skewed keys would need the same salting as the
+  spatial path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def broadcast_lookup(ds, small_table: pa.Table, key: str, small_key: str,
+                     value_cols: list, concurrency=None):
+    """Append ``value_cols`` from a small dimension table (broadcast dict)."""
+    lookup = {}
+    keys = small_table[small_key].to_pylist()
+    vals = {c: small_table[c].to_pylist() for c in value_cols}
+    for i, k in enumerate(keys):
+        lookup[k] = tuple(vals[c][i] for c in value_cols)
+    ref = ray.put(lookup)
+
+    def attach(b: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        ks = b[key].to_pylist()
+        for ci, c in enumerate(value_cols):
+            b = b.append_column(
+                c, pa.array([lk[k][ci] if k in lk else None for k in ks]))
+        return b
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def hash_join(left, right, on, right_on=None, join_type="inner",
+              num_partitions: int = 16):
+    """Big-big equi-join via Ray Data's hash-shuffle join."""
+    return left.join(right, join_type=join_type, num_partitions=num_partitions,
+                     on=(on,) if isinstance(on, str) else tuple(on),
+                     right_on=(right_on,) if isinstance(right_on, str)
+                     else (tuple(right_on) if right_on else None))
+
+
+def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
+              value_cols: list):
+    """As-of join: for each left row, the latest right row of the same key
+    with ``right_on <= on``; appended ``value_cols`` are null when no right
+    row precedes. Both sides shuffle once on the key."""
+    import pandas as pd
+
+    left_schema = left.schema()
+    left_cols = [c for c in left_schema.names]
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_schema = right.schema()
+    right_types = dict(zip(right_schema.names, right_schema.types))
+
+    # union needs identical schemas: pad each side with nulls for the
+    # other side's columns
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        b = b.append_column("_side", pa.array(np.zeros(n, dtype=np.int8)))
+        for c in value_cols:
+            b = b.append_column(c, pa.nulls(n, type=right_types[c]))
+        return b
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {key: b[right_key], on: b[right_on],
+                "_side": pa.array(np.ones(n, dtype=np.int8))}
+        out_cols = {}
+        for c in left_cols:
+            if c in cols:
+                out_cols[c] = cols[c]
+            else:
+                out_cols[c] = pa.nulls(n, type=left_types[c])
+        out = pa.table(out_cols)
+        out = out.append_column("_side", cols["_side"])
+        for c in value_cols:
+            out = out.append_column(c, b[c])
+        return out
+
+    left = left.map_batches(tag_left, batch_format="pyarrow")
+    right = right.map_batches(tag_right, batch_format="pyarrow")
+    both = left.union(right)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0].drop(columns=["_side"] + value_cols,
+                                    errors="ignore")
+        r = g[g["_side"] == 1][[on] + value_cols].sort_values(on)
+        l = l.sort_values(on)
+        if len(r) == 0:
+            for c in value_cols:
+                l[c] = None
+            return l
+        return pd.merge_asof(l, r, on=on, direction="backward")
+
+    return both.groupby(key).map_groups(merge, batch_format="pandas")

@@ -47,15 +47,25 @@ def explode_spans(batch: pa.Table, doc_id_col: str = "doc_id",
     return pa.table(cols)
 
 
+_GEO_RE = (r"^\s*(?P<glat>-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)\s*,"
+           r"\s*(?P<glng>-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)\s*$")
+
+
 def parse_geo_spans(batch: pa.Table, kind_col: str = "kind",
                     text_col: str = "text") -> pa.Table:
-    """Filter to geo spans and parse "lat,lng" → float64 columns."""
+    """Filter to geo spans and parse "lat,lng" → float64 columns.
+
+    Malformed span text NEVER throws (engine rule: no per-row exceptions
+    mid-pipeline at corpus scale): non-matching rows get null lat/lng and
+    ``parse_error=true``. Parsing is one RE2 ``extract_regex`` pass.
+    """
     geo = batch.filter(pc.equal(batch[kind_col], "geo"))
-    parts = pc.split_pattern(geo[text_col], ",")
-    lat = pc.cast(pc.list_element(parts, 0), pa.float64())
-    lng = pc.cast(pc.list_element(parts, 1), pa.float64())
+    m = pc.extract_regex(geo[text_col], _GEO_RE)
+    lat = pc.cast(pc.struct_field(m, "glat"), pa.float64())
+    lng = pc.cast(pc.struct_field(m, "glng"), pa.float64())
     geo = geo.append_column("lat", lat)
-    return geo.append_column("lng", lng)
+    geo = geo.append_column("lng", lng)
+    return geo.append_column("parse_error", pc.is_null(lat))
 
 
 def extract_geo_points(batch: pa.Table) -> pa.Table:
