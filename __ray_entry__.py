@@ -289,6 +289,44 @@ def _q_customers_per_nation(sf_dir: str):
     return customers_per_nation(sf_dir)
 
 
+def _q_value_range_buckets(sf_dir: str):
+    """Broadcast interval (range) join over events.value + grouped counts."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from timezonemap_ray.stages.join import range_join
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    bucketed = range_join(ds, lows=[-1e18, 0.0, 10.0, 100.0],
+                          highs=[0.0, 10.0, 100.0, 1e18],
+                          labels=["neg", "small", "medium", "large"],
+                          value_col="value")
+
+    def as_str(b: pa.Table) -> pa.Table:
+        return pa.table({"bucket": pc.cast(b["bucket"], pa.string())})
+
+    out = bucketed.map_batches(as_str, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Count(alias_name="n_events"))
+    return out
+
+
+def _q_distinct_users(sf_dir: str):
+    """Exact distinct via groupby (the unique/distinct operator)."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    uniq = ds.groupby("user_id").count().count()
+    return pa.table({"n_users": pa.array([uniq], type=pa.int64())})
+
+
+def _q_approx_distinct_users(sf_dir: str):
+    """HLL sketch distinct estimate (approximate → rows-only check; accuracy
+    asserted in tests/test_join_sketch.py)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.sketch import approx_distinct
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=12)
+    return pa.table({"approx_n_users": pa.array([est], type=pa.float64())})
+
+
 def _q_events_sessionize(sf_dir: str):
     from timezonemap_ray.pipelines.relational import events_sessionize
     return events_sessionize(sf_dir)
@@ -372,6 +410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_revenue": _q_order_lineitem_revenue,
         "events_asof_orders": _q_events_asof_orders,
         "customers_per_nation": _q_customers_per_nation,
+        "value_range_buckets": _q_value_range_buckets,
+        "distinct_users": _q_distinct_users,
+        "approx_distinct_users": _q_approx_distinct_users,
         # raster <-> vector tiling
         "tile_assignments": _q_tile_assignments,
         "tiles_boxes": _q_tiles_boxes,
@@ -467,6 +508,15 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end
             FROM s GROUP BY user_id, session_id""",
         "tile_assignments": oracle.sql_tile_assignments(cell_size=1.0),
+        "value_range_buckets": """
+            SELECT CASE WHEN value < 0 THEN 'neg'
+                        WHEN value < 10 THEN 'small'
+                        WHEN value < 100 THEN 'medium'
+                        ELSE 'large' END AS bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY 1""",
+        "distinct_users": """
+            SELECT count(DISTINCT user_id) AS n_users FROM events""",
         "order_lineitem_revenue": """
             SELECT o_orderpriority, count(*) AS n_items,
                    CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)

@@ -1,0 +1,67 @@
+"""range_join + asof_join units and HLL sketch accuracy."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from timezonemap_ray.stages import sketch
+from timezonemap_ray.stages.join import asof_join, range_join
+
+
+def test_range_join(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"v": [0.5, 1.0, 4.9, 5.0, 99.0, -1.0]}))
+    out = range_join(ds, lows=[0, 1, 5], highs=[1, 5, 100],
+                     labels=["low", "mid", "high"], value_col="v").to_pandas()
+    got = out.sort_values("v")["bucket"].astype("object") \
+        .where(out.sort_values("v")["bucket"].notna(), None).tolist()
+    assert got == [None, "low", "mid", "mid", "high", "high"]
+
+
+def test_range_join_rejects_overlap(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"v": [1.0]}))
+    with pytest.raises(ValueError, match="non-overlapping"):
+        range_join(ds, [0, 1], [2, 3], ["a", "b"], "v")
+
+
+def test_asof_join_semantics(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    left = rd.from_arrow(pa.table({
+        "k": [1, 1, 1, 2, 3],
+        "t": [5.0, 10.0, 2.0, 7.0, 1.0],
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": [1, 1, 2],
+        "rt": [3.0, 10.0, 7.0],
+        "val": ["a", "b", "c"],
+    }))
+    out = asof_join(left, right, key="k", right_key="rk", on="t",
+                    right_on="rt", value_cols=["val"]).to_pandas()
+    import pandas as pd
+    got = {(r.k, r.t): (None if pd.isna(r.val) else r.val)
+           for r in out.itertuples()}
+    assert got[(1, 2.0)] is None        # nothing at or before t=2
+    assert got[(1, 5.0)] == "a"         # rt=3 latest <= 5
+    assert got[(1, 10.0)] == "b"        # exact match inclusive
+    assert got[(2, 7.0)] == "c"
+    assert got[(3, 1.0)] is None        # key with no right rows
+
+
+def test_hll_accuracy(ray_session):
+    import ray.data as rd
+    n = 200_000
+    # 50k distinct values, each appearing 4x
+    vals = np.tile(np.arange(50_000, dtype=np.int64), 4)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    est = sketch.approx_distinct(ds, "v", p=12)
+    assert est == pytest.approx(50_000, rel=0.05)
+
+
+def test_hll_merge_equals_single():
+    vals = np.arange(10_000, dtype=np.int64)
+    whole = sketch.hll_register_block(vals)
+    merged = np.maximum(sketch.hll_register_block(vals[:5000]),
+                        sketch.hll_register_block(vals[5000:]))
+    assert np.array_equal(whole, merged)  # sketches are mergeable

@@ -50,6 +50,39 @@ def hash_join(left, right, on, right_on=None, join_type="inner",
                      else (tuple(right_on) if right_on else None))
 
 
+def range_join(ds, lows, highs, labels, value_col: str,
+               out_col: str = "bucket"):
+    """Interval (range) join: label each row by the interval containing
+    ``value_col`` (half-open [lo, hi)); null when none.
+
+    Partitioning assumption: intervals are sorted, non-overlapping, and
+    small enough to broadcast — the lookup is one ``np.searchsorted`` per
+    batch, no shuffle. (Overlapping intervals would need the cell-cover
+    pattern instead.)
+    """
+    lows = np.asarray(lows, dtype=np.float64)
+    highs = np.asarray(highs, dtype=np.float64)
+    labels = list(labels)
+    order = np.argsort(lows)
+    lows, highs = lows[order], highs[order]
+    labels = [labels[i] for i in order]
+    if not (lows[1:] >= highs[:-1]).all():
+        raise ValueError("range_join requires non-overlapping intervals")
+    payload_ref = ray.put({"lows": lows, "highs": highs, "labels": labels})
+
+    def attach(b: pa.Table) -> pa.Table:
+        p = ray.get(payload_ref)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        i = np.searchsorted(p["lows"], v, side="right") - 1
+        valid = (i >= 0) & (v < p["highs"][np.clip(i, 0, None)])
+        idx = pa.array(np.where(valid, i, 0).astype(np.int32), mask=~valid)
+        col = pa.DictionaryArray.from_arrays(
+            idx, pa.array(p["labels"], type=pa.string()))
+        return b.append_column(out_col, col)
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
               value_cols: list):
     """As-of join: for each left row, the latest right row of the same key
