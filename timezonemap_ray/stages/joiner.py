@@ -92,6 +92,32 @@ class ZoneJoiner:
         return batch
 
 
+class LazyZoneJoiner(ZoneJoiner):
+    """Actor-pool joiner holding only the COMPACT zone table; polygon
+    geometry decodes per record on first touch with an LRU cap — the
+    reference's "initialize once, load only necessary regions" posture
+    (`README.MD:17,25`) for worlds too large to eagerly decode per worker.
+    This is the genuinely-stateful case where the actor pool (not the task
+    pool) is the right compute: the LRU is per-actor working-set state."""
+
+    def __init__(self, table_ref=None, table_path=None, region=None,
+                 cell_size=None, max_cached: int = 512,
+                 lat_col="lat", lng_col="lng", want_all=False, fallback=False):
+        import pyarrow.parquet as pq
+        from ..index import WORLD
+        from ..lazy import LazyZoneIndex
+        if table_ref is not None:
+            table = ray.get(table_ref) if isinstance(table_ref, ray.ObjectRef) \
+                else table_ref
+        else:
+            table = pq.read_table(table_path)
+        self.idx = LazyZoneIndex(
+            table, region=region or WORLD,
+            cell_size=cell_size or 5.0, max_cached=max_cached)
+        self.lat_col, self.lng_col = lat_col, lng_col
+        self.want_all, self.fallback = want_all, fallback
+
+
 def make_join_fn(index_ref, lat_col="lat", lng_col="lng", want_all=False,
                  fallback=False):
     """Task-pool variant of ZoneJoiner: a stateless closure over the
