@@ -81,10 +81,13 @@ def _q_tz_lookup_all(sf_dir: str):
 
     def project(b: pa.Table) -> pa.Table:
         n = pc.cast(pc.list_value_length(b["all_zones"]), pa.int64())
+        # joined string (area-ascending) — hash-comparison-friendly vs a
+        # nested list column
+        joined = pc.binary_join(b["all_zones"], "|")
         return pa.table({
             "doc_id": b["doc_id"],
             "span_idx": pc.cast(b["span_idx"], pa.int64()),
-            "all_zones": b["all_zones"],
+            "all_zones_str": joined,
             "n_zones": n,
         })
 

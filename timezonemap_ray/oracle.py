@@ -139,7 +139,7 @@ def sql_tz_lookup_all() -> str:
     return f"""WITH {geo_points_cte()},
 {zones_join_cte()}
 SELECT doc_id, span_idx,
-       list(zone_id ORDER BY area_rank) AS all_zones,
+       string_agg(zone_id, '|' ORDER BY area_rank) AS all_zones_str,
        count(*)::BIGINT AS n_zones
 FROM zone_match
 GROUP BY doc_id, span_idx"""
