@@ -122,3 +122,17 @@ def test_malformed_geo_spans_never_throw(ray_session, engine):
     assert ok["zone_id"].astype(str).tolist() == ["Test/West"]
     assert bad["zone_id"].isna().all()
     assert (bad["error"] == "outside_initialized_region").all()
+
+
+def test_shuffled_want_all_fallback(ray_session, sf_dir, engine):
+    """Shuffled path parity also with want_all + fallback flags on."""
+    pts = fs.geo_points(sf_dir)
+    a = engine.lookup_points(pts, want_all=True, fallback=True).to_pandas()
+    b = engine.lookup_points_shuffled(pts, want_all=True, fallback=True,
+                                      salt_threshold=50).to_pandas()
+    a = _sorted(a)
+    b = _sorted(b)
+    assert a["zone_id"].astype("object").tolist() == \
+        b["zone_id"].astype("object").tolist()
+    assert a["all_zones"].map(list).tolist() == b["all_zones"].map(list).tolist()
+    assert a["fallback"].tolist() == b["fallback"].tolist()

@@ -340,6 +340,19 @@ def geodesic_distance_m(lat1, lng1, lat2, lng2, iters: int = 40) -> np.ndarray:
             cos_sigma * (-1 + 2 * cos2sm * cos2sm)
             - Bc / 6.0 * cos2sm * (-3 + 4 * sin_sigma * sin_sigma) * (-3 + 4 * cos2sm * cos2sm)))
     dist = WGS84_B * A * (sigma - delta_sigma)
+    # Vincenty fails to converge for (near-)antipodal pairs (classic ~0.5%
+    # error); fall back to spherical great-circle on the authalic radius
+    # there (worst-case 0.56% — irrelevant for boundary distances, which are
+    # short, but never silently ~100 km wrong)
+    if active.any():
+        R = 6371007.180918475
+        phi1a, phi2a = np.radians(lat1), np.radians(lat2)
+        dphi = phi2a - phi1a
+        dlam = np.radians(lng2 - lng1)
+        h = (np.sin(dphi / 2) ** 2
+             + np.cos(phi1a) * np.cos(phi2a) * np.sin(dlam / 2) ** 2)
+        sphere = 2 * R * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+        dist = np.where(active, sphere, dist)
     return np.where(coincident, 0.0, dist)
 
 
