@@ -14,12 +14,19 @@ The driver initialises Ray BEFORE importing this module; nothing here (or in
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# make the sibling package importable however the driver loads this module
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 _ENGINE = None
 
