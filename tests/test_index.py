@@ -152,3 +152,25 @@ def test_kn_fallback(zone_table):
     res2 = lookup_batch(eng.index, [20.0], [5.0], fallback=False)
     assert res2["zone_id"][0] is None
     assert not bool(res2["matched"][0])
+
+
+def test_subcover_path_dense_overlaps():
+    """Force the 4x4 subcell cover (many overlapping zones in one cell) and
+    prove the routed lookup still equals the linear scan."""
+    from timezonemap_ray.index import SPLIT_THRESHOLD
+    from timezonemap_ray.zonetable import zones_to_table
+    zones = []
+    # 24 nested rectangles all overlapping the same 5-degree cell
+    for k in range(SPLIT_THRESHOLD + 8):
+        d = 0.1 + 0.08 * k
+        zones.append(worlds.rect_zone(f"Nest/Z{k:02d}", 10.0, 10.0,
+                                      10.0 + d, 10.0 + d))
+    idx = build_index(zones_to_table(zones), cell_size=5.0)
+    assert len(idx.subcover) > 0  # the dense cell split
+    rng = np.random.default_rng(31)
+    lats = rng.uniform(9.5, 13.0, 3000)
+    lngs = rng.uniform(9.5, 13.0, 3000)
+    fast = lookup_batch(idx, lats, lngs, want_all=True)
+    slow = lookup_linear_scan(idx, lats, lngs, want_all=True)
+    assert fast["zone_id"].tolist() == slow["zone_id"].tolist()
+    assert fast["all_zones"] == slow["all_zones"]

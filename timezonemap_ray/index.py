@@ -50,6 +50,8 @@ class ZoneIndex:
     map_version: Optional[str] = None
     edges: list = field(default_factory=list)  # per-record (x1,y1,x2,y2)
     is_rect: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=bool))
+    # second cover level: dense cells split 4x4; cell_id -> {sub_idx: recs}
+    subcover: dict = field(default_factory=dict)
 
     def __len__(self):
         return len(self.zone_ids)
@@ -149,7 +151,36 @@ def build_index(zone_table, region: tuple = WORLD,
     idx.is_rect = np.array([_is_axis_rect(idx.xs[i], idx.ys[i],
                                           idx.ring_starts[i], idx.envs[i])
                             for i in range(len(idx))], dtype=bool)
+    if refine_cover:
+        idx.subcover = _build_subcover(idx)
     return idx
+
+
+SPLIT_THRESHOLD = 16   # candidates per cell before a 4x4 split
+SUBGRID = 4
+
+
+def _build_subcover(idx: ZoneIndex) -> dict:
+    """Split dense cells 4×4 and refine each subcell's candidate list with
+    the exact rect∩polygon test — caps per-point candidate counts in dense
+    corners of big worlds (quadtree-lite, SURVEY §7.3)."""
+    sub: dict = {}
+    s = idx.cell_size / SUBGRID
+    for cid, cand in idx.cover.items():
+        if cand.size <= SPLIT_THRESHOLD:
+            continue
+        c_min_lat, c_min_lng, _, _ = cells.cell_bounds(cid, idx.cell_size)
+        table = {}
+        for qy in range(SUBGRID):
+            for qx in range(SUBGRID):
+                lo_lat = c_min_lat + qy * s
+                lo_lng = c_min_lng + qx * s
+                keep = [int(i) for i in cand if geom.rect_intersects_polygon(
+                    lo_lng, lo_lat, lo_lng + s, lo_lat + s,
+                    idx.xs[i], idx.ys[i], idx.ring_starts[i])]
+                table[qy * SUBGRID + qx] = np.asarray(keep, dtype=np.int64)
+        sub[cid] = table
+    return sub
 
 
 def _is_axis_rect(xs, ys, ring_start, env) -> bool:
@@ -225,11 +256,28 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
     order = np.argsort(keys, kind="stable")
     present = np.nonzero(counts[:-1])[0]  # cell ids with points, sorted
     zone_points: dict[int, list] = {}
+    subcover = getattr(idx, "subcover", {})
     for cid in present:
         cand = idx.cover.get(int(cid))
         if cand is None:
             continue
         sel = order[starts_all[cid]:starts_all[cid + 1]]
+        sub = subcover.get(int(cid))
+        if sub is not None:
+            # dense cell: route points through the 4x4 refined sub-lists
+            c_min_lat, c_min_lng, _, _ = cells.cell_bounds(
+                int(cid), idx.cell_size)
+            s = idx.cell_size / SUBGRID
+            qy = np.clip(((lats[sel] - c_min_lat) // s).astype(np.int64),
+                         0, SUBGRID - 1)
+            qx = np.clip(((lngs[sel] - c_min_lng) // s).astype(np.int64),
+                         0, SUBGRID - 1)
+            q = qy * SUBGRID + qx
+            for qi in np.unique(q):
+                ssel = sel[q == qi]
+                for rec_i in sub[int(qi)]:
+                    zone_points.setdefault(int(rec_i), []).append(ssel)
+            continue
         for rec_i in cand:
             zone_points.setdefault(int(rec_i), []).append(sel)
 
