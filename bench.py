@@ -78,6 +78,9 @@ def run_bench(num_cpus: int) -> dict:
     timings["flagship_shuffled"] = time.perf_counter() - t0
 
     grid_engine = _grid_engine()
+    # warm the worker pool + index broadcast so the measured number reflects
+    # steady state (same protocol as --scaling)
+    bench_points_join(grid_engine, min(BENCH_POINTS, 4_000_000), num_cpus)
     sec, n_pts = bench_points_join(grid_engine, BENCH_POINTS, num_cpus)
     timings["points_join"] = sec
     pps = n_pts / sec if sec > 0 else 0.0
