@@ -176,13 +176,21 @@ def pip_edges(px, py, edges, eps: float = BOUNDARY_EPS) -> np.ndarray:
         straddle = (y1 > ppy) != (y2 > ppy)
         xint = x1 + (ppy - y1) * slope
         inside_c = (np.sum(straddle & (ppx < xint), axis=1) % 2).astype(bool)
-        wx = ppx - x1
-        wy = ppy - y1
-        t = np.clip((wx * dx + wy * dy) / seg2_safe, 0.0, 1.0)
-        cx = wx - t * dx
-        cy = wy - t * dy
-        on_c = np.any(cx * cx + cy * cy <= eps * eps, axis=1)
-        out[s:s + pt_step] = inside_c | on_c
+        # boundary-inclusive = interior OR on-edge; parity-inside points are
+        # already decided — run the (pricier) on-edge test only for the
+        # parity-outside subset
+        miss = np.nonzero(~inside_c)[0]
+        if miss.size:
+            mpx = ppx[miss]
+            mpy = ppy[miss]
+            wx = mpx - x1
+            wy = mpy - y1
+            t = np.clip((wx * dx + wy * dy) / seg2_safe, 0.0, 1.0)
+            cx = wx - t * dx
+            cy = wy - t * dy
+            on_c = np.any(cx * cx + cy * cy <= eps * eps, axis=1)
+            inside_c[miss] = on_c
+        out[s:s + pt_step] = inside_c
     return out
 
 
