@@ -364,6 +364,24 @@ def _q_events_asof_orders(sf_dir: str):
         ["event_id", "user_id", "ts", "last_orderkey"])
 
 
+def _q_training_pipeline(sf_dir: str):
+    """Composite flow: dedup → quality filter → tokens → geo zone enrich."""
+    from timezonemap_ray.pipelines.training import curated_corpus
+    ds = curated_corpus(sf_dir, _engine())
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": b["n_tokens"],
+            "quality": b["quality"],
+            "lat": b["lat"], "lng": b["lng"],
+            "zone_id": pc.cast(b["zone_id"], pa.string()),
+            "matched": b["matched"],
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _q_tile_assignments(sf_dir: str):
     """vector→raster: per-cell tile assignment over the whole world grid
     (independent of sf tables; deterministic)."""
@@ -426,6 +444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # raster <-> vector tiling
         "tile_assignments": _q_tile_assignments,
         "tiles_boxes": _q_tiles_boxes,
+        # composite training-data flow (dedup -> quality -> tokens -> zones)
+        "training_pipeline": _q_training_pipeline,
     }
 
 
@@ -518,6 +538,9 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end
             FROM s GROUP BY user_id, session_id""",
         "tile_assignments": oracle.sql_tile_assignments(cell_size=1.0),
+        "training_pipeline": __import__(
+            "timezonemap_ray.pipelines.training",
+            fromlist=["sql_training_pipeline"]).sql_training_pipeline(),
         "value_range_buckets": """
             SELECT CASE WHEN value < 0 THEN 'neg'
                         WHEN value < 10 THEN 'small'
