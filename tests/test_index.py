@@ -174,3 +174,32 @@ def test_subcover_path_dense_overlaps():
     slow = lookup_linear_scan(idx, lats, lngs, want_all=True)
     assert fast["zone_id"].tolist() == slow["zone_id"].tolist()
     assert fast["all_zones"] == slow["all_zones"]
+
+
+def test_fallback_matches_brute_nearest():
+    """Vectorized kNN fallback == brute nearest-zone-by-geodesic oracle."""
+    from timezonemap_ray import geom
+    from timezonemap_ray.zonetable import zones_to_table
+    # gappy world: three separated zones, points in the gaps
+    zones = [worlds.rect_zone("A", 0, 0, 5, 5),
+             worlds.rect_zone("B", 0, 20, 5, 25),
+             worlds.rect_zone("C", 30, 0, 35, 5)]
+    idx = build_index(zones_to_table(zones), cell_size=5.0)
+    rng = np.random.default_rng(41)
+    lats = rng.uniform(-5, 40, 300)
+    lngs = rng.uniform(-5, 30, 300)
+    res = lookup_batch(idx, lats, lngs, fallback=True)
+    # brute oracle: nearest zone over ALL zones by geodesic boundary distance
+    for k in range(len(lats)):
+        if res["matched"][k] and not res["fallback"][k]:
+            continue
+        best, best_d = None, np.inf
+        for i in range(len(idx)):
+            nx, ny = geom.nearest_on_boundary(
+                np.array([lngs[k]]), np.array([lats[k]]),
+                idx.xs[i], idx.ys[i], idx.ring_starts[i])
+            d = float(np.asarray(geom.geodesic_distance_m(
+                np.array([lats[k]]), np.array([lngs[k]]), ny, nx))[0])
+            if d < best_d:
+                best, best_d = idx.zone_ids[i], d
+        assert res["zone_id"][k] == best, (lats[k], lngs[k])

@@ -336,31 +336,43 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
 
 
 def _nearest_zone_fallback(idx: ZoneIndex, lats, lngs, cell, max_radius: int = 8):
-    """kNN fallback (north_star extension): nearest zone by boundary distance,
-    searching candidates in expanding cell rings."""
-    out = [None] * lats.size
-    for k in range(lats.size):
-        best_d, best_z = np.inf, None
-        seen = set()
+    """kNN fallback (north_star extension): nearest zone by geodesic
+    boundary distance, searching candidates in expanding cell rings.
+
+    Vectorized per CELL: all unmatched points in one cell share the same
+    candidate pool (rings up to one past the first non-empty ring), so each
+    candidate's nearest-boundary pass runs over the whole point group.
+    """
+    lats = np.asarray(lats, dtype=np.float64)
+    lngs = np.asarray(lngs, dtype=np.float64)
+    out = np.full(lats.size, None, dtype=object)
+    names = np.asarray(idx.zone_ids, dtype=object)
+    for cid in np.unique(cell):
+        sel = np.nonzero(cell == cid)[0]
+        cand: set = set()
+        hit_radius = None
         for radius in range(0, max_radius + 1):
-            cand_ids = set()
-            for cid in cells.neighbor_cells(int(cell[k]), radius, idx.cell_size):
-                for rec_i in idx.cover.get(int(cid), ()):
-                    if rec_i not in seen:
-                        cand_ids.add(int(rec_i))
-            if cand_ids:
-                for rec_i in sorted(cand_ids):
-                    seen.add(rec_i)
-                    nx, ny = geom.nearest_on_boundary(
-                        np.array([lngs[k]]), np.array([lats[k]]),
-                        idx.xs[rec_i], idx.ys[rec_i], idx.ring_starts[rec_i])
-                    d = float(geom.geodesic_distance_m(
-                        np.array([lats[k]]), np.array([lngs[k]]), ny, nx)[0])
-                    if d < best_d:
-                        best_d, best_z = d, idx.zone_ids[rec_i]
-            if best_z is not None and radius >= 1:
-                break  # one extra ring beyond first hit guards edge cases
-        out[k] = best_z
+            for nc in cells.neighbor_cells(int(cid), radius, idx.cell_size):
+                cand.update(int(i) for i in idx.cover.get(int(nc), ()))
+            if cand and hit_radius is None:
+                hit_radius = radius
+            if hit_radius is not None and radius > hit_radius:
+                break  # one extra ring past first hit guards edge cases
+        if not cand:
+            continue
+        plats, plngs = lats[sel], lngs[sel]
+        best_d = np.full(sel.size, np.inf)
+        best_z = np.full(sel.size, -1, dtype=np.int64)
+        for rec_i in sorted(cand):
+            nx, ny = geom.nearest_on_boundary(
+                plngs, plats, idx.xs[rec_i], idx.ys[rec_i],
+                idx.ring_starts[rec_i])
+            d = geom.geodesic_distance_m(plats, plngs, ny, nx)
+            better = d < best_d
+            best_d = np.where(better, d, best_d)
+            best_z = np.where(better, rec_i, best_z)
+        ok = best_z >= 0
+        out[sel[ok]] = names[best_z[ok]]
     return out
 
 
