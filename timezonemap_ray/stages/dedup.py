@@ -198,13 +198,19 @@ def minhash_dedup(ds, num_perm=64, bands=16, shingle=3, threshold=0.5,
 # simhash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word-unigram hashes (vectorized bit counting)."""
-    toks = text.split()
-    if not toks:
+def simhash64(text: str, shingle: int = 3) -> int:
+    """64-bit SimHash over word-shingle hashes (vectorized bit counting).
+
+    Shingles, not unigrams: unigram SimHash collapses on small
+    vocabularies (any two docs sharing a word distribution hash close);
+    shingle features keep word ORDER, matching the near-dup semantics of
+    the rest of the dedup family.
+    """
+    if not text.split():
         return 0
-    from .text import hash_u64
-    hs = np.array([hash_u64(t) for t in toks], dtype=np.uint64)
+    hs = token_hashes(text, shingle)
+    if hs.size == 0:
+        return 0
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
