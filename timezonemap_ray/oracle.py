@@ -16,7 +16,7 @@ compare identical doubles.
 
 from __future__ import annotations
 
-import numpy as np
+
 
 from . import worlds
 from .sources.docgen import geo_point_sql_expr

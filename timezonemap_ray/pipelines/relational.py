@@ -9,7 +9,7 @@ fact⋈dim.
 
 from __future__ import annotations
 
-import numpy as np
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
