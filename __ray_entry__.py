@@ -241,6 +241,24 @@ def _q_ann_ivf(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def _q_media_similarity(sf_dir: str):
+    """Multimodal composition: fake-decode media features → cosine top-k
+    similarity search over them (rows-only: stubbed codec)."""
+    import ray.data as rd
+    from timezonemap_ray.stages import media
+    from timezonemap_ray.stages.ann import brute_topk
+    refs = [f"media://blob/{i}" for i in range(300)]
+    ds = rd.from_arrow(media.synth_media_table(refs))
+    feats = ds.map_batches(media.MediaDecoder, batch_format="pyarrow",
+                           batch_size=media.SUGGESTED_BATCH, concurrency=(1, 4))
+    feats = feats.select_columns(["media_id", "features"])
+    sample = feats.take(3)
+    qids = np.array([r["media_id"] for r in sample], dtype=np.int64)
+    qmat = np.array([r["features"] for r in sample], dtype=np.float64)
+    return brute_topk(feats, qids, qmat, k=5, vec_col="features",
+                      id_col="media_id")
+
+
 def _q_media_decode(sf_dir: str):
     import ray.data as rd
     from timezonemap_ray.stages import media
@@ -430,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         # multimodal plumbing
         "media_decode": _q_media_decode,
+        "media_similarity": _q_media_similarity,
         # relational / wide operators
         "lineitem_pricing": _q_lineitem_pricing,
         "top_revenue_orders": _q_top_orders,

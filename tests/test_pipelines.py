@@ -136,3 +136,24 @@ def test_shuffled_want_all_fallback(ray_session, sf_dir, engine):
         b["zone_id"].astype("object").tolist()
     assert a["all_zones"].map(list).tolist() == b["all_zones"].map(list).tolist()
     assert a["fallback"].tolist() == b["fallback"].tolist()
+
+
+def test_actor_pool_path_equals_task_path(ray_session, sf_dir, engine):
+    """compute='actors' (classic stateful pool) == compute='tasks' output."""
+    pts = fs.geo_points(sf_dir)
+    a = engine.lookup_points(pts, compute="tasks").to_pandas()
+    b = engine.lookup_points(pts, compute="actors", concurrency=(1, 2)).to_pandas()
+    cols = ["doc_id", "span_idx", "zone_id", "matched"]
+    a = _sorted(a)[cols]
+    b = _sorted(b)[cols]
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_reader_seam(ray_session, sf_dir):
+    from timezonemap_ray.sources.reader import lance_available, read_table
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    assert ds.count() > 0
+    if not lance_available():
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError, match="[Ll]ance"):
+            read_table("/tmp/nonexistent.lance")
