@@ -52,7 +52,7 @@ def bench_points_join(engine, n_points: int, num_cpus: int) -> tuple[float, int]
                            parallelism=max(num_cpus * 4, n_points // 250_000))
     t0 = time.perf_counter()
     # task-pool join: fuses with the generator, no actor-pool ramp-up
-    joined = engine.lookup_points(pts, batch_size=131072)
+    joined = engine.lookup_points(pts, batch_size=262144)
     n = joined.count()
     return time.perf_counter() - t0, n
 

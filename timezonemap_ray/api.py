@@ -120,7 +120,7 @@ class TimeZoneEngine:
         return (1, max(2, n))
 
     def lookup_points(self, ds, lat_col="lat", lng_col="lng", want_all=False,
-                      fallback=False, concurrency=None, batch_size=65536,
+                      fallback=False, concurrency=None, batch_size=131072,
                       compute="tasks"):
         """Broadcast PIP join: Dataset of points → + zone columns.
 
