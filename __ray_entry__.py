@@ -317,6 +317,24 @@ def _q_customers_per_nation(sf_dir: str):
     return customers_per_nation(sf_dir)
 
 
+def _q_streaming_windows(sf_dir: str):
+    """Event-time tumbling windows (1h, 10min lateness) over the events
+    stream; a drained in-order stream equals the batch groupby, so the
+    oracle is exact."""
+    import ray.data as rd
+    from timezonemap_ray.pipelines.streaming import run_windowed_stream
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"]).sort("ts")
+    windows, _ = run_windowed_stream(ds, window_s=3600, lateness_s=600)
+
+    t = windows
+    return pa.table({
+        "window_start_us": t["window_start_us"],
+        "key": t["key"],
+        "n_events": pc.cast(t["n_events"], pa.int64()),
+    })
+
+
 def _q_value_range_buckets(sf_dir: str):
     """Broadcast interval (range) join over events.value + grouped counts."""
     import ray.data as rd
@@ -458,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": _q_events_asof_orders,
         "customers_per_nation": _q_customers_per_nation,
         "value_range_buckets": _q_value_range_buckets,
+        "streaming_windows": _q_streaming_windows,
         "distinct_users": _q_distinct_users,
         "approx_distinct_users": _q_approx_distinct_users,
         # raster <-> vector tiling
@@ -560,6 +579,11 @@ def oracle_sql() -> dict[str, str]:
         "training_pipeline": __import__(
             "timezonemap_ray.pipelines.training",
             fromlist=["sql_training_pipeline"]).sql_training_pipeline(),
+        "streaming_windows": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                       AS window_start_us,
+                   user_id AS key, count(*) AS n_events
+            FROM events GROUP BY 1, 2""",
         "value_range_buckets": """
             SELECT CASE WHEN value < 0 THEN 'neg'
                         WHEN value < 10 THEN 'small'

@@ -1,0 +1,66 @@
+"""Streaming tumbling windows: drained stream == batch groupby; late events
+behind the watermark are dropped and counted."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from timezonemap_ray.pipelines.streaming import run_windowed_stream
+
+
+def _events(n=20_000, users=20, seed=3):
+    rng = np.random.default_rng(seed)
+    base = 1_700_000_000_000_000  # us epoch
+    ts = base + np.sort(rng.integers(0, 6 * 3600 * 1_000_000, n))
+    return pa.table({
+        "user_id": rng.integers(0, users, n).astype(np.int64),
+        "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+        "value": rng.uniform(0, 10, n),
+    })
+
+
+def test_stream_equals_batch_groupby(ray_session):
+    import ray.data as rd
+    tbl = _events()
+    ds = rd.from_arrow(tbl).repartition(8)
+    windows, stats = run_windowed_stream(ds, window_s=3600, lateness_s=600)
+    assert stats["dropped_late"] == 0  # input is in order
+    got = windows.to_pandas().sort_values(["window_start_us", "key"]) \
+        .reset_index(drop=True)
+
+    pdf = tbl.to_pandas()
+    us = pdf["ts"].astype("int64")
+    pdf["window_start_us"] = (us // (3600 * 1_000_000)) * (3600 * 1_000_000)
+    exp = pdf.groupby(["window_start_us", "user_id"]).agg(
+        n_events=("value", "size"), sum_value=("value", "sum")).reset_index() \
+        .rename(columns={"user_id": "key"}) \
+        .sort_values(["window_start_us", "key"]).reset_index(drop=True)
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert got["sum_value"].to_numpy() == pytest.approx(
+        exp["sum_value"].to_numpy())
+    assert got["window_start_us"].tolist() == exp["window_start_us"].tolist()
+
+
+def test_late_events_dropped(ray_session):
+    import ray.data as rd
+    base = 1_700_000_000_000_000
+    hour = 3600 * 1_000_000
+    rows = [
+        {"user_id": 1, "ts": base + 0 * hour, "value": 1.0},
+        {"user_id": 1, "ts": base + 3 * hour, "value": 1.0},  # watermark jumps
+        {"user_id": 1, "ts": base + 0 * hour + 60_000_000, "value": 1.0},  # LATE
+        {"user_id": 1, "ts": base + 3 * hour + 60_000_000, "value": 1.0},  # ok
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], type=pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows], type=pa.int64()).cast(
+            pa.timestamp("us")),
+        "value": pa.array([r["value"] for r in rows], type=pa.float64()),
+    })
+    windows, stats = run_windowed_stream(
+        rd.from_arrow(tbl), window_s=3600, lateness_s=600, micro_batch=1)
+    assert stats["dropped_late"] == 1
+    w = windows.to_pandas()
+    first = w[w["window_start_us"] == (base // hour) * hour]
+    assert first["n_events"].iloc[0] == 1  # the late event was NOT counted
