@@ -237,7 +237,8 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
     zone_idx = np.full(m, -1, dtype=np.int32)  # index into idx.zone_ids
     matched = np.zeros(m, dtype=bool)
     used_fb = np.zeros(m, dtype=bool)
-    all_zones = [[] for _ in range(m)] if want_all else None
+    hit_rows: list = []  # (rows, rec_i) pair arrays, rank-ascending
+    hit_recs: list = []
 
     in_region = idx.contains_region(lats, lngs)
 
@@ -306,8 +307,8 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
         zone_idx[newly] = rec_i
         matched[rows] = True
         if want_all:
-            for r in rows:
-                all_zones[r].append(idx.zone_ids[rec_i])
+            hit_rows.append(rows)
+            hit_recs.append(np.full(rows.size, rec_i, dtype=np.int32))
 
     if fallback:
         miss = np.nonzero(in_region & ~matched)[0]
@@ -320,7 +321,9 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
                     matched[r] = True
                     used_fb[r] = True
                     if want_all:
-                        all_zones[r].append(fz[k])
+                        hit_rows.append(np.array([r]))
+                        hit_recs.append(np.array([name_to_i[fz[k]]],
+                                                 dtype=np.int32))
 
     zone = np.full(m, None, dtype=object)
     hitrows = zone_idx >= 0
@@ -331,7 +334,28 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
            "matched": matched, "fallback": used_fb,
            "error": np.where(in_region, None, "outside_initialized_region")}
     if want_all:
-        out["all_zones"] = all_zones
+        out["all_zones"] = _assemble_all_zones(idx, m, hit_rows, hit_recs)
+    return out
+
+
+def _assemble_all_zones(idx, m, hit_rows, hit_recs):
+    """Columnar assembly of the per-point zone lists (rank-ascending):
+    stable-sort the (row, rec) hit pairs by row — append order was already
+    rank-ascending — then split by row counts. No per-row python appends."""
+    if not hit_rows:
+        return [[] for _ in range(m)]
+    rows = np.concatenate(hit_rows)
+    recs = np.concatenate(hit_recs)
+    order = np.argsort(rows, kind="stable")
+    rows_s, recs_s = rows[order], recs[order]
+    counts = np.bincount(rows_s, minlength=m)
+    names = np.asarray(idx.zone_ids, dtype=object)
+    flat = names[recs_s]
+    out = []
+    pos = 0
+    for c in counts:
+        out.append(flat[pos:pos + c].tolist())
+        pos += c
     return out
 
 
