@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Standalone driver-gate replica: run every ``queries()`` entry at an sf
+dir and compare SQL-expressible ones against ``oracle_sql()`` via DuckDB
+(row count + column set + order-insensitive values). Prints one line per
+query and a final summary; exit code 1 on any mismatch.
+
+    python jobs/validate_contract.py [sf_dir=/root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.CRITICAL)
+
+    import duckdb
+    import pandas as pd
+    import __ray_entry__ as m
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = m.queries(), m.oracle_sql()
+    failures = []
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            res = qs[name](sf_dir)
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            if name in oracles:
+                exp = con.sql(oracles[name]).df()
+                a, b = norm(df), norm(exp)
+                assert list(a.columns) == list(b.columns), \
+                    f"columns {list(a.columns)} != {list(b.columns)}"
+                assert len(a) == len(b), f"rows {len(a)} != {len(b)}"
+                for c in a.columns:
+                    if str(a[c].dtype) != str(b[c].dtype):
+                        try:
+                            b[c] = b[c].astype(a[c].dtype)
+                        except (TypeError, ValueError):
+                            pass
+                pd.testing.assert_frame_equal(a, b, check_dtype=False)
+                status = f"ORACLE-OK ({len(a)} rows)"
+            else:
+                assert len(df) > 0, "empty result"
+                status = f"rows-only ({len(df)} rows)"
+        except Exception as e:  # noqa: BLE001 — report and continue
+            status = f"FAIL: {type(e).__name__}: {str(e)[:120]}"
+            failures.append(name)
+        print(f"{name:28s} {status:40s} {time.perf_counter()-t0:6.1f}s")
+
+    print(f"\n{len(qs)} queries, {len(oracles)} oracle-checked, "
+          f"{len(failures)} failures{': ' + ', '.join(failures) if failures else ''}")
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
