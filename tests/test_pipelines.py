@@ -157,3 +157,13 @@ def test_reader_seam(ray_session, sf_dir):
         import pytest as _pytest
         with _pytest.raises(NotImplementedError, match="[Ll]ance"):
             read_table("/tmp/nonexistent.lance")
+
+
+def test_shuffled_with_precomputed_salts(ray_session, sf_dir, engine):
+    """salt_counts priors skip the histogram pre-pass; output unchanged."""
+    from timezonemap_ray.pipelines.flagship import shuffled_join
+    pts = fs.geo_points(sf_dir)
+    a = engine.lookup_points(pts).to_pandas()
+    b = shuffled_join(pts, engine, salt_counts={1234: 4}).to_pandas()
+    cols = ["doc_id", "span_idx", "zone_id", "matched"]
+    pd.testing.assert_frame_equal(_sorted(a)[cols], _sorted(b)[cols])

@@ -94,13 +94,18 @@ def cell_histogram(ds, cell_size: float, lat_col="lat", lng_col="lng",
 
 def shuffled_join(ds, engine, lat_col="lat", lng_col="lng", want_all=False,
                   fallback=False, salt_threshold: int = 250_000,
-                  sample_fraction: float = 0.05):
+                  sample_fraction: float = 0.05,
+                  salt_counts: dict | None = None):
     """groupby(cell) co-partitioned join. Hot cells (estimated count >
-    threshold) are salted over ``ceil(count/threshold)`` shuffle keys."""
-    hist = cell_histogram(ds, engine.index.cell_size, lat_col, lng_col,
-                          sample_fraction=sample_fraction)
-    salt_counts = {c: int(np.ceil(n / salt_threshold))
-                   for c, n in hist.items() if n > salt_threshold}
+    threshold) are salted over ``ceil(count/threshold)`` shuffle keys.
+
+    Pass precomputed ``salt_counts`` (cached hotspot priors) to skip the
+    sampling pre-pass — one fewer scan of the input when skew is known."""
+    if salt_counts is None:
+        hist = cell_histogram(ds, engine.index.cell_size, lat_col, lng_col,
+                              sample_fraction=sample_fraction)
+        salt_counts = {c: int(np.ceil(n / salt_threshold))
+                       for c, n in hist.items() if n > salt_threshold}
 
     keyed = ds.map_batches(
         make_cell_assigner(engine.index.cell_size, salt_counts,

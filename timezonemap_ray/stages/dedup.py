@@ -295,15 +295,20 @@ def ngram_jaccard_dedup(ds, shingle=3, threshold=0.5, text_col="text"):
     """LSH candidates verified with EXACT shingle-set Jaccard.
     → (doc_id, cluster_id, is_duplicate). Candidate texts are broadcast to
     the driver — candidates ≪ corpus by construction."""
+    import pyarrow.compute as pc
     pairs = minhash_candidate_pairs(ds, threshold=max(0.3, threshold - 0.2),
                                     shingle=shingle, text_col=text_col)
     cand_ids = sorted({d for p in pairs for d in p})
     texts = {}
     if cand_ids:
-        cand_set = set(cand_ids)
-        for row in ds.select_columns(["doc_id", text_col]).take_all():
-            if row["doc_id"] in cand_set:
-                texts[row["doc_id"]] = row[text_col]
+        # distributed semi-join filter: only candidate texts reach the
+        # driver (candidates ≪ corpus by LSH construction)
+        cand_arr = pa.array(cand_ids)
+        cand_rows = ds.map_batches(
+            lambda b: b.filter(pc.is_in(b["doc_id"], value_set=cand_arr))
+                       .select(["doc_id", text_col]),
+            batch_format="pyarrow").take_all()
+        texts = {r["doc_id"]: r[text_col] for r in cand_rows}
     verified = set()
     shingles = {d: token_hashes(texts.get(d, "") or "", shingle)
                 for d in cand_ids}
