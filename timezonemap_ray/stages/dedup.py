@@ -179,19 +179,36 @@ def clusters_from_pairs(doc_ids, pairs) -> dict:
     return {d: uf.find(d) for d in doc_ids}
 
 
+
+def _cluster_output_ds(ds, pairs, id_col: str = "doc_id"):
+    """Distributed cluster assignment: only PAIRED ids hit the driver's
+    union-find; the (id → cluster) mapping for those is broadcast and every
+    row gets cluster = mapping.get(id, id) in map_batches. Unpaired docs
+    never leave the workers."""
+    import ray as _ray
+    paired = sorted({d for p in pairs for d in p})
+    mapping = clusters_from_pairs(paired, pairs)
+    ref = _ray.put(mapping)
+
+    def assign(b: pa.Table) -> pa.Table:
+        mp = _ray.get(ref)
+        ids = b[id_col].to_pylist()
+        cl = [mp.get(i, i) for i in ids]
+        return pa.table({
+            id_col: b[id_col],
+            "cluster_id": pa.array(cl, type=pa.int64()),
+            "is_duplicate": pa.array([c != i for c, i in zip(cl, ids)]),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def minhash_dedup(ds, num_perm=64, bands=16, shingle=3, threshold=0.5,
                   text_col="text"):
     """→ (doc_id, cluster_id, is_duplicate) for the whole corpus."""
-    ids = [r["doc_id"] for r in ds.select_columns(["doc_id"]).take_all()]
     pairs = minhash_candidate_pairs(ds, num_perm, bands, shingle, threshold,
                                     text_col)
-    cl = clusters_from_pairs(ids, pairs)
-    doc = sorted(ids)
-    return pa.table({
-        "doc_id": pa.array(doc, type=pa.int64()),
-        "cluster_id": pa.array([cl[d] for d in doc], type=pa.int64()),
-        "is_duplicate": pa.array([cl[d] != d for d in doc]),
-    })
+    return _cluster_output_ds(ds.select_columns(["doc_id"]), pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -274,14 +291,7 @@ def simhash_dedup(ds, max_hamming: int = 3, text_col: str = "text",
         pairs_of_group, batch_format="pyarrow").to_pandas()
     pairs = set() if (pdf.empty or "a" not in pdf.columns) else \
         set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
-    ids = [r["doc_id"] for r in ds.select_columns(["doc_id"]).take_all()]
-    cl = clusters_from_pairs(ids, pairs)
-    doc = sorted(ids)
-    return pa.table({
-        "doc_id": pa.array(doc, type=pa.int64()),
-        "cluster_id": pa.array([cl[d] for d in doc], type=pa.int64()),
-        "is_duplicate": pa.array([cl[d] != d for d in doc]),
-    })
+    return _cluster_output_ds(ds.select_columns(["doc_id"]), pairs)
 
 
 POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
@@ -318,14 +328,7 @@ def ngram_jaccard_dedup(ds, shingle=3, threshold=0.5, text_col="text"):
         union = sa.size + sb.size - inter
         if union and inter / union >= threshold:
             verified.add((a, b))
-    ids = [r["doc_id"] for r in ds.select_columns(["doc_id"]).take_all()]
-    cl = clusters_from_pairs(ids, verified)
-    doc = sorted(ids)
-    return pa.table({
-        "doc_id": pa.array(doc, type=pa.int64()),
-        "cluster_id": pa.array([cl[d] for d in doc], type=pa.int64()),
-        "is_duplicate": pa.array([cl[d] != d for d in doc]),
-    })
+    return _cluster_output_ds(ds.select_columns(["doc_id"]), verified)
 
 
 # ---------------------------------------------------------------------------
@@ -387,11 +390,5 @@ def embedding_dedup(ds, dim: int, threshold: float = 0.95, n_bits: int = 12,
         pairs_of_group, batch_format="pyarrow").to_pandas()
     pairs = set() if (pdf.empty or "a" not in pdf.columns) else \
         set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
-    ids = [r["vec_id"] for r in ds.select_columns([id_col]).take_all()]
-    cl = clusters_from_pairs(ids, pairs)
-    vid = sorted(ids)
-    return pa.table({
-        "vec_id": pa.array(vid, type=pa.int64()),
-        "cluster_id": pa.array([cl[d] for d in vid], type=pa.int64()),
-        "is_duplicate": pa.array([cl[d] != d for d in vid]),
-    })
+    return _cluster_output_ds(ds.select_columns([id_col]), pairs,
+                              id_col=id_col)
