@@ -117,6 +117,11 @@ def _bucket_pairs(group: pa.Table, threshold: float):
     if n < 2:
         return []
     if n > MAX_BUCKET:
+        # no silent caps: a pathological giant bucket is truncated AND logged
+        import logging
+        logging.getLogger(__name__).warning(
+            "LSH bucket truncated: %d rows > MAX_BUCKET=%d (%d dropped)",
+            n, MAX_BUCKET, n - MAX_BUCKET)
         group = group.slice(0, MAX_BUCKET)
         n = MAX_BUCKET
     doc = group["doc_id"].to_pylist()
@@ -274,6 +279,9 @@ def simhash_dedup(ds, max_hamming: int = 3, text_col: str = "text",
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64())})
         if n > MAX_BUCKET:
+            import logging
+            logging.getLogger(__name__).warning(
+                "LSH bucket truncated: %d rows > MAX_BUCKET=%d", n, MAX_BUCKET)
             g = g.slice(0, MAX_BUCKET)
             n = MAX_BUCKET
         doc = g["doc_id"].to_pylist()
@@ -373,6 +381,9 @@ def embedding_dedup(ds, dim: int, threshold: float = 0.95, n_bits: int = 12,
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64())})
         if n > MAX_BUCKET:
+            import logging
+            logging.getLogger(__name__).warning(
+                "LSH bucket truncated: %d rows > MAX_BUCKET=%d", n, MAX_BUCKET)
             g = g.slice(0, MAX_BUCKET)
             n = MAX_BUCKET
         ids = g["vec_id"].to_pylist()
