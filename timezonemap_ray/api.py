@@ -58,7 +58,14 @@ class TimeZoneEngine:
 
     def get_time_zones(self) -> list:
         """Zone ids, smallest-area first (reference ``getTimeZones``,
-        `TimeZoneMap.kt:25-34`)."""
+        `TimeZoneMap.kt:25-34`).
+
+        Divergence note: the reference's region clip splits a zone into one
+        entry PER PIECE (`TimeZoneMap.kt:218-235`); our clip keeps a zone's
+        clipped rings in one record, so each zone id appears once. Query
+        results (Q3-Q6) are identical either way — a point lies in at most
+        one piece of a zone.
+        """
         return list(self.index.zone_ids)
 
     def get_zone_geometry(self, zone_id: str) -> list:
