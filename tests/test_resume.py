@@ -67,3 +67,27 @@ def test_resume_after_failure(ray_session, sf_dir, engine, tmp_path):
     assert mf.completed() == mp.completed()
     for k in mf.completed():
         assert mf.read(k)["checksum"] == mp.read(k)["checksum"]
+
+
+def test_resume_after_staging_crash(ray_session, sf_dir, engine, tmp_path):
+    """A crash DURING staging leaves partial files without the marker; the
+    restart must wipe and re-stage, not append duplicate rows."""
+    import shutil
+    pts = fs.geo_points(sf_dir)
+    out = str(tmp_path / "stagecrash")
+    run_checkpointed(pts, engine, out, n_partitions=4)
+    expected = _result_df(out)
+
+    out2 = str(tmp_path / "stagecrash2")
+    # simulate the crash: stage fully, then remove the marker and one shard
+    # (partial staging state), keep stale files in the remaining shards
+    run_checkpointed(pts, engine, out2, n_partitions=4)
+    shutil.rmtree(os.path.join(out2, "result"))
+    shutil.rmtree(os.path.join(out2, "_manifest"))
+    os.remove(os.path.join(out2, "_staged_done"))
+    shutil.rmtree(glob.glob(os.path.join(out2, "staged", "part_id=*"))[0])
+
+    run_checkpointed(pts, engine, out2, n_partitions=4)
+    got = _result_df(out2)
+    cols = ["doc_id", "span_idx", "lat", "lng", "zone_id", "matched"]
+    pd.testing.assert_frame_equal(got[cols], expected[cols])

@@ -70,6 +70,11 @@ def run_checkpointed(points_ds, engine, out_dir: str, n_partitions: int = 16,
     marker = os.path.join(out_dir, STAGED_DONE)
 
     if not os.path.exists(marker):
+        # a crash mid-staging leaves partial files; re-running write_parquet
+        # into the same dir would APPEND and duplicate rows — wipe first
+        if os.path.isdir(staged):
+            import shutil
+            shutil.rmtree(staged)
         keyed = points_ds.map_batches(
             lambda b: _assign_partition(b, engine.index.cell_size, n_partitions),
             batch_format="pyarrow")
