@@ -62,6 +62,11 @@ def main(argv=None):
         engine = TimeZoneEngine.for_everywhere(worlds.conformance_table())
 
     t0 = time.perf_counter()
+    if not args.checkpoint and os.path.isdir(args.out):
+        # plain write_parquet APPENDS into an existing dir; a re-run would
+        # duplicate rows — wipe first (the checkpoint path resumes instead)
+        import shutil
+        shutil.rmtree(args.out)
     if args.checkpoint:
         pts = geo_points(args.sf_dir)
         manifest = run_checkpointed(pts, engine, args.out,
