@@ -516,6 +516,24 @@ def oracle_sql() -> dict[str, str]:
                      / greatest(length(text), 1) AS quality
             FROM documents""",
         "fingerprint_md5": "SELECT doc_id, md5(text) AS digest FROM documents",
+        "lang_id": """
+            WITH feat AS (
+              SELECT doc_id, text,
+       len(regexp_extract_all(text, '\\b(the|and|of|to|is)\\b')) AS c_en,
+       len(regexp_extract_all(text, '\\b(el|la|de|que|y)\\b')) AS c_es,
+       len(regexp_extract_all(text, '\\b(le|la|de|et|que)\\b')) AS c_fr,
+       len(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b')) AS c_de,
+       len(regexp_extract_all(text, '\\b(big|a)\\b')) AS c_zh,
+                     len(regexp_extract_all(text, '\\S+')) AS n_tok
+              FROM documents),
+            pred AS (
+              SELECT doc_id, n_tok, c_en, c_es, c_fr, c_de, c_zh,
+                     CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de AND c_en >= c_zh THEN 'en' WHEN c_es >= c_fr AND c_es >= c_de AND c_es >= c_zh THEN 'es' WHEN c_fr >= c_de AND c_fr >= c_zh THEN 'fr' WHEN c_de >= c_zh THEN 'de' WHEN TRUE THEN 'zh' END AS lang_pred
+              FROM feat)
+            SELECT doc_id, lang_pred,
+                   CAST(CASE WHEN lang_pred = 'en' THEN c_en WHEN lang_pred = 'es' THEN c_es WHEN lang_pred = 'fr' THEN c_fr WHEN lang_pred = 'de' THEN c_de WHEN lang_pred = 'zh' THEN c_zh END AS DOUBLE) / greatest(n_tok, 1)
+                       AS lang_score
+            FROM pred""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
             FROM documents GROUP BY md5(text)""",
