@@ -149,10 +149,19 @@ def test_actor_pool_path_equals_task_path(ray_session, sf_dir, engine):
     pd.testing.assert_frame_equal(a, b)
 
 
-def test_reader_seam(ray_session, sf_dir):
+def test_reader_seam(ray_session, sf_dir, tmp_path_factory):
     from timezonemap_ray.sources.reader import lance_available, read_table
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    assert ds.count() > 0
+    n = ds.count()
+    assert n > 0
+    # csv / jsonl dispatch
+    import pandas as pd
+    tmp = tmp_path_factory.mktemp("reader")
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "lang"]]
+    pdf.to_csv(tmp / "docs.csv", index=False)
+    pdf.to_json(tmp / "docs.jsonl", orient="records", lines=True)
+    assert read_table(str(tmp / "docs.csv"), columns=["doc_id"]).count() == n
+    assert read_table(str(tmp / "docs.jsonl"), columns=["doc_id"]).count() == n
     if not lance_available():
         import pytest as _pytest
         with _pytest.raises(NotImplementedError, match="[Ll]ance"):

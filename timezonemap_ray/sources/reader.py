@@ -22,16 +22,24 @@ def lance_available() -> bool:
 
 
 def read_table(path: str, columns: Optional[list] = None, **kwargs):
-    """Ray Dataset from a Lance dataset dir or a Parquet file/dir.
+    """Ray Dataset from a Lance dataset dir, Parquet, CSV, or JSON(L).
 
-    Always pass ``columns`` — at 100 TB an unpruned scan is a bug.
+    Always pass ``columns`` — at 100 TB an unpruned scan is a bug (CSV/JSON
+    can't push projection into the read; they project right after parse).
     """
     import ray.data as rd
-    if path.endswith(".lance") or path.rstrip("/").endswith(".lance"):
+    p = path.rstrip("/")
+    if p.endswith(".lance"):
         if not lance_available():
             raise NotImplementedError(
                 "Lance input requested but the 'lance' package is not "
                 "installed in this environment; convert to parquet or "
                 "install lance")
         return rd.read_lance(path, columns=columns, **kwargs)
+    if p.endswith(".csv"):
+        ds = rd.read_csv(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
+    if p.endswith((".json", ".jsonl")):
+        ds = rd.read_json(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     return rd.read_parquet(path, columns=columns, **kwargs)
