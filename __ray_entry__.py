@@ -348,7 +348,11 @@ def _q_value_range_buckets(sf_dir: str):
                           value_col="value")
 
     def as_str(b: pa.Table) -> pa.Table:
-        return pa.table({"bucket": pc.cast(b["bucket"], pa.string())})
+        # NaN values fall outside every interval → null bucket; Ray Data's
+        # sort-based groupby cannot sort null string keys, so both sides
+        # agree to name that bucket 'none'
+        return pa.table({"bucket": pc.fill_null(
+            pc.cast(b["bucket"], pa.string()), "none")})
 
     out = bucketed.map_batches(as_str, batch_format="pyarrow") \
         .groupby("bucket").aggregate(Count(alias_name="n_events"))
@@ -587,8 +591,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM e),
             s AS (
                 SELECT user_id, event_id, ts,
-                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                       CAST(sum(new_s) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS session_id
                 FROM m)
             SELECT user_id, session_id, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
@@ -603,7 +609,8 @@ def oracle_sql() -> dict[str, str]:
                    user_id AS key, count(*) AS n_events
             FROM events GROUP BY 1, 2""",
         "value_range_buckets": """
-            SELECT CASE WHEN value < 0 THEN 'neg'
+            SELECT CASE WHEN isnan(value) THEN 'none'
+                        WHEN value < 0 THEN 'neg'
                         WHEN value < 10 THEN 'small'
                         WHEN value < 100 THEN 'medium'
                         ELSE 'large' END AS bucket,
@@ -627,8 +634,8 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN last r
               ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""",
         # intentionally omitted (rows-only check — not SQL-expressible):
-        # tz_distance_boundary (WGS84 geodesic), lang_id (heuristic scorer),
-        # fingerprint_rolling (rolling hash), dedup_minhash / dedup_simhash /
-        # dedup_ngram_jaccard / dedup_embedding (LSH + union-find),
-        # ann_ivf_topk (approximate), media_decode (stubbed codec)
+        # tz_distance_boundary (WGS84 geodesic), fingerprint_rolling
+        # (rolling hash), dedup_minhash / dedup_simhash / dedup_embedding
+        # (LSH recall is probabilistic), ann_ivf_topk (approximate),
+        # media_decode / media_similarity (stubbed codec)
     }

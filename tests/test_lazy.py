@@ -81,3 +81,28 @@ def test_lazy_joiner_stage(ray_session, table):
     expect = expect.sort_values(["lat", "lng"]).reset_index(drop=True)
     assert out["zone_id"].astype("object").tolist() == \
         expect["zone_id"].astype("object").tolist()
+
+
+def test_lazy_clipped_rect_no_false_match():
+    """Regression: a non-rect zone whose clip degenerates to an axis-aligned
+    rectangle must NOT claim points in the larger pre-clip envelope (the
+    lazy index stores pre-clip envelopes; the rect fast path treats the
+    envelope test as the PIP test, so is_rect must be disabled whenever the
+    decoded geometry is smaller than the stored envelope)."""
+    from timezonemap_ray.zonetable import make_zone, zones_to_table
+    # two disjoint square lobes (even-odd union); pre-clip envelope spans both
+    zone = make_zone("Test/TwoLobes", [
+        (np.array([5.0, 5.0, 0.0, 0.0]), np.array([0.0, 5.0, 5.0, 0.0])),
+        (np.array([10.0, 10.0, 6.0, 6.0]), np.array([5.0, 10.0, 10.0, 5.0])),
+    ])
+    table = zones_to_table([zone])
+    region = (-1.0, -1.0, 5.5, 20.0)  # clips away the upper lobe entirely
+    eager = build_index(table, region=region)
+    lazy = LazyZoneIndex(table, region=region)
+    # inside the region and the PRE-clip envelope, outside the clipped rect
+    lats, lngs = np.array([2.5, 2.5]), np.array([7.5, 2.5])
+    a = lookup_batch(eager, lats, lngs)
+    b = lookup_batch(lazy, lats, lngs)
+    assert a["zone_id"].tolist() == b["zone_id"].tolist()
+    assert b["zone_id"][0] is None          # the false-match point
+    assert b["zone_id"][1] == "Test/TwoLobes"

@@ -120,10 +120,18 @@ class LazyZoneIndex:
                     xs, ys, rs, min_lng, min_lat, max_lng, max_lat)
         env = (geom.polygon_envelope(xs, ys) if xs.size
                else (0.0, 0.0, 0.0, 0.0))
+        # `lookup_batch`'s rect fast path treats the envelope pre-check
+        # (against self.envs[i], the PRE-clip envelope) as the full PIP test.
+        # That is only sound when the decoded (post-clip) geometry IS that
+        # stored envelope — so require exact envelope equality too, else a
+        # zone whose clip degenerates to a small rectangle would falsely
+        # claim every point in the larger pre-clip envelope.
         rec = {"xs": xs, "ys": ys, "ring_start": rs,
                "edges": geom.all_edges(xs, ys, rs),
-               "is_rect": bool(xs.size) and _is_axis_rect(
-                   xs, ys, rs, np.asarray(env))}
+               "is_rect": (bool(xs.size)
+                           and _is_axis_rect(xs, ys, rs, np.asarray(env))
+                           and tuple(np.asarray(env, dtype=np.float64))
+                           == tuple(self.envs[i]))}
         self._cache[i] = rec
         if len(self._cache) > self.max_cached:
             self._cache.popitem(last=False)  # evict LRU

@@ -125,6 +125,24 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
     right = right.map_batches(tag_right, batch_format="pyarrow")
     both = left.union(right)
 
+    # declared output Arrow types: left columns keep theirs, appended value
+    # columns keep the right side's. pandas null-upcasts int64 → float64 (the
+    # union pads each side with nulls), so every group result is cast back to
+    # the declared schema via pandas nullable ints before returning — the
+    # Arrow conversion then yields the original int64, not double.
+    out_types = dict(left_types)
+    out_types.update({c: right_types[c] for c in value_cols})
+
+    def _restore_dtypes(df: pd.DataFrame) -> pd.DataFrame:
+        for c in df.columns:
+            t = out_types.get(c)
+            if t is None:
+                continue
+            if pa.types.is_integer(t):
+                kind = "UInt" if pa.types.is_unsigned_integer(t) else "Int"
+                df[c] = df[c].astype(f"{kind}{t.bit_width}")
+        return df
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0].drop(columns=["_side"] + value_cols,
                                     errors="ignore")
@@ -133,7 +151,7 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
         if len(r) == 0:
             for c in value_cols:
                 l[c] = None
-            return l
-        return pd.merge_asof(l, r, on=on, direction="backward")
+            return _restore_dtypes(l)
+        return _restore_dtypes(pd.merge_asof(l, r, on=on, direction="backward"))
 
     return both.groupby(key).map_groups(merge, batch_format="pandas")
