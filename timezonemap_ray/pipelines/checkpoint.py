@@ -8,10 +8,15 @@ Two stages, both idempotent:
    completion is marked atomically.
 2. **Join per partition**: every shard not yet in the manifest is read back
    (only its own directory — no rescan), joined against the broadcast index,
-   written to ``out/result/part_id=K/``, then its lineage record
-   ``(partition, n_rows, n_matched, n_fallback, checksum)`` is committed
-   atomically. A killed run resumes by skipping manifested shards; the
-   joiner is deterministic, so re-runs are byte-identical.
+   and written by the WORKERS via ``write_parquet(partition_cols=["part_id"])``
+   — the driver never touches a data block. Lineage
+   ``(partition, n_rows, n_matched, n_fallback, checksum)`` is collected by a
+   tiny stats actor fed per-block partial counts + an ORDER-INDEPENDENT
+   checksum (sum of per-row hashes mod 2^64, associative ⇒ identical however
+   Ray schedules the blocks), then committed atomically per partition. A
+   killed run resumes by skipping manifested shards; non-manifested partial
+   result dirs from a crashed wave are wiped before rewrite, so re-runs are
+   value-identical.
 
 The partition key is ``hash(cell_id) % n_partitions`` — co-located with the
 join's cell granularity, so one shard's candidate polygon set is a small
@@ -21,17 +26,18 @@ subset of the index.
 from __future__ import annotations
 
 import os
-import zlib
-
-import pyarrow.parquet as pq
+import shutil
 
 import numpy as np
 import pyarrow as pa
+
+import ray
 
 from .. import cells
 from ..state.manifest import Manifest
 
 STAGED_DONE = "_staged_done"
+CHECKSUM_COLS = ("doc_id", "span_idx", "zone_id")
 
 
 def _assign_partition(batch: pa.Table, cell_size: float, n_partitions: int,
@@ -44,12 +50,52 @@ def _assign_partition(batch: pa.Table, cell_size: float, n_partitions: int,
     return batch.append_column("part_id", pa.array(part, type=pa.int64()))
 
 
-def _checksum(table: pa.Table, cols=("doc_id", "span_idx", "zone_id")) -> int:
-    use = [c for c in cols if c in table.column_names]
-    if not use or table.num_rows == 0:
-        return 0
-    rows = sorted(zip(*[table[c].to_pylist() for c in use]))
-    return zlib.crc32(repr(rows).encode())
+def _partial_stats(t: pa.Table, cols=CHECKSUM_COLS) -> dict:
+    """Per-partition partial counters for ONE block: row/match/fallback
+    counts plus an order-independent checksum (sum of deterministic per-row
+    hashes — ``pd.util.hash_pandas_object`` uses a fixed key)."""
+    import pandas as pd
+    parts = t["part_id"].to_numpy(zero_copy_only=False)
+    use = [c for c in cols if c in t.column_names]
+    if use and t.num_rows:
+        hashes = pd.util.hash_pandas_object(
+            t.select(use).to_pandas(), index=False).to_numpy()
+    else:
+        hashes = np.zeros(len(parts), dtype=np.uint64)
+    matched = (t["matched"].to_numpy(zero_copy_only=False)
+               if "matched" in t.column_names else np.zeros(len(parts), bool))
+    fb = (t["fallback"].to_numpy(zero_copy_only=False)
+          if "fallback" in t.column_names else np.zeros(len(parts), bool))
+    out = {}
+    for k in np.unique(parts):
+        m = parts == k
+        out[int(k)] = {
+            "n_rows": int(m.sum()),
+            "n_matched": int(matched[m].sum()),
+            "n_fallback": int(fb[m].sum()),
+            "csum": int(hashes[m].sum(dtype=np.uint64)),
+        }
+    return out
+
+
+@ray.remote(num_cpus=0)
+class _StatsCollector:
+    """Associative merge of per-block partial stats (tiny dicts, never data)."""
+
+    def __init__(self):
+        self.stats: dict = {}
+
+    def add(self, partial: dict) -> None:
+        for k, s in partial.items():
+            agg = self.stats.setdefault(
+                k, {"n_rows": 0, "n_matched": 0, "n_fallback": 0, "csum": 0})
+            agg["n_rows"] += s["n_rows"]
+            agg["n_matched"] += s["n_matched"]
+            agg["n_fallback"] += s["n_fallback"]
+            agg["csum"] = (agg["csum"] + s["csum"]) % (1 << 64)
+
+    def get(self) -> dict:
+        return self.stats
 
 
 def run_checkpointed(points_ds, engine, out_dir: str, n_partitions: int = 16,
@@ -73,7 +119,6 @@ def run_checkpointed(points_ds, engine, out_dir: str, n_partitions: int = 16,
         # a crash mid-staging leaves partial files; re-running write_parquet
         # into the same dir would APPEND and duplicate rows — wipe first
         if os.path.isdir(staged):
-            import shutil
             shutil.rmtree(staged)
         keyed = points_ds.map_batches(
             lambda b: _assign_partition(b, engine.index.cell_size, n_partitions),
@@ -85,6 +130,7 @@ def run_checkpointed(points_ds, engine, out_dir: str, n_partitions: int = 16,
     pending = [k for k in range(n_partitions)
                if os.path.isdir(os.path.join(staged, f"part_id={k}"))
                and not manifest.is_done(k)]
+    result_root = os.path.join(out_dir, "result")
 
     done_count = 0
     while pending:
@@ -110,22 +156,29 @@ def run_checkpointed(points_ds, engine, out_dir: str, n_partitions: int = 16,
         shard = shard.map_batches(reattach, batch_format="pyarrow")
         joined = engine.lookup_points(shard, want_all=want_all,
                                       fallback=fallback)
-        per_part: dict[int, list] = {k: [] for k in wave}
-        for b in joined.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            t = pa.table(b)
-            parts = t["part_id"].to_numpy(zero_copy_only=False)
-            for k in np.unique(parts):
-                per_part[int(k)].append(t.filter(pa.array(parts == k)))
+
+        # a crashed wave leaves partial, unmanifested partition dirs —
+        # wipe before rewriting so resume stays value-identical
         for k in wave:
-            tbl = pa.concat_tables(per_part[k]) if per_part[k] else pa.table({})
-            res_dir = os.path.join(out_dir, "result", f"part_id={k}")
-            os.makedirs(res_dir, exist_ok=True)
-            pq.write_table(tbl, os.path.join(res_dir, "data.parquet"))
-            n_matched = int(tbl["matched"].to_numpy(
-                zero_copy_only=False).sum()) if tbl.num_rows else 0
-            n_fb = int(tbl["fallback"].to_numpy(
-                zero_copy_only=False).sum()) if tbl.num_rows else 0
-            manifest.record(k, n_rows=tbl.num_rows, n_matched=n_matched,
-                            n_fallback=n_fb, checksum=_checksum(tbl))
+            d = os.path.join(result_root, f"part_id={k}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
+        collector = _StatsCollector.remote()
+
+        def tally(b: pa.Table, _c=collector) -> pa.Table:
+            # blocking get ⇒ every partial is recorded before the block is
+            # considered written; the payload is a tiny per-partition dict
+            ray.get(_c.add.remote(_partial_stats(b)))
+            return b
+
+        joined.map_batches(tally, batch_format="pyarrow") \
+              .write_parquet(result_root, partition_cols=["part_id"])
+        stats = ray.get(collector.get.remote())
+        for k in wave:
+            s = stats.get(k, {"n_rows": 0, "n_matched": 0,
+                              "n_fallback": 0, "csum": 0})
+            manifest.record(k, n_rows=s["n_rows"], n_matched=s["n_matched"],
+                            n_fallback=s["n_fallback"], checksum=s["csum"])
             done_count += 1
     return manifest

@@ -2,9 +2,9 @@
 
 These exercise the engine's wide operators (groupby aggregate, sort+limit,
 broadcast hash join, temporal window bucketing) with exact DuckDB oracles.
-Small dimension tables are broadcast (`ray.put` once, dict lookup inside
-``map_batches``) instead of shuffle-joining — the 100 TB pattern for
-fact⋈dim.
+Small dimension tables are broadcast (`ray.put` once, vectorized
+``pc.index_in`` + ``take`` probe inside ``map_batches``) instead of
+shuffle-joining — the 100 TB pattern for fact⋈dim.
 """
 
 from __future__ import annotations
@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
-
-import ray
 
 
 def lineitem_pricing_summary(sf_dir: str):
@@ -44,32 +42,37 @@ def lineitem_pricing_summary(sf_dir: str):
 
 
 def top_revenue_orders(sf_dir: str, limit: int = 20):
-    """orders ⋈ customer (broadcast dim) → top orders by totalprice.
-    Deterministic: ordered by (o_totalprice DESC, o_orderkey)."""
+    """Top ``limit`` orders by totalprice, customer name attached.
+    Deterministic: ordered by (o_totalprice DESC, o_orderkey).
+
+    Scale shape: block-local top-k inside ``map_batches`` (each block emits
+    ≤ limit rows), then one tiny driver merge of ≤ limit × n_blocks rows —
+    no global sort shuffle of the fact table for a top-20. The customer
+    name joins AFTER the top-k, against ``limit`` rows only."""
     import ray.data as rd
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_name"])
-    lookup = dict(zip(cust["c_custkey"].to_pylist(),
-                      cust["c_name"].to_pylist()))
-    ref = ray.put(lookup)
-
-    class AttachName:
-        def __init__(self):
-            self.lookup = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            names = [self.lookup.get(k) for k in b["o_custkey"].to_pylist()]
-            return b.append_column("c_name", pa.array(names, type=pa.string()))
-
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    ds = ds.map_batches(AttachName, batch_format="pyarrow", concurrency=(1, 4))
-    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
-            .limit(limit)
-    return top.select_columns(["o_orderkey", "o_custkey", "c_name",
-                               "o_totalprice"])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("o_totalprice", "descending"),
+                          ("o_orderkey", "ascending")])[:limit]
+        return b.take(idx)
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+    merged = pa.Table.from_pandas(partials.to_pandas(), preserve_index=False)
+    idx = pc.sort_indices(
+        merged, sort_keys=[("o_totalprice", "descending"),
+                           ("o_orderkey", "ascending")])[:limit]
+    top = merged.take(idx)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    pos = pc.index_in(top["o_custkey"], value_set=cust["c_custkey"].combine_chunks())
+    top = top.append_column("c_name", pc.take(cust["c_name"].combine_chunks(), pos))
+    return top.select(["o_orderkey", "o_custkey", "c_name", "o_totalprice"])
 
 
 def events_user_hourly(sf_dir: str):
@@ -157,27 +160,19 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
 
 
 def customers_per_nation(sf_dir: str):
-    """customer ⋈ nation (broadcast) → count per nation name."""
+    """customer ⋈ nation (vectorized broadcast dim join) → count per nation
+    name. The hot path is ``pc.index_in`` + ``take`` per batch (see
+    ``stages.join.broadcast_lookup``), never a per-row dict probe."""
     import ray.data as rd
     import pyarrow.parquet as pq
     from ray.data.aggregate import Count
+    from ..stages.join import broadcast_lookup
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name"])
-    lookup = dict(zip(nat["n_nationkey"].to_pylist(),
-                      nat["n_name"].to_pylist()))
-    ref = ray.put(lookup)
-
-    class AttachNation:
-        def __init__(self):
-            self.lookup = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            names = [self.lookup.get(k) for k in b["c_nationkey"].to_pylist()]
-            return b.append_column("n_name", pa.array(names, type=pa.string()))
-
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_nationkey"])
-    ds = ds.map_batches(AttachNation, batch_format="pyarrow", concurrency=(1, 4))
+    ds = broadcast_lookup(ds, nat, key="c_nationkey", small_key="n_nationkey",
+                          value_cols=["n_name"])
     return ds.groupby("n_name").aggregate(Count(alias_name="n_customers")) \
              .sort("n_name")

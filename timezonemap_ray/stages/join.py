@@ -22,20 +22,24 @@ import ray
 
 def broadcast_lookup(ds, small_table: pa.Table, key: str, small_key: str,
                      value_cols: list, concurrency=None):
-    """Append ``value_cols`` from a small dimension table (broadcast dict)."""
-    lookup = {}
-    keys = small_table[small_key].to_pylist()
-    vals = {c: small_table[c].to_pylist() for c in value_cols}
-    for i, k in enumerate(keys):
-        lookup[k] = tuple(vals[c][i] for c in value_cols)
-    ref = ray.put(lookup)
+    """Append ``value_cols`` from a small dimension table, broadcast once via
+    ``ray.put``. The per-batch probe is fully vectorized Arrow:
+    ``pc.index_in`` (hash probe into the dim key set) + ``pc.take`` on each
+    value column — no per-row Python, nulls where the key has no match.
+    Duplicate dim keys resolve to the FIRST occurrence (dim keys are unique
+    in every use here)."""
+    payload = {
+        "keys": small_table[small_key].combine_chunks(),
+        "vals": {c: small_table[c].combine_chunks() for c in value_cols},
+    }
+    ref = ray.put(payload)
 
     def attach(b: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        ks = b[key].to_pylist()
-        for ci, c in enumerate(value_cols):
-            b = b.append_column(
-                c, pa.array([lk[k][ci] if k in lk else None for k in ks]))
+        p = ray.get(ref)  # node-local plasma read, zero-copy
+        import pyarrow.compute as pc
+        idx = pc.index_in(b[key], value_set=p["keys"])
+        for c in value_cols:
+            b = b.append_column(c, pc.take(p["vals"][c], idx))
         return b
 
     return ds.map_batches(attach, batch_format="pyarrow")
