@@ -541,6 +541,42 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
             FROM documents GROUP BY md5(text)""",
+        # exact shingle-set Jaccard + connected components — mirrors the
+        # distributed shingle-join pipeline (stages/dedup.py:
+        # ngram_jaccard_pairs) exactly: complete candidates via shared
+        # shingles, |A∩B| = pair multiplicity, transitive closure by
+        # recursive min-label propagation
+        "dedup_ngram_jaccard": r"""
+            WITH RECURSIVE
+            words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(w[g.i:g.i+2], ' ') AS s
+              FROM words,
+                   LATERAL (SELECT unnest(generate_series(1, len(w) - 2))
+                            AS i) g
+              WHERE len(w) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+            verified AS (
+              SELECT p.a, p.b FROM pairs p
+              JOIN sizes sa ON sa.doc_id = p.a
+              JOIN sizes sb ON sb.doc_id = p.b
+              WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+            edges AS (SELECT a AS src, b AS dst FROM verified
+                      UNION ALL SELECT b AS src, a AS dst FROM verified),
+            comp AS (
+              SELECT doc_id AS id, doc_id AS label FROM documents
+              UNION
+              SELECT e.dst AS id, comp.label
+              FROM comp JOIN edges e ON comp.id = e.src)
+            SELECT id AS doc_id, min(label) AS cluster_id,
+                   (min(label) <> id) AS is_duplicate
+            FROM comp GROUP BY id""",
         "ann_brute_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings
@@ -600,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end
             FROM s GROUP BY user_id, session_id""",
         "tile_assignments": oracle.sql_tile_assignments(cell_size=1.0),
+        "tiles_boxes": oracle.sql_tiles_boxes(cell_size=2.0),
         "training_pipeline": __import__(
             "timezonemap_ray.pipelines.training",
             fromlist=["sql_training_pipeline"]).sql_training_pipeline(),

@@ -163,3 +163,61 @@ def test_rolling_fingerprint_deterministic():
     b = text.rolling_fingerprint(t)
     assert a["fingerprint"].to_pylist() == b["fingerprint"].to_pylist()
     assert a["fingerprint"][0].as_py() != a["fingerprint"][1].as_py()
+
+
+def test_distributed_cc_matches_union_find(ray_session):
+    """Label-propagation connected components (the beyond-driver-RAM path)
+    ≡ driver union-find, on chains + random merges + singletons."""
+    import ray.data as rd
+    rng = np.random.default_rng(31)
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    pairs = set()
+    for s in range(0, 100, 10):            # ten 10-node chains
+        for k in range(s, s + 9):
+            pairs.add((k, k + 1))
+    for _ in range(60):                     # random merges in 100..199
+        a, b = sorted(rng.integers(100, 200, size=2))
+        if a != b:
+            pairs.add((int(a), int(b)))
+    # 200..299 stay singletons
+    ids_ds = rd.from_arrow(pa.table({"doc_id": ids}))
+    plist = sorted(pairs)
+    pairs_ds = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in plist], type=pa.int64()),
+        "b": pa.array([p[1] for p in plist], type=pa.int64())}))
+    out = dedup.clusters_from_pairs_ds(ids_ds, pairs_ds).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["cluster_id"].astype(int)))
+    want = dedup.clusters_from_pairs(ids.tolist(), pairs)
+    assert got == want
+
+
+def test_distributed_cc_no_pairs(ray_session):
+    import ray.data as rd
+    ids_ds = rd.from_arrow(pa.table({"doc_id": pa.array([5, 7, 9],
+                                                        type=pa.int64())}))
+    empty = rd.from_arrow(pa.table({"a": pa.array([], type=pa.int64()),
+                                    "b": pa.array([], type=pa.int64())}))
+    out = dedup.clusters_from_pairs_ds(ids_ds, empty).to_pandas()
+    assert dict(zip(out["doc_id"], out["cluster_id"])) == {5: 5, 7: 7, 9: 9}
+
+
+def test_ngram_pairs_exact_jaccard(ray_session):
+    """The distributed shingle-join pairs equal brute-force exact Jaccard."""
+    import itertools
+    import ray.data as rd
+    from timezonemap_ray.stages.text import token_hashes
+    tbl = _dup_corpus()
+    ds = rd.from_arrow(tbl)
+    got = dedup.ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["a"].astype(int), got["b"].astype(int)))
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    want = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa = token_hashes(texts[a], pad=False)
+        sb = token_hashes(texts[b], pad=False)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        if union and inter / union >= 0.5:
+            want.add((a, b))
+    assert got_pairs == want

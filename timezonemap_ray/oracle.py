@@ -115,6 +115,53 @@ FROM pts p
 LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (cell_id)"""
 
 
+def sql_tiles_boxes(cell_size: float = 2.0) -> str:
+    """Oracle for the raster→vector pass: maximal same-zone boxes from the
+    tile assignments, via double gaps-and-islands (horizontal runs per grid
+    row, then vertical merge of identical runs in consecutive rows — the
+    same greedy decomposition ``tiles.tiles_to_boxes`` computes)."""
+    n_lat = int(round(180.0 / cell_size))
+    n_lng = int(round(360.0 / cell_size))
+    cs = _sql_f(cell_size)
+    grid = f"""pts AS (
+  SELECT CAST(iy.v * {n_lng} + ix.v AS BIGINT) AS cell_id,
+         (-90.0 + (CAST(iy.v AS DOUBLE) + 0.5) * {cs}) AS lat,
+         (-180.0 + (CAST(ix.v AS DOUBLE) + 0.5) * {cs}) AS lng
+  FROM (SELECT unnest(generate_series(0, {n_lat - 1})) AS v) iy,
+       (SELECT unnest(generate_series(0, {n_lng - 1})) AS v) ix
+)"""
+    return f"""WITH {grid},
+{zones_join_cte(key_cols=("cell_id",))},
+ranked AS (
+  SELECT cell_id, zone_id,
+         row_number() OVER (PARTITION BY cell_id ORDER BY area_rank) AS rn
+  FROM zone_match),
+cells AS (
+  SELECT zone_id, cell_id // {n_lng} AS iy, cell_id % {n_lng} AS ix
+  FROM ranked WHERE rn = 1),
+runs AS (
+  SELECT zone_id, iy, min(ix) AS ix0, max(ix) AS ix1
+  FROM (SELECT zone_id, iy, ix,
+               ix - row_number() OVER (PARTITION BY zone_id, iy
+                                       ORDER BY ix) AS grp
+        FROM cells)
+  GROUP BY zone_id, iy, grp),
+boxes AS (
+  SELECT zone_id, ix0, ix1, min(iy) AS iy0, max(iy) AS iy1
+  FROM (SELECT zone_id, iy, ix0, ix1,
+               iy - row_number() OVER (PARTITION BY zone_id, ix0, ix1
+                                       ORDER BY iy) AS vgrp
+        FROM runs)
+  GROUP BY zone_id, ix0, ix1, vgrp)
+SELECT zone_id,
+       CAST(-90.0 + iy0 * {cs} AS DOUBLE) AS min_lat,
+       CAST(-180.0 + ix0 * {cs} AS DOUBLE) AS min_lng,
+       CAST(-90.0 + (iy1 + 1) * {cs} AS DOUBLE) AS max_lat,
+       CAST(-180.0 + (ix1 + 1) * {cs} AS DOUBLE) AS max_lng,
+       CAST((ix1 - ix0 + 1) * (iy1 - iy0 + 1) AS BIGINT) AS n_cells
+FROM boxes"""
+
+
 def sql_geo_span_extract() -> str:
     return f"WITH {geo_points_cte()} SELECT doc_id, span_idx, lat, lng FROM pts"
 

@@ -97,7 +97,10 @@ def tiles_to_boxes(cell_ids: np.ndarray, zone_ids: list,
                 else:
                     next_open[r] = (iy, iy)
             for r, span in open_boxes.items():
-                if r not in next_open:
+                # close a box when its run is absent in this row OR restarts
+                # after a row gap (same x-extent, non-consecutive iy — the
+                # restarted box has a new iy_start)
+                if next_open.get(r, (None,))[0] != span[0]:
                     done.append((r, span))
             open_boxes = next_open
         done.extend(open_boxes.items())

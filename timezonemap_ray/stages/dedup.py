@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .text import md5_digest, token_hashes
+from .text import _splitmix64, md5_digest, token_hashes
 
 MERSENNE = np.uint64((1 << 61) - 1)
 MAX_BUCKET = 2000  # cap pairwise work per LSH bucket
@@ -70,44 +70,121 @@ def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nd
     return m.min(axis=1)
 
 
+MAX_TOKEN_CACHE = 1 << 20  # per-actor token-hash memo bound
+
+
 class MinHasher:
     """Actor-pool stage: doc → ``bands`` rows (doc_id, band, band_key, sig).
-    Permutation params are built once per actor in ``__init__``."""
+    Permutation params are built once per actor in ``__init__``; the
+    per-token hash memo persists across batches (bounded). Everything but
+    the per-doc shingle pass is vectorized numpy: signatures fill one
+    (n, num_perm) matrix, band keys are a splitmix64 fold over the band
+    segments for ALL docs at once, and the output columns are assembled
+    with repeat/tile — no per-(doc, band) Python loop."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle: int = 3,
-                 text_col: str = "text", seed: int = 17):
+                 text_col: str = "text", seed: int = 17,
+                 emit_sig: bool = True):
         assert num_perm % bands == 0
         self.a, self.b = _perm_params(num_perm, seed)
         self.num_perm, self.bands, self.shingle = num_perm, bands, shingle
         self.rows_per_band = num_perm // bands
         self.text_col = text_col
+        self.emit_sig = emit_sig
+        self.token_cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch[self.text_col].to_pylist()
-        out_doc, out_band, out_key, out_sig = [], [], [], []
-        for d, t in zip(doc_ids, texts):
-            sig = minhash_signature(token_hashes(t or "", self.shingle),
-                                    self.a, self.b)
-            sig_list = sig.tolist()
-            for band in range(self.bands):
-                seg = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                # deterministic across processes (python hash() is salted)
-                import hashlib
-                key = int.from_bytes(
-                    hashlib.blake2b(bytes([band]) + seg.tobytes(),
-                                    digest_size=8).digest(), "little") \
-                    & 0x7FFFFFFFFFFFFFFF
-                out_doc.append(d)
-                out_band.append(band)
-                out_key.append(key)
-                out_sig.append(sig_list)
-        return pa.table({
-            "doc_id": pa.array(out_doc),
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_key": pa.array(out_key, type=pa.int64()),
-            "sig": pa.array(out_sig, type=pa.list_(pa.uint64())),
-        })
+        if len(self.token_cache) > MAX_TOKEN_CACHE:
+            self.token_cache.clear()
+        n = len(texts)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = minhash_signature(
+                token_hashes(t or "", self.shingle,
+                             token_cache=self.token_cache),
+                self.a, self.b)
+        # vectorized band keys (deterministic across processes): fold each
+        # band's signature rows through splitmix64, salted by band index
+        segs = sigs.reshape(n, self.bands, self.rows_per_band)
+        keys = _splitmix64(np.full((n, self.bands), np.uint64(0x51ED270B))
+                           ^ np.arange(self.bands, dtype=np.uint64)[None, :])
+        for j in range(self.rows_per_band):
+            keys = _splitmix64(keys ^ segs[:, :, j])
+        keys = (keys & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+        bnd = self.bands
+        cols = {
+            "doc_id": pa.array(np.repeat(doc_ids, bnd)),
+            "band": pa.array(np.tile(np.arange(bnd, dtype=np.int32), n)),
+            "band_key": pa.array(keys.ravel(), type=pa.int64()),
+        }
+        if self.emit_sig:
+            offsets = np.arange(0, n * bnd * self.num_perm + 1, self.num_perm,
+                                dtype=np.int64)
+            cols["sig"] = pa.LargeListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()),
+                pa.array(np.repeat(sigs, bnd, axis=0).ravel(),
+                         type=pa.uint64()))
+        return pa.table(cols)
+
+
+def _coarse_groupby(ds, key_col: str, part_fn, n_parts: int = 64):
+    """ONE ``map_groups`` call per coarse hash partition of the key space —
+    replaces ``groupby(key)`` when per-key groups are tiny (millions of
+    mostly-singleton LSH buckets): Ray's per-group Python dispatch (µs ×
+    n_groups) and per-key aggregation dominate wall time there, while a
+    coarse partition keeps every key's rows co-located and hands
+    ``part_fn`` a whole partition to process vectorized."""
+
+    def add_part(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (_splitmix64(k) % np.uint64(n_parts)).astype(np.int64)
+        return b.append_column("_part", pa.array(part))
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    return parts.groupby("_part").map_groups(part_fn, batch_format="pyarrow")
+
+
+def _runs_map_groups(ds, key_col: str, run_fn, n_parts: int = 64,
+                     empty_schema=None):
+    """Per-bucket pair extraction over coarse partitions: inside each part,
+    sort by key vectorized, slice runs, and invoke ``run_fn`` only on runs
+    with ≥ 2 rows (true candidate buckets — their count is bounded by
+    duplicate volume, not corpus size)."""
+
+    def per_part(g: pa.Table) -> pa.Table:
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1], True])
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            outs.append(run_fn(g.take(pa.array(order[s:e]))))
+        if outs:
+            return pa.concat_tables(
+                [t for t in outs if t.num_rows] or outs[:1])
+        return empty_schema if empty_schema is not None else pa.table(
+            {"a": pa.array([], type=pa.int64()),
+             "b": pa.array([], type=pa.int64())})
+
+    return _coarse_groupby(ds, key_col, per_part, n_parts=n_parts)
+
+
+def _hot_keys(rows, key_col: str, n_parts: int = 64):
+    """Keys appearing ≥ 2 times, via vectorized per-partition ``np.unique``
+    (a Ray ``groupby(key).count`` would per-key-aggregate millions of
+    singletons). Output is bounded by candidate-bucket volume."""
+
+    def per_part(g: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(g[key_col].to_numpy(zero_copy_only=False),
+                              return_counts=True)
+        return pa.table({key_col: pa.array(uniq[cnt >= 2])})
+
+    return _coarse_groupby(rows, key_col, per_part, n_parts=n_parts)
 
 
 def _bucket_pairs(group: pa.Table, threshold: float):
@@ -125,35 +202,84 @@ def _bucket_pairs(group: pa.Table, threshold: float):
         group = group.slice(0, MAX_BUCKET)
         n = MAX_BUCKET
     doc = group["doc_id"].to_pylist()
-    sigs = np.array(group["sig"].to_pylist(), dtype=np.uint64)  # (n, num_perm)
+    arr = group["sig"].combine_chunks()  # fixed-length lists: zero-copy view
+    sigs = arr.values.to_numpy(zero_copy_only=False).reshape(len(arr), -1)
     eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
     ii, jj = np.nonzero(np.triu(eq >= threshold, k=1))
     return [(min(doc[i], doc[j]), max(doc[i], doc[j])) for i, j in zip(ii, jj)]
 
 
+HASH_BATCH = 4096  # split big blocks so the hasher stage parallelizes
+
+# per-worker-process stage memo: hasher stages run as PLAIN TASKS (fused
+# with upstream reads, no actor-pool ramp-up — the same lesson as the
+# joiner's task pool, PERF.md) while still building params / token caches
+# once per process
+_STAGE_MEMO: dict = {}
+
+
+def _memoized_stage(cls, **kwargs):
+    key = (cls.__name__, tuple(sorted(kwargs.items())))
+
+    def run(batch: pa.Table) -> pa.Table:
+        inst = _STAGE_MEMO.get(key)
+        if inst is None:
+            inst = cls(**kwargs)
+            _STAGE_MEMO[key] = inst
+        return inst(batch)
+
+    return run
+
+
 def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle=3,
                             threshold=0.5, text_col="text",
-                            concurrency=(1, 8)) -> set:
+                            concurrency=None) -> set:
     """documents → LSH → verified-by-signature candidate pairs (set of
-    (small_id, big_id)). The per-bucket work happens inside the groupby."""
-    import pandas as pd
+    (small_id, big_id)).
 
-    band_rows = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
-                                   shingle=shingle, text_col=text_col),
-        batch_format="pyarrow", concurrency=concurrency)
+    Two passes, both vectorized end-to-end:
 
-    def pairs_of_group(g: pa.Table) -> pa.Table:
+    1. **hot-bucket discovery** — hash only (no signature payload): band
+       keys → ``groupby(band_key).count`` → keys with ≥ 2 docs. The shuffle
+       moves (doc_id, band_key) ints; the hot-key set is bounded by
+       duplicate volume and broadcast via ``ray.put``.
+    2. **pair extraction** — recompute band rows WITH signatures but filter
+       to hot keys inside the same ``map_batches`` (the full-size signature
+       dataset never exists), then ``_runs_map_groups`` slices true buckets
+       out of ``n_parts`` coarse groups and verifies signature agreement
+       per bucket. (At 100 TB, persist the pass-1 band rows to parquet
+       instead of recomputing the hashes — the hashing is cheap relative to
+       the read, so recompute is the right local trade.)
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    mk = dict(num_perm=num_perm, bands=bands, shingle=shingle,
+              text_col=text_col)
+    keys_only = ds.map_batches(
+        _memoized_stage(MinHasher, emit_sig=False, **mk),
+        batch_format="pyarrow", batch_size=HASH_BATCH)
+    hot = _hot_keys(keys_only, "band_key").to_pandas()
+    if hot.empty:
+        return set()
+    hot_ref = ray.put(pa.array(hot["band_key"].to_numpy(), type=pa.int64()))
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["band_key"], value_set=ray.get(hot_ref)))
+
+    cand = ds.map_batches(
+        _memoized_stage(MinHasher, emit_sig=True, **mk),
+        batch_format="pyarrow", batch_size=HASH_BATCH) \
+        .map_batches(keep_hot, batch_format="pyarrow")
+
+    def pairs_of_run(g: pa.Table) -> pa.Table:
         ps = _bucket_pairs(g, threshold)
         if not ps:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64())})
         return pa.table({"a": [p[0] for p in ps], "b": [p[1] for p in ps]})
 
-    pairs_ds = band_rows.groupby("band_key").map_groups(
-        pairs_of_group, batch_format="pyarrow")
-    pdf = pairs_ds.to_pandas()
+    pdf = _runs_map_groups(cand, "band_key", pairs_of_run).to_pandas()
     if pdf.empty or "a" not in pdf.columns:
         return set()
     return set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
@@ -182,6 +308,80 @@ def clusters_from_pairs(doc_ids, pairs) -> dict:
     for a, b in pairs:
         uf.union(a, b)
     return {d: uf.find(d) for d in doc_ids}
+
+
+def _drop_empty_blocks(mat_ds):
+    """Rebuild a materialized Dataset without its empty blocks.
+
+    Ray's hash-shuffle aggregate emits SCHEMA-LESS empty blocks for empty
+    hash partitions; ``map_batches`` forwards empty blocks without invoking
+    the UDF, so they cannot be repaired in-stream — and a later
+    ``Dataset.join`` aborts on them ("No match ... FieldRef.Name(...) on
+    right side"). Block metadata (not data) decides, so nothing is fetched
+    to the driver."""
+    import ray.data as rd
+    refs = []
+    for bundle in mat_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if (meta.num_rows or 0) > 0:
+                refs.append(ref)
+    if not refs:
+        return mat_ds
+    return rd.from_arrow_refs(refs)
+
+
+def clusters_from_pairs_ds(ids_ds, pairs_ds, id_col: str = "doc_id",
+                           max_iters: int = 64, num_partitions: int = 16):
+    """Distributed connected components for pair volumes beyond driver RAM:
+    iterative min-label propagation (hash-join labels to edges, then
+    ``groupby(id).min(label)``) until fixpoint. Converges in O(component
+    diameter) rounds; each round is one shuffle join + one shuffle
+    aggregate over (id, label) pairs only — never documents.
+
+    Returns a Dataset of (``id_col``, cluster_id) with cluster_id = the
+    smallest id in the component (identical to ``clusters_from_pairs``)."""
+    from ray.data.aggregate import Min
+
+    def sym(b: pa.Table) -> pa.Table:
+        a, bb = b["a"], b["b"]
+        return pa.table({
+            "src": pa.concat_arrays([a.combine_chunks(), bb.combine_chunks()]),
+            "dst": pa.concat_arrays([bb.combine_chunks(), a.combine_chunks()]),
+        })
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"id": b[id_col], "label": b[id_col]})
+
+    labels = ids_ds.map_batches(init_labels,
+                                batch_format="pyarrow").materialize()
+    if n_edges == 0:
+        out = labels
+    else:
+        prev_sum = labels.sum("label")
+        for _ in range(max_iters):
+            prop = edges.join(labels, join_type="inner",
+                              num_partitions=num_partitions,
+                              on=("src",), right_on=("id",))
+            prop = prop.map_batches(
+                lambda b: pa.table({"id": b["dst"], "label": b["label"]}),
+                batch_format="pyarrow")
+            labels = _drop_empty_blocks(
+                labels.union(prop).groupby("id").aggregate(
+                    Min("label", alias_name="label")).materialize())
+            # label sums are strictly decreasing until fixpoint
+            s = labels.sum("label")
+            if s == prev_sum:
+                break
+            prev_sum = s
+        out = labels
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b["id"], "cluster_id": b["label"]})
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 
@@ -266,18 +466,17 @@ class SimHasher:
 
 
 def simhash_dedup(ds, max_hamming: int = 3, text_col: str = "text",
-                  concurrency=(1, 8)):
+                  concurrency=(1, 16)):
     """→ (doc_id, cluster_id, is_duplicate); near-dup iff Hamming ≤ k.
-    Banding guarantees recall for k ≤ 3 (4 bands, pigeonhole)."""
+    Banding guarantees recall for k ≤ 3 (4 bands, pigeonhole). Bucket pair
+    extraction runs through ``_runs_map_groups`` (coarse partitions, runs
+    sliced vectorized) — never one Python dispatch per tiny bucket."""
     band_rows = ds.map_batches(
-        SimHasher, fn_constructor_kwargs=dict(text_col=text_col),
-        batch_format="pyarrow", concurrency=concurrency)
+        _memoized_stage(SimHasher, text_col=text_col),
+        batch_format="pyarrow", batch_size=HASH_BATCH)
 
     def pairs_of_group(g: pa.Table) -> pa.Table:
         n = g.num_rows
-        if n < 2:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
         if n > MAX_BUCKET:
             import logging
             logging.getLogger(__name__).warning(
@@ -295,8 +494,8 @@ def simhash_dedup(ds, max_hamming: int = 3, text_col: str = "text",
             "a": [min(doc[i], doc[j]) for i, j in zip(ii, jj)],
             "b": [max(doc[i], doc[j]) for i, j in zip(ii, jj)]})
 
-    pdf = band_rows.groupby("band_key").map_groups(
-        pairs_of_group, batch_format="pyarrow").to_pandas()
+    pdf = _runs_map_groups(band_rows, "band_key",
+                           pairs_of_group).to_pandas()
     pairs = set() if (pdf.empty or "a" not in pdf.columns) else \
         set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
     return _cluster_output_ds(ds.select_columns(["doc_id"]), pairs)
@@ -306,37 +505,111 @@ POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
 # ---------------------------------------------------------------------------
-# exact n-gram jaccard verification
+# exact n-gram jaccard (distributed shingle join — no text on the driver)
 # ---------------------------------------------------------------------------
 
+class ShingleExploder:
+    """doc → one row per DISTINCT word-shingle: (doc_id, shingle, n_sh).
+
+    ``pad=False`` shingling: docs with fewer than ``shingle`` tokens emit
+    nothing (empty set ⇒ never a duplicate) so the DuckDB oracle needs no
+    NUL-padding emulation."""
+
+    def __init__(self, shingle: int = 3, text_col: str = "text"):
+        self.shingle, self.text_col = shingle, text_col
+        self.token_cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self.token_cache) > MAX_TOKEN_CACHE:
+            self.token_cache.clear()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch[self.text_col].to_pylist()
+        per_doc = [token_hashes(t or "", self.shingle, pad=False,
+                                token_cache=self.token_cache) for t in texts]
+        counts = np.array([h.size for h in per_doc], dtype=np.int64)
+        sh = (np.concatenate(per_doc) if per_doc
+              else np.empty(0, dtype=np.uint64))
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, counts)),
+            # uint64 → int64 bit view: a plain groupby key
+            "shingle": pa.array(sh.view(np.int64), type=pa.int64()),
+            "n_sh": pa.array(np.repeat(counts, counts), type=pa.int64()),
+        })
+
+
+def ngram_jaccard_pairs(ds, shingle=3, threshold=0.5, text_col="text",
+                        concurrency=(1, 16)):
+    """EXACT shingle-set Jaccard pairs, fully distributed:
+
+    1. explode docs to distinct (shingle, doc_id, |set|) rows;
+    2. ``groupby(shingle)`` → one (a, b, n_a, n_b) row per DOC PAIR PER
+       SHARED SHINGLE (candidate generation is complete: any pair with
+       Jaccard > 0 shares ≥ 1 shingle — no LSH false negatives);
+    3. ``groupby(a, b)`` count = |A∩B| (the pair's multiplicity), so
+       Jaccard = inter / (n_a + n_b − inter) with no second text pass;
+    4. filter ≥ threshold.
+
+    Text never leaves the explode stage; the driver sees nothing.
+    Partitioning assumption: shingle document-frequency is bounded
+    (``MAX_BUCKET`` caps + logs pathological stop-shingle groups — at
+    100 TB drop high-df shingles up front, they carry no similarity
+    signal)."""
+    from ray.data.aggregate import Count
+
+    rows = ds.map_batches(
+        _memoized_stage(ShingleExploder, shingle=shingle, text_col=text_col),
+        batch_format="pyarrow", batch_size=HASH_BATCH)
+
+    def pairs_of_group(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n > MAX_BUCKET:
+            import logging
+            logging.getLogger(__name__).warning(
+                "shingle df %d > MAX_BUCKET=%d — group truncated (high-df "
+                "shingles carry no similarity signal)", n, MAX_BUCKET)
+            g = g.slice(0, MAX_BUCKET)
+            n = MAX_BUCKET
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        ns = g["n_sh"].to_numpy(zero_copy_only=False)
+        ii, jj = np.triu_indices(n, k=1)
+        swap = ids[ii] > ids[jj]
+        return pa.table({
+            "a": pa.array(np.where(swap, ids[jj], ids[ii])),
+            "b": pa.array(np.where(swap, ids[ii], ids[jj])),
+            "na": pa.array(np.where(swap, ns[jj], ns[ii])),
+            "nb": pa.array(np.where(swap, ns[ii], ns[jj])),
+        })
+
+    empty4 = pa.table({"a": pa.array([], type=pa.int64()),
+                       "b": pa.array([], type=pa.int64()),
+                       "na": pa.array([], type=pa.int64()),
+                       "nb": pa.array([], type=pa.int64())})
+    pair_rows = _runs_map_groups(rows, "shingle", pairs_of_group,
+                                 empty_schema=empty4)
+    agg = pair_rows.groupby(["a", "b", "na", "nb"]).aggregate(
+        Count(alias_name="inter"))
+
+    def verify(b: pa.Table) -> pa.Table:
+        inter = b["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = b["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = b["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = inter / (na + nb - inter)
+        keep = pa.array(jac >= threshold)
+        return pa.table({"a": b["a"], "b": b["b"]}).filter(keep)
+
+    return agg.map_batches(verify, batch_format="pyarrow")
+
+
 def ngram_jaccard_dedup(ds, shingle=3, threshold=0.5, text_col="text"):
-    """LSH candidates verified with EXACT shingle-set Jaccard.
-    → (doc_id, cluster_id, is_duplicate). Candidate texts are broadcast to
-    the driver — candidates ≪ corpus by construction."""
-    import pyarrow.compute as pc
-    pairs = minhash_candidate_pairs(ds, threshold=max(0.3, threshold - 0.2),
-                                    shingle=shingle, text_col=text_col)
-    cand_ids = sorted({d for p in pairs for d in p})
-    texts = {}
-    if cand_ids:
-        # distributed semi-join filter: only candidate texts reach the
-        # driver (candidates ≪ corpus by LSH construction)
-        cand_arr = pa.array(cand_ids)
-        cand_rows = ds.map_batches(
-            lambda b: b.filter(pc.is_in(b["doc_id"], value_set=cand_arr))
-                       .select(["doc_id", text_col]),
-            batch_format="pyarrow").take_all()
-        texts = {r["doc_id"]: r[text_col] for r in cand_rows}
-    verified = set()
-    shingles = {d: token_hashes(texts.get(d, "") or "", shingle)
-                for d in cand_ids}
-    for a, b in pairs:
-        sa, sb = shingles[a], shingles[b]
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        if union and inter / union >= threshold:
-            verified.add((a, b))
-    return _cluster_output_ds(ds.select_columns(["doc_id"]), verified)
+    """→ (doc_id, cluster_id, is_duplicate) from EXACT n-gram Jaccard.
+    Only (a, b) int64 pairs reach the driver's union-find (bounded by true
+    duplicate volume; use ``clusters_from_pairs_ds`` beyond driver RAM)."""
+    verified = ngram_jaccard_pairs(ds, shingle=shingle, threshold=threshold,
+                                   text_col=text_col)
+    pdf = verified.to_pandas()
+    pairs = set() if pdf.empty else \
+        set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
+    return _cluster_output_ds(ds.select_columns(["doc_id"]), pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -366,20 +639,16 @@ class HyperplaneHasher:
 
 
 def embedding_dedup(ds, dim: int, threshold: float = 0.95, n_bits: int = 12,
-                    vec_col="embedding", id_col="vec_id", concurrency=(1, 8)):
+                    vec_col="embedding", id_col="vec_id", concurrency=(1, 16)):
     """→ (vec_id, cluster_id, is_duplicate): cosine ≥ threshold within
     hyperplane-LSH buckets (near-dup by embedding similarity)."""
     buckets = ds.map_batches(
-        HyperplaneHasher,
-        fn_constructor_kwargs=dict(dim=dim, n_bits=n_bits, vec_col=vec_col,
-                                   id_col=id_col),
-        batch_format="pyarrow", concurrency=concurrency)
+        _memoized_stage(HyperplaneHasher, dim=dim, n_bits=n_bits,
+                        vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow", batch_size=HASH_BATCH)
 
     def pairs_of_group(g: pa.Table) -> pa.Table:
         n = g.num_rows
-        if n < 2:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
         if n > MAX_BUCKET:
             import logging
             logging.getLogger(__name__).warning(
@@ -397,8 +666,7 @@ def embedding_dedup(ds, dim: int, threshold: float = 0.95, n_bits: int = 12,
             "a": [min(ids[i], ids[j]) for i, j in zip(ii, jj)],
             "b": [max(ids[i], ids[j]) for i, j in zip(ii, jj)]})
 
-    pdf = buckets.groupby("bucket").map_groups(
-        pairs_of_group, batch_format="pyarrow").to_pandas()
+    pdf = _runs_map_groups(buckets, "bucket", pairs_of_group).to_pandas()
     pairs = set() if (pdf.empty or "a" not in pdf.columns) else \
         set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
     return _cluster_output_ds(ds.select_columns([id_col]), pairs,

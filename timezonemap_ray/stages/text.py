@@ -127,13 +127,50 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
-def token_hashes(text: str, shingle: int = 3) -> np.ndarray:
-    """Word-shingle hash set for minhash/jaccard (uint64, deduped)."""
+_MIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (wrapping uint64 arithmetic)."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * _MIX_C1
+        x = (x ^ (x >> np.uint64(27))) * _MIX_C2
+        return x ^ (x >> np.uint64(31))
+
+
+def token_hashes(text: str, shingle: int = 3, pad: bool = True,
+                 token_cache: dict | None = None) -> np.ndarray:
+    """Word-shingle hash set for minhash/jaccard (uint64, deduped).
+
+    Each TOKEN is hashed once (blake2b, optionally memoized across calls via
+    ``token_cache`` — an actor-held dict); shingle hashes are then a
+    vectorized positional splitmix64 fold over the token-hash windows.
+    Tokens contain no whitespace, so equal shingle hashes ⟺ equal shingle
+    strings (up to 64-bit collisions) — the same equality semantics as
+    hashing the joined string, at a fraction of the hashlib calls.
+
+    ``pad=False``: documents with fewer than ``shingle`` tokens get an EMPTY
+    set (used by the exact n-gram Jaccard op so its DuckDB oracle needs no
+    NUL-padding emulation); default pads with \\x00 tokens as before.
+    """
     toks = text.split()
     if len(toks) < shingle:
+        if not pad:
+            return np.empty(0, dtype=np.uint64)
         toks = toks + ["\x00"] * (shingle - len(toks))
-    hs = np.array([hash_u64(" ".join(toks[i:i + shingle]))
-                   for i in range(len(toks) - shingle + 1)], dtype=np.uint64)
+    cache = token_cache if token_cache is not None else {}
+    th = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = hash_u64(t)
+            cache[t] = h
+        th[i] = h
+    n = len(toks) - shingle + 1
+    hs = np.full(n, np.uint64(0x9E3779B97F4A7C15))
+    for j in range(shingle):  # positional fold keeps word ORDER significant
+        hs = _splitmix64(hs ^ th[j:j + n])
     return np.unique(hs)
 
 
