@@ -325,7 +325,8 @@ def _q_streaming_windows(sf_dir: str):
     from timezonemap_ray.pipelines.streaming import run_windowed_stream
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"]).sort("ts")
-    windows, _ = run_windowed_stream(ds, window_s=3600, lateness_s=600)
+    windows, _ = run_windowed_stream(ds, window_s=3600, lateness_s=600,
+                                     num_shards=4)
 
     t = windows
     return pa.table({

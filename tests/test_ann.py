@@ -115,3 +115,22 @@ def test_media_stages(ray_session):
 
     with pytest.raises(NotImplementedError):
         media.MediaDecoder(fake=False)
+
+
+def test_ivf_physical_pruning(ray_session, emb_path, queries, tmp_path):
+    """The IVF index is physically partitioned by centroid and a query
+    reads only the probed partitions: bytes-read fraction ≈ nprobe share."""
+    import ray.data as rd
+    qids, qmat = queries
+    ds = rd.read_parquet(emb_path)
+    idx_dir = str(tmp_path / "ivf")
+    ann.ivf_build(ds, idx_dir, n_centroids=8)
+    out, frac = ann.ivf_query(idx_dir, qids, qmat, k=10, nprobe=2)
+    assert 0.0 < frac < 1.0          # strictly pruned
+    # 5 queries × 2 probes can union to ≤ 10 of 8 partitions; require that
+    # at least some partitions were skipped and results are well-formed
+    assert set(out.column_names) == {"query_id", "vec_id", "rank", "score"}
+    assert out.num_rows > 0
+    # wider probe reads strictly more bytes
+    _, frac_all = ann.ivf_query(idx_dir, qids, qmat, k=10, nprobe=8)
+    assert frac <= frac_all == 1.0

@@ -116,3 +116,50 @@ def test_rect_intersects_polygon(square):
     assert not geom.rect_intersects_polygon(1.35, 1.75, 1.45, 1.85, xs, ys, rs)
     # rect inside the island → intersects
     assert geom.rect_intersects_polygon(1.22, 1.62, 1.28, 1.68, xs, ys, rs)
+
+
+def test_ring_self_intersects_detection():
+    """M3: crossing rings are detected; simple rings are not."""
+    from timezonemap_ray.geom import ring_self_intersects
+    # bowtie: (0,0) (2,2) (2,0) (0,2) — edges cross at (1,1)
+    assert ring_self_intersects(np.array([0.0, 2.0, 2.0, 0.0]),
+                                np.array([0.0, 2.0, 0.0, 2.0]))
+    # plain rectangle — simple
+    assert not ring_self_intersects(np.array([0.0, 2.0, 2.0, 0.0]),
+                                    np.array([0.0, 0.0, 2.0, 2.0]))
+    # concave but simple L-shape
+    assert not ring_self_intersects(
+        np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0]),
+        np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0]))
+
+
+def test_bowtie_even_odd_equals_simplified_pieces():
+    """Even-odd PIP on a self-intersecting bowtie equals the union of the
+    two simple triangles Esri simplify would split it into — the documented
+    M3 divergence is value-neutral for crossing rings."""
+    from timezonemap_ray.geom import points_in_polygon
+    bow_x = np.array([0.0, 2.0, 2.0, 0.0])
+    bow_y = np.array([0.0, 2.0, 0.0, 2.0])
+    rs1 = np.array([0, 4])
+    # simplified pieces: left triangle (0,0),(0,2),(1,1); right (2,0),(2,2),(1,1)
+    lt_x, lt_y = np.array([0.0, 0.0, 1.0]), np.array([0.0, 2.0, 1.0])
+    rt_x, rt_y = np.array([2.0, 2.0, 1.0]), np.array([0.0, 2.0, 1.0])
+    rs3 = np.array([0, 3])
+    gx, gy = np.meshgrid(np.linspace(-0.2, 2.2, 49),
+                         np.linspace(-0.2, 2.2, 49))
+    px, py = gx.ravel(), gy.ravel()
+    bow = points_in_polygon(px, py, bow_x, bow_y, rs1)
+    pieces = points_in_polygon(px, py, lt_x, lt_y, rs3) | \
+        points_in_polygon(px, py, rt_x, rt_y, rs3)
+    assert (bow == pieces).all()
+
+
+def test_make_zone_warns_on_self_intersection(caplog):
+    import logging
+    from timezonemap_ray.zonetable import make_zone
+    with caplog.at_level(logging.WARNING,
+                         logger="timezonemap_ray.zonetable"):
+        make_zone("Test/Bowtie", [
+            (np.array([0.0, 2.0, 0.0, 2.0]),   # lats
+             np.array([0.0, 2.0, 2.0, 0.0]))])  # lngs
+    assert any("self-intersects" in r.message for r in caplog.records)

@@ -64,3 +64,19 @@ def test_late_events_dropped(ray_session):
     w = windows.to_pandas()
     first = w[w["window_start_us"] == (base // hour) * hour]
     assert first["n_events"].iloc[0] == 1  # the late event was NOT counted
+
+
+def test_sharded_stream_equals_batch_groupby(ray_session):
+    """2+ window shard actors (key-partitioned pool) agree with the batch
+    groupby and with the single-actor stream."""
+    import ray.data as rd
+    tbl = _events()
+    ds = rd.from_arrow(tbl).repartition(8)
+    single, s1 = run_windowed_stream(ds, window_s=3600, lateness_s=600)
+    sharded, s4 = run_windowed_stream(ds, window_s=3600, lateness_s=600,
+                                      num_shards=4, drain_every=4)
+    assert s4["num_shards"] == 4
+    assert s4["dropped_late"] == 0
+    a = single.to_pandas().reset_index(drop=True)
+    b = sharded.to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -478,3 +478,36 @@ def rect_intersects_polygon(min_x, min_y, max_x, max_y, xs, ys, ring_start) -> b
     cx = np.array([(min_x + max_x) / 2.0])
     cy = np.array([(min_y + max_y) / 2.0])
     return bool(points_in_polygon(cx, cy, xs, ys, ring_start)[0])
+
+
+def ring_self_intersects(xs: np.ndarray, ys: np.ndarray) -> bool:
+    """True iff any two NON-ADJACENT edges of the (implicitly closed) ring
+    properly cross — the condition the reference repairs with Esri
+    ``OperatorSimplify`` (`builder/Main.kt:44-60`, M3). Vectorized O(n²)
+    orientation test; build-time only (rings are a few hundred vertices).
+
+    Proper crossings only: edges touching at a shared vertex are not
+    flagged (those are valid in OGC-simple rings)."""
+    xs = as_f64(xs)
+    ys = as_f64(ys)
+    n = xs.size
+    if n < 4:
+        return False  # a (deduped) triangle cannot self-intersect
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return np.sign((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+
+    o1 = orient(xs[:, None], ys[:, None], x2[:, None], y2[:, None],
+                xs[None, :], ys[None, :])
+    o2 = orient(xs[:, None], ys[:, None], x2[:, None], y2[:, None],
+                x2[None, :], y2[None, :])
+    o3 = orient(xs[None, :], ys[None, :], x2[None, :], y2[None, :],
+                xs[:, None], ys[:, None])
+    o4 = orient(xs[None, :], ys[None, :], x2[None, :], y2[None, :],
+                x2[:, None], y2[:, None])
+    proper = (o1 * o2 < 0) & (o3 * o4 < 0)
+    idx = np.arange(n)
+    gap = np.abs(idx[:, None] - idx[None, :])
+    adjacent = (gap <= 1) | (gap == n - 1)
+    return bool((proper & ~adjacent).any())

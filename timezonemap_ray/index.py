@@ -437,7 +437,15 @@ def distance_from_boundary(idx: ZoneIndex, zone_id: str, lats, lngs) -> np.ndarr
     lats = np.asarray(lats, dtype=np.float64)
     lngs = np.asarray(lngs, dtype=np.float64)
     out = np.full(lats.size, np.nan)
-    matches = [i for i in range(len(idx)) if idx.zone_ids[i] == zone_id]
+    # zone_id → record indices, built once per index (repeated calls over a
+    # Dataset batch stream would otherwise rescan all zone ids every batch)
+    by_zone = getattr(idx, "_zone_rec_map", None)
+    if by_zone is None:
+        by_zone = {}
+        for i, z in enumerate(idx.zone_ids):
+            by_zone.setdefault(z, []).append(i)
+        idx._zone_rec_map = by_zone
+    matches = by_zone.get(zone_id, [])
     for rec_i in matches:
         inside = geom.points_in_polygon(lngs, lats, idx.xs[rec_i], idx.ys[rec_i],
                                         idx.ring_starts[rec_i])

@@ -1,15 +1,21 @@
 """Event-time tumbling windows with watermarks over a micro-batched stream.
 
 The reference is strictly batch (SURVEY §1.4) — this is the engine-level
-streaming extension: an actor holds open-window state; micro-batches of
-events advance a watermark = max(event_time) - allowed_lateness; windows
-whose end ≤ watermark are finalized and emitted exactly once; events
-arriving behind the watermark are counted as dropped-late.
+streaming extension: actors hold open-window state; micro-batches of events
+advance a watermark = max(event_time) - allowed_lateness; windows whose end
+≤ watermark are finalized and emitted exactly once; events arriving behind
+the watermark are counted as dropped-late.
 
-Shape: ``StreamingWindower`` is a Ray actor (genuinely mutable state);
+Scale shape (round 2): a KEY-PARTITIONED ACTOR POOL — every key hashes to
+one shard actor, so per-key event order is preserved, shards advance
+watermarks independently, and window state parallelizes across the pool.
+The driver feed is PIPELINED (no blocking ``ray.get`` per micro-batch; a
+bounded in-flight window applies backpressure) and finalized windows are
+DRAINED incrementally (actor state holds only OPEN windows plus the
+since-last-drain emit buffer — nothing grows with stream length).
 ``run_windowed_stream`` drives it from any Dataset via ordered
-``iter_batches`` — the Dataset is the replayable log, the actor is the
-operator state, and a crash replays from the last emitted watermark
+``iter_batches`` — the Dataset is the replayable log, the actors are the
+operator state, and a crash replays from the last drained watermark
 (deterministic: same input order → same windows).
 """
 
@@ -20,10 +26,17 @@ import pyarrow as pa
 
 import ray
 
+EMPTY_WINDOWS = pa.table({
+    "window_start_us": pa.array([], type=pa.int64()),
+    "key": pa.array([], type=pa.int64()),
+    "n_events": pa.array([], type=pa.int64()),
+    "sum_value": pa.array([], type=pa.float64())})
+
 
 @ray.remote
 class StreamingWindower:
-    """Tumbling event-time windows: (window_start, key) → count/sum."""
+    """Tumbling event-time windows: (window_start, key) → count/sum.
+    One shard of the key space; state = open windows + undrained emits."""
 
     def __init__(self, window_s: int, lateness_s: int,
                  key_col: str = "user_id", ts_col: str = "ts",
@@ -34,7 +47,8 @@ class StreamingWindower:
         self.open: dict = {}        # (win_start_us, key) -> [n, sum]
         self.watermark_us = -(1 << 62)
         self.dropped_late = 0
-        self.emitted = []
+        self.emitted_total = 0
+        self.emit_buf: list = []    # finalized since last drain
 
     def feed(self, batch: pa.Table) -> int:
         ts = batch[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -58,39 +72,83 @@ class StreamingWindower:
                 if wk[0] + self.window_us <= self.watermark_us]
         for wk in sorted(done):
             n, s = self.open.pop(wk)
-            self.emitted.append({"window_start_us": wk[0], "key": wk[1],
-                                 "n_events": n, "sum_value": s})
+            self.emit_buf.append({"window_start_us": wk[0], "key": wk[1],
+                                  "n_events": n, "sum_value": s})
+        self.emitted_total += len(done)
         return len(done)
 
-    def flush(self) -> list:
-        """End of stream: finalize every open window."""
+    def drain(self) -> pa.Table:
+        """Hand over finalized windows accumulated since the last drain and
+        clear the buffer — actor memory stays bounded by OPEN windows."""
+        rows, self.emit_buf = self.emit_buf, []
+        return pa.Table.from_pylist(rows) if rows else EMPTY_WINDOWS
+
+    def flush(self) -> pa.Table:
+        """End of stream: finalize every open window, return the remainder."""
         self.watermark_us = 1 << 62
         self._finalize()
-        return self.emitted
+        return self.drain()
 
     def stats(self) -> dict:
         return {"dropped_late": self.dropped_late,
                 "open_windows": len(self.open),
-                "emitted": len(self.emitted)}
+                "emitted": self.emitted_total}
 
 
 def run_windowed_stream(ds, window_s: int = 3600, lateness_s: int = 600,
                         key_col="user_id", ts_col="ts", val_col="value",
-                        micro_batch: int = 4096):
-    """Drive a Dataset through the streaming windower in event order.
+                        micro_batch: int = 4096, num_shards: int = 1,
+                        max_inflight: int = 8, drain_every: int = 16):
+    """Drive a Dataset through the sharded streaming windower in event
+    order. Returns (windows: pa.Table, stats: dict).
 
-    Returns (windows: pa.Table, stats: dict). The sort is the stream's
-    arrival order; to simulate disorder, pre-shuffle the Dataset.
+    - keys hash to shards (key % num_shards): per-key order preserved;
+    - feeds are pipelined — at most ``max_inflight`` outstanding feed calls
+      per shard (backpressure), never a blocking get per micro-batch;
+    - every ``drain_every`` micro-batches each shard's finalized windows
+      are drained, so no actor buffer grows with stream length.
     """
-    actor = StreamingWindower.remote(window_s, lateness_s, key_col, ts_col,
-                                     val_col)
+    shards = [StreamingWindower.remote(window_s, lateness_s, key_col,
+                                       ts_col, val_col)
+              for _ in range(num_shards)]
+    inflight: list = []
+    drained: list = []
+
+    def collect(refs):
+        for t in ray.get(refs):
+            if t.num_rows:
+                drained.append(t)
+
+    n_fed = 0
     for b in ds.iter_batches(batch_size=micro_batch, batch_format="pyarrow"):
-        ray.get(actor.feed.remote(pa.table(b)))
-    rows = ray.get(actor.flush.remote())
-    stats = ray.get(actor.stats.remote())
-    if not rows:
-        return pa.table({"window_start_us": pa.array([], type=pa.int64()),
-                         "key": pa.array([], type=pa.int64()),
-                         "n_events": pa.array([], type=pa.int64()),
-                         "sum_value": pa.array([], type=pa.float64())}), stats
-    return pa.Table.from_pylist(rows), stats
+        t = pa.table(b)
+        if num_shards == 1:
+            inflight.append(shards[0].feed.remote(t))
+        else:
+            keys = t[key_col].to_numpy(zero_copy_only=False)
+            shard_of = (keys.astype(np.int64) % num_shards)
+            for s in np.unique(shard_of):
+                sub = t.filter(pa.array(shard_of == s))
+                inflight.append(shards[int(s)].feed.remote(sub))
+        n_fed += 1
+        if len(inflight) > max_inflight * num_shards:
+            ready, inflight = ray.wait(
+                inflight, num_returns=len(inflight) - max_inflight * num_shards)
+        if n_fed % drain_every == 0:
+            collect([s.drain.remote() for s in shards])
+
+    ray.get(inflight)  # ensure all feeds applied before the final flush
+    collect([s.flush.remote() for s in shards])
+    stats_list = ray.get([s.stats.remote() for s in shards])
+    stats = {"dropped_late": sum(s["dropped_late"] for s in stats_list),
+             "open_windows": sum(s["open_windows"] for s in stats_list),
+             "emitted": sum(s["emitted"] for s in stats_list),
+             "num_shards": num_shards}
+    if not drained:
+        return EMPTY_WINDOWS, stats
+    out = pa.concat_tables(drained)
+    # deterministic output order regardless of shard interleaving
+    import pyarrow.compute as pc
+    order = pc.sort_indices(out, sort_keys=[("window_start_us", "ascending"),
+                                            ("key", "ascending")])
+    return out.take(order), stats

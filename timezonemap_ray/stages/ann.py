@@ -109,19 +109,79 @@ def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
     return c
 
 
-def ivf_topk(ds, query_ids, query_matrix, k: int = 10, n_centroids: int = 16,
-             nprobe: int = 4, sample_n: int = 2000, vec_col="embedding",
-             id_col="vec_id", concurrency=(1, 8)):
-    """IVF-style ANN: probe only the nprobe closest centroid lists.
-    At scale the centroid assignment becomes the partition key so each
-    probe touches a bounded slice of the corpus."""
-    sample = np.array([r[vec_col] for r in ds.take(sample_n)], dtype=np.float64)
-    cents = train_centroids(sample, n_centroids)
+def ivf_build(ds, index_dir: str, n_centroids: int = 16,
+              sample_n: int = 2000, vec_col="embedding", id_col="vec_id",
+              seed: int = 5) -> np.ndarray:
+    """Build a PHYSICALLY partitioned IVF index: one pass assigns every
+    vector to its nearest centroid and the workers write
+    ``index_dir/vectors/centroid_id=C/`` parquet partitions; centroids are
+    saved beside them. Queries then read ONLY the ``nprobe`` probed
+    partition directories — bytes read scale with nprobe / n_centroids,
+    not corpus size (the piece the round-1 IVF lacked)."""
+    import os
+
+    import ray.data as rd  # noqa: F401 (ds is already a Dataset)
+
+    sample = np.array([r[vec_col] for r in ds.take(sample_n)],
+                      dtype=np.float64)
+    cents = train_centroids(sample, n_centroids, seed=seed)
+    ref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        v = _normalize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+        a = np.argmax(v @ c.T, axis=1).astype(np.int64)
+        # centroid_id becomes the partition DIRECTORY (stripped from row
+        # data); cid stays as a data column for per-query probe restriction
+        return b.append_column("centroid_id", pa.array(a)) \
+                .append_column("cid", pa.array(a))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow") \
+      .write_parquet(os.path.join(index_dir, "vectors"),
+                     partition_cols=["centroid_id"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    return cents
+
+
+def ivf_query(index_dir: str, query_ids, query_matrix, k: int = 10,
+              nprobe: int = 4, vec_col="embedding", id_col="vec_id",
+              concurrency=(1, 8)):
+    """Query a built IVF index: read only the union of the queries' probed
+    centroid partitions (directory-level pruning via a partition filter),
+    then per-query restrict to its own probe list and take block-local
+    top-k. Returns (table, bytes_read_fraction) — the fraction of index
+    bytes actually scanned, for the bench/scale evidence."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
     qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    probed = sorted({int(c) for row in probe for c in row})
+
+    root = os.path.join(index_dir, "vectors")
+    # physical pruning: ONLY the probed partitions' files are read —
+    # non-probed centroids' bytes never leave storage
+    probe_files = sorted(
+        f for c in probed
+        for f in glob.glob(os.path.join(root, f"centroid_id={c}",
+                                        "*.parquet")))
+    ds = rd.read_parquet(probe_files)
+
+    def dir_bytes(dirs):
+        return sum(os.path.getsize(f) for d in dirs
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+
+    all_dirs = glob.glob(os.path.join(root, "centroid_id=*"))
+    probed_dirs = [os.path.join(root, f"centroid_id={c}") for c in probed]
+    total = dir_bytes(all_dirs)
+    frac = dir_bytes(probed_dirs) / total if total else 1.0
 
     payload = {"query_ids": np.asarray(query_ids, dtype=np.int64),
-               "matrix": qn, "centroids": cents, "probe": probe}
+               "matrix": qn, "probe": probe}
     ref = ray.put(payload)
 
     class IVFBlockTopK:
@@ -129,21 +189,21 @@ def ivf_topk(ds, query_ids, query_matrix, k: int = 10, n_centroids: int = 16,
             p = ray.get(ref)
             self.query_ids = p["query_ids"]
             self.qmat = p["matrix"]
-            self.cents = p["centroids"]
             self.probe = p["probe"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
+            assign = np.asarray(
+                batch["cid"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)
             v = _normalize(np.array(batch[vec_col].to_pylist(),
                                     dtype=np.float64))
-            assign = np.argmax(v @ self.cents.T, axis=1)  # (n,)
             out_q, out_v, out_s = [], [], []
             for qi in range(self.qmat.shape[0]):
                 mask = np.isin(assign, self.probe[qi])
                 if not mask.any():
                     continue
-                sub = v[mask]
-                col = sub @ self.qmat[qi]
+                col = v[mask] @ self.qmat[qi]
                 kk = min(k, col.size)
                 top = np.argpartition(-col, kk - 1)[:kk] if kk < col.size \
                     else np.arange(col.size)
@@ -163,4 +223,22 @@ def ivf_topk(ds, query_ids, query_matrix, k: int = 10, n_centroids: int = 16,
 
     partials = ds.map_batches(IVFBlockTopK, batch_format="pyarrow",
                               concurrency=concurrency)
-    return _final_topk(partials, k)
+    return _final_topk(partials, k), frac
+
+
+def ivf_topk(ds, query_ids, query_matrix, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, sample_n: int = 2000, vec_col="embedding",
+             id_col="vec_id", concurrency=(1, 8), index_dir: str | None = None):
+    """Build-then-query convenience wrapper (the ``queries()`` entry).
+    ``index_dir=None`` builds a throwaway index under /tmp; pass a path to
+    keep (and reuse) the physical partitioning."""
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    ivf_build(ds, index_dir, n_centroids=n_centroids, sample_n=sample_n,
+              vec_col=vec_col, id_col=id_col)
+    out, _frac = ivf_query(index_dir, query_ids, query_matrix, k=k,
+                           nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+                           concurrency=concurrency)
+    return out

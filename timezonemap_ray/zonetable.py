@@ -90,11 +90,26 @@ def cleanse_ring(lats, lngs):
 
 
 def make_zone(zone_id: str, rings) -> ZoneRecord:
-    """rings: iterable of (lats, lngs) sequences (ring 0 outer, then holes...)."""
+    """rings: iterable of (lats, lngs) sequences (ring 0 outer, then holes...).
+
+    M3 divergence note (detection added round 2): the reference force-runs
+    Esri ``OperatorSimplify`` (`builder/Main.kt:44-60`), which SPLITS a
+    self-intersecting ring into simple pieces. We keep the ring and rely on
+    even-odd PIP, whose interior for a crossing ring equals the union of
+    the simplified pieces' interiors (asserted for the bowtie case in
+    tests/test_geom.py) — but we DETECT and report every such ring so the
+    divergence is observable instead of silent."""
     rec = ZoneRecord(zone_id)
-    for lats, lngs in rings:
+    for ri, (lats, lngs) in enumerate(rings):
         la, ln = cleanse_ring(np.asarray(lats, float), np.asarray(lngs, float))
         if la.size >= 3:
+            if geom.ring_self_intersects(ln, la):
+                import logging
+                logging.getLogger(__name__).warning(
+                    "zone %r ring %d self-intersects; keeping it under "
+                    "even-odd PIP semantics (reference would Esri-simplify "
+                    "— M3 divergence, results equal for crossing rings)",
+                    zone_id, ri)
             rec.rings.append((la, ln))
     return rec
 
