@@ -305,7 +305,10 @@ def _q_events_hourly(sf_dir: str):
 
     def stabilize(b: pa.Table) -> pa.Table:
         return pa.table({
-            "user_id": b["user_id"], "hour": b["hour"],
+            "user_id": b["user_id"],
+            # events.ts is timestamp[s]; floor_temporal keeps the unit while
+            # DuckDB date_trunc returns timestamp[us] — emit the oracle's unit
+            "hour": pc.cast(b["hour"], pa.timestamp("us")),
             "n_events": b["n_events"],
         })
 
@@ -521,6 +524,23 @@ def oracle_sql() -> dict[str, str]:
                      / greatest(length(text), 1) AS quality
             FROM documents""",
         "fingerprint_md5": "SELECT doc_id, md5(text) AS digest FROM documents",
+        # Horner's rule over the utf-8 bytes, mod 2^64 — exactly the engine's
+        # FNV-base polynomial rolling hash (text.rolling_fingerprint). The
+        # testdata corpus is pure ASCII, so ord(substr(...)) == the byte.
+        "fingerprint_rolling": """
+            WITH RECURSIVE r AS (
+              SELECT doc_id, 1 AS i, CAST(0 AS HUGEINT) AS h,
+                     length(text) AS n
+              FROM documents
+              UNION ALL
+              SELECT r.doc_id, r.i + 1,
+                     (r.h * 1099511628211 + ord(substr(d.text, r.i, 1)))
+                        % CAST('18446744073709551616' AS HUGEINT),
+                     r.n
+              FROM r JOIN documents d USING (doc_id)
+              WHERE r.i <= r.n)
+            SELECT doc_id, CAST(h AS UBIGINT) AS fingerprint
+            FROM r WHERE i = n + 1""",
         "lang_id": """
             WITH feat AS (
               SELECT doc_id, text,
@@ -672,8 +692,9 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN last r
               ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""",
         # intentionally omitted (rows-only check — not SQL-expressible):
-        # tz_distance_boundary (WGS84 geodesic), fingerprint_rolling
-        # (rolling hash), dedup_minhash / dedup_simhash / dedup_embedding
-        # (LSH recall is probabilistic), ann_ivf_topk (approximate),
+        # tz_distance_boundary (WGS84 geodesic), dedup_minhash /
+        # dedup_simhash / dedup_embedding (LSH recall is probabilistic and
+        # keyed on blake2b hashes), ann_ivf_topk (approximate),
+        # approx_distinct_users (HLL sketch),
         # media_decode / media_similarity (stubbed codec)
     }

@@ -58,13 +58,20 @@ class TimeZoneEngine:
 
     def get_time_zones(self) -> list:
         """Zone ids, smallest-area first (reference ``getTimeZones``,
-        `TimeZoneMap.kt:25-34`).
+        `TimeZoneMap.kt:25-34`) — one entry per kept RECORD, where records
+        are one per builder polygon (MultiPolygon exploded at build on both
+        sides, `Main.kt:78-94` / ``zones_from_geojson``).
 
-        Divergence note: the reference's region clip splits a zone into one
-        entry PER PIECE (`TimeZoneMap.kt:218-235`); our clip keeps a zone's
-        clipped rings in one record, so each zone id appears once. Query
-        results (Q3-Q6) are identical either way — a point lies in at most
-        one piece of a zone.
+        Cardinality parity note (analyzed round 2): the reference's region
+        clip (`TimeZoneMap.kt:218-235`) runs ``OperatorIntersection`` over a
+        single geometry pair and wraps EACH returned polygon in a TimeZone —
+        but the cursor yields ONE (possibly multi-part) polygon per record,
+        so its cardinality equals ours (we too keep a clipped record's
+        disjoint rings in one record). The only residual divergence is
+        degenerate clips (zone touching the region in a line/point), which
+        Esri may emit as lower-dimension geometry that terminates the
+        reference's ``as? Polygon`` sequence and which we drop as empty —
+        neither side emits a queryable area for those.
         """
         return list(self.index.zone_ids)
 
