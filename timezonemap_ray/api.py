@@ -134,13 +134,20 @@ class TimeZoneEngine:
         return (1, max(2, n))
 
     def lookup_points(self, ds, lat_col="lat", lng_col="lng", want_all=False,
-                      fallback=False, concurrency=None, batch_size=131072,
+                      fallback=False, concurrency=None, batch_size=None,
                       compute="tasks"):
         """Broadcast PIP join: Dataset of points → + zone columns.
 
         The polygon index is tiny relative to the point side (~10^4 zones vs
         the full corpus), so the join is broadcast — the only data movement
         is the one-time index transfer per node; the point side streams.
+
+        ``batch_size=None`` (default) feeds WHOLE BLOCKS to the kernel: an
+        explicit batch_size inserts a slice/re-batch layer that measured
+        ~40% slower on the 32M-point bench (13.4 → 19.8M pts/s); the PIP
+        kernel chunks internally for cache residency, so large batches are
+        safe. Pass a batch_size only to bound memory for ``want_all`` over
+        giant blocks.
 
         ``compute="tasks"`` (default): plain task pool — the broadcast index
         is fetched from the node-local plasma store and memoized per worker
