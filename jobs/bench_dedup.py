@@ -56,6 +56,7 @@ def main():
                     choices=["minhash", "simhash", "ngram"])
     ap.add_argument("--threshold", type=float, default=0.6)
     ap.add_argument("--vocab", type=int, default=0)
+    ap.add_argument("--df-cap", type=int, default=None)
     args = ap.parse_args()
 
     import ray
@@ -75,7 +76,10 @@ def main():
     elif args.op == "simhash":
         out = dedup.simhash_dedup(ds, max_hamming=3).to_pandas()
     else:
-        out = dedup.ngram_jaccard_dedup(ds, threshold=args.threshold).to_pandas()
+        pairs = dedup.ngram_jaccard_pairs(ds, threshold=args.threshold,
+                                          df_cap=args.df_cap)
+        out = dedup.cluster_assign(ds.select_columns(["doc_id"]),
+                                   pairs).to_pandas()
     wall = time.perf_counter() - t0
 
     cl = dict(zip(out["doc_id"].astype(int), out["cluster_id"].astype(int)))

@@ -221,3 +221,32 @@ def test_ngram_pairs_exact_jaccard(ray_session):
         if union and inter / union >= 0.5:
             want.add((a, b))
     assert got_pairs == want
+
+
+def test_cluster_assign_routes_agree(ray_session):
+    """cluster_assign: driver union-find route == forced-distributed route."""
+    import ray.data as rd
+    tbl = _dup_corpus()
+    ds = rd.from_arrow(tbl)
+    pairs = dedup.ngram_jaccard_pairs(ds, threshold=0.5)
+    ids = ds.select_columns(["doc_id"])
+    small = dedup.cluster_assign(ids, pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    dist = dedup.cluster_assign(ids, pairs, driver_pair_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(small, dist, check_dtype=False)
+    assert small["cluster_id"].iloc[0] == 0
+
+
+def test_ngram_df_cap(ray_session):
+    """df_cap drops stop-shingle groups: cap=1 kills all pairs; a generous
+    cap reproduces the exact result."""
+    import ray.data as rd
+    ds = rd.from_arrow(_dup_corpus())
+    exact = dedup.ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    capped = dedup.ngram_jaccard_pairs(ds, threshold=0.5,
+                                       df_cap=100).to_pandas()
+    assert sorted(map(tuple, exact[["a", "b"]].values.tolist())) == \
+        sorted(map(tuple, capped[["a", "b"]].values.tolist()))
+    none = dedup.ngram_jaccard_pairs(ds, threshold=0.5, df_cap=1).to_pandas()
+    assert none.empty or len(none) == 0

@@ -231,9 +231,8 @@ def _memoized_stage(cls, **kwargs):
     return run
 
 
-def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle=3,
-                            threshold=0.5, text_col="text",
-                            concurrency=None) -> set:
+def minhash_candidate_pairs_ds(ds, num_perm=64, bands=16, shingle=3,
+                               threshold=0.5, text_col="text"):
     """documents → LSH → verified-by-signature candidate pairs (set of
     (small_id, big_id)).
 
@@ -279,7 +278,17 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle=3,
                              "b": pa.array([], type=pa.int64())})
         return pa.table({"a": [p[0] for p in ps], "b": [p[1] for p in ps]})
 
-    pdf = _runs_map_groups(cand, "band_key", pairs_of_run).to_pandas()
+    return _runs_map_groups(cand, "band_key", pairs_of_run)
+
+
+def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle=3,
+                            threshold=0.5, text_col="text",
+                            concurrency=None) -> set:
+    """Driver-side set view of ``minhash_candidate_pairs_ds`` (kept for
+    callers/tests that inspect the pair set directly)."""
+    pdf = minhash_candidate_pairs_ds(
+        ds, num_perm=num_perm, bands=bands, shingle=shingle,
+        threshold=threshold, text_col=text_col).to_pandas()
     if pdf.empty or "a" not in pdf.columns:
         return set()
     return set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
@@ -385,6 +394,33 @@ def clusters_from_pairs_ds(ids_ds, pairs_ds, id_col: str = "doc_id",
 
 
 
+DRIVER_PAIR_LIMIT = 2_000_000  # pairs beyond this go distributed
+
+
+def cluster_assign(ds, pairs_ds, id_col: str = "doc_id",
+                   driver_pair_limit: int = DRIVER_PAIR_LIMIT):
+    """→ (id, cluster_id, is_duplicate) from a PAIRS DATASET, auto-routing
+    the transitive closure: pair volumes within driver RAM use the
+    union-find broadcast path (fast, zero extra shuffles); beyond the limit
+    the distributed label-propagation ``clusters_from_pairs_ds`` runs —
+    identical output either way (equivalence tested)."""
+    import pyarrow.compute as pc
+    pairs_ds = pairs_ds.materialize()  # (a, b) ints only; count+read once
+    n_pairs = pairs_ds.count()
+    if n_pairs <= driver_pair_limit:
+        pdf = pairs_ds.to_pandas()
+        pairs = set() if (pdf.empty or "a" not in pdf.columns) else \
+            set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
+        return _cluster_output_ds(ds, pairs, id_col=id_col)
+    labels = clusters_from_pairs_ds(ds, pairs_ds, id_col=id_col)
+
+    def flag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "is_duplicate", pc.not_equal(b["cluster_id"], b[id_col]))
+
+    return labels.map_batches(flag, batch_format="pyarrow")
+
+
 def _cluster_output_ds(ds, pairs, id_col: str = "doc_id"):
     """Distributed cluster assignment: only PAIRED ids hit the driver's
     union-find; the (id → cluster) mapping for those is broadcast and every
@@ -410,10 +446,12 @@ def _cluster_output_ds(ds, pairs, id_col: str = "doc_id"):
 
 def minhash_dedup(ds, num_perm=64, bands=16, shingle=3, threshold=0.5,
                   text_col="text"):
-    """→ (doc_id, cluster_id, is_duplicate) for the whole corpus."""
-    pairs = minhash_candidate_pairs(ds, num_perm, bands, shingle, threshold,
-                                    text_col)
-    return _cluster_output_ds(ds.select_columns(["doc_id"]), pairs)
+    """→ (doc_id, cluster_id, is_duplicate) for the whole corpus; the
+    transitive closure auto-routes driver union-find vs distributed CC by
+    pair volume (``cluster_assign``)."""
+    pairs_ds = minhash_candidate_pairs_ds(ds, num_perm, bands, shingle,
+                                          threshold, text_col)
+    return cluster_assign(ds.select_columns(["doc_id"]), pairs_ds)
 
 
 # ---------------------------------------------------------------------------
@@ -494,11 +532,8 @@ def simhash_dedup(ds, max_hamming: int = 3, text_col: str = "text",
             "a": [min(doc[i], doc[j]) for i, j in zip(ii, jj)],
             "b": [max(doc[i], doc[j]) for i, j in zip(ii, jj)]})
 
-    pdf = _runs_map_groups(band_rows, "band_key",
-                           pairs_of_group).to_pandas()
-    pairs = set() if (pdf.empty or "a" not in pdf.columns) else \
-        set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
-    return _cluster_output_ds(ds.select_columns(["doc_id"]), pairs)
+    pairs_ds = _runs_map_groups(band_rows, "band_key", pairs_of_group)
+    return cluster_assign(ds.select_columns(["doc_id"]), pairs_ds)
 
 
 POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
@@ -537,8 +572,42 @@ class ShingleExploder:
         })
 
 
+def _pair_counts(pair_rows, n_parts: int = 64):
+    """(a, b, na, nb) rows → (a, b, na, nb, inter) with inter = multiplicity,
+    via coarse hash partitions + a vectorized lexsort/run-length count per
+    partition. Replaces ``groupby([a,b,na,nb]).count()``, whose per-distinct-
+    key aggregation cost dominated wall time at millions of mostly-unique
+    pairs (measured 224 s vs ~5 s for 3.9M distinct pairs)."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (_splitmix64(_splitmix64(a) ^ b) % np.uint64(n_parts)) \
+            .astype(np.int64)
+        return t.append_column("_part", pa.array(part))
+
+    def count_part(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        na = g["na"].to_numpy(zero_copy_only=False)
+        nb = g["nb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, na, nb = a[order], b[order], na[order], nb[order]
+        bounds = np.flatnonzero(
+            np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        inter = np.diff(np.r_[bounds, a.size])
+        return pa.table({
+            "a": pa.array(a[bounds]), "b": pa.array(b[bounds]),
+            "na": pa.array(na[bounds]), "nb": pa.array(nb[bounds]),
+            "inter": pa.array(inter.astype(np.int64)),
+        })
+
+    return pair_rows.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(count_part, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(ds, shingle=3, threshold=0.5, text_col="text",
-                        concurrency=(1, 16)):
+                        concurrency=(1, 16), df_cap: int | None = None):
     """EXACT shingle-set Jaccard pairs, fully distributed:
 
     1. explode docs to distinct (shingle, doc_id, |set|) rows;
@@ -550,18 +619,26 @@ def ngram_jaccard_pairs(ds, shingle=3, threshold=0.5, text_col="text",
     4. filter ≥ threshold.
 
     Text never leaves the explode stage; the driver sees nothing.
-    Partitioning assumption: shingle document-frequency is bounded
-    (``MAX_BUCKET`` caps + logs pathological stop-shingle groups — at
-    100 TB drop high-df shingles up front, they carry no similarity
-    signal)."""
-    from ray.data.aggregate import Count
-
+    Partitioning assumption: shingle document-frequency is bounded.
+    ``df_cap`` (the 100 TB knob): shingles shared by more than ``df_cap``
+    documents are DROPPED from pairing entirely — stop-shingles carry no
+    similarity signal but cost O(df²) pairs each; dropping them
+    under-counts |A∩B| by at most the number of dropped shingles, a
+    documented completeness trade (default None = exact). Without a cap,
+    ``MAX_BUCKET`` still truncates-and-logs pathological groups."""
     rows = ds.map_batches(
         _memoized_stage(ShingleExploder, shingle=shingle, text_col=text_col),
         batch_format="pyarrow", batch_size=HASH_BATCH)
 
+    empty4 = pa.table({"a": pa.array([], type=pa.int64()),
+                       "b": pa.array([], type=pa.int64()),
+                       "na": pa.array([], type=pa.int64()),
+                       "nb": pa.array([], type=pa.int64())})
+
     def pairs_of_group(g: pa.Table) -> pa.Table:
         n = g.num_rows
+        if df_cap is not None and n > df_cap:
+            return empty4  # stop-shingle: no similarity signal, O(n²) cost
         if n > MAX_BUCKET:
             import logging
             logging.getLogger(__name__).warning(
@@ -580,14 +657,9 @@ def ngram_jaccard_pairs(ds, shingle=3, threshold=0.5, text_col="text",
             "nb": pa.array(np.where(swap, ns[ii], ns[jj])),
         })
 
-    empty4 = pa.table({"a": pa.array([], type=pa.int64()),
-                       "b": pa.array([], type=pa.int64()),
-                       "na": pa.array([], type=pa.int64()),
-                       "nb": pa.array([], type=pa.int64())})
     pair_rows = _runs_map_groups(rows, "shingle", pairs_of_group,
                                  empty_schema=empty4)
-    agg = pair_rows.groupby(["a", "b", "na", "nb"]).aggregate(
-        Count(alias_name="inter"))
+    agg = _pair_counts(pair_rows)
 
     def verify(b: pa.Table) -> pa.Table:
         inter = b["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -601,15 +673,12 @@ def ngram_jaccard_pairs(ds, shingle=3, threshold=0.5, text_col="text",
 
 
 def ngram_jaccard_dedup(ds, shingle=3, threshold=0.5, text_col="text"):
-    """→ (doc_id, cluster_id, is_duplicate) from EXACT n-gram Jaccard.
-    Only (a, b) int64 pairs reach the driver's union-find (bounded by true
-    duplicate volume; use ``clusters_from_pairs_ds`` beyond driver RAM)."""
+    """→ (doc_id, cluster_id, is_duplicate) from EXACT n-gram Jaccard;
+    transitive closure auto-routes driver union-find vs distributed CC by
+    pair volume (``cluster_assign``)."""
     verified = ngram_jaccard_pairs(ds, shingle=shingle, threshold=threshold,
                                    text_col=text_col)
-    pdf = verified.to_pandas()
-    pairs = set() if pdf.empty else \
-        set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
-    return _cluster_output_ds(ds.select_columns(["doc_id"]), pairs)
+    return cluster_assign(ds.select_columns(["doc_id"]), verified)
 
 
 # ---------------------------------------------------------------------------
@@ -666,8 +735,6 @@ def embedding_dedup(ds, dim: int, threshold: float = 0.95, n_bits: int = 12,
             "a": [min(ids[i], ids[j]) for i, j in zip(ii, jj)],
             "b": [max(ids[i], ids[j]) for i, j in zip(ii, jj)]})
 
-    pdf = _runs_map_groups(buckets, "bucket", pairs_of_group).to_pandas()
-    pairs = set() if (pdf.empty or "a" not in pdf.columns) else \
-        set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
-    return _cluster_output_ds(ds.select_columns([id_col]), pairs,
-                              id_col=id_col)
+    pairs_ds = _runs_map_groups(buckets, "bucket", pairs_of_group)
+    return cluster_assign(ds.select_columns([id_col]), pairs_ds,
+                          id_col=id_col)
