@@ -100,6 +100,8 @@ def test_media_stages(ray_session):
                              concurrency=2).to_pandas()
     assert len(decoded) == 10
     assert len(decoded["features"].iloc[0]) == 32
+    assert decoded["decode_error"].isna().all()
+    assert (decoded["decoded_bytes"] == 64 * 48 * 3).all()  # real pixels
     # determinism: same payload → same features
     again = ds.map_batches(media.MediaDecoder, batch_format="pyarrow",
                            batch_size=media.SUGGESTED_BATCH,
@@ -109,12 +111,53 @@ def test_media_stages(ray_session):
     frames = ds.map_batches(media.FrameSampler, batch_format="pyarrow",
                             concurrency=2).to_pandas()
     assert len(frames) == 10 * 5  # 5000ms / 1000ms
-    resized = ds.map_batches(media.ImageResizer, batch_format="pyarrow",
-                             concurrency=2).to_pandas()
+    assert (frames["frame_w"] == 64).all()  # real demuxed frame dims
+    imgs = rd.from_arrow(media.synth_media_table(
+        [f"media://img/{i}" for i in range(6)], kind="image", fmt="bmp"))
+    resized = imgs.map_batches(media.ImageResizer, batch_format="pyarrow",
+                               concurrency=2).to_pandas()
     assert (resized["resized_w"] == 224).all()
+    # the resized payload is a REAL 224x224 PPM
+    from timezonemap_ray.stages import codec
+    img = codec.decode_image(resized["payload"].iloc[0])
+    assert img.shape == (224, 224, 3)
 
+
+def test_codec_roundtrips():
+    import numpy as np
+    from timezonemap_ray.stages import codec
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)  # odd width
+    assert (codec.decode_ppm(codec.encode_ppm(img)) == img).all()
+    assert (codec.decode_bmp(codec.encode_bmp(img)) == img).all()
+    vid = codec.encode_video([img, img[::-1]], frame_interval_ms=500)
+    assert codec.video_info(vid) == (2, 500)
+    assert (codec.decode_video_frame(vid, 1) == img[::-1]).all()
+    r = codec.resize_nearest(img, 10, 8)
+    assert r.shape == (8, 10, 3)
     with pytest.raises(NotImplementedError):
-        media.MediaDecoder(fake=False)
+        codec.decode_image(b"\x89PNG\r\n\x1a\nxxxx")  # PIL seam
+    with pytest.raises(ValueError):
+        codec.decode_image(b"garbage")
+
+
+def test_media_decoder_flags_bad_payload(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from timezonemap_ray.stages import media
+    t = media.synth_media_table(["media://img/ok"], kind="image")
+    bad = pa.table({"media_id": pa.array([1], type=pa.int64()),
+                    "media_ref": pa.array(["media://img/bad"]),
+                    "kind": pa.array(["image"]),
+                    "payload": pa.array([b"not an image"], type=pa.binary()),
+                    "width": pa.array([0], type=pa.int32()),
+                    "height": pa.array([0], type=pa.int32()),
+                    "duration_ms": pa.array([0], type=pa.int32())})
+    ds = rd.from_arrow(pa.concat_tables([t, bad]))
+    out = ds.map_batches(media.MediaDecoder, batch_format="pyarrow",
+                         concurrency=1).to_pandas().sort_values("media_id")
+    assert out["decode_error"].iloc[0] is None
+    assert "ValueError" in out["decode_error"].iloc[1]  # flagged, not thrown
 
 
 def test_ivf_physical_pruning(ray_session, emb_path, queries, tmp_path):

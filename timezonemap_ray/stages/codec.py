@@ -1,0 +1,178 @@
+"""Pure-numpy image / video codecs — REAL byte-level decode without PIL/libav.
+
+The container has no image libraries, but two classic uncompressed formats
+need none: binary PPM (P6) and 24-bit BMP are header + raw pixel bytes, so
+decode/encode/resize are plain numpy. These power the multimodal stages
+(``stages/media.py``) end-to-end on real bytes; compressed formats
+(JPEG/PNG/H.264) remain the documented ``NotImplementedError`` seam where
+PIL/libav would plug in.
+
+Formats:
+- **PPM (P6)**: ``P6\\n<w> <h>\\n255\\n`` + RGB rows, top-down.
+- **BMP (24-bit, BI_RGB)**: 14-byte file header + 40-byte info header +
+  BGR rows bottom-up, each padded to 4 bytes.
+- **TZV1 video**: a deliberately trivial container for the frame-sample
+  stage: ``b"TZV1" + uint32 n_frames + uint32 frame_interval_ms`` then per
+  frame ``uint32 byte_length + PPM bytes``. No such container exists in the
+  wild — it stands in for the demux step a real format needs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM bytes."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM bytes → (h, w, 3) uint8 (raises ValueError on malformed)."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, width, height, maxval — whitespace separated, then ONE
+    # whitespace byte before the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":  # comment line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    need = w * h * 3
+    raster = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit uncompressed)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BMP bytes (bottom-up BGR, 4-byte row pad)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes (zeros)
+    bgr = img[::-1, :, ::-1]  # bottom-up, RGB→BGR
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, :w * 3] = bgr.reshape(h, w * 3)
+    pixel_data = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       len(pixel_data), 2835, 2835, 0, 0)
+    return header + info + pixel_data
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB."""
+    if not data.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.frombuffer(data, dtype=np.uint8, count=h * row_bytes,
+                           offset=off).reshape(h, row_bytes)
+    bgr = raster[:, :w * 3].reshape(h, w, 3)
+    img = bgr[:, :, ::-1]  # BGR→RGB
+    return (img[::-1] if flip else img).copy()
+
+
+# ---------------------------------------------------------------------------
+# dispatch + pixel ops
+# ---------------------------------------------------------------------------
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Sniff the magic and decode. JPEG/PNG are the PIL seam."""
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:3] == b"\xff\xd8\xff" or data[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "compressed image decode (JPEG/PNG) requires PIL — seam")
+    raise ValueError("unknown image format")
+
+
+def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy index sampling."""
+    sh, sw = img.shape[:2]
+    ys = (np.arange(h) * sh // h).clip(0, sh - 1)
+    xs = (np.arange(w) * sw // w).clip(0, sw - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def image_features(img: np.ndarray, dim: int = 32) -> np.ndarray:
+    """Real pixel features: per-channel 8-bin histograms (normalized) +
+    per-channel mean/std + aspect — padded/truncated to ``dim`` float32."""
+    f = []
+    for c in range(3):
+        hist = np.bincount(img[:, :, c].ravel() >> 5, minlength=8)
+        f.append(hist / max(img.shape[0] * img.shape[1], 1))
+    px = img.astype(np.float32)
+    f.append(px.mean(axis=(0, 1)) / 255.0)
+    f.append(px.std(axis=(0, 1)) / 255.0)
+    f.append(np.array([img.shape[1] / max(img.shape[0], 1)], dtype=np.float32))
+    v = np.concatenate(f).astype(np.float32)
+    if v.size < dim:
+        v = np.pad(v, (0, dim - v.size))
+    return v[:dim]
+
+
+# ---------------------------------------------------------------------------
+# TZV1 video container
+# ---------------------------------------------------------------------------
+
+def encode_video(frames: list, frame_interval_ms: int = 1000) -> bytes:
+    """List of (h, w, 3) uint8 frames → TZV1 bytes (PPM per frame)."""
+    parts = [b"TZV1", struct.pack("<II", len(frames), frame_interval_ms)]
+    for fr in frames:
+        p = encode_ppm(fr)
+        parts.append(struct.pack("<I", len(p)))
+        parts.append(p)
+    return b"".join(parts)
+
+
+def video_info(data: bytes) -> tuple[int, int]:
+    """(n_frames, frame_interval_ms) without decoding any frame."""
+    if data[:4] != b"TZV1":
+        raise ValueError("not a TZV1 video")
+    return struct.unpack_from("<II", data, 4)
+
+
+def decode_video_frame(data: bytes, frame_idx: int) -> np.ndarray:
+    """Decode ONE frame by seeking the length-prefixed stream — the demux
+    step: only the requested frame's bytes are touched."""
+    n, _ = video_info(data)
+    if not (0 <= frame_idx < n):
+        raise IndexError(f"frame {frame_idx} of {n}")
+    pos = 12
+    for _ in range(frame_idx):
+        ln = struct.unpack_from("<I", data, pos)[0]
+        pos += 4 + ln
+    ln = struct.unpack_from("<I", data, pos)[0]
+    return decode_ppm(data[pos + 4:pos + 4 + ln])

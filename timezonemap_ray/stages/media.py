@@ -1,23 +1,23 @@
-"""Multimodal (image/audio/video) stages — Ray-side plumbing is real, the
-codec itself is stubbed (no decode libraries in this container).
+"""Multimodal (image/audio/video) stages over opaque ``binary`` payloads.
 
-Media is carried as opaque ``binary`` payloads + typed metadata columns.
-Each stage is an actor-pool ``map_batches`` class: codec/model setup happens
-once per actor in ``__init__``; batches stay small (``SUGGESTED_BATCH``)
-because payload bytes dominate memory, not row count.
+Round 2: the codec is REAL for the formats pure numpy can handle — binary
+PPM and 24-bit BMP images, and the TZV1 demo video container (see
+``stages/codec.py``). Decode, nearest-neighbor resize, pixel-histogram
+features and per-frame demux all operate on actual bytes; compressed
+formats (JPEG/PNG/H.264) remain the documented ``NotImplementedError``
+seam where PIL / libav would plug in, once per actor in ``__init__``.
 
-``fake=True`` (default in-sandbox) derives deterministic pseudo-decodes
-from the payload bytes so schemas, batch shapes and downstream ops are fully
-exercised; ``fake=False`` raises NotImplementedError at the exact seam where
-PIL / libav would plug in.
+Each stage is an actor-pool ``map_batches`` class: setup happens once per
+actor; batches stay small (``SUGGESTED_BATCH``) because payload bytes
+dominate memory, not row count.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
+
+from . import codec
 
 SUGGESTED_BATCH = 64  # payload-heavy stages want small batches
 
@@ -32,87 +32,145 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def synth_media_table(media_refs: list, kind: str = "image") -> pa.Table:
-    """Deterministic fake media blobs for tests/bench."""
+def _synth_pixels(ref: str, w: int, h: int) -> np.ndarray:
+    """Deterministic pseudo-random RGB pixels seeded from the ref."""
+    import hashlib
+    seed = int.from_bytes(
+        hashlib.blake2b(ref.encode(), digest_size=8).digest(), "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def synth_media_table(media_refs: list, kind: str = "image",
+                      w: int = 64, h: int = 48, fmt: str = "ppm") -> pa.Table:
+    """Deterministic media blobs for tests/bench — REAL encoded bytes
+    (PPM or BMP images; TZV1 containers for video)."""
     rows = []
     for i, ref in enumerate(media_refs):
-        payload = hashlib.blake2b(ref.encode(), digest_size=32).digest() * 8
+        if kind == "video":
+            frames = [_synth_pixels(f"{ref}#f{k}", w, h) for k in range(5)]
+            payload = codec.encode_video(frames, frame_interval_ms=1000)
+            dur = 5000
+        else:
+            img = _synth_pixels(ref, w, h)
+            payload = (codec.encode_bmp(img) if fmt == "bmp"
+                       else codec.encode_ppm(img))
+            dur = 0
         rows.append({"media_id": i, "media_ref": ref, "kind": kind,
-                     "payload": payload, "width": 64, "height": 48,
-                     "duration_ms": 0 if kind == "image" else 5000})
+                     "payload": payload, "width": w, "height": h,
+                     "duration_ms": dur})
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
-def _fake_features(payloads: list, dim: int) -> np.ndarray:
-    out = np.empty((len(payloads), dim), dtype=np.float32)
-    for i, p in enumerate(payloads):
-        seed = int.from_bytes(hashlib.blake2b(p or b"", digest_size=8).digest(),
-                              "little")
-        out[i] = np.random.default_rng(seed).standard_normal(dim,
-                                                             dtype=np.float32)
-    return out
-
-
 class MediaDecoder:
-    """payload → decoded dims + feature vector. Real decode is the stub seam."""
+    """payload → real decode → (features, decoded_bytes).
 
-    def __init__(self, feature_dim: int = 32, fake: bool = True):
+    Images decode via the numpy codec; videos decode their FIRST frame
+    (representative-frame embedding). ``strict=False`` (default) flags
+    undecodable payloads with ``decode_error`` instead of raising —
+    never throw mid-pipeline."""
+
+    def __init__(self, feature_dim: int = 32, strict: bool = False,
+                 fake: bool = False):
+        # `fake` kept for API compat; the codec is real now. Compressed
+        # formats are the remaining PIL/libav seam (raised per payload).
         self.feature_dim = feature_dim
+        self.strict = strict
         self.fake = fake
-        if not fake:
-            # the real seam: `import PIL.Image` / `import av` here, once per
-            # actor — not per batch
-            raise NotImplementedError(
-                "real media decode requires PIL/libav (not in this container)")
+
+    def _decode_one(self, payload: bytes):
+        if payload[:4] == b"TZV1":
+            return codec.decode_video_frame(payload, 0)
+        return codec.decode_image(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = _fake_features(payloads, self.feature_dim)
+        feats = np.zeros((len(payloads), self.feature_dim), dtype=np.float32)
+        nbytes = np.zeros(len(payloads), dtype=np.int64)
+        errs: list = [None] * len(payloads)
+        for i, p in enumerate(payloads):
+            try:
+                img = self._decode_one(p or b"")
+                feats[i] = codec.image_features(img, self.feature_dim)
+                nbytes[i] = img.nbytes
+            except Exception as e:  # noqa: BLE001 — flagged, never thrown
+                if self.strict:
+                    raise
+                errs[i] = f"{type(e).__name__}: {e}"
         batch = batch.append_column(
             "features", pa.array(feats.tolist(),
                                  type=pa.list_(pa.float32(), self.feature_dim)))
+        batch = batch.append_column("decoded_bytes", pa.array(nbytes))
         return batch.append_column(
-            "decoded_bytes", pa.array([len(p or b"") for p in payloads],
-                                      type=pa.int64()))
+            "decode_error", pa.array(errs, type=pa.string()))
 
 
 class ImageResizer:
-    """Resize metadata transform (target dims recorded; pixel work stubbed)."""
+    """REAL nearest-neighbor resize: decode → resample → re-encode PPM.
+    Output payload replaces the input; width/height updated."""
 
     def __init__(self, target_w: int = 224, target_h: int = 224,
-                 fake: bool = True):
+                 strict: bool = False):
         self.target_w, self.target_h = target_w, target_h
-        if not fake:
-            raise NotImplementedError("real resize requires PIL")
+        self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        out_payload: list = []
+        for p in payloads:
+            try:
+                img = codec.decode_image(p or b"")
+                out_payload.append(codec.encode_ppm(
+                    codec.resize_nearest(img, self.target_w, self.target_h)))
+            except Exception:  # undecodable: pass through unchanged
+                if self.strict:
+                    raise
+                out_payload.append(p)
         n = batch.num_rows
-        batch = batch.append_column(
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["payload"] = pa.array(out_payload, type=pa.binary())
+        out = pa.table(cols)
+        out = out.append_column(
             "resized_w", pa.array([self.target_w] * n, type=pa.int32()))
-        return batch.append_column(
+        return out.append_column(
             "resized_h", pa.array([self.target_h] * n, type=pa.int32()))
 
 
 class FrameSampler:
-    """video → one row per sampled frame (flat-map shape: N frames/row)."""
+    """video → one row per sampled frame (flat-map shape), REAL demux: each
+    emitted row carries the frame's decoded dimensions, read by seeking the
+    container — only sampled frames' bytes are decoded."""
 
-    def __init__(self, every_ms: int = 1000, fake: bool = True):
+    def __init__(self, every_ms: int = 1000, strict: bool = False):
         self.every_ms = every_ms
-        if not fake:
-            raise NotImplementedError("real frame sampling requires libav")
+        self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {"media_id": [], "media_ref": [], "frame_ms": []}
+        out = {"media_id": [], "media_ref": [], "frame_ms": [],
+               "frame_w": [], "frame_h": []}
         ids = batch["media_id"].to_pylist()
         refs = batch["media_ref"].to_pylist()
         durs = batch["duration_ms"].to_pylist()
-        for mid, ref, dur in zip(ids, refs, durs):
+        payloads = batch["payload"].to_pylist()
+        for mid, ref, dur, p in zip(ids, refs, durs, payloads):
+            try:
+                n_frames, interval = codec.video_info(p or b"")
+            except ValueError:
+                if self.strict:
+                    raise
+                continue
             for t in range(0, int(dur or 0), self.every_ms):
+                idx = min(t // max(interval, 1), n_frames - 1)
+                fr = codec.decode_video_frame(p, int(idx))
                 out["media_id"].append(mid)
                 out["media_ref"].append(ref)
                 out["frame_ms"].append(t)
+                out["frame_w"].append(fr.shape[1])
+                out["frame_h"].append(fr.shape[0])
         return pa.table({
             "media_id": pa.array(out["media_id"], type=pa.int64()),
             "media_ref": pa.array(out["media_ref"], type=pa.string()),
             "frame_ms": pa.array(out["frame_ms"], type=pa.int32()),
+            "frame_w": pa.array(out["frame_w"], type=pa.int32()),
+            "frame_h": pa.array(out["frame_h"], type=pa.int32()),
         })
