@@ -100,8 +100,13 @@ def shuffled_join(ds, engine, lat_col="lat", lng_col="lng", want_all=False,
     threshold) are salted over ``ceil(count/threshold)`` shuffle keys.
 
     Pass precomputed ``salt_counts`` (cached hotspot priors) to skip the
-    sampling pre-pass — one fewer scan of the input when skew is known."""
+    sampling pre-pass — one fewer scan of the input when skew is known.
+    Without priors the input is consumed TWICE (histogram + shuffle), so it
+    is materialized once into the object store (spills under pressure)
+    rather than re-executing the upstream pipeline per consumer; at 100 TB
+    prefer cached priors or the checkpoint module's staged-parquet pass."""
     if salt_counts is None:
+        ds = ds.materialize()
         hist = cell_histogram(ds, engine.index.cell_size, lat_col, lng_col,
                               sample_fraction=sample_fraction)
         salt_counts = {c: int(np.ceil(n / salt_threshold))
