@@ -118,6 +118,66 @@ def _q_tz_lookup_shuffled(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_tz_lookup_checkpointed(sf_dir: str):
+    """The resumable checkpointed-join path (worker-side partitioned writes
+    + lineage manifest) must produce exactly the broadcast join's result —
+    same oracle as tz_lookup_top1."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from timezonemap_ray.pipelines.checkpoint import run_checkpointed
+    from timezonemap_ray.pipelines.flagship import geo_points
+
+    out_dir = tempfile.mkdtemp(prefix="ckpt_query_")
+    try:
+        run_checkpointed(geo_points(sf_dir), _engine(), out_dir,
+                         n_partitions=8)
+        files = sorted(glob.glob(f"{out_dir}/result/**/*.parquet",
+                                 recursive=True))
+        t = pa.concat_tables([pq.read_table(f) for f in files],
+                             promote_options="default")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "span_idx": pc.cast(t["span_idx"], pa.int64()),
+        "lat": t["lat"], "lng": t["lng"],
+        "zone_id": pc.cast(t["zone_id"], pa.string()),
+        "matched": t["matched"],
+    })
+
+
+def _q_tz_lookup_lazy(sf_dir: str):
+    """Lazy decode-on-touch joiner path (LRU working set per actor) —
+    same oracle as tz_lookup_top1."""
+    import ray
+    import ray.data as rd
+
+    from timezonemap_ray import worlds
+    from timezonemap_ray.pipelines.flagship import geo_points
+    from timezonemap_ray.stages.joiner import LazyZoneJoiner
+
+    table_ref = ray.put(worlds.conformance_table())
+    ds = geo_points(sf_dir).map_batches(
+        LazyZoneJoiner,
+        fn_constructor_kwargs=dict(table_ref=table_ref, max_cached=16),
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "span_idx": pc.cast(b["span_idx"], pa.int64()),
+            "lat": b["lat"], "lng": b["lng"],
+            "zone_id": pc.cast(b["zone_id"], pa.string()),
+            "matched": b["matched"],
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _q_tz_distance(sf_dir: str):
     """Geodesic boundary distance for each matched point (not SQL-expressible
     — rows-only check)."""
@@ -456,6 +516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tz_lookup_top1": _q_tz_lookup_top1,
         "tz_lookup_all": _q_tz_lookup_all,
         "tz_lookup_shuffled": _q_tz_lookup_shuffled,
+        "tz_lookup_checkpointed": _q_tz_lookup_checkpointed,
+        "tz_lookup_lazy": _q_tz_lookup_lazy,
         "tz_distance_boundary": _q_tz_distance,
         # text analysis
         "token_count": _q_token_count,
@@ -503,6 +565,8 @@ def oracle_sql() -> dict[str, str]:
         "tz_lookup_top1": oracle.sql_tz_lookup_top1(),
         "tz_lookup_all": oracle.sql_tz_lookup_all(),
         "tz_lookup_shuffled": oracle.sql_tz_lookup_top1(),
+        "tz_lookup_checkpointed": oracle.sql_tz_lookup_top1(),
+        "tz_lookup_lazy": oracle.sql_tz_lookup_top1(),
         "token_count": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
