@@ -177,3 +177,28 @@ def test_ivf_physical_pruning(ray_session, emb_path, queries, tmp_path):
     # wider probe reads strictly more bytes
     _, frac_all = ann.ivf_query(idx_dir, qids, qmat, k=10, nprobe=8)
     assert frac <= frac_all == 1.0
+
+
+def test_audio_codec_and_features(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from timezonemap_ray.stages import codec, media
+    # WAV round-trip
+    rng = np.random.default_rng(3)
+    sig = (rng.normal(0, 5000, 1234)).astype(np.int16)
+    back, rate = codec.decode_wav(codec.encode_wav(sig, 8000))
+    assert rate == 8000 and (back == sig).all()
+    # audio stage end-to-end: real PCM decode + spectral features
+    t = media.synth_media_table([f"media://aud/{i}" for i in range(6)],
+                                kind="audio")
+    out = rd.from_arrow(t).map_batches(media.MediaDecoder,
+                                       batch_format="pyarrow",
+                                       concurrency=2).to_pandas()
+    assert out["decode_error"].isna().all()
+    assert (out["decoded_bytes"] == 16000 * 2).all()  # 1s of PCM16
+    # different tones -> different spectra
+    f0 = np.array(out["features"].iloc[0])
+    f1 = np.array(out["features"].iloc[1])
+    assert not np.allclose(f0, f1)
+    # duration feature (index 2) is ~1.0s
+    assert abs(f0[2] - 1.0) < 1e-3

@@ -176,3 +176,69 @@ def decode_video_frame(data: bytes, frame_idx: int) -> np.ndarray:
         pos += 4 + ln
     ln = struct.unpack_from("<I", data, pos)[0]
     return decode_ppm(data[pos + 4:pos + 4 + ln])
+
+
+# ---------------------------------------------------------------------------
+# WAV (PCM16) audio
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) int16 mono PCM → WAV bytes (RIFF/WAVE, fmt + data chunks)."""
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → ((n,) int16 mono samples, sample_rate). PCM16 only;
+    compressed codecs (MP3/AAC/float WAV) are the libav seam."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, n_ch, bits, samples = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        ln = struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", data, body)
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only PCM16 WAV supported — compressed audio is the "
+                    "libav seam")
+        elif cid == b"data":
+            samples = np.frombuffer(data, dtype=np.int16, count=ln // 2,
+                                    offset=body)
+        pos = body + ln + (ln & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    if n_ch and n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1).astype(np.int16)
+    return samples.copy(), rate
+
+
+def audio_features(samples: np.ndarray, sample_rate: int,
+                   dim: int = 32) -> np.ndarray:
+    """Real signal features: RMS, zero-crossing rate, duration, and a
+    log-magnitude spectrum (rfft) pooled into coarse bands — float32[dim]."""
+    x = samples.astype(np.float32) / 32768.0
+    n = max(x.size, 1)
+    zcr = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / n
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    spec = np.abs(np.fft.rfft(x, n=min(x.size, 4096) or 1))
+    bands = max(dim - 3, 1)
+    pooled = np.zeros(bands, dtype=np.float32)
+    if spec.size:
+        edges = np.linspace(0, spec.size, bands + 1).astype(int)
+        for k in range(bands):
+            seg = spec[edges[k]:max(edges[k + 1], edges[k] + 1)]
+            pooled[k] = np.log1p(seg.mean()) if seg.size else 0.0
+    v = np.concatenate([[rms, zcr, x.size / max(sample_rate, 1)],
+                        pooled]).astype(np.float32)
+    if v.size < dim:
+        v = np.pad(v, (0, dim - v.size))
+    return v[:dim]

@@ -51,6 +51,18 @@ def synth_media_table(media_refs: list, kind: str = "image",
             frames = [_synth_pixels(f"{ref}#f{k}", w, h) for k in range(5)]
             payload = codec.encode_video(frames, frame_interval_ms=1000)
             dur = 5000
+        elif kind == "audio":
+            import hashlib
+            seed = int.from_bytes(
+                hashlib.blake2b(ref.encode(), digest_size=8).digest(),
+                "little")
+            rng = np.random.default_rng(seed)
+            n = 16000  # 1 s at 16 kHz
+            t = np.arange(n, dtype=np.float32)
+            tone = np.sin(2 * np.pi * rng.uniform(100, 2000) * t / 16000)
+            sig = (tone * 12000 + rng.normal(0, 800, n)).astype(np.int16)
+            payload = codec.encode_wav(sig, 16000)
+            dur = 1000
         else:
             img = _synth_pixels(ref, w, h)
             payload = (codec.encode_bmp(img) if fmt == "bmp"
@@ -79,9 +91,16 @@ class MediaDecoder:
         self.fake = fake
 
     def _decode_one(self, payload: bytes):
+        """→ (features_source_array, decoded_nbytes)."""
         if payload[:4] == b"TZV1":
-            return codec.decode_video_frame(payload, 0)
-        return codec.decode_image(payload)
+            img = codec.decode_video_frame(payload, 0)
+            return codec.image_features(img, self.feature_dim), img.nbytes
+        if payload[:4] == b"RIFF":
+            samples, rate = codec.decode_wav(payload)
+            return (codec.audio_features(samples, rate, self.feature_dim),
+                    samples.nbytes)
+        img = codec.decode_image(payload)
+        return codec.image_features(img, self.feature_dim), img.nbytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -90,9 +109,7 @@ class MediaDecoder:
         errs: list = [None] * len(payloads)
         for i, p in enumerate(payloads):
             try:
-                img = self._decode_one(p or b"")
-                feats[i] = codec.image_features(img, self.feature_dim)
-                nbytes[i] = img.nbytes
+                feats[i], nbytes[i] = self._decode_one(p or b"")
             except Exception as e:  # noqa: BLE001 — flagged, never thrown
                 if self.strict:
                     raise
