@@ -106,3 +106,28 @@ def test_salting_splits_hot_cells():
 _TABLE = worlds.conformance_table()
 _IDX = build_index(_TABLE)
 _SQUARE = worlds.square_with_island_zone().flat()
+
+
+def test_cell_path_equals_linear_scan_adversarial_boundaries():
+    """Eps-shell equivalence: points placed ON and within ±BOUNDARY_EPS of
+    every zone-envelope edge (the knife-edge cases where the env prefilter,
+    rect fast path and pip's d² ≤ eps² on-edge test can disagree under
+    float rounding) — cell path must equal the linear scan EXACTLY."""
+    import numpy as np
+    from timezonemap_ray import worlds
+    from timezonemap_ray.index import (build_index, lookup_batch,
+                                       lookup_linear_scan)
+    idx = build_index(worlds.conformance_table())
+    rng = np.random.default_rng(41)
+    n = 20000
+    edges_lat = np.unique(np.concatenate([idx.envs[:, 1], idx.envs[:, 3]]))
+    edges_lng = np.unique(np.concatenate([idx.envs[:, 0], idx.envs[:, 2]]))
+    perturb = np.array([0.0, 1e-12, -1e-12, 1e-13, -1e-13, 5e-324, -5e-324])
+    lats = rng.choice(edges_lat, n) + rng.choice(perturb, n)
+    lngs = rng.choice(edges_lng, n) + rng.choice(perturb, n)
+    np.clip(lats, -90, 90, out=lats)
+    np.clip(lngs, -180, 180, out=lngs)
+    f = lookup_batch(idx, lats, lngs, want_all=True)
+    s = lookup_linear_scan(idx, lats, lngs, want_all=True)
+    assert f["zone_id"].tolist() == s["zone_id"].tolist()
+    assert f["all_zones"] == s["all_zones"]

@@ -166,6 +166,7 @@ def _build_subcover(idx: ZoneIndex) -> dict:
     corners of big worlds (quadtree-lite, SURVEY §7.3)."""
     sub: dict = {}
     s = idx.cell_size / SUBGRID
+    eps = geom.BOUNDARY_EPS
     for cid, cand in idx.cover.items():
         if cand.size <= SPLIT_THRESHOLD:
             continue
@@ -175,8 +176,11 @@ def _build_subcover(idx: ZoneIndex) -> dict:
             for qx in range(SUBGRID):
                 lo_lat = c_min_lat + qy * s
                 lo_lng = c_min_lng + qx * s
+                # eps-widened subcell: keep zones whose eps-inclusive
+                # boundary shell reaches into this subcell
                 keep = [int(i) for i in cand if geom.rect_intersects_polygon(
-                    lo_lng, lo_lat, lo_lng + s, lo_lat + s,
+                    lo_lng - eps, lo_lat - eps, lo_lng + s + eps,
+                    lo_lat + s + eps,
                     idx.xs[i], idx.ys[i], idx.ring_starts[i])]
                 table[qy * SUBGRID + qx] = np.asarray(keep, dtype=np.int64)
         sub[cid] = table
@@ -197,17 +201,23 @@ def _build_cover(idx: ZoneIndex, refine: bool) -> dict:
     records covering many cells (cheap at build time, shrinks per-cell
     candidate lists at query time)."""
     cover: dict[int, list] = {}
+    eps = geom.BOUNDARY_EPS
     for i in range(len(idx)):
         min_x, min_y, max_x, max_y = idx.envs[i]
+        # eps-widened: a zone's boundary-inclusive shell (PIP accepts points
+        # within BOUNDARY_EPS of an edge) may reach into a neighboring cell
+        # when the envelope sits exactly on a cell boundary
         cids = cells.cells_overlapping_envelope(
-            min_y, min_x, max_y, max_x, idx.cell_size)
+            min_y - eps, min_x - eps, max_y + eps, max_x + eps,
+            idx.cell_size)
         do_refine = refine and cids.size > 4
         for cid in cids:
             if do_refine:
                 c_min_lat, c_min_lng, c_max_lat, c_max_lng = cells.cell_bounds(
                     int(cid), idx.cell_size)
                 if not geom.rect_intersects_polygon(
-                        c_min_lng, c_min_lat, c_max_lng, c_max_lat,
+                        c_min_lng - eps, c_min_lat - eps,
+                        c_max_lng + eps, c_max_lat + eps,
                         idx.xs[i], idx.ys[i], idx.ring_starts[i]):
                     continue
             cover.setdefault(int(cid), []).append(i)
@@ -288,16 +298,36 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
             sel = sel[~matched[sel]]  # top-1: earlier (smaller) zones won
             if sel.size == 0:
                 continue
-        # envelope pre-check (exact envelope filter, M12 analogue)
+        # envelope pre-check (M12 analogue), widened by 2×BOUNDARY_EPS: the
+        # PIP is boundary-inclusive within eps, so a point eps OUTSIDE the
+        # envelope can still be on-edge inside (hypothesis-found). The 2×
+        # slack makes the prefilter a strict SUPERSET of pip acceptance even
+        # under float rounding of (edge − eps) — pip remains the single
+        # decision procedure, so cell path ≡ linear scan exactly.
         e = idx.envs[rec_i]
+        eps = geom.BOUNDARY_EPS
         plats, plngs = lats[sel], lngs[sel]
-        env_ok = ((plngs >= e[0]) & (plngs <= e[2]) &
-                  (plats >= e[1]) & (plats <= e[3]))
+        env_ok = ((plngs >= e[0] - 2 * eps) & (plngs <= e[2] + 2 * eps) &
+                  (plats >= e[1] - 2 * eps) & (plats <= e[3] + 2 * eps))
         sel = sel[env_ok]
         if sel.size == 0:
             continue
         if idx.is_rect[rec_i]:
-            rows = sel  # rect zone: the envelope test IS the PIP test
+            # rect fast path: strictly-inside-the-envelope points need no
+            # PIP (boundary-inclusive PIP on an axis rect accepts them all);
+            # the eps SHELL around the rect must run the real on-edge test —
+            # env arithmetic and pip's d² ≤ eps² disagree at knife-edge
+            # distances ≈ eps (different float roundings)
+            plats, plngs = lats[sel], lngs[sel]
+            strict = ((plngs >= e[0]) & (plngs <= e[2]) &
+                      (plats >= e[1]) & (plats <= e[3]))
+            shell = sel[~strict]
+            if shell.size:
+                hit = geom.pip_edges(lngs[shell], lats[shell],
+                                     idx.edges[rec_i])
+                rows = np.concatenate([sel[strict], shell[hit]])
+            else:
+                rows = sel[strict]
         else:
             hit = geom.pip_edges(lngs[sel], lats[sel], idx.edges[rec_i])
             rows = sel[hit]

@@ -86,12 +86,16 @@ class LazyZoneIndex:
 
     def _build_cover(self) -> dict:
         """Envelope-only cover — computed WITHOUT decoding any geometry
-        (the reference's envelope-in-filename trick)."""
+        (the reference's envelope-in-filename trick). Envelopes widened by
+        BOUNDARY_EPS so the PIP's boundary-inclusive shell never reaches a
+        cell the cover missed (same as the eager index)."""
+        eps = geom.BOUNDARY_EPS
         cover: dict[int, list] = {}
         for i in range(len(self)):
             min_x, min_y, max_x, max_y = self.envs[i]
             for cid in cells.cells_overlapping_envelope(
-                    min_y, min_x, max_y, max_x, self.cell_size):
+                    min_y - eps, min_x - eps, max_y + eps, max_x + eps,
+                    self.cell_size):
                 cover.setdefault(int(cid), []).append(i)
         return {k: np.asarray(v, dtype=np.int64) for k, v in cover.items()}
 
