@@ -76,10 +76,14 @@ def run_bench(num_cpus: int) -> dict:
     _rd.range(1_000_000, override_num_blocks=num_cpus * 2).map_batches(
         lambda b: b, batch_format="pyarrow").count()
 
-    t0 = time.perf_counter()
-    out = flagship(SF_DIR, conf_engine)
-    n_flagship = out.count()
-    timings["flagship_docs_join"] = time.perf_counter() - t0
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = flagship(SF_DIR, conf_engine)
+        n_flagship = out.count()
+        sec = time.perf_counter() - t0
+        best = sec if best is None or sec < best else best
+    timings["flagship_docs_join"] = best
 
     t0 = time.perf_counter()
     out = flagship(SF_DIR, conf_engine, shuffle=True)
@@ -93,7 +97,7 @@ def run_bench(num_cpus: int) -> dict:
     # 30-50% first-run penalty from pool spin-up
     bench_points_join(grid_engine, BENCH_POINTS, num_cpus)
     best = None
-    for _ in range(2):
+    for _ in range(3):
         sec, n_pts = bench_points_join(grid_engine, BENCH_POINTS, num_cpus)
         if best is None or sec < best[0]:
             best = (sec, n_pts)
