@@ -202,3 +202,44 @@ def test_audio_codec_and_features(ray_session):
     assert not np.allclose(f0, f1)
     # duration feature (index 2) is ~1.0s
     assert abs(f0[2] - 1.0) < 1e-3
+
+
+def test_ivf_rebuild_same_dir_no_duplicates(ray_session, emb_path, queries,
+                                            tmp_path):
+    """Rebuilding an IVF index into the same dir must wipe the old
+    partitions (append-duplication hazard)."""
+    import ray.data as rd
+    qids, qmat = queries
+    idx_dir = str(tmp_path / "ivf2")
+    ds = rd.read_parquet(emb_path)
+    ann.ivf_build(ds, idx_dir, n_centroids=4)
+    ann.ivf_build(ds, idx_dir, n_centroids=4)  # rebuild
+    out, _ = ann.ivf_query(idx_dir, qids, qmat, k=10, nprobe=4)
+    df = out.to_pandas()
+    # no duplicated (query, vec) rows from doubled files
+    assert not df.duplicated(["query_id", "vec_id"]).any()
+
+
+def test_frame_sampler_flags_truncated_video(ray_session):
+    import pyarrow as pa
+    from timezonemap_ray.stages import media
+    t = media.synth_media_table(["media://v/ok"], kind="video")
+    import struct
+    trunc = pa.table({
+        "media_id": pa.array([1], type=pa.int64()),
+        "media_ref": pa.array(["media://v/trunc"]),
+        "kind": pa.array(["video"]),
+        "payload": pa.array([b"TZV1" + struct.pack("<II", 3, 1000)],
+                            type=pa.binary()),  # header only, no frames
+        "width": pa.array([0], type=pa.int32()),
+        "height": pa.array([0], type=pa.int32()),
+        "duration_ms": pa.array([3000], type=pa.int32())})
+    batch = pa.concat_tables([t, trunc])
+    out = media.FrameSampler()(batch)
+    # good video contributes 5 frames; truncated one is skipped, not thrown
+    assert out.num_rows == 5
+    assert set(out["media_id"].to_pylist()) == {0}
+    # resizer flags garbage instead of claiming a resize
+    r = media.ImageResizer()(trunc)
+    assert r["resize_error"][0].as_py() is not None
+    assert r["resized_w"][0].as_py() is None

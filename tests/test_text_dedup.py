@@ -250,3 +250,32 @@ def test_ngram_df_cap(ray_session):
         sorted(map(tuple, capped[["a", "b"]].values.tolist()))
     none = dedup.ngram_jaccard_pairs(ds, threshold=0.5, df_cap=1).to_pandas()
     assert none.empty or len(none) == 0
+
+
+def test_minhash_dedup_duplicate_free_corpus(ray_session):
+    """Regression: a corpus with NO shared band keys must return a clean
+    all-singleton clustering, not crash on the empty-pairs path."""
+    import ray.data as rd
+    rows = [{"doc_id": i, "text": f"totally unique document number {i} "
+             + " ".join(f"w{i}_{k}" for k in range(30))} for i in range(20)]
+    out = dedup.minhash_dedup(rd.from_arrow(pa.Table.from_pylist(rows))) \
+        .to_pandas()
+    assert len(out) == 20
+    assert (out["cluster_id"] == out["doc_id"]).all()
+    assert not out["is_duplicate"].any()
+    assert dedup.minhash_candidate_pairs(
+        rd.from_arrow(pa.Table.from_pylist(rows))) == set()
+
+
+def test_distributed_cc_raises_on_nonconvergence(ray_session):
+    """A chain longer than max_iters must RAISE, not silently split."""
+    import pytest as _pytest
+    import ray.data as rd
+    n = 12
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array(range(n),
+                                                     type=pa.int64())}))
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array(range(n - 1), type=pa.int64()),
+        "b": pa.array(range(1, n), type=pa.int64())}))
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.clusters_from_pairs_ds(ids, pairs, max_iters=3)

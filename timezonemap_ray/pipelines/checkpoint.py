@@ -80,12 +80,25 @@ def _partial_stats(t: pa.Table, cols=CHECKSUM_COLS) -> dict:
 
 @ray.remote(num_cpus=0)
 class _StatsCollector:
-    """Associative merge of per-block partial stats (tiny dicts, never data)."""
+    """Associative merge of per-block partial stats (tiny dicts, never data).
+
+    Idempotent under Ray task RETRY: a re-executed block recomputes the
+    identical partial (the join is deterministic), so partials are deduped
+    by content fingerprint before merging — the manifest can never
+    double-count a retried block. (Two distinct blocks colliding on the
+    fingerprint requires equal per-partition row-hash sums — ~2^-64.)"""
 
     def __init__(self):
         self.stats: dict = {}
+        self.seen: set = set()
 
     def add(self, partial: dict) -> None:
+        fp = tuple(sorted((k, s["n_rows"], s["n_matched"],
+                           s["n_fallback"], s["csum"])
+                          for k, s in partial.items()))
+        if fp in self.seen:
+            return
+        self.seen.add(fp)
         for k, s in partial.items():
             agg = self.stats.setdefault(
                 k, {"n_rows": 0, "n_matched": 0, "n_fallback": 0, "csum": 0})

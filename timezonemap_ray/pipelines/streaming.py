@@ -134,6 +134,7 @@ def run_windowed_stream(ds, window_s: int = 3600, lateness_s: int = 600,
         if len(inflight) > max_inflight * num_shards:
             ready, inflight = ray.wait(
                 inflight, num_returns=len(inflight) - max_inflight * num_shards)
+            ray.get(ready)  # surface feed exceptions — never drop a batch
         if n_fed % drain_every == 0:
             collect([s.drain.remote() for s in shards])
 

@@ -136,10 +136,17 @@ def ivf_build(ds, index_dir: str, n_centroids: int = 16,
         return b.append_column("centroid_id", pa.array(a)) \
                 .append_column("cid", pa.array(a))
 
+    import shutil
+
     os.makedirs(index_dir, exist_ok=True)
+    vec_dir = os.path.join(index_dir, "vectors")
+    if os.path.isdir(vec_dir):
+        # rebuilding into the same dir would APPEND beside the old files and
+        # leave stale partitions keyed to previously-trained centroids —
+        # same append-duplication hazard the checkpoint staging wipes
+        shutil.rmtree(vec_dir)
     ds.map_batches(assign, batch_format="pyarrow") \
-      .write_parquet(os.path.join(index_dir, "vectors"),
-                     partition_cols=["centroid_id"])
+      .write_parquet(vec_dir, partition_cols=["centroid_id"])
     np.save(os.path.join(index_dir, "centroids.npy"), cents)
     return cents
 
@@ -169,6 +176,14 @@ def ivf_query(index_dir: str, query_ids, query_matrix, k: int = 10,
         f for c in probed
         for f in glob.glob(os.path.join(root, f"centroid_id={c}",
                                         "*.parquet")))
+    if not probe_files:
+        # every probed centroid captured zero vectors (k-means can train
+        # empty cells) — an empty result, not a read error
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "rank": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+        return empty, 0.0
     ds = rd.read_parquet(probe_files)
 
     def dir_bytes(dirs):
@@ -230,15 +245,21 @@ def ivf_topk(ds, query_ids, query_matrix, k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, sample_n: int = 2000, vec_col="embedding",
              id_col="vec_id", concurrency=(1, 8), index_dir: str | None = None):
     """Build-then-query convenience wrapper (the ``queries()`` entry).
-    ``index_dir=None`` builds a throwaway index under /tmp; pass a path to
-    keep (and reuse) the physical partitioning."""
+    ``index_dir=None`` builds a throwaway index under /tmp (removed after
+    the query); pass a path to keep (and reuse) the physical partitioning."""
+    import shutil
     import tempfile
 
-    if index_dir is None:
+    throwaway = index_dir is None
+    if throwaway:
         index_dir = tempfile.mkdtemp(prefix="ivf_index_")
-    ivf_build(ds, index_dir, n_centroids=n_centroids, sample_n=sample_n,
-              vec_col=vec_col, id_col=id_col)
-    out, _frac = ivf_query(index_dir, query_ids, query_matrix, k=k,
-                           nprobe=nprobe, vec_col=vec_col, id_col=id_col,
-                           concurrency=concurrency)
+    try:
+        ivf_build(ds, index_dir, n_centroids=n_centroids, sample_n=sample_n,
+                  vec_col=vec_col, id_col=id_col)
+        out, _frac = ivf_query(index_dir, query_ids, query_matrix, k=k,
+                               nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+                               concurrency=concurrency)
+    finally:
+        if throwaway:
+            shutil.rmtree(index_dir, ignore_errors=True)
     return out

@@ -252,6 +252,7 @@ def minhash_candidate_pairs_ds(ds, num_perm=64, bands=16, shingle=3,
     """
     import pyarrow.compute as pc
     import ray
+    import ray.data as rd
 
     mk = dict(num_perm=num_perm, bands=bands, shingle=shingle,
               text_col=text_col)
@@ -260,7 +261,10 @@ def minhash_candidate_pairs_ds(ds, num_perm=64, bands=16, shingle=3,
         batch_format="pyarrow", batch_size=HASH_BATCH)
     hot = _hot_keys(keys_only, "band_key").to_pandas()
     if hot.empty:
-        return set()
+        # duplicate-free corpus: an EMPTY PAIRS DATASET (same schema), not
+        # a set — every caller expects a Dataset
+        return rd.from_arrow(pa.table({"a": pa.array([], type=pa.int64()),
+                                       "b": pa.array([], type=pa.int64())}))
     hot_ref = ray.put(pa.array(hot["band_key"].to_numpy(), type=pa.int64()))
 
     def keep_hot(b: pa.Table) -> pa.Table:
@@ -282,8 +286,7 @@ def minhash_candidate_pairs_ds(ds, num_perm=64, bands=16, shingle=3,
 
 
 def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle=3,
-                            threshold=0.5, text_col="text",
-                            concurrency=None) -> set:
+                            threshold=0.5, text_col="text") -> set:
     """Driver-side set view of ``minhash_candidate_pairs_ds`` (kept for
     callers/tests that inspect the pair set directly)."""
     pdf = minhash_candidate_pairs_ds(
@@ -370,6 +373,7 @@ def clusters_from_pairs_ds(ids_ds, pairs_ds, id_col: str = "doc_id",
         out = labels
     else:
         prev_sum = labels.sum("label")
+        converged = False
         for _ in range(max_iters):
             prop = edges.join(labels, join_type="inner",
                               num_partitions=num_partitions,
@@ -383,8 +387,17 @@ def clusters_from_pairs_ds(ids_ds, pairs_ds, id_col: str = "doc_id",
             # label sums are strictly decreasing until fixpoint
             s = labels.sum("label")
             if s == prev_sum:
+                converged = True
                 break
             prev_sum = s
+        if not converged:
+            # min-label propagation advances one hop per round: a component
+            # whose diameter exceeds max_iters would otherwise be SILENTLY
+            # split into multiple clusters
+            raise RuntimeError(
+                f"connected components did not converge in {max_iters} "
+                "rounds — a duplicate component's diameter exceeds the "
+                "iteration budget; raise max_iters (rounds are O(diameter))")
         out = labels
 
     def rename(b: pa.Table) -> pa.Table:
@@ -503,8 +516,7 @@ class SimHasher:
         })
 
 
-def simhash_dedup(ds, max_hamming: int = 3, text_col: str = "text",
-                  concurrency=(1, 16)):
+def simhash_dedup(ds, max_hamming: int = 3, text_col: str = "text"):
     """→ (doc_id, cluster_id, is_duplicate); near-dup iff Hamming ≤ k.
     Banding guarantees recall for k ≤ 3 (4 bands, pigeonhole). Bucket pair
     extraction runs through ``_runs_map_groups`` (coarse partitions, runs
@@ -607,7 +619,7 @@ def _pair_counts(pair_rows, n_parts: int = 64):
 
 
 def ngram_jaccard_pairs(ds, shingle=3, threshold=0.5, text_col="text",
-                        concurrency=(1, 16), df_cap: int | None = None):
+                        df_cap: int | None = None):
     """EXACT shingle-set Jaccard pairs, fully distributed:
 
     1. explode docs to distinct (shingle, doc_id, |set|) rows;
@@ -708,7 +720,7 @@ class HyperplaneHasher:
 
 
 def embedding_dedup(ds, dim: int, threshold: float = 0.95, n_bits: int = 12,
-                    vec_col="embedding", id_col="vec_id", concurrency=(1, 16)):
+                    vec_col="embedding", id_col="vec_id"):
     """→ (vec_id, cluster_id, is_duplicate): cosine ≥ threshold within
     hyperplane-LSH buckets (near-dup by embedding similarity)."""
     buckets = ds.map_batches(

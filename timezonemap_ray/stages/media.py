@@ -134,23 +134,31 @@ class ImageResizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         out_payload: list = []
+        ws: list = []
+        hs: list = []
+        errs: list = []
         for p in payloads:
             try:
                 img = codec.decode_image(p or b"")
                 out_payload.append(codec.encode_ppm(
                     codec.resize_nearest(img, self.target_w, self.target_h)))
-            except Exception:  # undecodable: pass through unchanged
-                if self.strict:
+                ws.append(self.target_w)
+                hs.append(self.target_h)
+                errs.append(None)
+            except Exception as e:  # undecodable: pass through, FLAGGED —
+                if self.strict:    # never claim a resize that didn't happen
                     raise
                 out_payload.append(p)
-        n = batch.num_rows
+                ws.append(None)
+                hs.append(None)
+                errs.append(f"{type(e).__name__}: {e}")
         cols = {name: batch[name] for name in batch.column_names}
         cols["payload"] = pa.array(out_payload, type=pa.binary())
         out = pa.table(cols)
-        out = out.append_column(
-            "resized_w", pa.array([self.target_w] * n, type=pa.int32()))
+        out = out.append_column("resized_w", pa.array(ws, type=pa.int32()))
+        out = out.append_column("resized_h", pa.array(hs, type=pa.int32()))
         return out.append_column(
-            "resized_h", pa.array([self.target_h] * n, type=pa.int32()))
+            "resize_error", pa.array(errs, type=pa.string()))
 
 
 class FrameSampler:
@@ -170,20 +178,25 @@ class FrameSampler:
         durs = batch["duration_ms"].to_pylist()
         payloads = batch["payload"].to_pylist()
         for mid, ref, dur, p in zip(ids, refs, durs, payloads):
+            # flag-never-throw contract: malformed containers include
+            # truncated streams (struct.error), 0-frame videos (IndexError)
+            # and bad magics (ValueError)
             try:
                 n_frames, interval = codec.video_info(p or b"")
-            except ValueError:
+                if n_frames <= 0:
+                    continue
+                for t in range(0, int(dur or 0), self.every_ms):
+                    idx = min(t // max(interval, 1), n_frames - 1)
+                    fr = codec.decode_video_frame(p, int(idx))
+                    out["media_id"].append(mid)
+                    out["media_ref"].append(ref)
+                    out["frame_ms"].append(t)
+                    out["frame_w"].append(fr.shape[1])
+                    out["frame_h"].append(fr.shape[0])
+            except Exception:  # noqa: BLE001
                 if self.strict:
                     raise
                 continue
-            for t in range(0, int(dur or 0), self.every_ms):
-                idx = min(t // max(interval, 1), n_frames - 1)
-                fr = codec.decode_video_frame(p, int(idx))
-                out["media_id"].append(mid)
-                out["media_ref"].append(ref)
-                out["frame_ms"].append(t)
-                out["frame_w"].append(fr.shape[1])
-                out["frame_h"].append(fr.shape[0])
         return pa.table({
             "media_id": pa.array(out["media_id"], type=pa.int64()),
             "media_ref": pa.array(out["media_ref"], type=pa.string()),
