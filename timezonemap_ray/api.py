@@ -47,6 +47,21 @@ class TimeZoneEngine:
                    max_lat: float, max_lng: float, **kw) -> "TimeZoneEngine":
         return cls(build_index(zone_table, region=(min_lat, min_lng, max_lat, max_lng), **kw))
 
+    @classmethod
+    def from_archive(cls, path: str, region: tuple | None = None,
+                     **kw) -> "TimeZoneEngine":
+        """Open a tar+zstd zone ARCHIVE (the reference's bring-your-own-
+        archive stream, `TimeZoneMap.kt:104-113`): region-scoped opens skip
+        non-overlapping zones from the entry NAME alone — payload bytes for
+        pruned zones are never parsed (``sources/archive.py``)."""
+        from .index import WORLD
+        from .sources.archive import read_zone_archive
+        table, stats = read_zone_archive(path, region=region)
+        eng = cls(build_index(table, region=region or WORLD,
+                              check_version=False, **kw))
+        eng.index.map_version = stats["map_version"]
+        return eng
+
     # -- metadata accessors -------------------------------------------------
     @property
     def map_version(self) -> Optional[str]:
