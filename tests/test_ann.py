@@ -243,3 +243,30 @@ def test_frame_sampler_flags_truncated_video(ray_session):
     r = media.ImageResizer()(trunc)
     assert r["resize_error"][0].as_py() is not None
     assert r["resized_w"][0].as_py() is None
+
+
+def test_frame_sampler_all_or_nothing(ray_session):
+    """A video whose header promises more frames than the stream contains
+    emits NO rows (all-or-nothing), not a partial sample."""
+    import struct
+    import pyarrow as pa
+    from timezonemap_ray.stages import codec, media
+    import numpy as np
+    fr = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = codec.encode_video([fr, fr, fr, fr, fr], frame_interval_ms=1000)
+    # keep header + only the first 2 frames' bytes
+    pos = 12
+    for _ in range(2):
+        ln = struct.unpack_from("<I", good, pos)[0]
+        pos += 4 + ln
+    partial = good[:pos]
+    t = pa.table({
+        "media_id": pa.array([7], type=pa.int64()),
+        "media_ref": pa.array(["media://v/partial"]),
+        "kind": pa.array(["video"]),
+        "payload": pa.array([partial], type=pa.binary()),
+        "width": pa.array([4], type=pa.int32()),
+        "height": pa.array([4], type=pa.int32()),
+        "duration_ms": pa.array([5000], type=pa.int32())})
+    out = media.FrameSampler()(t)
+    assert out.num_rows == 0  # frames 0-1 decode, frame 2 fails -> discard all

@@ -56,14 +56,16 @@ def test_archive_version_gate(tmp_path):
     from timezonemap_ray.sources import archive as arc
     path = str(tmp_path / "bad.tzmap")
     write_zone_archive(worlds.conformance_table(), path, "2020d")
-    # tamper the engine version inside the marker
-    orig = arc.ENGINE_VERSION
+    # tamper the engine version (the gate lives in zonetable, shared by
+    # the parquet table and the archive)
+    from timezonemap_ray import zonetable
+    orig = zonetable.ENGINE_VERSION
     try:
-        arc.ENGINE_VERSION = "99.0"
+        zonetable.ENGINE_VERSION = "99.0"
         with pytest.raises(ValueError, match="Incompatible map archive"):
             read_zone_archive(path)
     finally:
-        arc.ENGINE_VERSION = orig
+        zonetable.ENGINE_VERSION = orig
     with pytest.raises(ValueError, match="not a zstd zone archive"):
         bad = str(tmp_path / "junk.tzmap")
         open(bad, "wb").write(b"garbage bytes")
@@ -78,3 +80,19 @@ def test_engine_from_archive(tmp_path):
     eng = TimeZoneEngine.from_archive(path, region=(38.0, -10.0, 42.0, -5.0))
     assert eng.map_version == "1.0:2020d"
     assert eng.get_overlapping_time_zone(39.666304, -7.558607) == "Test/West"
+
+
+def test_archive_zero_entries_rejected(tmp_path):
+    import io
+    import tarfile
+    import pyarrow as pa
+    path = str(tmp_path / "empty.tzmap")
+    buf = io.BytesIO()
+    tarfile.open(fileobj=buf, mode="w").close()  # valid, zero-entry tar
+    raw = buf.getvalue()
+    with open(path, "wb") as f:
+        f.write(b"ZSTDTAR1")
+        f.write(len(raw).to_bytes(8, "little"))
+        f.write(pa.Codec("zstd").compress(raw))
+    with pytest.raises(ValueError, match="No version marker"):
+        read_zone_archive(path)

@@ -10,10 +10,11 @@ Two stages, both idempotent:
    (only its own directory — no rescan), joined against the broadcast index,
    and written by the WORKERS via ``write_parquet(partition_cols=["part_id"])``
    — the driver never touches a data block. Lineage
-   ``(partition, n_rows, n_matched, n_fallback, checksum)`` is collected by a
-   tiny stats actor fed per-block partial counts + an ORDER-INDEPENDENT
-   checksum (sum of per-row hashes mod 2^64, associative ⇒ identical however
-   Ray schedules the blocks), then committed atomically per partition. A
+   ``(partition, n_rows, n_matched, n_fallback, checksum)`` is then computed
+   from the COMMITTED files (a distributed read-back of the wave's own
+   output): exactly-once by construction, immune to task-retry
+   double-counting, and the ORDER-INDEPENDENT checksum (sum of per-row
+   hashes mod 2^64, associative) certifies the bytes actually on disk. A
    killed run resumes by skipping manifested shards; non-manifested partial
    result dirs from a crashed wave are wiped before rewrite, so re-runs are
    value-identical.
@@ -31,7 +32,6 @@ import shutil
 import numpy as np
 import pyarrow as pa
 
-import ray
 
 from .. import cells
 from ..state.manifest import Manifest
@@ -76,39 +76,6 @@ def _partial_stats(t: pa.Table, cols=CHECKSUM_COLS) -> dict:
             "csum": int(hashes[m].sum(dtype=np.uint64)),
         }
     return out
-
-
-@ray.remote(num_cpus=0)
-class _StatsCollector:
-    """Associative merge of per-block partial stats (tiny dicts, never data).
-
-    Idempotent under Ray task RETRY: a re-executed block recomputes the
-    identical partial (the join is deterministic), so partials are deduped
-    by content fingerprint before merging — the manifest can never
-    double-count a retried block. (Two distinct blocks colliding on the
-    fingerprint requires equal per-partition row-hash sums — ~2^-64.)"""
-
-    def __init__(self):
-        self.stats: dict = {}
-        self.seen: set = set()
-
-    def add(self, partial: dict) -> None:
-        fp = tuple(sorted((k, s["n_rows"], s["n_matched"],
-                           s["n_fallback"], s["csum"])
-                          for k, s in partial.items()))
-        if fp in self.seen:
-            return
-        self.seen.add(fp)
-        for k, s in partial.items():
-            agg = self.stats.setdefault(
-                k, {"n_rows": 0, "n_matched": 0, "n_fallback": 0, "csum": 0})
-            agg["n_rows"] += s["n_rows"]
-            agg["n_matched"] += s["n_matched"]
-            agg["n_fallback"] += s["n_fallback"]
-            agg["csum"] = (agg["csum"] + s["csum"]) % (1 << 64)
-
-    def get(self) -> dict:
-        return self.stats
 
 
 def run_checkpointed(points_ds, engine, out_dir: str, n_partitions: int = 16,
@@ -177,17 +144,15 @@ def run_checkpointed(points_ds, engine, out_dir: str, n_partitions: int = 16,
             if os.path.isdir(d):
                 shutil.rmtree(d)
 
-        collector = _StatsCollector.remote()
+        joined.write_parquet(result_root, partition_cols=["part_id"])
 
-        def tally(b: pa.Table, _c=collector) -> pa.Table:
-            # blocking get ⇒ every partial is recorded before the block is
-            # considered written; the payload is a tiny per-partition dict
-            ray.get(_c.add.remote(_partial_stats(b)))
-            return b
-
-        joined.map_batches(tally, batch_format="pyarrow") \
-              .write_parquet(result_root, partition_cols=["part_id"])
-        stats = ray.get(collector.get.remote())
+        # lineage stats from the COMMITTED files (read back distributed):
+        # exactly-once by construction — no in-stream side effects to
+        # double-count under task retry, and the checksum covers the bytes
+        # actually on disk. One extra read of the wave's own output is the
+        # price of a checksum that certifies the committed data.
+        stats = _stats_from_written(result_root, wave, n_partitions,
+                                    engine.index.cell_size)
         for k in wave:
             s = stats.get(k, {"n_rows": 0, "n_matched": 0,
                               "n_fallback": 0, "csum": 0})
@@ -195,3 +160,47 @@ def run_checkpointed(points_ds, engine, out_dir: str, n_partitions: int = 16,
                             n_fallback=s["n_fallback"], checksum=s["csum"])
             done_count += 1
     return manifest
+
+
+def _stats_from_written(result_root: str, wave, n_partitions: int,
+                        cell_size: float) -> dict:
+    """Per-partition counters + order-independent checksum computed from the
+    wave's WRITTEN parquet partitions (workers read + reduce; the driver
+    sees only tiny per-block partial dicts)."""
+    import glob
+
+    import ray.data as rd
+
+    files = sorted(f for k in wave for f in glob.glob(
+        os.path.join(result_root, f"part_id={k}", "*.parquet")))
+    if not files:
+        return {}
+
+    def partials(b: pa.Table) -> pa.Table:
+        # part_id is the partition dir, stripped from row data — recompute
+        b = _assign_partition(
+            b.drop_columns([c for c in ("cell_id", "part_id")
+                            if c in b.column_names]), cell_size, n_partitions)
+        rows = [{"part": k, **s} for k, s in _partial_stats(b).items()]
+        # explicit types: csum is uint64 and overflows pylist inference
+        return pa.table({
+            "part": pa.array([r["part"] for r in rows], type=pa.int64()),
+            "n_rows": pa.array([r["n_rows"] for r in rows], type=pa.int64()),
+            "n_matched": pa.array([r["n_matched"] for r in rows],
+                                  type=pa.int64()),
+            "n_fallback": pa.array([r["n_fallback"] for r in rows],
+                                   type=pa.int64()),
+            "csum": pa.array([r["csum"] for r in rows], type=pa.uint64()),
+        })
+
+    out: dict = {}
+    for row in rd.read_parquet(files).map_batches(
+            partials, batch_format="pyarrow").take_all():
+        agg = out.setdefault(int(row["part"]),
+                             {"n_rows": 0, "n_matched": 0,
+                              "n_fallback": 0, "csum": 0})
+        agg["n_rows"] += int(row["n_rows"])
+        agg["n_matched"] += int(row["n_matched"])
+        agg["n_fallback"] += int(row["n_fallback"])
+        agg["csum"] = (agg["csum"] + int(row["csum"])) % (1 << 64)
+    return out

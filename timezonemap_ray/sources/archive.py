@@ -29,7 +29,7 @@ import tarfile
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..zonetable import ENGINE_VERSION, ZONE_SCHEMA
+from ..zonetable import ENGINE_VERSION, ZONE_SCHEMA, check_version_string
 
 _ENV_SEP = "_"
 
@@ -96,11 +96,7 @@ def read_zone_archive(path: str, region: tuple | None = None,
                     raise ValueError("No version marker found in map archive")
                 version = entry.name[len("Version: "):]
                 if check_version:
-                    lib = version.split(":", 1)[0]
-                    if lib != ENGINE_VERSION:
-                        raise ValueError(
-                            f"Incompatible map archive: engine version "
-                            f"{ENGINE_VERSION}, archive {version}")
+                    check_version_string(version)
                 continue
             stats["entries"] += 1
             if region is not None:
@@ -114,6 +110,9 @@ def read_zone_archive(path: str, region: tuple | None = None,
             data = tar.extractfile(entry).read()
             stats["payload_bytes_read"] += len(data)
             tables.append(pq.read_table(io.BytesIO(data)))
+    if version is None:
+        # zero-entry tar: the gate must not be silently bypassed
+        raise ValueError("No version marker found in map archive")
     stats["map_version"] = version
     if tables:
         out = pa.concat_tables(tables)

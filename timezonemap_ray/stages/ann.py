@@ -170,6 +170,10 @@ def ivf_query(index_dir: str, query_ids, query_matrix, k: int = 10,
     probed = sorted({int(c) for row in probe for c in row})
 
     root = os.path.join(index_dir, "vectors")
+    if not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"IVF index has no vectors dir: {root} — build crashed or "
+            "was removed; rebuild with ivf_build")
     # physical pruning: ONLY the probed partitions' files are read —
     # non-probed centroids' bytes never leave storage
     probe_files = sorted(

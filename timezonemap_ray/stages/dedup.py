@@ -233,8 +233,10 @@ def _memoized_stage(cls, **kwargs):
 
 def minhash_candidate_pairs_ds(ds, num_perm=64, bands=16, shingle=3,
                                threshold=0.5, text_col="text"):
-    """documents → LSH → verified-by-signature candidate pairs (set of
-    (small_id, big_id)).
+    """documents → LSH → verified-by-signature candidate pairs, as a
+    DATASET of (a, b) int64 rows with a < b (always a Dataset — an empty
+    one for a duplicate-free corpus; ``minhash_candidate_pairs`` is the
+    driver-side set view).
 
     Two passes, both vectorized end-to-end:
 
@@ -374,7 +376,9 @@ def clusters_from_pairs_ds(ids_ds, pairs_ds, id_col: str = "doc_id",
     else:
         prev_sum = labels.sum("label")
         converged = False
-        for _ in range(max_iters):
+        # +1: convergence is only OBSERVABLE as a no-change round, so a
+        # component of diameter exactly max_iters needs one confirming pass
+        for _ in range(max_iters + 1):
             prop = edges.join(labels, join_type="inner",
                               num_partitions=num_partitions,
                               on=("src",), right_on=("id",))

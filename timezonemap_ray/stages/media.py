@@ -180,7 +180,10 @@ class FrameSampler:
         for mid, ref, dur, p in zip(ids, refs, durs, payloads):
             # flag-never-throw contract: malformed containers include
             # truncated streams (struct.error), 0-frame videos (IndexError)
-            # and bad magics (ValueError)
+            # and bad magics (ValueError). Frames buffer per video and
+            # commit all-or-nothing — a mid-stream decode failure must not
+            # emit a partially sampled video that looks complete.
+            video_rows: list = []
             try:
                 n_frames, interval = codec.video_info(p or b"")
                 if n_frames <= 0:
@@ -188,15 +191,17 @@ class FrameSampler:
                 for t in range(0, int(dur or 0), self.every_ms):
                     idx = min(t // max(interval, 1), n_frames - 1)
                     fr = codec.decode_video_frame(p, int(idx))
-                    out["media_id"].append(mid)
-                    out["media_ref"].append(ref)
-                    out["frame_ms"].append(t)
-                    out["frame_w"].append(fr.shape[1])
-                    out["frame_h"].append(fr.shape[0])
+                    video_rows.append((t, fr.shape[1], fr.shape[0]))
             except Exception:  # noqa: BLE001
                 if self.strict:
                     raise
                 continue
+            for t, w, h in video_rows:
+                out["media_id"].append(mid)
+                out["media_ref"].append(ref)
+                out["frame_ms"].append(t)
+                out["frame_w"].append(w)
+                out["frame_h"].append(h)
         return pa.table({
             "media_id": pa.array(out["media_id"], type=pa.int64()),
             "media_ref": pa.array(out["media_ref"], type=pa.string()),

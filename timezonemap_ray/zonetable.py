@@ -199,15 +199,20 @@ def read_map_version(path: str) -> str:
     raise ValueError("No version marker found in map archive")  # M5 analogue
 
 
-def check_map_version(path: str) -> str:
-    """Version compatibility gate (reference M5, `TimeZoneMap.kt:171-182`):
-    engine-version prefix must match, else ``ValueError``."""
-    v = read_map_version(path)
+def check_version_string(v: str) -> str:
+    """Version compatibility gate on a version STRING (reference M5,
+    `TimeZoneMap.kt:171-182`): engine-version prefix must match, else
+    ``ValueError``. Shared by the parquet table and the tar archive."""
     lib = v.split(":", 1)[0]
     if lib != ENGINE_VERSION:
         raise ValueError(
             f"Incompatible map archive: engine version {ENGINE_VERSION}, archive {v}")
     return v
+
+
+def check_map_version(path: str) -> str:
+    """M5 gate for a parquet zone table path."""
+    return check_version_string(read_map_version(path))
 
 
 def table_to_records(table: pa.Table) -> list[dict]:
