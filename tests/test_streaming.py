@@ -66,6 +66,41 @@ def test_late_events_dropped(ray_session):
     assert first["n_events"].iloc[0] == 1  # the late event was NOT counted
 
 
+def test_crash_replay_exactly_once(ray_session):
+    """Kill the stream mid-run (fail_after, no flush — emit buffers die),
+    then replay the SAME log from the per-shard drained watermarks: the
+    union of pre-crash drained windows and replay output equals the
+    no-crash run exactly — no duplicates, no gaps."""
+    import ray.data as rd
+    tbl = _events()
+    ds = rd.from_arrow(tbl).repartition(8)
+    full, _ = run_windowed_stream(ds, window_s=3600, lateness_s=600,
+                                  num_shards=4, drain_every=2,
+                                  micro_batch=1024)
+
+    # crash after 7 micro-batches: 3 drains happened (at 2, 4, 6), the 7th
+    # batch's finalized-but-undrained windows are lost with the actors
+    pre, s_pre = run_windowed_stream(ds, window_s=3600, lateness_s=600,
+                                     num_shards=4, drain_every=2,
+                                     micro_batch=1024, fail_after=7)
+    wms = s_pre["drained_watermarks"]
+    assert len(wms) == 4 and any(w > -(1 << 61) for w in wms)
+    assert 0 < pre.num_rows < full.num_rows  # a real partial run
+
+    post, s_post = run_windowed_stream(ds, window_s=3600, lateness_s=600,
+                                       num_shards=4, drain_every=2,
+                                       micro_batch=1024,
+                                       resume_watermarks=wms)
+    assert s_post["replay_skipped"] > 0  # pre-crash windows were skipped
+    combined = pa.concat_tables([pre, post]).to_pandas() \
+        .sort_values(["window_start_us", "key"]).reset_index(drop=True)
+    expected = full.to_pandas() \
+        .sort_values(["window_start_us", "key"]).reset_index(drop=True)
+    # exactly-once: no (window, key) appears twice across the two runs
+    assert not combined.duplicated(["window_start_us", "key"]).any()
+    pd.testing.assert_frame_equal(combined, expected)
+
+
 def test_sharded_stream_equals_batch_groupby(ray_session):
     """2+ window shard actors (key-partitioned pool) agree with the batch
     groupby and with the single-actor stream."""

@@ -17,6 +17,18 @@ since-last-drain emit buffer — nothing grows with stream length).
 ``iter_batches`` — the Dataset is the replayable log, the actors are the
 operator state, and a crash replays from the last drained watermark
 (deterministic: same input order → same windows).
+
+Crash/replay contract (tested in ``test_streaming.py``): every drain
+returns the shard's watermark alongside the finalized windows — the pair is
+the durable checkpoint (a window is handed over exactly when its end ≤ the
+returned watermark, so "drained output + watermark" is self-consistent).
+After a crash the driver re-reads the SAME log with
+``resume_watermarks=[per-shard last-drained watermark]`` and the same
+``num_shards``: shards re-consume every event (so the watermark sequence —
+and hence late-drop decisions — replays identically) but skip accumulating
+events whose window end ≤ the shard's resume point, because those windows
+were already emitted. Pre-crash drained output + replay output = the
+no-crash output, exactly once, no gaps.
 """
 
 from __future__ import annotations
@@ -40,7 +52,8 @@ class StreamingWindower:
 
     def __init__(self, window_s: int, lateness_s: int,
                  key_col: str = "user_id", ts_col: str = "ts",
-                 val_col: str = "value"):
+                 val_col: str = "value",
+                 resume_watermark_us: int | None = None):
         self.window_us = int(window_s * 1_000_000)
         self.lateness_us = int(lateness_s * 1_000_000)
         self.key_col, self.ts_col, self.val_col = key_col, ts_col, val_col
@@ -49,6 +62,11 @@ class StreamingWindower:
         self.dropped_late = 0
         self.emitted_total = 0
         self.emit_buf: list = []    # finalized since last drain
+        # replay mode: windows ending at or before this point were drained
+        # by the pre-crash run — re-consume their events (the watermark
+        # sequence must replay identically) but never re-accumulate/re-emit
+        self.resume_wm_us = resume_watermark_us
+        self.replay_skipped = 0
 
     def feed(self, batch: pa.Table) -> int:
         ts = batch[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -57,6 +75,15 @@ class StreamingWindower:
         late = ts < self.watermark_us
         self.dropped_late += int(late.sum())
         ok = ~late
+        if self.resume_wm_us is not None:
+            # window END ≤ resume point ⇒ already emitted pre-crash. NOT the
+            # late test: an event inside the window STRADDLING the resume
+            # watermark must still accumulate (that window was open, never
+            # drained, at crash time).
+            win_end = (ts // self.window_us + 1) * self.window_us
+            done = ok & (win_end <= self.resume_wm_us)
+            self.replay_skipped += int(done.sum())
+            ok &= ~done
         win = (ts[ok] // self.window_us) * self.window_us
         for w, k, v in zip(win, keys[ok], vals[ok]):
             slot = self.open.setdefault((int(w), int(k)), [0, 0.0])
@@ -77,13 +104,17 @@ class StreamingWindower:
         self.emitted_total += len(done)
         return len(done)
 
-    def drain(self) -> pa.Table:
-        """Hand over finalized windows accumulated since the last drain and
-        clear the buffer — actor memory stays bounded by OPEN windows."""
+    def drain(self) -> tuple:
+        """Hand over (finalized windows since the last drain, current
+        watermark) and clear the buffer — actor memory stays bounded by OPEN
+        windows. The pair is the durable checkpoint: every window with end ≤
+        the returned watermark has now been handed to the caller, so a
+        replay from this watermark is exactly-once."""
         rows, self.emit_buf = self.emit_buf, []
-        return pa.Table.from_pylist(rows) if rows else EMPTY_WINDOWS
+        t = pa.Table.from_pylist(rows) if rows else EMPTY_WINDOWS
+        return t, self.watermark_us
 
-    def flush(self) -> pa.Table:
+    def flush(self) -> tuple:
         """End of stream: finalize every open window, return the remainder."""
         self.watermark_us = 1 << 62
         self._finalize()
@@ -92,13 +123,16 @@ class StreamingWindower:
     def stats(self) -> dict:
         return {"dropped_late": self.dropped_late,
                 "open_windows": len(self.open),
-                "emitted": self.emitted_total}
+                "emitted": self.emitted_total,
+                "replay_skipped": self.replay_skipped}
 
 
 def run_windowed_stream(ds, window_s: int = 3600, lateness_s: int = 600,
                         key_col="user_id", ts_col="ts", val_col="value",
                         micro_batch: int = 4096, num_shards: int = 1,
-                        max_inflight: int = 8, drain_every: int = 16):
+                        max_inflight: int = 8, drain_every: int = 16,
+                        resume_watermarks: list | None = None,
+                        fail_after: int | None = None):
     """Drive a Dataset through the sharded streaming windower in event
     order. Returns (windows: pa.Table, stats: dict).
 
@@ -107,19 +141,36 @@ def run_windowed_stream(ds, window_s: int = 3600, lateness_s: int = 600,
       per shard (backpressure), never a blocking get per micro-batch;
     - every ``drain_every`` micro-batches each shard's finalized windows
       are drained, so no actor buffer grows with stream length.
+
+    Crash/replay: ``fail_after=N`` simulates a crash after N micro-batches —
+    the run stops with NO flush and no final drain, returning only what was
+    durably drained (the emit buffers and in-flight work die with the
+    actors, as in a real crash). ``stats["drained_watermarks"]`` then holds
+    each shard's watermark as of its LAST drain; re-running over the same
+    log with ``resume_watermarks=that list`` (same ``num_shards``) emits
+    exactly the complement. See the module docstring for why this is
+    exactly-once.
     """
-    shards = [StreamingWindower.remote(window_s, lateness_s, key_col,
-                                       ts_col, val_col)
-              for _ in range(num_shards)]
+    if resume_watermarks is not None and len(resume_watermarks) != num_shards:
+        raise ValueError("resume_watermarks must have one entry per shard")
+    shards = [StreamingWindower.remote(
+        window_s, lateness_s, key_col, ts_col, val_col,
+        resume_watermark_us=(resume_watermarks[i]
+                             if resume_watermarks is not None else None))
+        for i in range(num_shards)]
     inflight: list = []
     drained: list = []
+    drained_wm = [-(1 << 62)] * num_shards  # per-shard last-drain watermark
 
-    def collect(refs):
-        for t in ray.get(refs):
+    def collect(refs, record_wm=True):
+        for i, (t, wm) in enumerate(ray.get(refs)):
             if t.num_rows:
                 drained.append(t)
+            if record_wm:
+                drained_wm[i] = wm
 
     n_fed = 0
+    crashed = False
     for b in ds.iter_batches(batch_size=micro_batch, batch_format="pyarrow"):
         t = pa.table(b)
         if num_shards == 1:
@@ -137,14 +188,22 @@ def run_windowed_stream(ds, window_s: int = 3600, lateness_s: int = 600,
             ray.get(ready)  # surface feed exceptions — never drop a batch
         if n_fed % drain_every == 0:
             collect([s.drain.remote() for s in shards])
+        if fail_after is not None and n_fed >= fail_after:
+            crashed = True
+            break
 
-    ray.get(inflight)  # ensure all feeds applied before the final flush
-    collect([s.flush.remote() for s in shards])
+    if not crashed:
+        ray.get(inflight)  # ensure all feeds applied before the final flush
+        # the flush watermark (+inf) is NOT a resumable checkpoint — the
+        # stream is complete; keep the last real drain watermarks
+        collect([s.flush.remote() for s in shards], record_wm=False)
     stats_list = ray.get([s.stats.remote() for s in shards])
     stats = {"dropped_late": sum(s["dropped_late"] for s in stats_list),
              "open_windows": sum(s["open_windows"] for s in stats_list),
              "emitted": sum(s["emitted"] for s in stats_list),
-             "num_shards": num_shards}
+             "replay_skipped": sum(s["replay_skipped"] for s in stats_list),
+             "num_shards": num_shards,
+             "drained_watermarks": list(drained_wm)}
     if not drained:
         return EMPTY_WINDOWS, stats
     out = pa.concat_tables(drained)
