@@ -131,3 +131,30 @@ def test_cell_path_equals_linear_scan_adversarial_boundaries():
     s = lookup_linear_scan(idx, lats, lngs, want_all=True)
     assert f["zone_id"].tolist() == s["zone_id"].tolist()
     assert f["all_zones"] == s["all_zones"]
+    # the gathered-PIP hybrid path (normally auto-on only for ≥512-record
+    # indexes) must ALSO agree on the same knife-edge points when forced
+    h = lookup_batch(idx, lats, lngs, hybrid=True)
+    assert h["zone_id"].tolist() == s["zone_id"].tolist()
+
+
+def test_hybrid_path_equals_linear_scan_big_world():
+    """The many-record (auto-hybrid) index agrees with the linear scan and
+    with the forced per-record path on mixed random + hotspot points."""
+    import numpy as np
+    from timezonemap_ray import worlds
+    from timezonemap_ray.index import (HYBRID_MIN_RECS, build_index,
+                                       lookup_batch, lookup_linear_scan)
+    idx = build_index(worlds.grid_world_table(n=40, jagged=True),
+                      check_version=False)
+    assert len(idx) >= HYBRID_MIN_RECS and idx.edge_groups  # auto-on
+    rng = np.random.default_rng(7)
+    lats = np.concatenate([rng.uniform(-90, 90, 4000),
+                           40.71 + rng.uniform(-0.05, 0.05, 4000)])
+    lngs = np.concatenate([rng.uniform(-180, 180, 4000),
+                           -74.0 + rng.uniform(-0.05, 0.05, 4000)])
+    auto = lookup_batch(idx, lats, lngs)          # hybrid (auto)
+    per_rec = lookup_batch(idx, lats, lngs, hybrid=False)
+    lin = lookup_linear_scan(idx, lats, lngs)
+    assert auto["zone_id"].tolist() == lin["zone_id"].tolist()
+    assert auto["zone_id"].tolist() == per_rec["zone_id"].tolist()
+    assert (auto["matched"] == lin["matched"]).all()

@@ -194,6 +194,76 @@ def pip_edges(px, py, edges, eps: float = BOUNDARY_EPS) -> np.ndarray:
     return out
 
 
+def pack_edge_rows(edge_list, pad_to: int | None = None):
+    """Stack per-record edge arrays into padded ``(k, emax)`` tensors for
+    ``pip_edges_gathered``. Padding is a ZERO-LENGTH edge at the record's
+    first vertex — provably inert: it never straddles a ray (y1 == y2), and
+    its on-edge distance equals the distance to a real boundary vertex, whose
+    acceptance the real incident edges already imply (no inf/nan needed).
+
+    Returns dict of X1, Y1, DX, DY, seg2_safe, slope (each (k, emax)).
+    Records with zero edges get an all-padding row at (0, 0) that can match
+    only the exact point (0,0) within eps — callers must exclude empty
+    records (they can never match anyway)."""
+    k = len(edge_list)
+    emax = pad_to if pad_to is not None else max(
+        (e[0].size for e in edge_list), default=0)
+    emax = max(emax, 1)
+    X1 = np.zeros((k, emax)); Y1 = np.zeros((k, emax))
+    X2 = np.zeros((k, emax)); Y2 = np.zeros((k, emax))
+    for li, (x1, y1, x2, y2) in enumerate(edge_list):
+        n = x1.size
+        if n:
+            X1[li, :n] = x1; Y1[li, :n] = y1
+            X2[li, :n] = x2; Y2[li, :n] = y2
+            X1[li, n:] = x1[0]; Y1[li, n:] = y1[0]
+            X2[li, n:] = x1[0]; Y2[li, n:] = y1[0]
+    DX, DY = X2 - X1, Y2 - Y1
+    seg2 = DX * DX + DY * DY
+    return {"X1": X1, "Y1": Y1, "DX": DX, "DY": DY,
+            "seg2_safe": np.where(seg2 > 0, seg2, 1.0),
+            "slope": DX / np.where(DY == 0, 1.0, DY)}
+
+
+def pip_edges_gathered(px, py, rloc, packed, eps: float = BOUNDARY_EPS) -> np.ndarray:
+    """Boundary-inclusive even-odd PIP where each point tests against ITS OWN
+    record's edge row — ``rloc[i]`` indexes the padded tensors from
+    ``pack_edge_rows``. Same math as ``pip_edges`` (parity pass + on-edge
+    test for parity-outside points); one numpy dispatch covers MANY records,
+    which beats per-record broadcasting when per-record point counts are
+    small (the many-record regime — see index.lookup_batch)."""
+    px, py = as_f64(px), as_f64(py)
+    m = px.size
+    out = np.zeros(m, dtype=bool)
+    if m == 0:
+        return out
+    emax = packed["X1"].shape[1]
+    step = max(256, _CHUNK_ELEMS // max(emax, 1))
+    for s in range(0, m, step):
+        rl = rloc[s:s + step]
+        x1 = packed["X1"][rl]
+        y1 = packed["Y1"][rl]
+        dx = packed["DX"][rl]
+        dy = packed["DY"][rl]
+        ppx = px[s:s + step][:, None]
+        ppy = py[s:s + step][:, None]
+        straddle = (y1 > ppy) != ((y1 + dy) > ppy)
+        xint = x1 + (ppy - y1) * packed["slope"][rl]
+        inside_c = (np.sum(straddle & (ppx < xint), axis=1) % 2).astype(bool)
+        miss = np.nonzero(~inside_c)[0]
+        if miss.size:
+            wx = ppx[miss] - x1[miss]
+            wy = ppy[miss] - y1[miss]
+            dxm, dym = dx[miss], dy[miss]
+            t = np.clip((wx * dxm + wy * dym) / packed["seg2_safe"][rl[miss]],
+                        0.0, 1.0)
+            cx = wx - t * dxm
+            cy = wy - t * dym
+            inside_c[miss] = np.any(cx * cx + cy * cy <= eps * eps, axis=1)
+        out[s:s + step] = inside_c
+    return out
+
+
 def points_on_boundary(px, py, xs, ys, ring_start, eps: float = BOUNDARY_EPS) -> np.ndarray:
     """True where a point lies on any ring edge (within eps, degrees)."""
     px, py = as_f64(px), as_f64(py)

@@ -52,6 +52,8 @@ class ZoneIndex:
     is_rect: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=bool))
     # second cover level: dense cells split 4x4; cell_id -> {sub_idx: recs}
     subcover: dict = field(default_factory=dict)
+    # padded edge tensors for the gathered-PIP path (many-record indexes)
+    edge_groups: list = field(default_factory=list)
 
     def __len__(self):
         return len(self.zone_ids)
@@ -153,7 +155,47 @@ def build_index(zone_table, region: tuple = WORLD,
                             for i in range(len(idx))], dtype=bool)
     if refine_cover:
         idx.subcover = _build_subcover(idx)
+    if len(idx) >= HYBRID_MIN_RECS:
+        idx.edge_groups = _build_edge_groups(idx)
     return idx
+
+
+# Hybrid gathered-PIP path (many-record indexes): below this record count the
+# per-record broadcast loop has little dispatch overhead and the gather
+# kernel's extra memory traffic makes it a net loss (measured ~0.9× on the
+# 41/169-record worlds, 1.5-1.6× on the 1625-record world — PERF.md round 2).
+HYBRID_MIN_RECS = 512
+GROUP_RECS = 32        # rank-contiguous records per group
+SMALL_SEL = 256        # per-record point count below which gather wins
+
+
+def _build_edge_groups(idx: ZoneIndex) -> list:
+    """Pack rank-contiguous runs of ``GROUP_RECS`` records into padded edge
+    tensors for ``geom.pip_edges_gathered``. Within a run, records are
+    sub-bucketed by ceil(log2(edge_count)) so padding waste is bounded ≤ 2×
+    (one giant polygon never inflates 31 tiny neighbors' rows).
+
+    Returns a list of group dicts: ``members`` (global rec indices, rank
+    ascending), ``packed`` (gather tensors), ``rec_to_local`` (global rec →
+    row). Records with zero edges are excluded (they can never match)."""
+    groups = []
+    n = len(idx)
+    for g0 in range(0, n, GROUP_RECS):
+        members = [i for i in range(g0, min(g0 + GROUP_RECS, n))
+                   if idx.edges[i][0].size > 0]
+        if not members:
+            continue
+        buckets: dict[int, list] = {}
+        for i in members:
+            buckets.setdefault(int(idx.edges[i][0].size - 1).bit_length(),
+                               []).append(i)
+        for _, bucket in sorted(buckets.items()):
+            arr = np.asarray(bucket, dtype=np.int64)
+            packed = geom.pack_edge_rows([idx.edges[i] for i in bucket])
+            groups.append({"members": arr, "packed": packed,
+                           "rec_to_local": {int(r): li
+                                            for li, r in enumerate(bucket)}})
+    return groups
 
 
 SPLIT_THRESHOLD = 16   # candidates per cell before a 4x4 split
@@ -229,7 +271,7 @@ def _build_cover(idx: ZoneIndex, refine: bool) -> dict:
 # ---------------------------------------------------------------------------
 
 def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
-                 fallback: bool = False):
+                 fallback: bool = False, hybrid: bool | None = None):
     """Batched point → zone join.
 
     Returns dict of numpy/object arrays:
@@ -240,6 +282,11 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
       ``matched`` (bool), ``fallback`` (bool), ``error`` (object|None).
     Out-of-region points get error="outside_initialized_region" instead of
     the reference's IllegalArgumentException (Q1) — never throw mid-pipeline.
+
+    ``hybrid``: None = auto (gathered-PIP path when the index carries
+    ``edge_groups``, i.e. ≥ ``HYBRID_MIN_RECS`` records, and top-1 only);
+    True/False force it for tests. Both paths are exactly equivalent
+    (tested record-for-record against the linear-scan oracle).
     """
     lats = np.asarray(lats, dtype=np.float64)
     lngs = np.asarray(lngs, dtype=np.float64)
@@ -291,6 +338,14 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
             continue
         for rec_i in cand:
             zone_points.setdefault(int(rec_i), []).append(sel)
+
+    use_hybrid = (hybrid if hybrid is not None
+                  else bool(getattr(idx, "edge_groups", None)))
+    if use_hybrid and not want_all:
+        if not getattr(idx, "edge_groups", None):
+            idx.edge_groups = _build_edge_groups(idx)  # forced on small idx
+        _lookup_hybrid(idx, lats, lngs, zone_points, zone_idx, matched)
+        zone_points = {}  # consumed
 
     for rec_i in sorted(zone_points):  # area-ascending record order
         sel = np.concatenate(zone_points[rec_i])
@@ -366,6 +421,89 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
     if want_all:
         out["all_zones"] = _assemble_all_zones(idx, m, hit_rows, hit_recs)
     return out
+
+
+_NO_WINNER = np.int32(1 << 30)  # rank sentinel: "no zone yet"
+
+
+def _lookup_hybrid(idx, lats, lngs, zone_points, zone_idx, matched):
+    """Top-1 record resolution via the gathered-PIP kernel (many-record
+    indexes — the realistic-data regime, where per-record candidate point
+    sets are small and ~n_records tiny numpy dispatches dominate the
+    per-record broadcast loop; PERF.md round 2: 1.5-1.6× on 1625 records).
+
+    Exact equivalence with the per-record loop:
+    - suppression by CURRENT WINNER RANK (``winner[sel] > rec_i``) — in
+      rank-ascending processing order this is the same pruning as the
+      ``~matched`` early-exit, and it stays correct when a group's small
+      members resolve after a higher-ranked big member (min wins);
+    - records with ≥ ``SMALL_SEL`` candidate points take the identical
+      broadcast path (incl. the rect fast path) with immediate updates;
+    - the small remainder of each group runs one gathered-PIP call, then
+      ``np.minimum.at`` (duplicate rows possible) picks the smallest rank.
+    Mutates ``zone_idx`` / ``matched`` in place.
+    """
+    m = lats.size
+    winner = np.full(m, _NO_WINNER, dtype=np.int32)
+    eps = geom.BOUNDARY_EPS
+    env_all = idx.envs
+    for grp in idx.edge_groups:
+        small_rows: list = []
+        small_recs: list = []
+        small_rloc: list = []
+        for rec_i in grp["members"]:
+            sels = zone_points.get(int(rec_i))
+            if sels is None:
+                continue
+            sel = np.concatenate(sels) if len(sels) > 1 else sels[0]
+            sel = sel[winner[sel] > rec_i]
+            if sel.size == 0:
+                continue
+            e = env_all[rec_i]
+            plats, plngs = lats[sel], lngs[sel]
+            # same 2×eps-widened envelope prefilter as the per-record loop
+            env_ok = ((plngs >= e[0] - 2 * eps) & (plngs <= e[2] + 2 * eps) &
+                      (plats >= e[1] - 2 * eps) & (plats <= e[3] + 2 * eps))
+            sel = sel[env_ok]
+            if sel.size == 0:
+                continue
+            if sel.size >= SMALL_SEL:
+                if idx.is_rect[rec_i]:
+                    plats, plngs = lats[sel], lngs[sel]
+                    strict = ((plngs >= e[0]) & (plngs <= e[2]) &
+                              (plats >= e[1]) & (plats <= e[3]))
+                    shell = sel[~strict]
+                    if shell.size:
+                        hit = geom.pip_edges(lngs[shell], lats[shell],
+                                             idx.edges[rec_i])
+                        rows = np.concatenate([sel[strict], shell[hit]])
+                    else:
+                        rows = sel[strict]
+                else:
+                    hit = geom.pip_edges(lngs[sel], lats[sel],
+                                         idx.edges[rec_i])
+                    rows = sel[hit]
+                if rows.size:  # rows unique ⇒ plain vectorized min
+                    winner[rows] = np.minimum(winner[rows], np.int32(rec_i))
+            else:
+                small_rows.append(sel)
+                small_recs.append(np.full(sel.size, rec_i, dtype=np.int32))
+                small_rloc.append(np.full(
+                    sel.size, grp["rec_to_local"][int(rec_i)], dtype=np.int64))
+        if small_rows:
+            rows = np.concatenate(small_rows)
+            recs = np.concatenate(small_recs)
+            rloc = np.concatenate(small_rloc)
+            live = winner[rows] > recs  # a big member may have won meanwhile
+            rows, recs, rloc = rows[live], recs[live], rloc[live]
+            if rows.size:
+                hits = geom.pip_edges_gathered(lngs[rows], lats[rows], rloc,
+                                               grp["packed"])
+                if hits.any():
+                    np.minimum.at(winner, rows[hits], recs[hits])
+    won = winner < _NO_WINNER
+    zone_idx[won] = winner[won]
+    matched[won] = True
 
 
 def _assemble_all_zones(idx, m, hit_rows, hit_recs):
