@@ -137,6 +137,36 @@ def test_cell_path_equals_linear_scan_adversarial_boundaries():
     assert h["zone_id"].tolist() == s["zone_id"].tolist()
 
 
+def test_gathered_pip_straddle_uses_stored_y2():
+    """Regression: pack_edge_rows must keep Y2 verbatim — reconstructing it
+    as fl(y1 + fl(y2 - y1)) differs from y2 for ~9% of float64 pairs, and a
+    query latitude exactly at such a vertex latitude flips crossing parity
+    vs pip_edges (review-found). Checks the known-bad pair plus random
+    polygons probed at their exact vertex latitudes."""
+    import numpy as np
+    from timezonemap_ray import geom
+    rng = np.random.default_rng(23)
+    polys = [np.array([[0.0, 69.98345340514712],
+                       [10.0, -63.99591637904119],
+                       [20.0, 50.0]])]
+    for _ in range(50):
+        k = rng.integers(3, 8)
+        polys.append(np.column_stack([rng.uniform(-170, 170, k),
+                                      rng.uniform(-85, 85, k)]))
+    for pts in polys:
+        xs, ys = pts[:, 0].copy(), pts[:, 1].copy()
+        rs = np.array([0, len(xs)], dtype=np.int64)
+        edges = geom.all_edges(xs, ys, rs)
+        packed = geom.pack_edge_rows([edges])
+        # probe at every vertex latitude, sweeping px across the envelope
+        px = np.repeat(np.linspace(xs.min() - 1, xs.max() + 1, 9), len(ys))
+        py = np.tile(ys, 9)
+        a = geom.pip_edges(px, py, edges)
+        b = geom.pip_edges_gathered(
+            px, py, np.zeros(px.size, dtype=np.int64), packed)
+        assert (a == b).all()
+
+
 def test_hybrid_path_equals_linear_scan_big_world():
     """The many-record (auto-hybrid) index agrees with the linear scan and
     with the forced per-record path on mixed random + hotspot points."""

@@ -220,7 +220,11 @@ def pack_edge_rows(edge_list, pad_to: int | None = None):
             X2[li, n:] = x1[0]; Y2[li, n:] = y1[0]
     DX, DY = X2 - X1, Y2 - Y1
     seg2 = DX * DX + DY * DY
-    return {"X1": X1, "Y1": Y1, "DX": DX, "DY": DY,
+    # Y2 is kept verbatim: the straddle test must compare against the STORED
+    # endpoint, not y1+dy — fl(y1 + fl(y2-y1)) != y2 for ~9% of float64
+    # pairs, and a query latitude exactly at such a vertex latitude would
+    # flip crossing parity vs pip_edges (review-found)
+    return {"X1": X1, "Y1": Y1, "Y2": Y2, "DX": DX, "DY": DY,
             "seg2_safe": np.where(seg2 > 0, seg2, 1.0),
             "slope": DX / np.where(DY == 0, 1.0, DY)}
 
@@ -247,7 +251,7 @@ def pip_edges_gathered(px, py, rloc, packed, eps: float = BOUNDARY_EPS) -> np.nd
         dy = packed["DY"][rl]
         ppx = px[s:s + step][:, None]
         ppy = py[s:s + step][:, None]
-        straddle = (y1 > ppy) != ((y1 + dy) > ppy)
+        straddle = (y1 > ppy) != (packed["Y2"][rl] > ppy)
         xint = x1 + (ppy - y1) * packed["slope"][rl]
         inside_c = (np.sum(straddle & (ppx < xint), axis=1) % 2).astype(bool)
         miss = np.nonzero(~inside_c)[0]

@@ -342,9 +342,13 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
     use_hybrid = (hybrid if hybrid is not None
                   else bool(getattr(idx, "edge_groups", None)))
     if use_hybrid and not want_all:
-        if not getattr(idx, "edge_groups", None):
-            idx.edge_groups = _build_edge_groups(idx)  # forced on small idx
-        _lookup_hybrid(idx, lats, lngs, zone_points, zone_idx, matched)
+        # forced-on small/lazy indexes: build groups LOCALLY — caching them
+        # on the index would flip all later auto lookups onto the hybrid
+        # path (slower below HYBRID_MIN_RECS, and eagerly decodes a lazy
+        # index's whole geometry table)
+        groups = getattr(idx, "edge_groups", None) or _build_edge_groups(idx)
+        _lookup_hybrid(idx, groups, lats, lngs, zone_points, zone_idx,
+                       matched)
         zone_points = {}  # consumed
 
     for rec_i in sorted(zone_points):  # area-ascending record order
@@ -353,39 +357,10 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
             sel = sel[~matched[sel]]  # top-1: earlier (smaller) zones won
             if sel.size == 0:
                 continue
-        # envelope pre-check (M12 analogue), widened by 2×BOUNDARY_EPS: the
-        # PIP is boundary-inclusive within eps, so a point eps OUTSIDE the
-        # envelope can still be on-edge inside (hypothesis-found). The 2×
-        # slack makes the prefilter a strict SUPERSET of pip acceptance even
-        # under float rounding of (edge − eps) — pip remains the single
-        # decision procedure, so cell path ≡ linear scan exactly.
-        e = idx.envs[rec_i]
-        eps = geom.BOUNDARY_EPS
-        plats, plngs = lats[sel], lngs[sel]
-        env_ok = ((plngs >= e[0] - 2 * eps) & (plngs <= e[2] + 2 * eps) &
-                  (plats >= e[1] - 2 * eps) & (plats <= e[3] + 2 * eps))
-        sel = sel[env_ok]
+        sel = _env_prefilter(idx, rec_i, sel, lats, lngs)
         if sel.size == 0:
             continue
-        if idx.is_rect[rec_i]:
-            # rect fast path: strictly-inside-the-envelope points need no
-            # PIP (boundary-inclusive PIP on an axis rect accepts them all);
-            # the eps SHELL around the rect must run the real on-edge test —
-            # env arithmetic and pip's d² ≤ eps² disagree at knife-edge
-            # distances ≈ eps (different float roundings)
-            plats, plngs = lats[sel], lngs[sel]
-            strict = ((plngs >= e[0]) & (plngs <= e[2]) &
-                      (plats >= e[1]) & (plats <= e[3]))
-            shell = sel[~strict]
-            if shell.size:
-                hit = geom.pip_edges(lngs[shell], lats[shell],
-                                     idx.edges[rec_i])
-                rows = np.concatenate([sel[strict], shell[hit]])
-            else:
-                rows = sel[strict]
-        else:
-            hit = geom.pip_edges(lngs[sel], lats[sel], idx.edges[rec_i])
-            rows = sel[hit]
+        rows = _pip_record(idx, rec_i, sel, lats, lngs)
         if rows.size == 0:
             continue
         newly = rows[~matched[rows]]
@@ -423,10 +398,50 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
     return out
 
 
+def _env_prefilter(idx, rec_i, sel, lats, lngs):
+    """Envelope pre-check (M12 analogue), widened by 2×BOUNDARY_EPS: the
+    PIP is boundary-inclusive within eps, so a point eps OUTSIDE the
+    envelope can still be on-edge inside (hypothesis-found). The 2×
+    slack makes the prefilter a strict SUPERSET of pip acceptance even
+    under float rounding of (edge − eps) — pip remains the single
+    decision procedure, so cell path ≡ linear scan exactly."""
+    e = idx.envs[rec_i]
+    eps = geom.BOUNDARY_EPS
+    plats, plngs = lats[sel], lngs[sel]
+    env_ok = ((plngs >= e[0] - 2 * eps) & (plngs <= e[2] + 2 * eps) &
+              (plats >= e[1] - 2 * eps) & (plats <= e[3] + 2 * eps))
+    return sel[env_ok]
+
+
+def _pip_record(idx, rec_i, sel, lats, lngs):
+    """Exact containment rows for ONE record over a candidate selection —
+    the single decision procedure shared by the per-record loop and the
+    hybrid path's big-member branch (divergence between copies of this
+    block was a review-flagged hazard).
+
+    Rect fast path: strictly-inside-the-envelope points need no PIP
+    (boundary-inclusive PIP on an axis rect accepts them all); the eps
+    SHELL around the rect must run the real on-edge test — env arithmetic
+    and pip's d² ≤ eps² disagree at knife-edge distances ≈ eps (different
+    float roundings)."""
+    if idx.is_rect[rec_i]:
+        e = idx.envs[rec_i]
+        plats, plngs = lats[sel], lngs[sel]
+        strict = ((plngs >= e[0]) & (plngs <= e[2]) &
+                  (plats >= e[1]) & (plats <= e[3]))
+        shell = sel[~strict]
+        if shell.size:
+            hit = geom.pip_edges(lngs[shell], lats[shell], idx.edges[rec_i])
+            return np.concatenate([sel[strict], shell[hit]])
+        return sel[strict]
+    hit = geom.pip_edges(lngs[sel], lats[sel], idx.edges[rec_i])
+    return sel[hit]
+
+
 _NO_WINNER = np.int32(1 << 30)  # rank sentinel: "no zone yet"
 
 
-def _lookup_hybrid(idx, lats, lngs, zone_points, zone_idx, matched):
+def _lookup_hybrid(idx, groups, lats, lngs, zone_points, zone_idx, matched):
     """Top-1 record resolution via the gathered-PIP kernel (many-record
     indexes — the realistic-data regime, where per-record candidate point
     sets are small and ~n_records tiny numpy dispatches dominate the
@@ -445,9 +460,7 @@ def _lookup_hybrid(idx, lats, lngs, zone_points, zone_idx, matched):
     """
     m = lats.size
     winner = np.full(m, _NO_WINNER, dtype=np.int32)
-    eps = geom.BOUNDARY_EPS
-    env_all = idx.envs
-    for grp in idx.edge_groups:
+    for grp in groups:
         small_rows: list = []
         small_recs: list = []
         small_rloc: list = []
@@ -459,30 +472,11 @@ def _lookup_hybrid(idx, lats, lngs, zone_points, zone_idx, matched):
             sel = sel[winner[sel] > rec_i]
             if sel.size == 0:
                 continue
-            e = env_all[rec_i]
-            plats, plngs = lats[sel], lngs[sel]
-            # same 2×eps-widened envelope prefilter as the per-record loop
-            env_ok = ((plngs >= e[0] - 2 * eps) & (plngs <= e[2] + 2 * eps) &
-                      (plats >= e[1] - 2 * eps) & (plats <= e[3] + 2 * eps))
-            sel = sel[env_ok]
+            sel = _env_prefilter(idx, rec_i, sel, lats, lngs)
             if sel.size == 0:
                 continue
             if sel.size >= SMALL_SEL:
-                if idx.is_rect[rec_i]:
-                    plats, plngs = lats[sel], lngs[sel]
-                    strict = ((plngs >= e[0]) & (plngs <= e[2]) &
-                              (plats >= e[1]) & (plats <= e[3]))
-                    shell = sel[~strict]
-                    if shell.size:
-                        hit = geom.pip_edges(lngs[shell], lats[shell],
-                                             idx.edges[rec_i])
-                        rows = np.concatenate([sel[strict], shell[hit]])
-                    else:
-                        rows = sel[strict]
-                else:
-                    hit = geom.pip_edges(lngs[sel], lats[sel],
-                                         idx.edges[rec_i])
-                    rows = sel[hit]
+                rows = _pip_record(idx, rec_i, sel, lats, lngs)
                 if rows.size:  # rows unique ⇒ plain vectorized min
                     winner[rows] = np.minimum(winner[rows], np.int32(rec_i))
             else:

@@ -143,13 +143,17 @@ def run_windowed_stream(ds, window_s: int = 3600, lateness_s: int = 600,
       are drained, so no actor buffer grows with stream length.
 
     Crash/replay: ``fail_after=N`` simulates a crash after N micro-batches —
-    the run stops with NO flush and no final drain, returning only what was
-    durably drained (the emit buffers and in-flight work die with the
-    actors, as in a real crash). ``stats["drained_watermarks"]`` then holds
-    each shard's watermark as of its LAST drain; re-running over the same
-    log with ``resume_watermarks=that list`` (same ``num_shards``) emits
-    exactly the complement. See the module docstring for why this is
-    exactly-once.
+    the run stops with NO flush and no final drain, the shard actors are
+    KILLED (the emit buffers and in-flight work die with them, as in a real
+    crash), and only what was durably drained is returned, with
+    ``stats = {"crashed": True, "drained_watermarks": [...]}`` — no actor
+    counters, since a dead run has none to report. Re-running over the same
+    log with ``resume_watermarks=drained_watermarks`` emits exactly the
+    complement. The replay MUST use the same ``num_shards`` (validated),
+    and the same ``window_s`` / ``lateness_s`` / ``micro_batch`` / input
+    order (NOT validatable here — the watermark advances once per feed
+    batch, so different batching replays different late-drop decisions and
+    silently breaks the exactly-once guarantee). See the module docstring.
     """
     if resume_watermarks is not None and len(resume_watermarks) != num_shards:
         raise ValueError("resume_watermarks must have one entry per shard")
@@ -192,18 +196,27 @@ def run_windowed_stream(ds, window_s: int = 3600, lateness_s: int = 600,
             crashed = True
             break
 
-    if not crashed:
+    if crashed:
+        # a real crash reports nothing from the actors — kill them so the
+        # abandoned in-flight feeds can't leak effects into any later
+        # observation; the durable state is drained + drained_wm only
+        for s in shards:
+            ray.kill(s)
+        stats = {"crashed": True, "num_shards": num_shards,
+                 "drained_watermarks": list(drained_wm)}
+    else:
         ray.get(inflight)  # ensure all feeds applied before the final flush
         # the flush watermark (+inf) is NOT a resumable checkpoint — the
         # stream is complete; keep the last real drain watermarks
         collect([s.flush.remote() for s in shards], record_wm=False)
-    stats_list = ray.get([s.stats.remote() for s in shards])
-    stats = {"dropped_late": sum(s["dropped_late"] for s in stats_list),
-             "open_windows": sum(s["open_windows"] for s in stats_list),
-             "emitted": sum(s["emitted"] for s in stats_list),
-             "replay_skipped": sum(s["replay_skipped"] for s in stats_list),
-             "num_shards": num_shards,
-             "drained_watermarks": list(drained_wm)}
+        stats_list = ray.get([s.stats.remote() for s in shards])
+        stats = {"dropped_late": sum(s["dropped_late"] for s in stats_list),
+                 "open_windows": sum(s["open_windows"] for s in stats_list),
+                 "emitted": sum(s["emitted"] for s in stats_list),
+                 "replay_skipped": sum(s["replay_skipped"]
+                                       for s in stats_list),
+                 "num_shards": num_shards,
+                 "drained_watermarks": list(drained_wm)}
     if not drained:
         return EMPTY_WINDOWS, stats
     out = pa.concat_tables(drained)
