@@ -509,6 +509,49 @@ def _q_tiles_boxes(sf_dir: str):
     return rasterize_then_vectorize(_engine(), cell_size=2.0)
 
 
+def _q_value_quantiles(sf_dir: str):
+    """EXACT quantiles of events.value via distributed histogram selection
+    (O(log) streaming scans, no global sort/shuffle) — matches DuckDB
+    quantile_disc bit-for-bit."""
+    import ray.data as rd
+    from timezonemap_ray.stages.select import quantile_exact
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return quantile_exact(ds, "value", [0.01, 0.1, 0.5, 0.9, 0.99])
+
+
+def _q_documents_sample(sf_dir: str):
+    """Deterministic ~10% hash sample of documents (pure int64 arithmetic,
+    reproducible in SQL — stable under retries/resume)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.select import sample_hash
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return sample_hash(ds, "doc_id", 1000)
+
+
+def _q_events_topk_per_user(sf_dir: str):
+    """Top-3 events per user by value (ties → smallest event_id): exact
+    per-group top-k with a block-local combiner (shuffle moves ≤ k·groups
+    rows, never the events table)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.select import topk_per_group
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+    out = topk_per_group(ds, "user_id", "value", 3, "event_id")
+
+    def stabilize(b: pa.Table) -> pa.Table:
+        # compare values at fixed precision (float sum-order independent
+        # here, but cents-stabilize like the other money columns)
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "value_c": pc.cast(pc.round(pc.multiply(b["value"],
+                                                    pa.scalar(100.0))),
+                               pa.int64())})
+
+    return out.map_batches(stabilize, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # geo engine (reference parity pipelines)
@@ -549,6 +592,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_windows": _q_streaming_windows,
         "distinct_users": _q_distinct_users,
         "approx_distinct_users": _q_approx_distinct_users,
+        # selection operators (exact quantile / hash sample / top-k per group)
+        "value_quantiles": _q_value_quantiles,
+        "documents_sample": _q_documents_sample,
+        "events_topk_per_user": _q_events_topk_per_user,
         # raster <-> vector tiling
         "tile_assignments": _q_tile_assignments,
         "tiles_boxes": _q_tiles_boxes,
@@ -740,6 +787,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1""",
         "distinct_users": """
             SELECT count(DISTINCT user_id) AS n_users FROM events""",
+        "value_quantiles": " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q, "
+            f"quantile_disc(value, {q}) AS value "
+            f"FROM events WHERE NOT isnan(value)"
+            for q in (0.01, 0.1, 0.5, 0.9, 0.99)),
+        "documents_sample": (
+            "SELECT doc_id, n_chars FROM documents WHERE "
+            + __import__("timezonemap_ray.stages.select",
+                         fromlist=["sample_hash_sql_pred"])
+            .sample_hash_sql_pred("doc_id", 1000)),
+        "events_topk_per_user": """
+            SELECT user_id, event_id,
+                   CAST(round(value * 100.0) AS BIGINT) AS value_c
+            FROM events
+            WHERE NOT isnan(value)
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY value DESC, event_id ASC) <= 3""",
         "order_lineitem_revenue": """
             SELECT o_orderpriority, count(*) AS n_items,
                    CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)

@@ -1,0 +1,87 @@
+"""Selection operators: exact quantiles (vs DuckDB quantile_disc and a
+driver-side sort), deterministic hash sampling, top-k per group."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from timezonemap_ray.stages.select import (
+    quantile_exact, sample_hash, sample_hash_sql_pred, topk_per_group)
+
+
+def _ds(tbl, blocks=8):
+    import ray.data as rd
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+def test_quantile_exact_matches_duckdb(ray_session):
+    rng = np.random.default_rng(5)
+    # mixed distribution incl. heavy duplicates and negative values
+    v = np.concatenate([rng.uniform(-50, 150, 40_000),
+                        np.full(15_000, 42.0),          # dup spike
+                        rng.normal(0, 1e-9, 5_000)])    # sub-ulp-ish cluster
+    rng.shuffle(v)
+    tbl = pa.table({"value": pa.array(v)})
+    qs = [0.0, 0.01, 0.1, 0.5, 0.62, 0.9, 0.99, 1.0]
+    got = quantile_exact(_ds(tbl), "value", qs).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    for q, val in zip(got["q"], got["value"]):
+        want = con.execute(
+            f"SELECT quantile_disc(value, {q}) FROM t").fetchone()[0]
+        assert val == want, (q, val, want)
+
+
+def test_quantile_exact_all_equal_and_nan(ray_session):
+    v = np.full(10_000, 7.5)
+    v[::7] = np.nan  # NaN ignored, like SQL nulls
+    tbl = pa.table({"value": pa.array(v)})
+    got = quantile_exact(_ds(tbl), "value", [0.25, 0.75]).to_pandas()
+    assert (got["value"] == 7.5).all()
+
+
+def test_sample_hash_matches_sql_predicate(ray_session):
+    ids = np.arange(50_000, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "x": pa.array(ids * 2)})
+    got = sample_hash(_ds(tbl), "doc_id", 1000).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute(
+        f"SELECT * FROM t WHERE {sample_hash_sql_pred('doc_id', 1000)} "
+        f"ORDER BY doc_id").df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    # ~10% +- sampling noise of the deterministic hash
+    assert 0.08 < len(got) / len(ids) < 0.12
+
+
+def test_topk_per_group_exact(ray_session):
+    rng = np.random.default_rng(9)
+    n = 30_000
+    tbl = pa.table({
+        "user_id": pa.array(rng.integers(0, 500, n).astype(np.int64)),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "value": pa.array(rng.uniform(0, 100, n))})
+    got = topk_per_group(_ds(tbl), "user_id", "value", 3, "event_id") \
+        .to_pandas().sort_values(["user_id", "event_id"]) \
+        .reset_index(drop=True)
+    pdf = tbl.to_pandas()
+    pdf["rn"] = pdf.sort_values(["value", "event_id"],
+                                ascending=[False, True]) \
+        .groupby("user_id").cumcount()
+    want = pdf[pdf["rn"] < 3].drop(columns="rn") \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_topk_per_group_ties_and_small_groups(ray_session):
+    # duplicate order values: ties must break by id ASC, deterministically
+    tbl = pa.table({
+        "g": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "id": pa.array([10, 11, 12, 13, 20], type=pa.int64()),
+        "v": pa.array([5.0, 5.0, 5.0, 1.0, 9.0])})
+    got = topk_per_group(_ds(tbl, blocks=3), "g", "v", 2, "id") \
+        .to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+    assert got[got["g"] == 1]["id"].tolist() == [10, 11]  # ids 12,13 lose
+    assert got[got["g"] == 2]["id"].tolist() == [20]      # group smaller than k

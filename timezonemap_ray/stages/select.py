@@ -1,0 +1,310 @@
+"""Distributed selection operators: exact quantiles, deterministic hash
+sampling, top-k per group.
+
+The reference is a lookup engine with no selection operators (SURVEY §2);
+these are the training-data-pipeline extensions a 100 TB corpus needs, each
+built to avoid the operations that do not survive that scale:
+
+- ``quantile_exact`` — EXACT order statistics without a global sort: an
+  iterative histogram-refinement selection (the classic distributed
+  selection algorithm). Each pass is one streaming scan that folds every
+  block into a (n_active_intervals × B) counts matrix; the driver sees a
+  few KB per pass and narrows each quantile's value interval by ~B×. A
+  global ``ds.sort`` would shuffle every byte once; this does
+  O(log_B(range)) cheap scans and shuffles nothing.
+- ``sample_hash`` — deterministic pseudo-random sampling by pure int64
+  arithmetic on an id column. Reproducible across engines (the same
+  formula runs in SQL — see ``sample_hash_sql_pred``), stable under
+  retries/restarts, and embarrassingly parallel: a filter inside
+  ``map_batches``, no RNG state, no coordination.
+- ``topk_per_group`` — per-group top-k with a block-local combiner: stage 1
+  prunes every block to ≤ k rows per group (vectorized lexsort + run
+  slicing), so the shuffle moves at most k × groups × blocks rows instead
+  of the full table; stage 2 re-selects exactly within coarse hash
+  partitions of the group key (one ``map_groups`` call per partition — the
+  per-tiny-group dispatch lesson from the dedup family, PERF.md).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles (iterative histogram selection)
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 1024
+_EXACT_PULL_CAP = 262_144  # pull-and-sort threshold per interval
+
+
+def _fold_extent(ds, column):
+    """(n_nonnull, min, max) in one distributed pass (NaN/null ignored)."""
+    def fold(b: pa.Table) -> pa.Table:
+        v = b[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        return pa.table({
+            "n": pa.array([v.size], type=pa.int64()),
+            "lo": pa.array([float(v.min()) if v.size else math.inf]),
+            "hi": pa.array([float(v.max()) if v.size else -math.inf])})
+
+    n, lo, hi = 0, math.inf, -math.inf
+    for r in ds.map_batches(fold, batch_format="pyarrow").take_all():
+        n += int(r["n"])
+        lo = min(lo, float(r["lo"]))
+        hi = max(hi, float(r["hi"]))
+    return n, lo, hi
+
+
+def kth_smallest(ds, column: str, ks: list, n_buckets: int = _HIST_BUCKETS,
+                 exact_cap: int = _EXACT_PULL_CAP) -> dict:
+    """Exact k-th smallest values (0-based ranks ``ks``) of a float column.
+
+    Multi-k histogram refinement with a GLOBAL-rank invariant: each round
+    histograms every still-active interval in ONE scan (the per-block fold
+    returns below-lo counts + an (intervals × n_buckets) counts matrix), so
+    the number of full scans is O(log_B(value range)), independent of
+    len(ks). The rank offset is recomputed from the scan's own ``below``
+    count each round rather than carried across rounds, and bucket bounds are
+    widened by one ulp — so bucket-edge float rounding can never desync the
+    interval from the true k-th value. An interval finishes when it
+    collapses to one float64 or holds ≤ ``exact_cap`` values (one filtered
+    pull + driver sort resolves it exactly).
+    """
+    n, glo, ghi = _fold_extent(ds, column)
+    if n == 0:
+        return {int(k): None for k in ks}
+    out: dict = {}
+    # per k: [lo, hi] known (by invariant) to contain the k-th value
+    state = {int(k): [glo, ghi] for k in ks}
+    targets = {int(k): int(np.clip(k, 0, n - 1)) for k in ks}
+
+    for _ in range(80):  # ulp-level convergence bound for any float64 range
+        active = {k: s for k, s in state.items() if k not in out}
+        if not active:
+            break
+        for k, (lo, hi) in list(active.items()):
+            if lo == hi:  # single float left — no pull needed (dup-safe)
+                out[k] = float(lo)
+                del active[k]
+        if not active:
+            break
+        intervals = sorted({tuple(s) for s in active.values()})
+        stats = _histogram_pass(ds, column, intervals, n_buckets)
+        for k, s in active.items():
+            lo, hi = s
+            below, c = stats[(lo, hi)]
+            rank = targets[k] - below  # exact: recomputed THIS round
+            total = int(c.sum())
+            assert 0 <= rank < total, "selection invariant violated"
+            if total <= exact_cap:
+                vals = _pull_range(ds, column, lo, hi)
+                vals.sort()
+                out[k] = float(vals[rank])
+                continue
+            cum = np.cumsum(c)
+            b = int(np.searchsorted(cum, rank + 1))
+            width = (hi - lo) / n_buckets
+            # one-ulp widening keeps the true k-th inside despite edge
+            # rounding in the bucket-index arithmetic
+            new_lo = max(lo, np.nextafter(lo + b * width, -math.inf))
+            new_hi = hi if b == n_buckets - 1 else min(
+                hi, np.nextafter(lo + (b + 1) * width, math.inf))
+            if (new_lo, new_hi) == (lo, hi):
+                # sub-ulp buckets can't split further — the interval spans
+                # < n_buckets distinct float64s. Collect the DISTINCT values
+                # (deduped per block, ≤ n_buckets rows each, dup-count-proof)
+                # and binary-resolve the k-th by below-counts.
+                vals = _pull_distinct_range(ds, column, lo, hi)
+                out[k] = float(_kth_by_value_counts(ds, column, vals,
+                                                    targets[k]))
+                continue
+            state[k] = [new_lo, new_hi]
+    for k, s in state.items():  # safety net (should be unreachable)
+        if k not in out:
+            vals = _pull_range(ds, column, s[0], s[1])
+            vals.sort()
+            out[k] = float(vals[targets[k] - _count_below(ds, column, s[0])])
+    return out
+
+
+def _histogram_pass(ds, column, intervals, n_buckets):
+    """One scan: for every [lo, hi] interval, (count of values < lo,
+    per-bucket counts inside the interval); folded to the driver as tiny
+    rows."""
+    iv = list(intervals)
+
+    def fold(b: pa.Table) -> pa.Table:
+        v = b[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        blobs, belows = [], []
+        for lo, hi in iv:
+            belows.append(int((v < lo).sum()))
+            x = v[(v >= lo) & (v <= hi)]
+            if hi > lo:
+                bix = np.clip(((x - lo) / (hi - lo) * n_buckets)
+                              .astype(np.int64), 0, n_buckets - 1)
+            else:
+                bix = np.zeros(x.size, dtype=np.int64)
+            blobs.append(np.bincount(bix, minlength=n_buckets).tobytes())
+        return pa.table({
+            "iv": pa.array(np.arange(len(iv)), type=pa.int64()),
+            "below": pa.array(belows, type=pa.int64()),
+            "counts": pa.array(blobs, type=pa.binary())})
+
+    agg = {i: [0, np.zeros(n_buckets, dtype=np.int64)]
+           for i in range(len(iv))}
+    for r in ds.map_batches(fold, batch_format="pyarrow").take_all():
+        a = agg[int(r["iv"])]
+        a[0] += int(r["below"])
+        a[1] += np.frombuffer(r["counts"], dtype=np.int64)
+    return {iv[i]: (agg[i][0], agg[i][1]) for i in range(len(iv))}
+
+
+def _pull_distinct_range(ds, column, lo, hi) -> np.ndarray:
+    """DISTINCT values in [lo, hi], deduped inside each block — row volume
+    never reaches the driver, only per-block uniques (callers guarantee the
+    interval holds few distinct floats)."""
+    def keep(b: pa.Table) -> pa.Table:
+        v = b[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = ~np.isnan(v) & (v >= lo) & (v <= hi)
+        return pa.table({"v": pa.array(np.unique(v[m]))})
+
+    parts = [r["v"].to_numpy(zero_copy_only=False)
+             for r in ds.map_batches(keep, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0)
+
+
+def _count_below(ds, column, lo) -> int:
+    def fold(b: pa.Table) -> pa.Table:
+        v = b[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"n": pa.array([int((v[~np.isnan(v)] < lo).sum())],
+                                       type=pa.int64())})
+    return sum(int(r["n"]) for r in
+               ds.map_batches(fold, batch_format="pyarrow").take_all())
+
+
+def _kth_by_value_counts(ds, column, vals: np.ndarray, k_global: int):
+    """Exact k-th when only a handful of DISTINCT values remain but their
+    row counts may be huge: one pass counts rows < each candidate value."""
+    vals = np.sort(vals)
+    for v in vals:
+        if _count_below(ds, column, float(np.nextafter(v, math.inf))) \
+                > k_global:
+            return v
+    return vals[-1]
+
+
+def _pull_range(ds, column, lo, hi) -> np.ndarray:
+    """All values in [lo, hi] (bounded by the exact_cap check upstream)."""
+    def keep(b: pa.Table) -> pa.Table:
+        v = b[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = ~np.isnan(v) & (v >= lo) & (v <= hi)
+        return pa.table({"v": pa.array(v[m])})
+
+    parts = [r["v"].to_numpy(zero_copy_only=False)
+             for r in ds.map_batches(
+                 keep, batch_format="pyarrow").iter_batches(
+                     batch_format="pyarrow")]
+    return np.concatenate(parts) if parts else np.empty(0)
+
+
+def quantile_exact(ds, column: str, qs: list) -> pa.Table:
+    """EXACT discrete quantiles (DuckDB/Postgres ``quantile_disc``
+    semantics: smallest value with cumulative count ≥ q·n, i.e. 0-based
+    rank ``max(0, ceil(q·n) − 1)``; NaN/null ignored).
+
+    Returns a table (q: double, value: double), one row per requested q.
+    """
+    n, _, _ = _fold_extent(ds, column)
+    if n == 0:
+        return pa.table({"q": pa.array(qs, type=pa.float64()),
+                         "value": pa.array([None] * len(qs),
+                                           type=pa.float64())})
+    ks = {float(q): max(0, math.ceil(q * n) - 1) for q in qs}
+    got = kth_smallest(ds, column, sorted(set(ks.values())))
+    return pa.table({
+        "q": pa.array(list(ks.keys()), type=pa.float64()),
+        "value": pa.array([got[k] for k in ks.values()], type=pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_MULT = 2654435761
+SAMPLE_MOD = 1000000007
+SAMPLE_SPACE = 10_000  # basis points
+
+
+def sample_hash(ds, id_col: str, rate_bp: int):
+    """Keep rows where ``((id·2654435761) mod 1000000007) mod 10000 <
+    rate_bp`` — a deterministic ~rate_bp/10000 sample. Pure int64
+    arithmetic (ids must stay below 2^63 / 2654435761 ≈ 3.4e9 — true for
+    every testdata id space), so DuckDB reproduces the exact row set via
+    ``sample_hash_sql_pred``. No RNG state: stable under retries, resumes
+    and engine swaps."""
+    def keep(b: pa.Table) -> pa.Table:
+        v = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)
+        return b.filter(pa.array((h % np.int64(SAMPLE_SPACE)) < rate_bp))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_hash_sql_pred(id_col: str, rate_bp: int) -> str:
+    """The SQL predicate matching ``sample_hash`` exactly."""
+    return (f"((({id_col} * {SAMPLE_MULT}) % {SAMPLE_MOD}) % {SAMPLE_SPACE})"
+            f" < {rate_bp}")
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group
+# ---------------------------------------------------------------------------
+
+def _take_topk_runs(t: pa.Table, group_col, order_col, id_col, k) -> pa.Table:
+    """Vectorized top-k per group inside one table: lexsort by
+    (group asc, order desc, id asc), slice ≤ k per group run. NaN order
+    values are dropped (callers mirror this in SQL)."""
+    g = t[group_col].to_numpy(zero_copy_only=False)
+    v = t[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    i = t[id_col].to_numpy(zero_copy_only=False)
+    ok = ~np.isnan(v)
+    if not ok.all():
+        t = t.filter(pa.array(ok))
+        g, v, i = g[ok], v[ok], i[ok]
+    if t.num_rows == 0:
+        return t
+    order = np.lexsort((i, -v, g))
+    gs = g[order]
+    bounds = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1], True])
+    keep = np.concatenate([order[s:min(s + k, e)]
+                           for s, e in zip(bounds[:-1], bounds[1:])])
+    return t.take(pa.array(np.sort(keep)))
+
+
+def topk_per_group(ds, group_col: str, order_col: str, k: int,
+                   id_col: str, n_parts: int = 64):
+    """Exact top-k rows per group by ``order_col`` DESC (ties broken by
+    ``id_col`` ASC — fully deterministic, SQL ``row_number`` reproducible).
+
+    Combiner shape: block-local prune to ≤ k rows/group/block first, so the
+    groupby shuffle moves at most k·groups·blocks rows — never the full
+    table; then exact re-selection inside coarse hash partitions of the
+    group key (one vectorized ``map_groups`` per partition)."""
+    from .dedup import _coarse_groupby
+
+    def local(b: pa.Table) -> pa.Table:
+        return _take_topk_runs(b, group_col, order_col, id_col, k)
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if "_part" in g.column_names:
+            g = g.drop_columns(["_part"])
+        return _take_topk_runs(g, group_col, order_col, id_col, k)
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    return _coarse_groupby(pruned, group_col, per_part, n_parts=n_parts)
