@@ -552,6 +552,30 @@ def _q_events_topk_per_user(sf_dir: str):
     return out.map_batches(stabilize, batch_format="pyarrow")
 
 
+def _semi_anti_base(sf_dir: str, anti: bool):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from timezonemap_ray.stages.join import broadcast_semi_join
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    keys = cust.filter(pc.less(cust["c_nationkey"], 5))["c_custkey"]
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    return broadcast_semi_join(orders, keys, "o_custkey", anti=anti)
+
+
+def _q_orders_semi_customers(sf_dir: str):
+    """Broadcast SEMI join: orders whose customer sits in nations 0-4 —
+    the filter-join shape (key set ships once/node, fact side streams, no
+    shuffle, no row widening)."""
+    return _semi_anti_base(sf_dir, anti=False)
+
+
+def _q_orders_anti_customers(sf_dir: str):
+    """Broadcast ANTI join: orders whose customer is NOT in nations 0-4."""
+    return _semi_anti_base(sf_dir, anti=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # geo engine (reference parity pipelines)
@@ -596,6 +620,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "documents_sample": _q_documents_sample,
         "events_topk_per_user": _q_events_topk_per_user,
+        # broadcast semi/anti filter-joins
+        "orders_semi_customers": _q_orders_semi_customers,
+        "orders_anti_customers": _q_orders_anti_customers,
         # raster <-> vector tiling
         "tile_assignments": _q_tile_assignments,
         "tiles_boxes": _q_tiles_boxes,
@@ -805,6 +832,15 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY user_id
                 ORDER BY value DESC, event_id ASC) <= 3""",
+        "orders_semi_customers": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE EXISTS (SELECT 1 FROM customer
+                          WHERE c_custkey = o_custkey AND c_nationkey < 5)""",
+        "orders_anti_customers": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM customer
+                              WHERE c_custkey = o_custkey
+                                AND c_nationkey < 5)""",
         "order_lineitem_revenue": """
             SELECT o_orderpriority, count(*) AS n_items,
                    CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)

@@ -49,6 +49,26 @@ def test_asof_join_semantics(ray_session):
     assert got[(3, 1.0)] is None        # key with no right rows
 
 
+def test_broadcast_semi_anti_join(ray_session):
+    """Semi keeps exactly the in-set keys, anti the complement; null fact
+    keys are dropped by semi and kept by anti; semi + anti partition the
+    non-null rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from timezonemap_ray.stages.join import broadcast_semi_join
+    tbl = pa.table({
+        "k": pa.array([1, 2, 3, None, 5, 2, 7], type=pa.int64()),
+        "x": pa.array(list(range(7)), type=pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(3)
+    keys = [2, 5, 99]
+    semi = broadcast_semi_join(ds, keys, "k").to_pandas()
+    anti = broadcast_semi_join(ds, keys, "k", anti=True).to_pandas()
+    assert sorted(semi["x"].tolist()) == [1, 4, 5]        # k in {2,5}
+    assert sorted(anti["x"].tolist()) == [0, 2, 3, 6]     # incl. null row
+    assert len(semi) + len(anti) == tbl.num_rows
+
+
 def test_hll_accuracy(ray_session):
     import ray.data as rd
     n = 200_000

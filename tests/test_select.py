@@ -41,6 +41,38 @@ def test_quantile_exact_all_equal_and_nan(ray_session):
     assert (got["value"] == 7.5).all()
 
 
+def test_kth_smallest_adversarial_distributions(ray_session):
+    """Histogram-selection edge cases vs np.sort, with exact_cap forced
+    tiny so every case exercises the refinement loop (not the small-n
+    pull): denormals, 1e300 ranges, ±inf sentinels, duplicate spikes,
+    single-value columns, sub-ulp clusters."""
+    from timezonemap_ray.stages.select import kth_smallest
+    rng = np.random.default_rng(3)
+    cases = {
+        "uniform": rng.uniform(-1e6, 1e6, 20000),
+        "denormal": rng.uniform(0, 1, 8000) * 5e-324
+        * rng.integers(1, 100, 8000),
+        "huge_range": np.concatenate([rng.uniform(-1e300, 1e300, 5000),
+                                      rng.uniform(-1, 1, 5000)]),
+        "two_values": np.where(rng.random(9000) < 0.7, 3.25, -1.5),
+        "one_value": np.full(5000, 1e-9),
+        "dup_heavy": np.concatenate([np.full(9000, 5.0),
+                                     rng.uniform(0, 10, 1000)]),
+        "with_inf": np.concatenate([rng.uniform(-10, 10, 8000),
+                                    [np.inf] * 50, [-np.inf] * 30]),
+        "ulp_cluster": 1.0 + rng.integers(0, 5, 8000) * 2.0 ** -52,
+    }
+    for name, v in cases.items():
+        rng.shuffle(v)
+        tbl = pa.table({"value": pa.array(v.astype(np.float64))})
+        n = v.size
+        ks = sorted({0, 1, n // 2, n - 2, n - 1})
+        got = kth_smallest(_ds(tbl, blocks=4), "value", ks, exact_cap=256)
+        sv = np.sort(v)
+        for k in ks:
+            assert got[k] == sv[k], (name, k, got[k], sv[k])
+
+
 def test_sample_hash_matches_sql_predicate(ray_session):
     ids = np.arange(50_000, dtype=np.int64)
     tbl = pa.table({"doc_id": pa.array(ids), "x": pa.array(ids * 2)})

@@ -2,6 +2,8 @@
 
 - ``broadcast_lookup``: fact ⋈ small-dim via a `ray.put` dict — the 100 TB
   pattern for dimension joins (no shuffle; one object transfer per node).
+- ``broadcast_semi_join``: semi/anti filter-join against a broadcast key
+  set (``pc.is_in`` per batch; no shuffle, no row widening).
 - ``hash_join``: big ⋈ big via Ray Data's hash-shuffle ``Dataset.join``.
 - ``asof_join``: per-key ordered as-of join (each left row matched to the
   latest right row with ``right_on <= left_on``) — a custom operator Ray
@@ -43,6 +45,32 @@ def broadcast_lookup(ds, small_table: pa.Table, key: str, small_key: str,
         return b
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def broadcast_semi_join(ds, keys, key_col: str, anti: bool = False):
+    """Semi join (keep rows whose ``key_col`` is in ``keys``) / anti join
+    (``anti=True``: keep rows whose key is NOT in ``keys``) against a
+    broadcast key set — the 100 TB filter-join pattern: the key side ships
+    once per node via ``ray.put``, the fact side streams through one
+    vectorized ``pc.is_in`` per batch. No shuffle, no row widening.
+
+    ``keys`` may be a pyarrow Array/ChunkedArray, numpy array or list.
+    Null fact keys are never IN the set → dropped by semi, kept by anti
+    (matching SQL ``WHERE [NOT] EXISTS`` with a non-null key side)."""
+    import pyarrow.compute as pc
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    elif not isinstance(keys, pa.Array):
+        keys = pa.array(keys)
+    ref = ray.put(keys)
+
+    def keep(b: pa.Table) -> pa.Table:
+        kset = ray.get(ref)  # node-local plasma read
+        m = pc.is_in(b[key_col], value_set=kset)
+        m = pc.fill_null(m, False)
+        return b.filter(pc.invert(m) if anti else m)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def hash_join(left, right, on, right_on=None, join_type="inner",

@@ -42,21 +42,29 @@ _EXACT_PULL_CAP = 262_144  # pull-and-sort threshold per interval
 
 
 def _fold_extent(ds, column):
-    """(n_nonnull, min, max) in one distributed pass (NaN/null ignored)."""
+    """(n_nonnull, finite_min, finite_max, n_neginf, n_posinf) in one
+    distributed pass (NaN/null ignored; ±inf counted separately so the
+    histogram refinement always works on FINITE interval bounds — an
+    infinite bound would make every bucket edge NaN)."""
     def fold(b: pa.Table) -> pa.Table:
         v = b[column].to_numpy(zero_copy_only=False).astype(np.float64)
         v = v[~np.isnan(v)]
+        fin = v[np.isfinite(v)]
         return pa.table({
             "n": pa.array([v.size], type=pa.int64()),
-            "lo": pa.array([float(v.min()) if v.size else math.inf]),
-            "hi": pa.array([float(v.max()) if v.size else -math.inf])})
+            "lo": pa.array([float(fin.min()) if fin.size else math.inf]),
+            "hi": pa.array([float(fin.max()) if fin.size else -math.inf]),
+            "nneg": pa.array([int((v == -math.inf).sum())], type=pa.int64()),
+            "npos": pa.array([int((v == math.inf).sum())], type=pa.int64())})
 
-    n, lo, hi = 0, math.inf, -math.inf
+    n, lo, hi, nneg, npos = 0, math.inf, -math.inf, 0, 0
     for r in ds.map_batches(fold, batch_format="pyarrow").take_all():
         n += int(r["n"])
         lo = min(lo, float(r["lo"]))
         hi = max(hi, float(r["hi"]))
-    return n, lo, hi
+        nneg += int(r["nneg"])
+        npos += int(r["npos"])
+    return n, lo, hi, nneg, npos
 
 
 def kth_smallest(ds, column: str, ks: list, n_buckets: int = _HIST_BUCKETS,
@@ -74,15 +82,27 @@ def kth_smallest(ds, column: str, ks: list, n_buckets: int = _HIST_BUCKETS,
     collapses to one float64 or holds ≤ ``exact_cap`` values (one filtered
     pull + driver sort resolves it exactly).
     """
-    n, glo, ghi = _fold_extent(ds, column)
+    n, glo, ghi, nneg, npos = _fold_extent(ds, column)
     if n == 0:
         return {int(k): None for k in ks}
     out: dict = {}
+    # ±inf resolve by rank position alone; the refinement below then runs
+    # entirely on finite interval bounds
+    state: dict = {}
+    targets: dict = {}
+    for k in ks:
+        kk = int(np.clip(k, 0, n - 1))
+        if kk < nneg:
+            out[int(k)] = -math.inf
+        elif kk >= n - npos:
+            out[int(k)] = math.inf
+        else:
+            state[int(k)] = [glo, ghi]
+            targets[int(k)] = kk
     # per k: [lo, hi] known (by invariant) to contain the k-th value
-    state = {int(k): [glo, ghi] for k in ks}
-    targets = {int(k): int(np.clip(k, 0, n - 1)) for k in ks}
+    recoveries: dict = {}
 
-    for _ in range(80):  # ulp-level convergence bound for any float64 range
+    for _ in range(96):  # ulp-level convergence bound for any float64 range
         active = {k: s for k, s in state.items() if k not in out}
         if not active:
             break
@@ -99,7 +119,21 @@ def kth_smallest(ds, column: str, ks: list, n_buckets: int = _HIST_BUCKETS,
             below, c = stats[(lo, hi)]
             rank = targets[k] - below  # exact: recomputed THIS round
             total = int(c.sum())
-            assert 0 <= rank < total, "selection invariant violated"
+            if rank < 0 or rank >= total:
+                # the composite bucket-edge arithmetic can round by more
+                # than the 1-ulp widening on pathological ranges (denormals,
+                # 1e±300 magnitudes) and push the k-th just outside the
+                # interval. The below-count recomputation DETECTS this
+                # exactly; recover by widening the offending side back to
+                # the global extent and re-refining (costs a few extra
+                # rounds, never wrong).
+                recoveries[k] = recoveries.get(k, 0) + 1
+                if recoveries[k] > 8:
+                    raise RuntimeError(
+                        f"kth_smallest failed to converge for k={k}")
+                state[k] = [glo if rank < 0 else lo,
+                            ghi if rank >= total else hi]
+                continue
             if total <= exact_cap:
                 vals = _pull_range(ds, column, lo, hi)
                 vals.sort()
@@ -108,6 +142,14 @@ def kth_smallest(ds, column: str, ks: list, n_buckets: int = _HIST_BUCKETS,
             cum = np.cumsum(c)
             b = int(np.searchsorted(cum, rank + 1))
             width = (hi - lo) / n_buckets
+            if width == 0.0:
+                # (hi-lo)/B underflowed: ≤ ~B distinct denormal-spaced
+                # floats remain — enumerate distinct values and resolve by
+                # exact counts (row volume never pulled)
+                vals = _pull_distinct_range(ds, column, lo, hi)
+                out[k] = float(_kth_by_value_counts(ds, column, vals,
+                                                    targets[k]))
+                continue
             # one-ulp widening keeps the true k-th inside despite edge
             # rounding in the bucket-index arithmetic
             new_lo = max(lo, np.nextafter(lo + b * width, -math.inf))
@@ -190,13 +232,29 @@ def _count_below(ds, column, lo) -> int:
 
 def _kth_by_value_counts(ds, column, vals: np.ndarray, k_global: int):
     """Exact k-th when only a handful of DISTINCT values remain but their
-    row counts may be huge: one pass counts rows < each candidate value."""
+    row counts may be huge: ONE pass counts rows per candidate value (plus
+    rows below the smallest), then cumulative counts locate the k-th."""
     vals = np.sort(vals)
-    for v in vals:
-        if _count_below(ds, column, float(np.nextafter(v, math.inf))) \
-                > k_global:
-            return v
-    return vals[-1]
+
+    def fold(b: pa.Table) -> pa.Table:
+        v = b[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        below = int((v < vals[0]).sum())
+        pos = np.searchsorted(vals, v)
+        hit = (pos < vals.size)
+        hit[hit] = vals[pos[hit]] == v[hit]  # exact value matches only
+        counts = np.bincount(pos[hit], minlength=vals.size)
+        return pa.table({
+            "below": pa.array([below], type=pa.int64()),
+            "counts": pa.array([counts.tobytes()], type=pa.binary())})
+
+    below = 0
+    counts = np.zeros(vals.size, dtype=np.int64)
+    for r in ds.map_batches(fold, batch_format="pyarrow").take_all():
+        below += int(r["below"])
+        counts += np.frombuffer(r["counts"], dtype=np.int64)
+    cum = below + np.cumsum(counts)
+    return vals[int(np.searchsorted(cum, k_global + 1))]
 
 
 def _pull_range(ds, column, lo, hi) -> np.ndarray:
@@ -220,7 +278,7 @@ def quantile_exact(ds, column: str, qs: list) -> pa.Table:
 
     Returns a table (q: double, value: double), one row per requested q.
     """
-    n, _, _ = _fold_extent(ds, column)
+    n = _fold_extent(ds, column)[0]
     if n == 0:
         return pa.table({"q": pa.array(qs, type=pa.float64()),
                          "value": pa.array([None] * len(qs),
