@@ -107,6 +107,28 @@ def test_topk_per_group_exact(ray_session):
     pd.testing.assert_frame_equal(got[want.columns], want)
 
 
+def test_list_column_to_matrix_paths():
+    """Fast flatten+reshape path for equal-width list / fixed-size-list
+    columns equals the to_pylist fallback; ragged and null-bearing columns
+    route to the fallback unchanged."""
+    from timezonemap_ray.vecs import list_column_to_matrix
+    m = np.arange(12, dtype=np.float64).reshape(4, 3)
+    lst = pa.array(m.tolist(), type=pa.list_(pa.float64()))
+    fsl = pa.FixedSizeListArray.from_arrays(
+        pa.array(m.ravel(), type=pa.float64()), 3)
+    chunked = pa.chunked_array([lst.slice(0, 2), lst.slice(2, 2)])
+    for col in (lst, fsl, chunked, lst.slice(1, 2)):
+        got = list_column_to_matrix(col)
+        want = np.array(col.to_pylist() if not isinstance(col, pa.ChunkedArray)
+                        else col.combine_chunks().to_pylist())
+        assert got.shape == want.shape and (got == want).all()
+    withnull = pa.array([[1.0, 2.0], None, [3.0, 4.0]],
+                        type=pa.list_(pa.float64()))
+    import pytest
+    with pytest.raises(Exception):  # nulls/ragged: no silent wrong matrix
+        list_column_to_matrix(withnull)
+
+
 def test_topk_per_group_ties_and_small_groups(ray_session):
     # duplicate order values: ties must break by id ASC, deterministically
     tbl = pa.table({

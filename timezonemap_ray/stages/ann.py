@@ -20,6 +20,8 @@ import pyarrow as pa
 
 import ray
 
+from ..vecs import list_column_to_matrix
+
 
 def _normalize(v: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(v, axis=1)
@@ -42,7 +44,7 @@ class BlockTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        v = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        v = list_column_to_matrix(batch[self.vec_col])
         sims = _normalize(v) @ self.qmat.T  # (n, q)
         k = min(self.k, sims.shape[0])
         out_q, out_v, out_s = [], [], []
@@ -129,7 +131,7 @@ def ivf_build(ds, index_dir: str, n_centroids: int = 16,
 
     def assign(b: pa.Table) -> pa.Table:
         c = ray.get(ref)
-        v = _normalize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+        v = _normalize(list_column_to_matrix(b[vec_col]))
         a = np.argmax(v @ c.T, axis=1).astype(np.int64)
         # centroid_id becomes the partition DIRECTORY (stripped from row
         # data); cid stays as a data column for per-query probe restriction
@@ -215,8 +217,7 @@ def ivf_query(index_dir: str, query_ids, query_matrix, k: int = 10,
             assign = np.asarray(
                 batch["cid"].to_numpy(zero_copy_only=False),
                 dtype=np.int64)
-            v = _normalize(np.array(batch[vec_col].to_pylist(),
-                                    dtype=np.float64))
+            v = _normalize(list_column_to_matrix(batch[vec_col]))
             out_q, out_v, out_s = [], [], []
             for qi in range(self.qmat.shape[0]):
                 mask = np.isin(assign, self.probe[qi])

@@ -29,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 from .text import _splitmix64, md5_digest, token_hashes
+from ..vecs import list_column_to_matrix
 
 MERSENNE = np.uint64((1 << 61) - 1)
 MAX_BUCKET = 2000  # cap pairwise work per LSH bucket
@@ -711,15 +712,18 @@ class HyperplaneHasher:
         self.vec_col, self.id_col = vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        vecs = list_column_to_matrix(batch[self.vec_col])
         signs = (vecs @ self.planes) > 0
         keys = (signs.astype(np.uint64)
                 << np.arange(signs.shape[1], dtype=np.uint64)[None, :]) \
             .sum(axis=1, dtype=np.uint64)
+        # fixed-size-list output: one contiguous buffer, no per-row Python
+        vec_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel(), type=pa.float64()), vecs.shape[1])
         return pa.table({
             "vec_id": batch[self.id_col],
             "bucket": pa.array(keys.astype(np.int64), type=pa.int64()),
-            "vec": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+            "vec": vec_col,
         })
 
 
@@ -741,7 +745,7 @@ def embedding_dedup(ds, dim: int, threshold: float = 0.95, n_bits: int = 12,
             g = g.slice(0, MAX_BUCKET)
             n = MAX_BUCKET
         ids = g["vec_id"].to_pylist()
-        v = np.array(g["vec"].to_pylist(), dtype=np.float64)
+        v = list_column_to_matrix(g["vec"])
         norm = np.linalg.norm(v, axis=1)
         norm[norm == 0] = 1.0
         vn = v / norm[:, None]
