@@ -552,6 +552,17 @@ def _q_events_topk_per_user(sf_dir: str):
     return out.map_batches(stabilize, batch_format="pyarrow")
 
 
+def _q_value_quantiles_by_type(sf_dir: str):
+    """EXACT per-group quantiles (p50/p95 of value per event_type): one
+    shuffle of (group, value) pairs + vectorized run selection per coarse
+    partition — quantile_disc parity per group."""
+    import ray.data as rd
+    from timezonemap_ray.stages.select import grouped_quantile
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_quantile(ds, "event_type", "value", [0.5, 0.95])
+
+
 def _semi_anti_base(sf_dir: str, anti: bool):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -618,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct_users,
         # selection operators (exact quantile / hash sample / top-k per group)
         "value_quantiles": _q_value_quantiles,
+        "value_quantiles_by_type": _q_value_quantiles_by_type,
         "documents_sample": _q_documents_sample,
         "events_topk_per_user": _q_events_topk_per_user,
         # broadcast semi/anti filter-joins
@@ -832,6 +844,14 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY user_id
                 ORDER BY value DESC, event_id ASC) <= 3""",
+        "value_quantiles_by_type": """
+            SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+                   quantile_disc(value, 0.5) AS value
+            FROM events WHERE NOT isnan(value) GROUP BY event_type
+            UNION ALL
+            SELECT event_type, CAST(0.95 AS DOUBLE),
+                   quantile_disc(value, 0.95)
+            FROM events WHERE NOT isnan(value) GROUP BY event_type""",
         "orders_semi_customers": """
             SELECT o_orderkey, o_custkey FROM orders
             WHERE EXISTS (SELECT 1 FROM customer

@@ -107,6 +107,47 @@ def test_topk_per_group_exact(ray_session):
     pd.testing.assert_frame_equal(got[want.columns], want)
 
 
+def test_grouped_quantile_matches_duckdb(ray_session):
+    """Per-group quantile_disc parity on a string group key, incl. NaN
+    rows (dropped) and single-row groups."""
+    from timezonemap_ray.stages.select import grouped_quantile
+    rng = np.random.default_rng(12)
+    n = 20_000
+    grp = rng.choice(["alpha", "beta", "gamma", "lonely"], n,
+                     p=[0.45, 0.3, 0.2499, 0.0001])
+    v = rng.uniform(-10, 10, n)
+    v[::11] = np.nan
+    tbl = pa.table({"g": pa.array(grp), "value": pa.array(v)})
+    got = grouped_quantile(_ds(tbl), "g", "value", [0.5, 0.95]) \
+        .to_pandas().sort_values(["g", "q"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute("""
+        SELECT g, 0.5 AS q, quantile_disc(value, 0.5) AS value
+        FROM t WHERE NOT isnan(value) GROUP BY g
+        UNION ALL
+        SELECT g, 0.95, quantile_disc(value, 0.95)
+        FROM t WHERE NOT isnan(value) GROUP BY g
+        ORDER BY g, q""").df().reset_index(drop=True)
+    assert got["g"].tolist() == want["g"].tolist()
+    assert got["q"].tolist() == want["q"].tolist()
+    assert got["value"].tolist() == want["value"].tolist()
+
+
+def test_grouped_quantile_null_group_keys(ray_session):
+    """NULL group keys form their own group (SQL GROUP BY semantics);
+    object-array sorting with None used to crash (probe-found)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.select import grouped_quantile
+    tbl = pa.table({"g": pa.array(["a", None, "b", "a", None, "b", "a"]),
+                    "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0])})
+    out = grouped_quantile(rd.from_arrow(tbl).repartition(2),
+                           "g", "value", [0.5]).to_pandas()
+    by_g = {(g if isinstance(g, str) else None): v
+            for g, v in zip(out["g"], out["value"])}
+    assert by_g == {"a": 4.0, "b": 3.0, None: 2.0}
+
+
 def test_list_column_to_matrix_paths():
     """Fast flatten+reshape path for equal-width list / fixed-size-list
     columns equals the to_pylist fallback; ragged and null-bearing columns

@@ -320,6 +320,85 @@ def sample_hash_sql_pred(id_col: str, rate_bp: int) -> str:
             f" < {rate_bp}")
 
 
+def grouped_quantile(ds, group_col: str, value_col: str, qs: list,
+                     n_parts: int = 64) -> "object":
+    """EXACT per-group discrete quantiles (``quantile_disc`` semantics,
+    NaN/null dropped). Returns a Dataset of (group, q, value).
+
+    Scale shape: one shuffle of (group, value) PAIRS (columns pruned at the
+    read), then one vectorized sort + run-slice per coarse hash partition
+    of the group key — groups are co-located, never dispatched one by one.
+    Complements ``quantile_exact``: that one scans-without-shuffling for
+    GLOBAL quantiles; this one shuffles once for MANY groups (a scan per
+    group would be O(groups) passes).
+
+    Partitioning assumption: one group's rows fit in one partition task
+    (same contract as every co-partitioned group op here — salt if a
+    single group outgrows a worker)."""
+    qs = [float(q) for q in qs]
+
+    def per_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        gtype = g[group_col].type
+        # dictionary-encode the group column: integer codes sort safely for
+        # ANY key type, and NULL keys get a sentinel code (SQL GROUP BY
+        # keeps NULL as its own group — raw numpy lexsort on object arrays
+        # with None crashes, verify-probe-found)
+        garr = g[group_col]
+        if isinstance(garr, pa.ChunkedArray):
+            garr = garr.combine_chunks()
+        enc = garr.dictionary_encode()
+        dict_vals = enc.dictionary
+        codes = pc.fill_null(enc.indices, len(dict_vals)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        codes, v = codes[ok], v[ok]
+        if codes.size == 0:
+            return pa.table({group_col: pa.array([], type=gtype),
+                             "q": pa.array([], type=pa.float64()),
+                             "value": pa.array([], type=pa.float64())})
+        order = np.lexsort((v, codes))
+        gs, vs = codes[order], v[order]
+        bounds = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1], True])
+        out_g, out_q, out_v = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n = e - s
+            code = int(gs[s])
+            gval = dict_vals[code].as_py() if code < len(dict_vals) else None
+            for q in qs:
+                k = max(0, math.ceil(q * n) - 1)
+                out_g.append(gval)
+                out_q.append(q)
+                out_v.append(vs[s + k])
+        return pa.table({group_col: pa.array(out_g, type=gtype),
+                         "q": pa.array(out_q, type=pa.float64()),
+                         "value": pa.array(out_v, type=pa.float64())})
+
+    def add_part(b: pa.Table) -> pa.Table:
+        # dedup's _coarse_groupby assumes integer keys; group columns here
+        # may be strings — hash uniques once per batch (few distinct groups)
+        k = b[group_col].to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "iu":
+            from .dedup import _splitmix64
+            part = _splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)
+        else:
+            from .text import hash_u64
+            uniq, inv = np.unique(k.astype(str), return_inverse=True)
+            h = np.array([hash_u64(u) for u in uniq], dtype=np.uint64)
+            part = h[inv] % np.uint64(n_parts)
+        return b.append_column("_part",
+                               pa.array(part.astype(np.int64)))
+
+    def run(g: pa.Table) -> pa.Table:
+        if "_part" in g.column_names:
+            g = g.drop_columns(["_part"])
+        return per_part(g)
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(run, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Top-k per group
 # ---------------------------------------------------------------------------
