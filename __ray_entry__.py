@@ -23,6 +23,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+def _round_sql(arr):
+    """Cents-stabilize rounding that matches DuckDB/SQL round(): ties go
+    half AWAY FROM ZERO (pyarrow spells it ``half_towards_infinity``;
+    probe-verified on ±ties incl. -2.5 → -3). pyarrow's default is
+    banker's rounding (half-to-even), which differs on exact .5 values
+    (review-found: pc.round(112.5)=112, DuckDB round(112.5)=113)."""
+    return pc.round(arr, round_mode="half_towards_infinity")
+
+
+
 # make the sibling package importable however the driver loads this module
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
@@ -339,14 +349,14 @@ def _q_lineitem_pricing(sf_dir: str):
         return pa.table({
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
-            "sum_qty_c": pc.cast(pc.round(pc.multiply(b["sum_qty"],
+            "sum_qty_c": pc.cast(_round_sql(pc.multiply(b["sum_qty"],
                                                       pa.scalar(100.0))),
                                  pa.int64()),
             "sum_base_price_c": pc.cast(
-                pc.round(pc.multiply(b["sum_base_price"], pa.scalar(100.0))),
+                _round_sql(pc.multiply(b["sum_base_price"], pa.scalar(100.0))),
                 pa.int64()),
             "sum_disc_price_dm": pc.cast(
-                pc.round(pc.multiply(b["sum_disc_price"], pa.scalar(10000.0))),
+                _round_sql(pc.multiply(b["sum_disc_price"], pa.scalar(10000.0))),
                 pa.int64()),
             "count_order": b["count_order"],
         })
@@ -454,7 +464,7 @@ def _q_order_lineitem_revenue(sf_dir: str):
         return pa.table({
             "o_orderpriority": b["o_orderpriority"],
             "n_items": b["n_items"],
-            "sum_price_c": pc.cast(pc.round(pc.multiply(b["sum_price"],
+            "sum_price_c": pc.cast(_round_sql(pc.multiply(b["sum_price"],
                                                         pa.scalar(100.0))),
                                    pa.int64()),
         })
@@ -545,7 +555,7 @@ def _q_events_topk_per_user(sf_dir: str):
         return pa.table({
             "user_id": b["user_id"],
             "event_id": b["event_id"],
-            "value_c": pc.cast(pc.round(pc.multiply(b["value"],
+            "value_c": pc.cast(_round_sql(pc.multiply(b["value"],
                                                     pa.scalar(100.0))),
                                pa.int64())})
 

@@ -163,11 +163,61 @@ def test_list_column_to_matrix_paths():
         want = np.array(col.to_pylist() if not isinstance(col, pa.ChunkedArray)
                         else col.combine_chunks().to_pylist())
         assert got.shape == want.shape and (got == want).all()
+    import pytest
     withnull = pa.array([[1.0, 2.0], None, [3.0, 4.0]],
                         type=pa.list_(pa.float64()))
-    import pytest
-    with pytest.raises(Exception):  # nulls/ragged: no silent wrong matrix
+    with pytest.raises(Exception):  # outer null: no silent wrong matrix
         list_column_to_matrix(withnull)
+    inner_null = pa.array([[1.0, None], [2.0, 3.0]],
+                          type=pa.list_(pa.float64()))
+    with pytest.raises(Exception):  # INNER null: was a silent NaN row
+        list_column_to_matrix(inner_null)
+    fsl_inner = pa.FixedSizeListArray.from_arrays(
+        pa.array([1.0, None, 2.0, 3.0], type=pa.float64()), 2)
+    with pytest.raises(Exception):
+        list_column_to_matrix(fsl_inner)
+
+
+def test_topk_per_group_string_and_null_keys(ray_session):
+    """Group keys may be strings and may contain nulls (review-found:
+    the old integer-hash partitioner crashed on strings and object-array
+    lexsort crashed on None)."""
+    tbl = pa.table({
+        "g": pa.array(["x", "x", None, "y", None, "x"]),
+        "id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "v": pa.array([5.0, 7.0, 1.0, 9.0, 3.0, 6.0])})
+    got = topk_per_group(_ds(tbl, blocks=3), "g", "v", 2, "id") \
+        .to_pandas()
+    by_g: dict = {}
+    for g, i in zip(got["g"], got["id"]):
+        by_g.setdefault(g if isinstance(g, str) else None, []).append(int(i))
+    assert sorted(by_g["x"]) == [2, 6]      # v=7,6 beat v=5
+    assert by_g["y"] == [4]
+    assert sorted(by_g[None]) == [3, 5]     # null keys are ONE group
+
+
+def test_sample_hash_negative_ids_match_sql(ray_session):
+    """numpy % is sign-of-divisor, SQL % is sign-of-dividend — the SQL
+    predicate must renormalize so negative ids select identically
+    (review-found divergence)."""
+    ids = np.arange(-5_000, 5_000, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids)})
+    got = sample_hash(_ds(tbl), "doc_id", 1500).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute(
+        f"SELECT doc_id FROM t WHERE {sample_hash_sql_pred('doc_id', 1500)}"
+    ).df()
+    assert sorted(got["doc_id"].tolist()) == sorted(want["doc_id"].tolist())
+
+
+def test_quantile_exact_duplicate_qs(ray_session):
+    """Duplicate requested quantiles each keep their row (review-found
+    dict-collapse)."""
+    tbl = pa.table({"value": pa.array(np.arange(100, dtype=np.float64))})
+    got = quantile_exact(_ds(tbl), "value", [0.5, 0.5, 0.9]).to_pandas()
+    assert len(got) == 3
+    assert got["q"].tolist() == [0.5, 0.5, 0.9]
 
 
 def test_topk_per_group_ties_and_small_groups(ray_session):

@@ -62,6 +62,10 @@ def broadcast_semi_join(ds, keys, key_col: str, anti: bool = False):
         keys = keys.combine_chunks()
     elif not isinstance(keys, pa.Array):
         keys = pa.array(keys)
+    # a null IN the key set would make is_in(null_key) TRUE and invert the
+    # documented null semantics (review-found) — enforce the non-null
+    # key-side contract here
+    keys = keys.drop_null()
     ref = ray.put(keys)
 
     def keep(b: pa.Table) -> pa.Table:

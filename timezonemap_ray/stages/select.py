@@ -68,7 +68,7 @@ def _fold_extent(ds, column):
 
 
 def kth_smallest(ds, column: str, ks: list, n_buckets: int = _HIST_BUCKETS,
-                 exact_cap: int = _EXACT_PULL_CAP) -> dict:
+                 exact_cap: int = _EXACT_PULL_CAP, _extent=None) -> dict:
     """Exact k-th smallest values (0-based ranks ``ks``) of a float column.
 
     Multi-k histogram refinement with a GLOBAL-rank invariant: each round
@@ -82,7 +82,8 @@ def kth_smallest(ds, column: str, ks: list, n_buckets: int = _HIST_BUCKETS,
     collapses to one float64 or holds ≤ ``exact_cap`` values (one filtered
     pull + driver sort resolves it exactly).
     """
-    n, glo, ghi, nneg, npos = _fold_extent(ds, column)
+    n, glo, ghi, nneg, npos = (_extent if _extent is not None
+                               else _fold_extent(ds, column))
     if n == 0:
         return {int(k): None for k in ks}
     out: dict = {}
@@ -114,6 +115,8 @@ def kth_smallest(ds, column: str, ks: list, n_buckets: int = _HIST_BUCKETS,
             break
         intervals = sorted({tuple(s) for s in active.values()})
         stats = _histogram_pass(ds, column, intervals, n_buckets)
+        pulled: dict = {}     # per-round pull caches, keyed by interval —
+        pulled_dist: dict = {}  # ks sharing an interval share one scan
         for k, s in active.items():
             lo, hi = s
             below, c = stats[(lo, hi)]
@@ -135,20 +138,33 @@ def kth_smallest(ds, column: str, ks: list, n_buckets: int = _HIST_BUCKETS,
                             ghi if rank >= total else hi]
                 continue
             if total <= exact_cap:
-                vals = _pull_range(ds, column, lo, hi)
-                vals.sort()
-                out[k] = float(vals[rank])
+                if (lo, hi) not in pulled:
+                    v = _pull_range(ds, column, lo, hi)
+                    v.sort()
+                    pulled[(lo, hi)] = v
+                out[k] = float(pulled[(lo, hi)][rank])
                 continue
             cum = np.cumsum(c)
             b = int(np.searchsorted(cum, rank + 1))
+            if not math.isfinite(hi - lo):
+                # the FINITE extent can still overflow (values near both
+                # ±1.7e308): the histogram pass bisected at mid — mirror
+                # its two buckets here. The [lo,mid]/[mid,hi] overlap at
+                # mid is harmless: ranks are recounted from below next
+                # round (review-found)
+                mid = lo / 2 + hi / 2
+                state[k] = [lo, mid] if b == 0 else [mid, hi]
+                continue
             width = (hi - lo) / n_buckets
             if width == 0.0:
                 # (hi-lo)/B underflowed: ≤ ~B distinct denormal-spaced
                 # floats remain — enumerate distinct values and resolve by
                 # exact counts (row volume never pulled)
-                vals = _pull_distinct_range(ds, column, lo, hi)
-                out[k] = float(_kth_by_value_counts(ds, column, vals,
-                                                    targets[k]))
+                if (lo, hi) not in pulled_dist:
+                    pulled_dist[(lo, hi)] = _pull_distinct_range(
+                        ds, column, lo, hi)
+                out[k] = float(_kth_by_value_counts(
+                    ds, column, pulled_dist[(lo, hi)], targets[k]))
                 continue
             # one-ulp widening keeps the true k-th inside despite edge
             # rounding in the bucket-index arithmetic
@@ -160,9 +176,11 @@ def kth_smallest(ds, column: str, ks: list, n_buckets: int = _HIST_BUCKETS,
                 # < n_buckets distinct float64s. Collect the DISTINCT values
                 # (deduped per block, ≤ n_buckets rows each, dup-count-proof)
                 # and binary-resolve the k-th by below-counts.
-                vals = _pull_distinct_range(ds, column, lo, hi)
-                out[k] = float(_kth_by_value_counts(ds, column, vals,
-                                                    targets[k]))
+                if (lo, hi) not in pulled_dist:
+                    pulled_dist[(lo, hi)] = _pull_distinct_range(
+                        ds, column, lo, hi)
+                out[k] = float(_kth_by_value_counts(
+                    ds, column, pulled_dist[(lo, hi)], targets[k]))
                 continue
             state[k] = [new_lo, new_hi]
     for k, s in state.items():  # safety net (should be unreachable)
@@ -186,8 +204,14 @@ def _histogram_pass(ds, column, intervals, n_buckets):
         for lo, hi in iv:
             belows.append(int((v < lo).sum()))
             x = v[(v >= lo) & (v <= hi)]
-            if hi > lo:
-                bix = np.clip(((x - lo) / (hi - lo) * n_buckets)
+            span = hi - lo
+            if not np.isfinite(span):
+                # extent overflow (values near both ±1.7e308): bisect at
+                # the overflow-safe midpoint; refinement mirrors this
+                mid = lo / 2 + hi / 2
+                bix = np.where(x < mid, 0, n_buckets - 1)
+            elif span > 0:
+                bix = np.clip(((x - lo) / span * n_buckets)
                               .astype(np.int64), 0, n_buckets - 1)
             else:
                 bix = np.zeros(x.size, dtype=np.int64)
@@ -278,16 +302,20 @@ def quantile_exact(ds, column: str, qs: list) -> pa.Table:
 
     Returns a table (q: double, value: double), one row per requested q.
     """
-    n = _fold_extent(ds, column)[0]
+    extent = _fold_extent(ds, column)  # ONE extent scan, shared with
+    n = extent[0]                      # kth_smallest (review-found dup)
     if n == 0:
-        return pa.table({"q": pa.array(qs, type=pa.float64()),
+        return pa.table({"q": pa.array([float(q) for q in qs],
+                                       type=pa.float64()),
                          "value": pa.array([None] * len(qs),
                                            type=pa.float64())})
-    ks = {float(q): max(0, math.ceil(q * n) - 1) for q in qs}
-    got = kth_smallest(ds, column, sorted(set(ks.values())))
+    # list, not dict: duplicate qs each keep their output row
+    pairs = [(float(q), max(0, math.ceil(q * n) - 1)) for q in qs]
+    got = kth_smallest(ds, column, sorted({k for _, k in pairs}),
+                       _extent=extent)
     return pa.table({
-        "q": pa.array(list(ks.keys()), type=pa.float64()),
-        "value": pa.array([got[k] for k in ks.values()], type=pa.float64())})
+        "q": pa.array([q for q, _ in pairs], type=pa.float64()),
+        "value": pa.array([got[k] for _, k in pairs], type=pa.float64())})
 
 
 # ---------------------------------------------------------------------------
@@ -315,9 +343,50 @@ def sample_hash(ds, id_col: str, rate_bp: int):
 
 
 def sample_hash_sql_pred(id_col: str, rate_bp: int) -> str:
-    """The SQL predicate matching ``sample_hash`` exactly."""
-    return (f"((({id_col} * {SAMPLE_MULT}) % {SAMPLE_MOD}) % {SAMPLE_SPACE})"
-            f" < {rate_bp}")
+    """The SQL predicate matching ``sample_hash`` exactly — including for
+    NEGATIVE ids: numpy's ``%`` follows the divisor's sign (always
+    non-negative here) while SQL's follows the dividend's, so the SQL side
+    re-normalizes with ``(x % m + m) % m`` (review-found divergence)."""
+    m = SAMPLE_MOD
+    return (f"((((({id_col} * {SAMPLE_MULT}) % {m}) + {m}) % {m})"
+            f" % {SAMPLE_SPACE}) < {rate_bp}")
+
+
+def _hash_part_of(garr, n_parts: int) -> np.ndarray:
+    """Deterministic coarse partition id per row for ANY group-key type
+    (int, string, with or without nulls): dictionary-encode the batch,
+    hash the (few) distinct values, gather. Nulls map to part 0 —
+    consistent across batches, which is all partitioning needs."""
+    import pyarrow.compute as pc
+    from .text import _splitmix64, hash_u64
+    if isinstance(garr, pa.ChunkedArray):
+        garr = garr.combine_chunks()
+    enc = garr.dictionary_encode()
+    dict_vals = enc.dictionary.to_pylist()
+    hv = np.empty(len(dict_vals) + 1, dtype=np.int64)
+    for i, u in enumerate(dict_vals):
+        if isinstance(u, (int, np.integer)):
+            h = int(_splitmix64(np.uint64(int(u) & ((1 << 64) - 1))))
+        else:
+            h = hash_u64(str(u))
+        hv[i] = h % n_parts
+    hv[len(dict_vals)] = 0  # null sentinel
+    codes = pc.fill_null(enc.indices, len(dict_vals)) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    return hv[codes]
+
+
+def _group_codes(garr):
+    """(codes int64 array, dictionary) — null keys get the sentinel code
+    len(dictionary). Integer codes sort/run-slice safely for any key type
+    (object arrays with None crash numpy comparisons)."""
+    import pyarrow.compute as pc
+    if isinstance(garr, pa.ChunkedArray):
+        garr = garr.combine_chunks()
+    enc = garr.dictionary_encode()
+    codes = pc.fill_null(enc.indices, len(enc.dictionary)) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, enc.dictionary
 
 
 def grouped_quantile(ds, group_col: str, value_col: str, qs: list,
@@ -338,19 +407,12 @@ def grouped_quantile(ds, group_col: str, value_col: str, qs: list,
     qs = [float(q) for q in qs]
 
     def per_part(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         gtype = g[group_col].type
-        # dictionary-encode the group column: integer codes sort safely for
-        # ANY key type, and NULL keys get a sentinel code (SQL GROUP BY
-        # keeps NULL as its own group — raw numpy lexsort on object arrays
-        # with None crashes, verify-probe-found)
-        garr = g[group_col]
-        if isinstance(garr, pa.ChunkedArray):
-            garr = garr.combine_chunks()
-        enc = garr.dictionary_encode()
-        dict_vals = enc.dictionary
-        codes = pc.fill_null(enc.indices, len(dict_vals)) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # integer group codes sort safely for ANY key type, and NULL keys
+        # get a sentinel code (SQL GROUP BY keeps NULL as its own group —
+        # raw numpy lexsort on object arrays with None crashes,
+        # verify-probe-found)
+        codes, dict_vals = _group_codes(g[group_col])
         v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         ok = ~np.isnan(v)
         codes, v = codes[ok], v[ok]
@@ -377,18 +439,9 @@ def grouped_quantile(ds, group_col: str, value_col: str, qs: list,
 
     def add_part(b: pa.Table) -> pa.Table:
         # dedup's _coarse_groupby assumes integer keys; group columns here
-        # may be strings — hash uniques once per batch (few distinct groups)
-        k = b[group_col].to_numpy(zero_copy_only=False)
-        if k.dtype.kind in "iu":
-            from .dedup import _splitmix64
-            part = _splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)
-        else:
-            from .text import hash_u64
-            uniq, inv = np.unique(k.astype(str), return_inverse=True)
-            h = np.array([hash_u64(u) for u in uniq], dtype=np.uint64)
-            part = h[inv] % np.uint64(n_parts)
-        return b.append_column("_part",
-                               pa.array(part.astype(np.int64)))
+        # may be strings or carry nulls
+        return b.append_column(
+            "_part", pa.array(_hash_part_of(b[group_col], n_parts)))
 
     def run(g: pa.Table) -> pa.Table:
         if "_part" in g.column_names:
@@ -406,8 +459,10 @@ def grouped_quantile(ds, group_col: str, value_col: str, qs: list,
 def _take_topk_runs(t: pa.Table, group_col, order_col, id_col, k) -> pa.Table:
     """Vectorized top-k per group inside one table: lexsort by
     (group asc, order desc, id asc), slice ≤ k per group run. NaN order
-    values are dropped (callers mirror this in SQL)."""
-    g = t[group_col].to_numpy(zero_copy_only=False)
+    values are dropped (callers mirror this in SQL). Groups sort by
+    dictionary CODE, never by raw value — safe for string keys and for
+    NULL keys (their own group, SQL GROUP BY semantics)."""
+    g, _ = _group_codes(t[group_col])
     v = t[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
     i = t[id_col].to_numpy(zero_copy_only=False)
     ok = ~np.isnan(v)
@@ -428,20 +483,22 @@ def topk_per_group(ds, group_col: str, order_col: str, k: int,
                    id_col: str, n_parts: int = 64):
     """Exact top-k rows per group by ``order_col`` DESC (ties broken by
     ``id_col`` ASC — fully deterministic, SQL ``row_number`` reproducible).
+    Group keys may be int or string, with or without nulls.
 
     Combiner shape: block-local prune to ≤ k rows/group/block first, so the
     groupby shuffle moves at most k·groups·blocks rows — never the full
     table; then exact re-selection inside coarse hash partitions of the
     group key (one vectorized ``map_groups`` per partition)."""
-    from .dedup import _coarse_groupby
 
     def local(b: pa.Table) -> pa.Table:
-        return _take_topk_runs(b, group_col, order_col, id_col, k)
+        pruned = _take_topk_runs(b, group_col, order_col, id_col, k)
+        return pruned.append_column(
+            "_part", pa.array(_hash_part_of(pruned[group_col], n_parts)))
 
     def per_part(g: pa.Table) -> pa.Table:
         if "_part" in g.column_names:
             g = g.drop_columns(["_part"])
         return _take_topk_runs(g, group_col, order_col, id_col, k)
 
-    pruned = ds.map_batches(local, batch_format="pyarrow")
-    return _coarse_groupby(pruned, group_col, per_part, n_parts=n_parts)
+    return ds.map_batches(local, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")

@@ -15,22 +15,28 @@ import pyarrow as pa
 def list_column_to_matrix(col, dtype=np.float64) -> np.ndarray:
     """(n, dim) matrix from a ``list<T>`` / ``fixed_size_list<T>`` column.
 
-    Fast path: flatten once + reshape (no per-row Python). Ragged or
-    null-bearing list columns fall through to ``np.array(to_pylist())``,
-    which RAISES rather than silently building a wrong matrix — embedding
-    columns are equal-width and null-free by contract."""
+    Fast path: flatten once + reshape (no per-row Python). Null rows or
+    null ELEMENTS raise — both the reshape path and numpy's
+    ``np.array(to_pylist())`` would otherwise silently map None → NaN and
+    poison downstream similarities (review-found); embedding columns are
+    equal-width and null-free by contract. Ragged lists raise in the
+    numpy fallback."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if isinstance(col, pa.FixedSizeListArray) and col.null_count == 0:
+    if isinstance(col, (pa.FixedSizeListArray, pa.ListArray,
+                        pa.LargeListArray)):
+        if col.null_count or col.flatten().null_count:
+            raise ValueError(
+                "embedding column contains null rows or null elements")
+    if isinstance(col, pa.FixedSizeListArray):
         dim = col.type.list_size
-        flat = col.flatten().to_numpy(zero_copy_only=False)
-        return flat.reshape(len(col), dim).astype(dtype, copy=False)
-    if isinstance(col, (pa.ListArray, pa.LargeListArray)) \
-            and col.null_count == 0 and len(col):
+        return col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(col), dim).astype(dtype, copy=False)
+    if isinstance(col, (pa.ListArray, pa.LargeListArray)) and len(col):
         offsets = col.offsets.to_numpy(zero_copy_only=False)
         widths = np.diff(offsets)
         if widths.size and (widths == widths[0]).all():
-            flat = col.flatten().to_numpy(zero_copy_only=False)
-            return flat.reshape(widths.size, int(widths[0])) \
+            return col.flatten().to_numpy(zero_copy_only=False) \
+                .reshape(widths.size, int(widths[0])) \
                 .astype(dtype, copy=False)
     return np.array(col.to_pylist(), dtype=dtype)
