@@ -154,6 +154,51 @@ def test_bowtie_even_odd_equals_simplified_pieces():
     assert (bow == pieces).all()
 
 
+def test_bowtie_area_equals_simplified_pieces():
+    """M3 area fidelity: a self-intersecting ring's even-odd area must
+    equal the sum of its simplified pieces (bowtie = two unit triangles
+    = 2.0), NOT the raw signed shoelace (which cancels the lobes to 0)."""
+    bow_x = np.array([0.0, 2.0, 2.0, 0.0])
+    bow_y = np.array([0.0, 2.0, 0.0, 2.0])
+    rs = np.array([0, 4])
+    assert geom.polygon_area_deg2(bow_x, bow_y, rs) == 2.0
+    # raw shoelace of the crossing ring is 0 — the pre-fix failure mode
+    assert abs(geom.ring_signed_area(bow_x, bow_y)) == 0.0
+
+
+def test_self_intersecting_area_matches_parity_sampling():
+    """Random self-intersecting polygons: decomposed even-odd area agrees
+    with a dense parity-sampled (grid Monte Carlo) estimate."""
+    rng = np.random.default_rng(17)
+    checked = 0
+    while checked < 5:
+        k = int(rng.integers(4, 7))
+        xs = rng.uniform(0, 10, k)
+        ys = rng.uniform(0, 10, k)
+        if not geom.ring_self_intersects(xs, ys):
+            continue
+        rs = np.array([0, k])
+        got = geom.polygon_area_deg2(xs, ys, rs)
+        g = np.linspace(0, 10, 201)
+        gx, gy = np.meshgrid(g, g)
+        inside = geom.points_in_polygon(gx.ravel(), gy.ravel(), xs, ys, rs)
+        est = inside.mean() * 100.0  # cell area 10x10
+        assert abs(got - est) < 0.35, (xs, ys, got, est)
+        checked += 1
+
+
+def test_simple_polygon_area_unchanged_by_decomposition():
+    """Simple (incl. hole/island) polygons keep their exact area through
+    the decomposition-aware path."""
+    # square with hole with island (same shape as the PIP fixture)
+    xs = np.array([0.0, 4.0, 4.0, 0.0,   1.0, 3.0, 3.0, 1.0,
+                   1.5, 2.5, 2.5, 1.5])
+    ys = np.array([0.0, 0.0, 4.0, 4.0,   1.0, 1.0, 3.0, 3.0,
+                   1.5, 1.5, 2.5, 2.5])
+    rs = np.array([0, 4, 8, 12])
+    assert geom.polygon_area_deg2(xs, ys, rs) == 16.0 - 4.0 + 1.0
+
+
 def test_make_zone_warns_on_self_intersection(caplog):
     import logging
     from timezonemap_ray.zonetable import make_zone

@@ -86,12 +86,20 @@ def ring_signed_area(rx: np.ndarray, ry: np.ndarray) -> float:
 
 
 def polygon_area_deg2(xs: np.ndarray, ys: np.ndarray, ring_start: np.ndarray) -> float:
-    """Even-odd planar area in degrees^2: |outer| - |holes| + |islands| ...
+    """Even-odd planar area in degrees²: the area of the region
+    ``points_in_polygon`` accepts — |outer| − |holes| + |islands| for
+    nested simple rings, and the SIMPLIFIED (lobes-summed) area for
+    self-intersecting rings, replicating Esri ``calculateArea2D()`` after
+    ``OperatorSimplify`` (reference sort key ``TimeZoneMap.kt:217``, M3
+    repair ``builder/Main.kt:44-60``).
 
-    Replicates Esri ``calculateArea2D()`` on an OGC-simple polygon
-    (reference sort key, ``TimeZoneMap.kt:217``): each ring contributes its
-    absolute shoelace area with sign (-1)^depth, where depth = number of
-    other rings strictly containing it.
+    Fast path (the normal case — all rings simple): per-ring |shoelace|
+    signed by nesting depth, O(E) + O(rings²·E). SELF-INTERSECTING input
+    routes to the exact parity scanline (``_even_odd_area_scanline``) —
+    the raw shoelace would cancel a bowtie's lobes to |A1 − A2| instead
+    of |A1| + |A2|, and loop-decomposition + depth probing is unsound
+    when split loops cross through shared vertices (both failure modes
+    regression-tested).
     """
     n_rings = len(ring_start) - 1
     rings = []
@@ -99,6 +107,8 @@ def polygon_area_deg2(xs: np.ndarray, ys: np.ndarray, ring_start: np.ndarray) ->
         s, e = int(ring_start[r]), int(ring_start[r + 1])
         if e - s >= 3:
             rings.append((xs[s:e], ys[s:e]))
+    if any(ring_self_intersects(rx, ry) for rx, ry in rings):
+        return _even_odd_area_scanline(xs, ys, ring_start)
     total = 0.0
     for i, (rx, ry) in enumerate(rings):
         depth = 0
@@ -107,10 +117,60 @@ def polygon_area_deg2(xs: np.ndarray, ys: np.ndarray, ring_start: np.ndarray) ->
             if i == j:
                 continue
             rs = np.array([0, len(ox)], dtype=np.int64)
-            if _even_odd_interior(np.array([px]), np.array([py]), ox, oy, rs)[0]:
+            if _even_odd_interior(np.array([px]), np.array([py]),
+                                  ox, oy, rs)[0]:
                 depth += 1
         a = abs(ring_signed_area(rx, ry))
         total += a if depth % 2 == 0 else -a
+    return total
+
+
+def _even_odd_area_scanline(xs, ys, ring_start) -> float:
+    """EXACT area of the even-odd (crossing-parity) region of an arbitrary
+    edge set — self-intersections, mutually crossing rings, anything.
+
+    Slab boundaries at every vertex y and every pairwise edge-crossing y;
+    inside a slab no two active edges cross, so sorting them by midpoint-x
+    and pairing alternately yields the parity region as trapezoids,
+    integrated exactly. O(E²) crossing detection + O(crit · E log E)
+    slabs — acceptable because only self-intersecting (malformed) input
+    lands here, at build time.
+    """
+    x1, y1, x2, y2 = all_edges(as_f64(xs), as_f64(ys), ring_start)
+    keep = y1 != y2  # horizontal edges bound no vertical extent
+    x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+    n = x1.size
+    if n == 0:
+        return 0.0
+    crit = [y1, y2]
+    # pairwise proper crossings contribute slab boundaries too
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = ((x2[:, None] - x1[:, None]) * (y2[None, :] - y1[None, :])
+             - (y2[:, None] - y1[:, None]) * (x2[None, :] - x1[None, :]))
+        t = ((x1[None, :] - x1[:, None]) * (y2[None, :] - y1[None, :])
+             - (y1[None, :] - y1[:, None]) * (x2[None, :] - x1[None, :])) / d
+        u = ((x1[None, :] - x1[:, None]) * (y2[:, None] - y1[:, None])
+             - (y1[None, :] - y1[:, None]) * (x2[:, None] - x1[:, None])) / d
+        cross = (d != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+        if cross.any():
+            ii, jj = np.nonzero(cross)
+            crit.append(y1[ii] + t[ii, jj] * (y2[ii] - y1[ii]))
+    ylev = np.unique(np.concatenate(crit))
+    lo_y = np.minimum(y1, y2)
+    hi_y = np.maximum(y1, y2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = (x2 - x1) / (y2 - y1)
+    total = 0.0
+    for ya, yb in zip(ylev[:-1], ylev[1:]):
+        act = np.nonzero((lo_y <= ya) & (hi_y >= yb))[0]
+        if act.size == 0:
+            continue
+        xa = x1[act] + (ya - y1[act]) * slope[act]
+        xb = x1[act] + (yb - y1[act]) * slope[act]
+        order = np.argsort(xa + xb, kind="stable")
+        xa, xb = xa[order], xb[order]
+        gaps = (xa[1::2] - xa[0::2]) + (xb[1::2] - xb[0::2])
+        total += float(gaps.sum()) * 0.5 * (yb - ya)
     return total
 
 

@@ -92,13 +92,16 @@ def cleanse_ring(lats, lngs):
 def make_zone(zone_id: str, rings) -> ZoneRecord:
     """rings: iterable of (lats, lngs) sequences (ring 0 outer, then holes...).
 
-    M3 divergence note (detection added round 2): the reference force-runs
-    Esri ``OperatorSimplify`` (`builder/Main.kt:44-60`), which SPLITS a
-    self-intersecting ring into simple pieces. We keep the ring and rely on
-    even-odd PIP, whose interior for a crossing ring equals the union of
-    the simplified pieces' interiors (asserted for the bowtie case in
-    tests/test_geom.py) — but we DETECT and report every such ring so the
-    divergence is observable instead of silent."""
+    M3 note (round 2): the reference force-runs Esri ``OperatorSimplify``
+    (`builder/Main.kt:44-60`), which SPLITS a self-intersecting ring into
+    simple pieces. We keep the ring: even-odd PIP's interior for a
+    crossing ring equals the union of the simplified pieces' interiors
+    (asserted for the bowtie in tests/test_geom.py) AND the area sort key
+    is simplify-consistent too — ``geom.polygon_area_deg2`` routes
+    self-intersecting input through an exact parity scanline, so lobes
+    SUM like Esri's simplified pieces instead of cancelling in the
+    shoelace. Every such ring is still detected and reported so the
+    representation difference stays observable."""
     rec = ZoneRecord(zone_id)
     for ri, (lats, lngs) in enumerate(rings):
         la, ln = cleanse_ring(np.asarray(lats, float), np.asarray(lngs, float))
@@ -107,9 +110,9 @@ def make_zone(zone_id: str, rings) -> ZoneRecord:
                 import logging
                 logging.getLogger(__name__).warning(
                     "zone %r ring %d self-intersects; keeping it under "
-                    "even-odd PIP semantics (reference would Esri-simplify "
-                    "— M3 divergence, results equal for crossing rings)",
-                    zone_id, ri)
+                    "even-odd semantics (reference would Esri-simplify — "
+                    "M3; PIP results and area sort key match the "
+                    "simplified form)", zone_id, ri)
             rec.rings.append((la, ln))
     return rec
 
