@@ -105,6 +105,21 @@ def run_bench(num_cpus: int) -> dict:
     timings["points_join"] = sec
     pps = n_pts / sec if sec > 0 else 0.0
 
+    # many-record world (1625 records — the realistic-archive regime): the
+    # gathered-PIP hybrid path is auto-on here (PERF.md round-2 addendum 2)
+    from timezonemap_ray import worlds as _w
+    big_engine = TimeZoneEngine.for_everywhere(
+        _w.grid_world_table(n=40, jagged=True))
+    big_n = BENCH_POINTS // 4
+    bench_points_join(big_engine, big_n, num_cpus)  # warm
+    best = None
+    for _ in range(2):
+        sec_b, n_b = bench_points_join(big_engine, big_n, num_cpus)
+        if best is None or sec_b < best[0]:
+            best = (sec_b, n_b)
+    timings["points_join_bigworld"] = best[0]
+    pps_big = best[1] / best[0] if best[0] > 0 else 0.0
+
     # training-data operator benches
     import ray.data as rd
     from timezonemap_ray.stages.text import token_count
@@ -137,6 +152,7 @@ def run_bench(num_cpus: int) -> dict:
         "sf": SF_DIR,
         "num_cpus": num_cpus,
         "points_per_sec": round(pps),
+        "points_per_sec_bigworld": round(pps_big),
         "flagship_rows": n_flagship,
         "bench_points": BENCH_POINTS,
     }
