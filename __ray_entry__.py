@@ -573,6 +573,18 @@ def _q_value_quantiles_by_type(sf_dir: str):
     return grouped_quantile(ds, "event_type", "value", [0.5, 0.95])
 
 
+def _q_distinct_users_per_type(sf_dir: str):
+    """EXACT per-group COUNT(DISTINCT user_id): per-block pair dedup first
+    (the shuffle moves distinct pairs, never raw rows), then one vectorized
+    unique+run count per coarse partition. Complements the HLL sketch
+    (global, approximate) with the exact per-group variant."""
+    import ray.data as rd
+    from timezonemap_ray.stages.select import distinct_per_group
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return distinct_per_group(ds, "event_type", "user_id")
+
+
 def _semi_anti_base(sf_dir: str, anti: bool):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -636,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_range_buckets": _q_value_range_buckets,
         "streaming_windows": _q_streaming_windows,
         "distinct_users": _q_distinct_users,
+        "distinct_users_per_type": _q_distinct_users_per_type,
         "approx_distinct_users": _q_approx_distinct_users,
         # selection operators (exact quantile / hash sample / top-k per group)
         "value_quantiles": _q_value_quantiles,
@@ -836,6 +849,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1""",
         "distinct_users": """
             SELECT count(DISTINCT user_id) AS n_users FROM events""",
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type""",
         "value_quantiles": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q, "
             f"quantile_disc(value, {q}) AS value "

@@ -148,6 +148,30 @@ def test_grouped_quantile_null_group_keys(ray_session):
     assert by_g == {"a": 4.0, "b": 3.0, None: 2.0}
 
 
+def test_distinct_per_group_matches_duckdb(ray_session):
+    """Exact per-group COUNT(DISTINCT value) with string groups, null
+    groups (their own group) and null values (not counted)."""
+    from timezonemap_ray.stages.select import distinct_per_group
+    rng = np.random.default_rng(31)
+    n = 15_000
+    grp = rng.choice(["a", "b", "c", None], n, p=[0.4, 0.3, 0.25, 0.05])
+    val = rng.integers(0, 500, n).astype("float64")
+    val[::13] = np.nan
+    tbl = pa.table({"g": pa.array(grp),
+                    "v": pa.array([None if np.isnan(x) else int(x)
+                                   for x in val], type=pa.int64())})
+    got = distinct_per_group(_ds(tbl), "g", "v").to_pandas()
+    got_map = {(g if isinstance(g, str) else None): int(c)
+               for g, c in zip(got["g"], got["n_distinct"])}
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute(
+        "SELECT g, COUNT(DISTINCT v) AS n FROM t GROUP BY g").df()
+    want_map = {(g if isinstance(g, str) else None): int(c)
+                for g, c in zip(want["g"], want["n"])}
+    assert got_map == want_map
+
+
 def test_list_column_to_matrix_paths():
     """Fast flatten+reshape path for equal-width list / fixed-size-list
     columns equals the to_pylist fallback; ragged and null-bearing columns
