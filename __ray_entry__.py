@@ -472,6 +472,34 @@ def _q_order_lineitem_revenue(sf_dir: str):
     return ds.map_batches(stabilize, batch_format="pyarrow")
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """Multi-join composite (lineitem ⋈ orders ⋈ customer ⋈ nation):
+    block-local pre-aggregation before the one hash-shuffle join, broadcast
+    dim attaches, per-nation sums. Revenue stabilized to 1e-4-scaled
+    integers (inputs have ≤4 combined decimals)."""
+    from timezonemap_ray.pipelines.relational import revenue_by_nation
+    ds = revenue_by_nation(sf_dir)
+
+    def stabilize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": b["n_name"],
+            "revenue_dm": pc.cast(
+                _round_sql(pc.multiply(b["revenue"], pa.scalar(10000.0))),
+                pa.int64()),
+            "n_items": b["n_items"],
+        })
+
+    return ds.map_batches(stabilize, batch_format="pyarrow")
+
+
+def _q_events_window_funcs(sf_dir: str):
+    """Ordered window functions per user (running sum / row_number / lag
+    gap) — integer-exact: money cents-scaled before the scan, so no FP
+    accumulation drift between engines."""
+    from timezonemap_ray.pipelines.relational import events_window_funcs
+    return events_window_funcs(sf_dir)
+
+
 def _q_events_asof_orders(sf_dir: str):
     from timezonemap_ray.pipelines.relational import events_asof_orders
     return events_asof_orders(sf_dir).select_columns(
@@ -585,6 +613,33 @@ def _q_distinct_users_per_type(sf_dir: str):
     return distinct_per_group(ds, "event_type", "user_id")
 
 
+def _q_vocab_top_terms(sf_dir: str):
+    """Top-100 vocabulary terms: per-block (term, n) partials (tokens never
+    shuffle), groupby sum, block-local top-k + tiny merge. Deterministic
+    under count ties via (n DESC, term ASC)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.terms import top_terms
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return top_terms(ds, k=100)
+
+
+def _q_distinctive_terms(sf_dir: str):
+    """TF-IDF distinctive term per document: df via per-block distinct
+    (doc, term) partials, tf ⋈ df hash join ON TERM (no driver-side
+    vocabulary), integer-ordered top-1 per doc (tf DESC, df ASC, term ASC
+    — SQL-reproducible independent of libm). The float tfidf column is
+    dropped here so the hash check stays integer-exact."""
+    import ray.data as rd
+    from timezonemap_ray.stages.terms import distinctive_terms
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = distinctive_terms(ds)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "term", "tf", "df"]),
+        batch_format="pyarrow")
+
+
 def _semi_anti_base(sf_dir: str, anti: bool):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -625,6 +680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprint_md5": _q_fingerprint,
         "fingerprint_rolling": _q_fingerprint_rolling,
+        "vocab_top_terms": _q_vocab_top_terms,
+        "distinctive_terms": _q_distinctive_terms,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -643,6 +700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "order_lineitem_revenue": _q_order_lineitem_revenue,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "events_window_funcs": _q_events_window_funcs,
         "events_asof_orders": _q_events_asof_orders,
         "customers_per_nation": _q_customers_per_nation,
         "value_range_buckets": _q_value_range_buckets,
@@ -732,6 +791,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN lang_pred = 'en' THEN c_en WHEN lang_pred = 'es' THEN c_es WHEN lang_pred = 'fr' THEN c_fr WHEN lang_pred = 'de' THEN c_de WHEN lang_pred = 'zh' THEN c_zh END AS DOUBLE) / greatest(n_tok, 1)
                        AS lang_score
             FROM pred""",
+        "vocab_top_terms": r"""
+            SELECT term, count(*)::BIGINT AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+                  FROM documents)
+            GROUP BY term ORDER BY n DESC, term ASC LIMIT 100""",
+        "distinctive_terms": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                   FROM toks GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                         ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+              FROM tf JOIN df USING (term))
+            SELECT doc_id, term, tf, df FROM scored WHERE rn = 1""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
             FROM documents GROUP BY md5(text)""",
@@ -893,6 +971,31 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_price_c
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority""",
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(round(sum(l_extendedprice * (1.0 - l_discount))
+                              * 10000.0) AS BIGINT) AS revenue_dm,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "events_window_funcs": """
+            WITH c AS (
+                SELECT event_id, user_id, ts,
+                       CAST(round(value * 100.0) AS BIGINT) AS value_c
+                FROM events)
+            SELECT event_id, user_id, ts, value_c,
+                   CAST(sum(value_c) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS running_sum_c,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS row_num,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+            FROM c""",
         "events_asof_orders": """
             WITH last AS (
                 SELECT o_custkey, o_orderdate,

@@ -159,6 +159,127 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
              .sort(["user_id", "session_id"])
 
 
+def revenue_by_nation(sf_dir: str):
+    """Multi-join composite: lineitem ⋈ orders ⋈ customer ⋈ nation →
+    revenue per nation (TPC-H Q5 flavor).
+
+    Scale shape, stage by stage: (1) lineitem pre-aggregates to
+    (orderkey, revenue, n_items) PARTIALS inside ``map_batches`` — the
+    big-big join's left side shrinks ~4× before any shuffle; (2) the only
+    all-to-all is the hash join on orderkey; (3) customer and nation attach
+    via broadcast ``pc.index_in`` probes (dim joins never shuffle);
+    (4) the final groupby moves one partial row per nation per block."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from ..stages.join import broadcast_lookup, hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def pre_agg(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        g = pa.TableGroupBy(t, "l_orderkey").aggregate(
+            [("rev", "sum"), ("rev", "count")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rev": g["rev_sum"],
+                         "n": pc.cast(g["rev_count"], pa.int64())})
+
+    li = li.map_batches(pre_agg, batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    joined = broadcast_lookup(joined, cust, key="o_custkey",
+                              small_key="c_custkey",
+                              value_cols=["c_nationkey"])
+    joined = broadcast_lookup(joined, nat, key="c_nationkey",
+                              small_key="n_nationkey", value_cols=["n_name"])
+    out = joined.groupby("n_name").aggregate(
+        Sum("rev", alias_name="revenue"), Sum("n", alias_name="n_items"))
+    return out.sort("n_name")
+
+
+def events_window_funcs(sf_dir: str, n_parts: int = 64):
+    """Per-key ordered window functions over the events stream: running
+    sum, row_number and lag-gap per user — SQL
+    ``OVER (PARTITION BY user_id ORDER BY ts, event_id)`` semantics.
+
+    Money values are cents-scaled to int64 FIRST (SQL ``round()`` ties
+    away from zero), so the running sum is integer arithmetic — exact and
+    order-independent across engines, no FP accumulation drift.
+
+    Scale shape: one shuffle of the event rows into coarse hash partitions
+    of user_id (users co-located, never dispatched one group at a time),
+    then a single vectorized sort + segmented scan per partition:
+    ``pc.sort_indices`` (C sort), numpy segmented cumsum / arange / diff.
+    Partitioning assumption: one partition's rows fit in a worker task —
+    the same contract as every co-partitioned group op here."""
+    import numpy as np
+    import ray.data as rd
+    from ..stages.select import _hash_part_of
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def add_cents_part(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        b = b.drop_columns(["value"]).append_column("value_c", cents)
+        return b.append_column(
+            "_part", pa.array(_hash_part_of(b["user_id"], n_parts)))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if "_part" in g.column_names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+                "value_c": pa.array([], type=pa.int64()),
+                "running_sum_c": pa.array([], type=pa.int64()),
+                "row_num": pa.array([], type=pa.int64()),
+                "gap_us": pa.array([], type=pa.int64())})
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        c = g["value_c"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(c)
+        base = np.repeat(cum[starts] - c[starts], lens)
+        row_num = np.arange(n, dtype=np.int64) - np.repeat(starts, lens) + 1
+        ts_us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        gap = np.empty(n, dtype=np.int64)
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        gap[0] = 0
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True  # lag(ts) is NULL on each user's first row
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "ts": g["ts"],
+            "value_c": g["value_c"],
+            "running_sum_c": pa.array(cum - base, type=pa.int64()),
+            "row_num": pa.array(row_num, type=pa.int64()),
+            "gap_us": pa.array(gap, type=pa.int64(), mask=first)})
+
+    return ds.map_batches(add_cents_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
 def customers_per_nation(sf_dir: str):
     """customer ⋈ nation (vectorized broadcast dim join) → count per nation
     name. The hot path is ``pc.index_in`` + ``take`` per batch (see

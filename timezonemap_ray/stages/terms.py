@@ -1,0 +1,202 @@
+"""Term/vocabulary operators over the documents table: distributed word
+count, top-k terms, per-doc term frequencies, and TF-IDF distinctive-term
+selection.
+
+The reference has no text operators (it is a geo lookup engine — SURVEY
+§2); these are training-data-pipeline extensions, built scale-first:
+
+- ``term_counts`` — the canonical partial-aggregation shape: each block
+  folds its tokens to (term, n) PARTIALS via dictionary-encode + bincount
+  before the groupby, so the shuffle moves one row per distinct term per
+  block instead of one row per token (a ~100× reduction on natural text,
+  where blocks repeat their vocabulary heavily).
+- ``top_terms`` — block-local top-k over the aggregated vocabulary, then a
+  tiny driver merge of ≤ k rows per block (same pattern as
+  ``relational.top_revenue_orders`` / ``ann.brute_topk``) — no global sort
+  of the vocabulary for a top-100.
+- ``doc_term_freq`` — per-(doc, term) tf, fully vectorized: flatten the
+  token list column, pair parent-doc indices with dictionary codes, one
+  ``np.unique(return_counts=True)`` per block. No Python loop over rows or
+  tokens.
+- ``distinctive_terms`` — TF-IDF-flavored top-term-per-doc. Two passes:
+  (1) document frequencies by summing per-block distinct (doc, term)
+  partials — exact because a document never spans blocks; (2) tf ⋈ df via
+  a hash join ON TERM (the scale path: the vocabulary of a 100 TB corpus
+  does not fit in a broadcast map, but a key-partitioned join streams), a
+  float64 ``tfidf = tf·ln(N/df)`` score column for users, and a
+  DETERMINISTIC integer-ordered selection (tf DESC, df ASC, term ASC) so
+  the result is reproducible in SQL independent of libm rounding.
+
+Tokenization is ``\\S+`` runs (whitespace split), exactly DuckDB's
+``regexp_extract_all(text, '\\S+')`` — the oracle contract used by
+``stages/text.py`` too.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _flat_tokens(b: pa.Table, text_col: str):
+    """(tokens, parent_doc_row_indices) for one block — ``\\S+`` runs.
+    Splitting on ``\\s+`` yields empty-string artifacts at text edges;
+    filtering those leaves exactly the ``\\S+`` matches."""
+    toks = pc.split_pattern_regex(b[text_col], pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    return flat.filter(keep).combine_chunks(), \
+        parent.filter(keep).to_numpy(zero_copy_only=False)
+
+
+def term_counts(ds, text_col: str = "text"):
+    """Global term frequencies → Dataset of (term: string, n: int64).
+
+    Partial aggregation inside ``map_batches`` (one (term, n) row per
+    distinct term per block); the groupby then sums partials — tokens
+    themselves never shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(b, text_col)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        enc = flat.dictionary_encode()
+        counts = np.bincount(
+            enc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary))
+        return pa.table({"term": enc.dictionary,
+                         "n": pa.array(counts.astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n", alias_name="n"))
+
+
+def top_terms(ds, k: int = 100, text_col: str = "text") -> pa.Table:
+    """Top ``k`` terms by (n DESC, term ASC) — deterministic under count
+    ties. Returns an in-memory table (≤ k rows); the merge input is ≤ k
+    rows per block of the aggregated vocabulary, never the vocabulary
+    itself."""
+    agg = term_counts(ds, text_col)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("n", "descending"),
+                                            ("term", "ascending")])[:k]
+        return b.take(idx)
+
+    parts = [t for t in agg.map_batches(local_topk, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"term": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64())})
+    idx = pc.sort_indices(merged, sort_keys=[("n", "descending"),
+                                             ("term", "ascending")])[:k]
+    return merged.take(idx)
+
+
+def doc_term_freq(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-(doc, term) frequencies → Dataset of (doc_id, term, tf: int64).
+    One vectorized ``np.unique`` over (parent-doc, term-code) pairs per
+    block; documents with no tokens emit nothing (SQL unnest semantics)."""
+
+    def per_block(b: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(b, text_col)
+        if len(flat) == 0:
+            return pa.table({id_col: pa.array([], type=b[id_col].type),
+                             "term": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64())})
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = parent.astype(np.int64) * len(enc.dictionary) + codes
+        upair, tf = np.unique(pair, return_counts=True)
+        doc_rows = upair // len(enc.dictionary)
+        term_codes = upair % len(enc.dictionary)
+        return pa.table({
+            id_col: pc.take(b[id_col], pa.array(doc_rows)),
+            "term": pc.take(enc.dictionary, pa.array(term_codes)),
+            "tf": pa.array(tf.astype(np.int64))})
+
+    return ds.map_batches(per_block, batch_format="pyarrow")
+
+
+def doc_frequencies(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Document frequencies → Dataset of (term, df: int64). Exact: each
+    block contributes its distinct (doc, term) pairs once, and a document
+    (one row) never spans blocks, so summing per-block partials is the
+    global distinct-doc count per term."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(b, text_col)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = parent.astype(np.int64) * len(enc.dictionary) + codes
+        term_codes = np.unique(pair) % len(enc.dictionary)
+        uterm, df = np.unique(term_codes, return_counts=True)
+        return pa.table({"term": pc.take(enc.dictionary, pa.array(uterm)),
+                         "df": pa.array(df.astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df", alias_name="df"))
+
+
+def distinctive_terms(ds, id_col: str = "doc_id", text_col: str = "text",
+                      n_parts: int = 64):
+    """Most distinctive term per document → Dataset of
+    (doc_id, term, tf, df, tfidf: float64).
+
+    Selection order is (tf DESC, df ASC, term ASC) — the integer
+    lexicographic proxy for tf·idf that is bit-reproducible in SQL (a
+    float-score argmax would tie-break on libm rounding). The float64
+    ``tfidf = tf · ln(N/df)`` column is still emitted for users.
+
+    Scale shape: tf ⋈ df is a hash join ON TERM (both sides are Datasets;
+    no driver-side vocabulary), then top-1 per doc inside coarse hash
+    partitions of doc_id (vectorized ``pc.sort_indices`` + run-slice per
+    partition — never one dispatch per document)."""
+    import ray
+
+    from .select import _hash_part_of
+
+    n_docs = ds.count()
+    tf = doc_term_freq(ds, id_col, text_col)
+    df = doc_frequencies(ds, id_col, text_col)
+    # Cap join partitions by cluster CPUs: each hash-shuffle aggregator
+    # actor reserves 0.125 CPU, and an aggregator fleet larger than the
+    # cluster starves the map side (observed deadlock: 64 partitions on a
+    # 4-CPU session). cpus*2 keeps aggregator demand at cpus/4.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    join_parts = max(2, min(n_parts, cpus * 2))
+    joined = tf.join(df, join_type="inner", num_partitions=join_parts,
+                     on=("term",))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_part", pa.array(_hash_part_of(b[id_col], n_parts)))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if "_part" in g.column_names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            (id_col, "ascending"), ("tf", "descending"),
+            ("df", "ascending"), ("term", "ascending")])
+        g = g.take(idx)
+        doc_codes = g[id_col].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, doc_codes[1:] != doc_codes[:-1]])
+        g = g.take(pa.array(starts))
+        tf_v = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_v = g["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = tf_v * np.log(float(n_docs) / df_v)
+        return g.append_column("tfidf", pa.array(score, type=pa.float64()))
+
+    return joined.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
