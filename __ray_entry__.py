@@ -640,6 +640,116 @@ def _q_distinctive_terms(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_events_latest_per_user(sf_dir: str):
+    """Keep-latest dedup per key: each user's newest event by
+    (ts DESC, event_id DESC). Per-block keep-latest combiner first — at
+    most one row per user per block crosses the shuffle."""
+    import ray.data as rd
+    from timezonemap_ray.stages.agg import latest_per_group
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    return latest_per_group(ds, "user_id", ["ts", "event_id"])
+
+
+def _q_events_stats_per_type(sf_dir: str):
+    """Grouped moments (count / sum / sum-of-squares) with values
+    cents-scaled to int64 BEFORE aggregating — integer-exact and
+    sum-order-independent across engines. Float mean/std are derived
+    columns, dropped here so the hash check stays integer-exact."""
+    import ray.data as rd
+    from timezonemap_ray.stages.agg import grouped_stats
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    out = grouped_stats(ds, "event_type", "value")
+    return out.map_batches(
+        lambda b: b.select(["event_type", "n", "sum_c", "sumsq_c"]),
+        batch_format="pyarrow")
+
+
+def _q_events_pivot_types(sf_dir: str):
+    """Long→wide pivot: per-user counts over the static event-type column
+    list (SQL pivot contract). One bincount pass per block, groupby sums
+    wide partials — raw events never shuffle."""
+    import ray.data as rd
+    from timezonemap_ray.stages.agg import pivot_counts
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type",
+                        ["click", "error", "purchase", "signup", "view"])
+
+
+def _q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): finest level
+    aggregates raw rows once (cents-int64 partials); coarser levels
+    re-aggregate the finest AGGREGATE — exact because integer partials
+    are associative."""
+    import ray.data as rd
+    from timezonemap_ray.stages.agg import rollup_agg
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderstatus",
+                                  "o_totalprice"])
+    return rollup_agg(ds, ["o_orderpriority", "o_orderstatus"],
+                      value_col="o_totalprice")
+
+
+def _q_normalize_text(sf_dir: str):
+    """Canonical text normalization (lowercase, collapse whitespace,
+    trim) — pure RE2/utf8 kernels per batch."""
+    import ray.data as rd
+    from timezonemap_ray.stages.text import normalize_text
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(normalize_text, batch_format="pyarrow")
+
+
+def _q_orders_left_lineitem(sf_dir: str):
+    """LEFT OUTER hash join: every order with its lineitem count and
+    revenue (0 when no lineitems). Lineitem pre-aggregates per orderkey
+    inside map_batches — per-row cents so both engines sum identical
+    integers — before the one hash-shuffle join."""
+    import ray.data as rd
+    from timezonemap_ray.stages.join import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def pre_agg(b: pa.Table) -> pa.Table:
+        rev_dm = pc.cast(_round_sql(pc.multiply(
+            pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"])),
+            pa.scalar(10000.0))), pa.int64())
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev_dm": rev_dm})
+        g = pa.TableGroupBy(t, "l_orderkey").aggregate(
+            [("rev_dm", "sum"), ("rev_dm", "count")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rev_dm": pc.cast(g["rev_dm_sum"], pa.int64()),
+                         "n_items": pc.cast(g["rev_dm_count"], pa.int64())})
+
+    # per-block partials, then a REAL groupby combine: an orderkey whose
+    # rows span blocks must collapse to one row before the left join, or
+    # the join would duplicate its order row
+    from ray.data.aggregate import Sum
+    li = li.map_batches(pre_agg, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(
+            Sum("rev_dm", alias_name="rev_dm"),
+            Sum("n_items", alias_name="n_items"))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+    joined = hash_join(orders, li, on="o_orderkey", right_on="l_orderkey",
+                       join_type="left_outer")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "n_items": pc.fill_null(pc.cast(b["n_items"], pa.int64()),
+                                    pa.scalar(0, type=pa.int64())),
+            "rev_dm": pc.fill_null(pc.cast(b["rev_dm"], pa.int64()),
+                                   pa.scalar(0, type=pa.int64()))})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _semi_anti_base(sf_dir: str, anti: bool):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -682,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_rolling": _q_fingerprint_rolling,
         "vocab_top_terms": _q_vocab_top_terms,
         "distinctive_terms": _q_distinctive_terms,
+        "normalize_text": _q_normalize_text,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -702,6 +813,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_revenue": _q_order_lineitem_revenue,
         "revenue_by_nation": _q_revenue_by_nation,
         "events_window_funcs": _q_events_window_funcs,
+        "events_latest_per_user": _q_events_latest_per_user,
+        "events_stats_per_type": _q_events_stats_per_type,
+        "events_pivot_types": _q_events_pivot_types,
+        "orders_rollup": _q_orders_rollup,
+        "orders_left_lineitem": _q_orders_left_lineitem,
         "events_asof_orders": _q_events_asof_orders,
         "customers_per_nation": _q_customers_per_nation,
         "value_range_buckets": _q_value_range_buckets,
@@ -996,6 +1112,51 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(ts) - epoch_us(lag(ts) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
             FROM c""",
+        "events_latest_per_user": """
+            SELECT event_id, user_id, ts FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) = 1""",
+        "events_stats_per_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100.0) AS BIGINT) AS v
+                       FROM events WHERE NOT isnan(value))
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(v) AS BIGINT) AS sum_c,
+                   CAST(sum(v * v) AS BIGINT) AS sumsq_c
+            FROM c GROUP BY event_type""",
+        "events_pivot_types": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+            FROM events GROUP BY user_id""",
+        "orders_rollup": """
+            WITH c AS (SELECT o_orderpriority, o_orderstatus,
+                              CAST(round(o_totalprice * 100.0) AS BIGINT)
+                                  AS cents
+                       FROM orders)
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS total_c
+            FROM c GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""",
+        "normalize_text": r"""
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                       AS norm_text
+            FROM documents""",
+        "orders_left_lineitem": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                           * 10000.0) AS BIGINT)) AS BIGINT)
+                           AS rev_dm,
+                       count(*) AS n_items
+                FROM lineitem GROUP BY l_orderkey)
+            SELECT o_orderkey,
+                   coalesce(li.n_items, 0) AS n_items,
+                   coalesce(li.rev_dm, 0) AS rev_dm
+            FROM orders LEFT JOIN li ON o_orderkey = l_orderkey""",
         "events_asof_orders": """
             WITH last AS (
                 SELECT o_custkey, o_orderdate,

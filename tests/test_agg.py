@@ -1,0 +1,179 @@
+"""Aggregate-family operators vs DuckDB: keep-latest dedup per key,
+integer-exact grouped moments, static pivot, ROLLUP grouping sets, and
+text normalization."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from timezonemap_ray.stages.agg import (
+    grouped_stats, latest_per_group, pivot_counts, rollup_agg)
+from timezonemap_ray.stages.text import normalize_text
+
+
+def _events_tbl(n=400, with_null_key=True):
+    rng = np.random.default_rng(7)
+    uid = rng.integers(0, 23, n).astype(np.int64)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(uid, type=pa.int64()),
+        "ts": pa.array((rng.integers(0, 10**6, n) * 1000).astype("int64"),
+                       type=pa.int64()),
+        "etype": pa.array([["click", "view", "buy"][int(i)]
+                           for i in rng.integers(0, 3, n)]),
+        "value": pa.array(np.round(rng.uniform(-50, 400, n), 2)),
+    })
+    if with_null_key:
+        # a null group key forms its own group (SQL GROUP BY)
+        uids = tbl["user_id"].to_pylist()
+        uids[5] = None
+        uids[17] = None
+        tbl = tbl.set_column(1, "user_id", pa.array(uids, type=pa.int64()))
+    return tbl
+
+
+def _ds(tbl, blocks=6):
+    import ray.data as rd
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+def _con(tbl, name="t"):
+    con = duckdb.connect()
+    con.register(name, tbl)
+    return con
+
+
+def test_latest_per_group_matches_duckdb(ray_session):
+    tbl = _events_tbl()
+    got = latest_per_group(_ds(tbl), "user_id", ["ts", "event_id"],
+                           n_parts=8).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = _con(tbl).execute("""
+        SELECT * FROM t
+        QUALIFY row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY event_id""").df()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["user_id"].equals(want["user_id"].astype(got["user_id"].dtype))
+
+
+def test_grouped_stats_matches_duckdb(ray_session):
+    tbl = _events_tbl()
+    got = grouped_stats(_ds(tbl), "etype", "value").to_pandas() \
+        .sort_values("etype").reset_index(drop=True)
+    want = _con(tbl).execute("""
+        WITH c AS (SELECT etype, CAST(round(value * 100.0) AS BIGINT) AS v
+                   FROM t WHERE NOT isnan(value))
+        SELECT etype, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_c,
+               CAST(sum(v * v) AS BIGINT) AS sumsq_c
+        FROM c GROUP BY etype ORDER BY etype""").df()
+    assert got["etype"].tolist() == want["etype"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["sum_c"].tolist() == want["sum_c"].tolist()
+    assert got["sumsq_c"].tolist() == want["sumsq_c"].tolist()
+    # derived moments agree with pandas on the scaled-int values
+    for _, r in got.iterrows():
+        mask = [e == r["etype"] for e in tbl["etype"].to_pylist()]
+        v = np.round(np.asarray(tbl["value"].to_pylist())[mask] * 100)
+        assert np.isclose(r["mean"], v.mean() / 100)
+        assert np.isclose(r["std"], v.std() / 100)
+
+
+def test_grouped_stats_nan_dropped(ray_session):
+    tbl = _events_tbl(n=50, with_null_key=False)
+    vals = tbl["value"].to_pylist()
+    vals[3] = float("nan")
+    vals[9] = float("nan")
+    tbl = tbl.set_column(4, "value", pa.array(vals))
+    got = grouped_stats(_ds(tbl, blocks=3), "etype", "value").to_pandas()
+    want = _con(tbl).execute("""
+        WITH c AS (SELECT etype, CAST(round(value * 100.0) AS BIGINT) AS v
+                   FROM t WHERE NOT isnan(value))
+        SELECT etype, count(*) AS n FROM c GROUP BY etype""").df()
+    m = dict(zip(want["etype"], want["n"]))
+    for _, r in got.iterrows():
+        assert r["n"] == m[r["etype"]]
+
+
+def test_grouped_stats_overflow_fallback_exact(ray_session):
+    # values big enough that a float64 bincount would lose integer
+    # exactness — forces the int64 reduceat path
+    n = 2000
+    rng = np.random.default_rng(3)
+    big = rng.integers(10**11, 10**12, n).astype(np.float64) / 100.0
+    tbl = pa.table({"g": pa.array(["a"] * (n // 2) + ["b"] * (n // 2)),
+                    "value": pa.array(big)})
+    got = grouped_stats(_ds(tbl, blocks=2), "g", "value").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    cents = np.round(big * 100).astype(np.int64)
+    for i, g in enumerate(["a", "b"]):
+        sel = cents[: n // 2] if g == "a" else cents[n // 2:]
+        assert got["sum_c"][i] == int(sel.sum())
+        assert got["sumsq_c"][i] == int((sel * sel).sum())
+
+
+def test_pivot_counts_matches_duckdb(ray_session):
+    tbl = _events_tbl()
+    cats = ["buy", "click", "view"]
+    got = pivot_counts(_ds(tbl), "user_id", "etype", cats).to_pandas() \
+        .sort_values("user_id", na_position="last").reset_index(drop=True)
+    want = _con(tbl).execute("""
+        SELECT user_id,
+               CAST(sum(CASE WHEN etype = 'buy' THEN 1 ELSE 0 END) AS BIGINT) AS buy,
+               CAST(sum(CASE WHEN etype = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN etype = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM t GROUP BY user_id ORDER BY user_id NULLS LAST""").df()
+    assert len(got) == len(want)
+    for c in cats:
+        assert got[c].tolist() == want[c].tolist()
+
+
+def test_pivot_ignores_unlisted_categories(ray_session):
+    tbl = _events_tbl(n=60, with_null_key=False)
+    got = pivot_counts(_ds(tbl, blocks=3), "user_id", "etype",
+                       ["click"]).to_pandas()
+    want = _con(tbl).execute("""
+        SELECT user_id, count(*) AS n FROM t WHERE etype = 'click'
+        GROUP BY user_id""").df()
+    m = dict(zip(want["user_id"], want["n"]))
+    for _, r in got.iterrows():
+        assert r["click"] == m.get(r["user_id"], 0)
+
+
+def test_rollup_agg_matches_duckdb(ray_session):
+    tbl = _events_tbl(with_null_key=False)
+    got = rollup_agg(_ds(tbl), ["etype", "user_id"],
+                     value_col="value").to_pandas()
+    want = _con(tbl).execute("""
+        WITH c AS (SELECT etype, user_id,
+                          CAST(round(value * 100.0) AS BIGINT) AS cents
+                   FROM t)
+        SELECT etype, user_id, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_c
+        FROM c GROUP BY ROLLUP(etype, user_id)""").df()
+
+    def norm(df):
+        df = df[["etype", "user_id", "n", "total_c"]].copy()
+        df["user_id"] = df["user_id"].astype("float64")
+        return df.sort_values(["etype", "user_id", "n"],
+                              na_position="last").reset_index(drop=True)
+
+    g, w = norm(got), norm(want)
+    assert len(g) == len(w)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_normalize_text_matches_duckdb(ray_session):
+    texts = ["  Hello   WORLD ", "a\t\tB\nc", "", "   ", "MiXeD case",
+             "tabs\tand\nnewlines\r\nhere  "]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    got = _ds(tbl, blocks=2).map_batches(
+        normalize_text, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = _con(tbl).execute(r"""
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text
+        FROM t ORDER BY doc_id""").df()
+    assert got["norm_text"].tolist() == want["norm_text"].tolist()

@@ -1,0 +1,289 @@
+"""Aggregate-family operators: keep-latest dedup per key, integer-exact
+grouped moments, static-column pivot, and ROLLUP grouping sets.
+
+The reference has no relational aggregates (it is a geo lookup engine —
+SURVEY §2); these extend the training-data-pipeline surface, each built
+combiner-first so the shuffle moves per-block PARTIALS, never raw rows:
+
+- ``latest_per_group`` — dedup keeping the last row per key under a
+  lexicographic (order_cols DESC) contract: the canonical
+  "latest-event-per-user" / "newest-crawl-per-url" op. Per-block local
+  keep-latest first (≤ 1 row per group per block crosses the wire), exact
+  re-select inside coarse hash partitions of the key.
+- ``grouped_stats`` — count / sum / sum-of-squares per group with values
+  cents-scaled to int64 BEFORE any aggregation, so the partials are exact
+  integers and associative: no FP accumulation drift between the
+  distributed sum order and any other engine's. Mean/std emitted as
+  derived float columns. int64 bound: |value| ≤ ~9.6e6 at cents scale
+  keeps sumsq per group under 2^63 for ≤ 1e8 rows — document and raise
+  beyond.
+- ``pivot_counts`` — long→wide counts per key over a STATIC category list
+  (the same contract as SQL pivot: output columns are fixed up front).
+  Per-block bincount over (key_code × n_cat + cat_code), groupby-sum of
+  the wide partials.
+- ``rollup_agg`` — GROUP BY ROLLUP(c1..ck): the finest level aggregates
+  once from raw rows (cents-scaled partials); every coarser level
+  re-aggregates the FINEST AGGREGATE, never the raw data — exact because
+  the partials are integers, and the extra passes touch only the (small)
+  distinct-combination table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .select import _hash_part_of
+
+
+def _sql_cents(b_col, scale: float = 100.0):
+    """SQL-round (ties away from zero) scale-to-int64 — the shared
+    stabilization contract (see ``__ray_entry__._round_sql``)."""
+    return pc.cast(pc.round(pc.multiply(b_col, pa.scalar(scale)),
+                            round_mode="half_towards_infinity"), pa.int64())
+
+
+def latest_per_group(ds, group_col: str, order_cols: list,
+                     n_parts: int = 64):
+    """One row per ``group_col``: the row that sorts LAST by
+    ``order_cols`` (lexicographic, all descending — ties broken by the
+    next column; make the last order col a unique id for determinism).
+    SQL: ``QUALIFY row_number() OVER (PARTITION BY g ORDER BY o1 DESC,
+    o2 DESC ...) = 1``.
+
+    Scale shape: per-block local keep-latest is the combiner — at most one
+    row per group per block ever shuffles — then the same vectorized
+    select runs once per coarse hash partition of the key. Null group
+    keys form their own group (SQL GROUP BY semantics)."""
+    sort_keys = [(group_col, "ascending")] + \
+        [(c, "descending") for c in order_cols]
+
+    def keep_first_run(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=sort_keys, null_placement="at_end")
+        t = t.take(idx)
+        from .select import _group_codes
+        codes, _ = _group_codes(t[group_col])
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        return t.take(pa.array(starts))
+
+    def local(b: pa.Table) -> pa.Table:
+        return keep_first_run(b)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_part", pa.array(_hash_part_of(b[group_col], n_parts)))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if "_part" in g.column_names:
+            g = g.drop_columns(["_part"])
+        return keep_first_run(g)
+
+    return ds.map_batches(local, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def grouped_stats(ds, group_col: str, value_col: str, scale: float = 100.0,
+                  n_parts: int = 64):
+    """Per-group count / integer sum / integer sum-of-squares (+ derived
+    float mean, std) → Dataset of (group, n, sum_c, sumsq_c, mean, std).
+
+    Values are SQL-rounded to int64 at ``scale`` FIRST; every aggregate is
+    then exact integer arithmetic, associative across any distribution
+    order. NaN values are dropped (SQL aggregates over a NaN-filtered
+    CTE). std is the population σ of the SCALED values divided back by
+    ``scale`` (σ is shift/scale-covariant, so this equals σ of the rounded
+    values exactly)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col]
+        keep = pc.invert(pc.is_nan(v)) if pa.types.is_floating(v.type) \
+            else pa.array(np.ones(b.num_rows, dtype=bool))
+        keep = pc.fill_null(keep, False)
+        b = b.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=b[group_col].type),
+                             "n": pa.array([], type=pa.int64()),
+                             "sum_c": pa.array([], type=pa.int64()),
+                             "sumsq_c": pa.array([], type=pa.int64())})
+        c = _sql_cents(b[value_col], scale).to_numpy(zero_copy_only=False)
+        from .select import _group_codes
+        codes, gdict = _group_codes(b[group_col])
+        n_codes = len(gdict) + 1
+        n = np.bincount(codes, minlength=n_codes)
+        # np.bincount weights accumulate in float64 — exact only while
+        # every intermediate integer stays < 2^53. Guard with the
+        # monotone bounds (sum |c| and sum c²) and fall back to int64
+        # segmented sums when a block could overflow the exact window.
+        absbound = np.bincount(codes, weights=np.abs(c).astype(np.float64),
+                               minlength=n_codes)
+        sq = np.bincount(codes, weights=(c.astype(np.float64)) ** 2,
+                         minlength=n_codes)
+        if (absbound >= 2 ** 52).any() or (sq >= 2 ** 52).any():
+            order = np.argsort(codes, kind="stable")
+            cs, cc = c[order], codes[order]
+            starts = np.flatnonzero(np.r_[True, cc[1:] != cc[:-1]])
+            s = np.zeros(n_codes, dtype=np.int64)
+            sq_i = np.zeros(n_codes, dtype=np.int64)
+            s[cc[starts]] = np.add.reduceat(cs, starts)
+            sq_i[cc[starts]] = np.add.reduceat(cs * cs, starts)
+            sq = sq_i
+        else:
+            s = np.bincount(codes, weights=c.astype(np.float64),
+                            minlength=n_codes)
+        present = np.flatnonzero(n > 0)
+        gvals = pa.concat_arrays(
+            [gdict.cast(gdict.type),
+             pa.array([None], type=gdict.type)])
+        return pa.table({
+            group_col: gvals.take(pa.array(present)),
+            "n": pa.array(n[present].astype(np.int64)),
+            "sum_c": pa.array(s[present].astype(np.int64)),
+            "sumsq_c": pa.array(sq[present].astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_c", alias_name="sum_c"),
+            Sum("sumsq_c", alias_name="sumsq_c"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["sum_c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = b["sumsq_c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        var = np.maximum(sq / n - (s / n) ** 2, 0.0)  # population σ²
+        return pa.table({
+            group_col: b[group_col], "n": b["n"],
+            "sum_c": b["sum_c"], "sumsq_c": b["sumsq_c"],
+            "mean": pa.array(s / n / scale),
+            "std": pa.array(np.sqrt(var) / scale)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pivot_counts(ds, key_col: str, pivot_col: str, categories: list,
+                 n_parts: int = 64):
+    """Long→wide: one row per ``key_col``, one int64 count column per
+    category in ``categories`` (static, like SQL pivot column lists —
+    values outside the list are IGNORED, mirroring
+    ``sum(CASE WHEN p = 'cat' THEN 1 ELSE 0 END)`` per listed cat).
+
+    Per-block combiner: one flat bincount over
+    ``key_code × n_cat + cat_code`` — a single vectorized pass, then the
+    groupby sums wide partial rows (≤ keys-per-block rows per block)."""
+    from ray.data.aggregate import Sum
+
+    categories = list(categories)
+    cat_arr = pa.array(categories, type=pa.string())
+    ncat = len(categories)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cat_idx = pc.index_in(b[pivot_col], value_set=cat_arr)
+        mask = pc.is_valid(cat_idx)
+        b2 = b.filter(mask)
+        if b2.num_rows == 0:
+            cols = {key_col: pa.array([], type=b[key_col].type)}
+            for c in categories:
+                cols[c] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        cat_codes = cat_idx.filter(mask).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        from .select import _group_codes
+        key_codes, kdict = _group_codes(b2[key_col])
+        counts = np.bincount(key_codes * ncat + cat_codes,
+                             minlength=(len(kdict) + 1) * ncat) \
+            .reshape(-1, ncat)
+        present = np.flatnonzero(counts.sum(axis=1) > 0)
+        kvals = pa.concat_arrays(
+            [kdict.cast(kdict.type), pa.array([None], type=kdict.type)])
+        cols = {key_col: kvals.take(pa.array(present))}
+        for j, c in enumerate(categories):
+            cols[c] = pa.array(counts[present, j].astype(np.int64))
+        return pa.table(cols)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(
+            *[Sum(c, alias_name=c) for c in categories])
+
+
+def rollup_agg(ds, cols: list, value_col: str | None = None,
+               scale: float = 100.0):
+    """GROUP BY ROLLUP(cols): count (and, when ``value_col`` given, an
+    exact cents-scaled int64 sum ``total_c``) at every rollup level —
+    (c1..ck), (c1..ck-1), …, (), with rolled-up columns null (SQL ROLLUP
+    output shape).
+
+    One pass over raw rows builds the FINEST level (per-block integer
+    partials → groupby); every coarser level is a groupby over the
+    previous LEVEL's aggregate — integer partials are associative, so this
+    is exact, and the re-aggregated input is the distinct-combination
+    table, not the data. Caveat (documented SQL divergence): a real null
+    in a group column is indistinguishable from the rolled-up null in the
+    output rows; use a sentinel upstream if inputs may be null."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = {c: b[c] for c in cols}
+        t = pa.table(keep)
+        t = t.append_column("n", pa.array(
+            np.ones(b.num_rows, dtype=np.int64)))
+        if value_col is not None:
+            t = t.append_column("total_c", _sql_cents(b[value_col], scale))
+        aggs = [("n", "sum")] + (
+            [("total_c", "sum")] if value_col is not None else [])
+        g = pa.TableGroupBy(t, cols).aggregate(aggs)
+        out = {c: g[c] for c in cols}
+        out["n"] = pc.cast(g["n_sum"], pa.int64())
+        if value_col is not None:
+            out["total_c"] = pc.cast(g["total_c_sum"], pa.int64())
+        return pa.table(out)
+
+    metric_cols = ["n"] + (["total_c"] if value_col is not None else [])
+    in_schema = ds.schema()
+    group_types = {c: t for c, t in zip(in_schema.names, in_schema.types)
+                   if c in cols}
+
+    # materialize ONLY the finest aggregate (the small distinct-combination
+    # table, not the data): every coarser level + the grand-total fold
+    # re-reads it, and without pinning, each would re-execute the raw scan
+    finest = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(cols).aggregate(
+            *[Sum(m, alias_name=m) for m in metric_cols]).materialize()
+
+    def make_pad(kept):
+        def pad(b: pa.Table) -> pa.Table:
+            out = {}
+            for c in cols:
+                out[c] = b[c] if c in kept \
+                    else pa.nulls(b.num_rows, type=group_types[c])
+            for m in metric_cols:
+                out[m] = b[m]
+            return pa.table(out)
+        return pad
+
+    levels = [finest]
+    prev = finest
+    for lvl in range(len(cols) - 1, 0, -1):
+        kept = cols[:lvl]
+        coarser = prev.groupby(kept).aggregate(
+            *[Sum(m, alias_name=m) for m in metric_cols])
+        levels.append(coarser.map_batches(make_pad(kept),
+                                          batch_format="pyarrow"))
+        prev = coarser
+
+    # grand-total level: ONE row — a driver-side fold of the (small)
+    # coarsest aggregate, not of the data
+    import ray.data as rd
+    tot = prev.aggregate(*[Sum(m, alias_name=m) for m in metric_cols])
+    tot_cols = {c: pa.nulls(1, type=group_types[c]) for c in cols}
+    for m in metric_cols:
+        v = tot[m] if tot and tot.get(m) is not None else 0
+        tot_cols[m] = pa.array([int(v)], type=pa.int64())
+    levels.append(rd.from_arrow(pa.table(tot_cols)))
+
+    return levels[0].union(*levels[1:])

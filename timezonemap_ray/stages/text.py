@@ -44,6 +44,19 @@ def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+def normalize_text(batch: pa.Table, text_col: str = "text",
+                   out_col: str = "norm_text") -> pa.Table:
+    """Canonical text normalization: lowercase, collapse whitespace runs
+    to single spaces, trim the edges — the standard pre-dedup /
+    pre-tokenize cleanup. Pure RE2/utf8 kernels, zero-copy in.
+    Oracle: ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))``."""
+    t = pc.replace_substring_regex(batch[text_col], pattern=r"\s+",
+                                   replacement=" ")
+    t = pc.utf8_trim_whitespace(t)
+    t = pc.utf8_lower(t)
+    return pa.table({"doc_id": batch["doc_id"], out_col: t})
+
+
 def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Document quality features + a combined score.
 
