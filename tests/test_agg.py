@@ -96,6 +96,18 @@ def test_grouped_stats_nan_dropped(ray_session):
         assert r["n"] == m[r["etype"]]
 
 
+def test_grouped_stats_null_values_dropped(ray_session):
+    # null values drop like NaN (SQL: NOT isnan(NULL) is NULL → filtered);
+    # a null int64 → NaN in to_numpy would otherwise poison the sums
+    tbl = pa.table({"g": pa.array(["a", "a", "b", "b", "b"]),
+                    "value": pa.array([1.0, None, 2.0, None, 3.5])})
+    got = grouped_stats(_ds(tbl, blocks=2), "g", "value").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert got["n"].tolist() == [1, 2]
+    assert got["sum_c"].tolist() == [100, 550]
+    assert got["sumsq_c"].tolist() == [100 * 100, 200 * 200 + 350 * 350]
+
+
 def test_grouped_stats_overflow_fallback_exact(ray_session):
     # values big enough that a float64 bincount would lose integer
     # exactness — forces the int64 reduceat path

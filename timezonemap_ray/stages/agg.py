@@ -102,8 +102,12 @@ def grouped_stats(ds, group_col: str, value_col: str, scale: float = 100.0,
 
     def partial(b: pa.Table) -> pa.Table:
         v = b[value_col]
-        keep = pc.invert(pc.is_nan(v)) if pa.types.is_floating(v.type) \
-            else pa.array(np.ones(b.num_rows, dtype=bool))
+        # drop null AND NaN values (SQL: the NaN-filtered CTE also drops
+        # nulls because NOT isnan(NULL) is NULL) — a null int64 would
+        # otherwise become NaN in to_numpy and poison the bincount sums
+        keep = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            keep = pc.and_kleene(keep, pc.invert(pc.is_nan(v)))
         keep = pc.fill_null(keep, False)
         b = b.filter(keep)
         if b.num_rows == 0:
