@@ -144,6 +144,27 @@ def run_bench(num_cpus: int) -> dict:
     brute_topk(rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), ids, mat, k=10)
     timings["ann_brute_topk"] = time.perf_counter() - t0
 
+    # term/TF-IDF family (tokens never shuffle; tf ⋈ df hash join on term)
+    from timezonemap_ray.stages.terms import distinctive_terms
+    t0 = time.perf_counter()
+    distinctive_terms(rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                      columns=["doc_id", "text"])).count()
+    timings["distinctive_terms"] = time.perf_counter() - t0
+
+    # per-key ordered window scan (one shuffle + vectorized segmented scan)
+    from timezonemap_ray.pipelines.relational import events_window_funcs
+    t0 = time.perf_counter()
+    events_window_funcs(SF_DIR).count()
+    timings["events_window_funcs"] = time.perf_counter() - t0
+
+    # keep-latest dedup per key (per-block combiner shuffle)
+    from timezonemap_ray.stages.agg import latest_per_group
+    t0 = time.perf_counter()
+    latest_per_group(rd.read_parquet(f"{SF_DIR}/events.parquet",
+                                     columns=["event_id", "user_id", "ts"]),
+                     "user_id", ["ts", "event_id"]).count()
+    timings["latest_per_group"] = time.perf_counter() - t0
+
     return {
         "metric": "timezone-lookup join throughput (points/sec) + headline pipeline wall times",
         "value": round(timings["flagship_docs_join"], 3),
