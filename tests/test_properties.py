@@ -188,3 +188,45 @@ def test_hybrid_path_equals_linear_scan_big_world():
     assert auto["zone_id"].tolist() == lin["zone_id"].tolist()
     assert auto["zone_id"].tolist() == per_rec["zone_id"].tolist()
     assert (auto["matched"] == lin["matched"]).all()
+
+
+def test_hybrid_rect_fast_path_big_member():
+    """The rect fast path inside the hybrid big-member branch
+    (`_lookup_hybrid` → `_pip_record` with ``is_rect``): a ≥512-record
+    RECT grid world with a ≥``SMALL_SEL``-point hotspot in one rect zone,
+    plus knife-edge points exactly on that zone's envelope edges (the
+    shell where env arithmetic and pip's d² ≤ eps² can disagree)."""
+    import numpy as np
+    from timezonemap_ray import worlds
+    from timezonemap_ray.index import (HYBRID_MIN_RECS, SMALL_SEL,
+                                       build_index, lookup_batch,
+                                       lookup_linear_scan)
+    idx = build_index(worlds.grid_world_table(n=40, jagged=False),
+                      check_version=False)
+    assert len(idx) >= HYBRID_MIN_RECS and idx.edge_groups  # auto-on
+    # pick a rect record that is NOT one of the holed zones
+    rects = np.nonzero(idx.is_rect)[0]
+    assert rects.size, "rect grid world must yield is_rect records"
+    rec = int(rects[rects.size // 2])
+    e = idx.envs[rec]
+    rng = np.random.default_rng(11)
+    n_in = 4 * SMALL_SEL
+    lats = np.concatenate([
+        rng.uniform(e[1], e[3], n_in),              # dense interior hotspot
+        np.full(64, e[1]), np.full(64, e[3]),       # exact envelope edges
+        rng.uniform(-90, 90, 2000)])                # background
+    lngs = np.concatenate([
+        rng.uniform(e[0], e[2], n_in),
+        np.linspace(e[0] - 1e-12, e[2] + 1e-12, 64),
+        np.linspace(e[0], e[2], 64),
+        rng.uniform(-180, 180, 2000)])
+    np.clip(lats, -90, 90, out=lats)
+    np.clip(lngs, -180, 180, out=lngs)
+    auto = lookup_batch(idx, lats, lngs)            # hybrid (auto)
+    per_rec = lookup_batch(idx, lats, lngs, hybrid=False)
+    lin = lookup_linear_scan(idx, lats, lngs)
+    assert auto["zone_id"].tolist() == lin["zone_id"].tolist()
+    assert auto["zone_id"].tolist() == per_rec["zone_id"].tolist()
+    # the hotspot really lands in the chosen rect zone
+    assert (np.asarray(auto["zone_id"][:n_in], dtype=object)
+            == idx.zone_ids[rec]).sum() >= SMALL_SEL
