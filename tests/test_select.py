@@ -148,6 +148,60 @@ def test_grouped_quantile_null_group_keys(ray_session):
     assert by_g == {"a": 4.0, "b": 3.0, None: 2.0}
 
 
+def test_grouped_quantile_hot_group_routing(ray_session):
+    """`hot_group_rows` routes oversized groups through the scan-based
+    quantile_exact path (the salting escape hatch for the one-group-per-
+    partition contract) — results must be identical to the plain shuffle
+    path, including a NULL group that is itself hot."""
+    import ray.data as rd
+    from timezonemap_ray.stages.select import grouped_quantile
+    rng = np.random.default_rng(44)
+    n = 30_000
+    grp = rng.choice(["whale", "m1", "m2", None], n,
+                     p=[0.85, 0.05, 0.05, 0.05])  # whale + null both hot
+    v = rng.uniform(-100, 100, n)
+    v[::17] = np.nan
+    tbl = pa.table({"g": pa.array(grp), "value": pa.array(v)})
+    ds = rd.from_arrow(tbl).repartition(8)
+    qs = [0.1, 0.5, 0.99]
+    plain = grouped_quantile(ds, "g", "value", qs) \
+        .to_pandas()
+    hot = grouped_quantile(ds, "g", "value", qs, hot_group_rows=1200) \
+        .to_pandas()
+    key = lambda df: {(g if isinstance(g, str) else None, q): v
+                      for g, q, v in zip(df["g"], df["q"], df["value"])}
+    assert key(hot) == key(plain)
+    assert len(hot) == len(plain) == 4 * len(qs)
+
+
+def test_grouped_quantile_hot_all_nan_group(ray_session):
+    """A hot group whose values are ALL NaN must emit no rows (matching
+    the shuffle path), and a threshold that no group exceeds must leave
+    results unchanged."""
+    import ray.data as rd
+    from timezonemap_ray.stages.select import grouped_quantile
+    tbl = pa.table({
+        "g": pa.array(["dead"] * 50 + ["ok"] * 5),
+        "value": pa.array([np.nan] * 50 + [1.0, 2.0, 3.0, 4.0, 5.0])})
+    ds = rd.from_arrow(tbl).repartition(3)
+    out = grouped_quantile(ds, "g", "value", [0.5],
+                           hot_group_rows=10).to_pandas()
+    assert out["g"].tolist() == ["ok"] and out["value"].tolist() == [3.0]
+    cold = grouped_quantile(ds, "g", "value", [0.5],
+                            hot_group_rows=10**9).to_pandas()
+    assert cold["g"].tolist() == ["ok"] and cold["value"].tolist() == [3.0]
+
+
+def test_group_row_counts_null_and_string_keys(ray_session):
+    """group_row_counts: per-block combiner + hash-partition merge gives
+    exact per-group row counts for string keys incl. NULL."""
+    import ray.data as rd
+    from timezonemap_ray.stages.select import group_row_counts
+    tbl = pa.table({"g": pa.array(["a"] * 7 + ["b"] * 3 + [None] * 2)})
+    got = dict(group_row_counts(rd.from_arrow(tbl).repartition(4), "g"))
+    assert got == {"a": 7, "b": 3, None: 2}
+
+
 def test_distinct_per_group_matches_duckdb(ray_session):
     """Exact per-group COUNT(DISTINCT value) with string groups, null
     groups (their own group) and null values (not counted)."""

@@ -389,8 +389,44 @@ def _group_codes(garr):
     return codes, enc.dictionary
 
 
+def group_row_counts(ds, group_col: str, n_parts: int = 64) -> list:
+    """(group_value, n_rows) per group via a per-block combiner: each block
+    folds to its distinct (group, n) pairs, then the partials merge within
+    coarse hash partitions of the key (NOT ``groupby(group_col)`` — Ray's
+    sort-based groupby crashes on null keys, and null is a legitimate SQL
+    group). The shuffle moves per-block group cardinality, never rows; the
+    driver sees exactly #groups rows (the same cardinality any grouped
+    result already assumes)."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        vc = b[group_col].combine_chunks().value_counts()
+        t = pa.table({group_col: vc.field("values"),
+                      "_n": vc.field("counts").cast(pa.int64())})
+        return t.append_column(
+            "_part", pa.array(_hash_part_of(t[group_col], n_parts)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        codes, dict_vals = _group_codes(g[group_col])
+        sums = np.bincount(
+            codes, weights=g["_n"].to_numpy(zero_copy_only=False),
+            minlength=len(dict_vals) + 1).astype(np.int64)
+        present = np.flatnonzero(sums)
+        vals = [dict_vals[c].as_py() if c < len(dict_vals) else None
+                for c in present]
+        return pa.table({group_col: pa.array(vals,
+                                             type=g[group_col].type),
+                         "_n": pa.array(sums[present], type=pa.int64())})
+
+    counted = ds.map_batches(fold, batch_format="pyarrow") \
+        .groupby("_part").map_groups(
+            lambda g: merge(g.drop_columns(["_part"])),
+            batch_format="pyarrow")
+    return [(r[group_col], int(r["_n"])) for r in counted.take_all()]
+
+
 def grouped_quantile(ds, group_col: str, value_col: str, qs: list,
-                     n_parts: int = 64) -> "object":
+                     n_parts: int = 64,
+                     hot_group_rows: int | None = None) -> "object":
     """EXACT per-group discrete quantiles (``quantile_disc`` semantics,
     NaN/null dropped). Returns a Dataset of (group, q, value).
 
@@ -401,10 +437,55 @@ def grouped_quantile(ds, group_col: str, value_col: str, qs: list,
     GLOBAL quantiles; this one shuffles once for MANY groups (a scan per
     group would be O(groups) passes).
 
-    Partitioning assumption: one group's rows fit in one partition task
-    (same contract as every co-partitioned group op here — salt if a
-    single group outgrows a worker)."""
+    Partitioning assumption: one group's rows fit in one partition task.
+    ``hot_group_rows`` lifts that contract: a cheap combiner pre-count
+    finds groups above the budget, and each hot group resolves through the
+    scan-based ``quantile_exact`` machinery instead (bounded memory per
+    task regardless of group size — a few extra scans for the handful of
+    groups that are, by definition, huge). Normal groups still take the
+    single shuffle."""
+    import pyarrow.compute as pc
     qs = [float(q) for q in qs]
+
+    if hot_group_rows is not None:
+        counts = group_row_counts(ds, group_col)
+        hot = [g for g, n in counts if n > hot_group_rows]
+        if hot:
+            gtype = ds.schema().base_schema.field(group_col).type
+            hot_nonnull = pa.array([g for g in hot if g is not None],
+                                   type=gtype)
+            hot_has_null = any(g is None for g in hot)
+
+            def drop_hot(b: pa.Table) -> pa.Table:
+                keep = pc.invert(pc.fill_null(
+                    pc.is_in(b[group_col], value_set=hot_nonnull), False))
+                if hot_has_null:
+                    keep = pc.and_(keep, pc.is_valid(b[group_col]))
+                return b.filter(keep)
+
+            cold = grouped_quantile(ds.map_batches(
+                drop_hot, batch_format="pyarrow"), group_col, value_col,
+                qs, n_parts=n_parts)
+            tables = []
+            for g in hot:
+                mask = ((lambda b: pc.is_null(b[group_col])) if g is None
+                        else (lambda b, _g=g: pc.fill_null(
+                            pc.equal(b[group_col], pa.scalar(_g, type=gtype)),
+                            False)))
+                one = ds.map_batches(
+                    lambda b, _m=mask: b.filter(_m(b)),
+                    batch_format="pyarrow")
+                qt = quantile_exact(one, value_col, qs)
+                if len(qt) and qt["value"].null_count == len(qt):
+                    continue  # all-NaN group: cold path emits nothing
+                tables.append(pa.table({
+                    group_col: pa.array([g] * len(qt), type=gtype),
+                    "q": qt["q"], "value": qt["value"]}))
+            if not tables:  # every hot group was all-NaN
+                return cold
+            import ray.data as _rd
+            return cold.union(_rd.from_arrow(pa.concat_tables(tables)))
+        # no hot groups: fall through to the plain single-shuffle path
 
     def per_part(g: pa.Table) -> pa.Table:
         gtype = g[group_col].type
