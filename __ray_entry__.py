@@ -524,6 +524,27 @@ def _q_training_pipeline(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_orders_bloom_semi_lineitem(sf_dir: str):
+    """Bloom-prefiltered EXACT semi join: orders with at least one
+    lineitem of quantity > 45. The 100 TB big-big filter-join shape: the
+    key side folds into a fixed-size bloom bitmap (shipped once per node),
+    the fact side streams through a vectorized k-probe test, and only the
+    ~selectivity-sized survivors reach the exact distinct-key hash join
+    that removes bloom false positives (stages/join.bloom_semi_join)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.join import bloom_semi_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"]) \
+        .map_batches(lambda b: b.filter(pc.greater(b["l_quantity"], 45)),
+                     batch_format="pyarrow")
+    out = bloom_semi_join(orders, items, "o_orderkey",
+                          keys_col="l_orderkey", exact="shuffle")
+    return out.select_columns(["o_orderkey", "o_totalprice"])
+
+
 def _q_tile_assignments(sf_dir: str):
     """vector→raster: per-cell tile assignment over the whole world grid
     (independent of sf tables; deterministic)."""
@@ -833,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast semi/anti filter-joins
         "orders_semi_customers": _q_orders_semi_customers,
         "orders_anti_customers": _q_orders_anti_customers,
+        "orders_bloom_semi_lineitem": _q_orders_bloom_semi_lineitem,
         # raster <-> vector tiling
         "tile_assignments": _q_tile_assignments,
         "tiles_boxes": _q_tiles_boxes,
@@ -1081,6 +1103,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM customer
                               WHERE c_custkey = o_custkey
                                 AND c_nationkey < 5)""",
+        "orders_bloom_semi_lineitem": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity > 45)""",
         "order_lineitem_revenue": """
             SELECT o_orderpriority, count(*) AS n_items,
                    CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)

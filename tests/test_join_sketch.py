@@ -85,3 +85,51 @@ def test_hll_merge_equals_single():
     merged = np.maximum(sketch.hll_register_block(vals[:5000]),
                         sketch.hll_register_block(vals[5000:]))
     assert np.array_equal(whole, merged)  # sketches are mergeable
+
+
+def test_bloom_semi_join_exact_modes(ray_session):
+    """bloom_semi_join: exact result (all three modes agree with the naive
+    IN-set answer) on int keys with nulls on both sides; prefilter alone
+    has NO false negatives."""
+    import ray.data as rd
+    from timezonemap_ray.stages.join import bloom_semi_join
+    rng = np.random.default_rng(5)
+    fact_keys = rng.integers(0, 100_000, 20_000)
+    fact = pa.table({
+        "k": pa.array([None if i % 97 == 0 else int(v)
+                       for i, v in enumerate(fact_keys)], type=pa.int64()),
+        "payload": pa.array(np.arange(20_000))})
+    member = rng.choice(100_000, 3_000, replace=False)
+    keys = pa.table({"kk": pa.array(
+        [None] + [int(v) for v in member], type=pa.int64())})
+    in_set = set(int(v) for v in member)
+    want = sorted(int(p) for kv, p in zip(fact["k"].to_pylist(),
+                                          fact["payload"].to_pylist())
+                  if kv is not None and kv in in_set)
+    fact_ds = rd.from_arrow(fact).repartition(6)
+    keys_ds = rd.from_arrow(keys).repartition(4)
+    for mode in ("shuffle", "broadcast"):
+        out = bloom_semi_join(fact_ds, keys_ds, "k", keys_col="kk",
+                              exact=mode).to_pandas()
+        assert sorted(out["payload"].tolist()) == want, mode
+    # prefilter only: superset of the true members (no false negatives),
+    # with few false positives at 8 bits/key
+    pre = bloom_semi_join(fact_ds, keys_ds, "k", keys_col="kk",
+                          exact="none").to_pandas()
+    got = set(pre["payload"].tolist())
+    assert got >= set(want)
+    assert len(got) <= len(want) * 1.10 + 50
+
+
+def test_bloom_semi_join_string_keys(ray_session):
+    """String keys go through the same vectorized hash (pandas
+    hash_array) on both build and probe sides."""
+    import ray.data as rd
+    from timezonemap_ray.stages.join import bloom_semi_join
+    fact = pa.table({"s": pa.array(["a", "b", "c", "d", None, "e"] * 50),
+                     "i": pa.array(np.arange(300))})
+    keys = pa.table({"s": pa.array(["b", "e", "zz"])})
+    out = bloom_semi_join(rd.from_arrow(fact).repartition(3),
+                          rd.from_arrow(keys), "s").to_pandas()
+    assert sorted(set(out["s"])) == ["b", "e"]
+    assert len(out) == 100

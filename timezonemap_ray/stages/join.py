@@ -77,6 +77,138 @@ def broadcast_semi_join(ds, keys, key_col: str, anti: bool = False):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _bloom_hashes(values, n_bits: int, n_hashes: int):
+    """(n_hashes, n) bit positions via Kirsch–Mitzenmacher double hashing
+    over pandas' vectorized deterministic array hash (C-speed for ints AND
+    strings, stable across processes — not PYTHONHASHSEED-dependent)."""
+    import pandas as pd
+    v = np.asarray(values)
+    h1 = pd.util.hash_array(v, categorize=False).astype(np.uint64)
+    # one splitmix64 round decorrelates h2 from h1
+    with np.errstate(over="ignore"):
+        z = h1 + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h2 = (z ^ (z >> np.uint64(31))) | np.uint64(1)  # odd → full cycle
+        return np.stack([(h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+                         for i in range(n_hashes)])
+
+
+def build_bloom(keys_ds, keys_col: str, n_bits: int = 1 << 23,
+                n_hashes: int = 4) -> np.ndarray:
+    """Distributed bloom build: each block folds its keys into a local
+    ``n_bits``-bit bitmap (uint64 words); block bitmaps stream back as
+    ``n_bits/8``-byte blobs and OR-merge on the driver (constant driver
+    memory — one bitmap). Size ``n_bits`` ≈ 10 bits/key for ~1% false
+    positives at 4 hashes. Null keys are skipped (never semi-match)."""
+    n_words = (n_bits + 63) // 64
+
+    def fold(b: pa.Table) -> pa.Table:
+        arr = b[keys_col].combine_chunks().drop_null()
+        bits = np.zeros(n_words, dtype=np.uint64)
+        if len(arr):
+            pos = _bloom_hashes(arr.to_numpy(zero_copy_only=False),
+                                n_bits, n_hashes).ravel()
+            np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bits": pa.array([bits.tobytes()],
+                                          type=pa.large_binary())})
+
+    merged = np.zeros(n_words, dtype=np.uint64)
+    for batch in keys_ds.map_batches(fold, batch_format="pyarrow") \
+                        .iter_batches(batch_format="pyarrow"):
+        for blob in batch["bits"]:
+            merged |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+    return merged
+
+
+def _distinct_keys(keys_ds, keys_col: str, out_col: str, n_parts: int = 64):
+    """Exact distinct non-null keys as a Dataset: per-block unique combiner,
+    then dedup inside coarse hash partitions (vectorized — never a
+    per-tiny-group dispatch, and never ``groupby(raw_key)`` which breaks on
+    null keys)."""
+    from .select import _hash_part_of
+
+    def fold(b: pa.Table) -> pa.Table:
+        arr = b[keys_col].combine_chunks().unique().drop_null()
+        t = pa.table({out_col: arr})
+        return t.append_column(
+            "_part", pa.array(_hash_part_of(t[out_col], n_parts)))
+
+    def dedup(g: pa.Table) -> pa.Table:
+        arr = g[out_col].combine_chunks().unique()
+        return pa.table({out_col: arr})
+
+    return keys_ds.map_batches(fold, batch_format="pyarrow") \
+        .groupby("_part").map_groups(
+            lambda g: dedup(g.drop_columns(["_part"])),
+            batch_format="pyarrow")
+
+
+def bloom_semi_join(fact, keys_ds, key_col: str, keys_col: str | None = None,
+                    n_bits: int = 1 << 23, n_hashes: int = 4,
+                    exact: str = "shuffle", num_partitions: int = 16):
+    """EXACT semi join (fact rows whose key appears in ``keys_ds``) with a
+    bloom prefilter — the 100 TB shape for a key side too big to broadcast
+    raw: the bloom bitmap (``n_bits/8`` bytes regardless of key count)
+    ships once per node via ``ray.put``; the fact side streams through a
+    vectorized k-probe bit test that discards definite non-members BEFORE
+    any shuffle. False positives are then eliminated exactly:
+
+    - ``exact="shuffle"``: hash join the (drastically reduced) survivors
+      against the distinct key set — both sides shuffle, but the fact side
+      is now ~selectivity-sized.
+    - ``exact="broadcast"``: ``broadcast_semi_join`` against the distinct
+      keys (when the exact key set fits in the object store).
+    - ``exact="none"``: keep the ~1% false positives (approximate filter,
+      e.g. as a pre-pass feeding an exact downstream join anyway).
+    """
+    keys_col = keys_col or key_col
+    bits = build_bloom(keys_ds, keys_col, n_bits=n_bits, n_hashes=n_hashes)
+    ref = ray.put(bits)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        bm = ray.get(ref)  # node-local plasma read
+        arr = b[key_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid = np.asarray(arr.is_valid())
+        keep = np.zeros(b.num_rows, dtype=bool)
+        if valid.any():
+            # drop_null BEFORE to_numpy: a null-carrying int64 column
+            # to_numpy's as float64 (NaN), and hash_array(float64) differs
+            # from the build side's hash_array(int64) for equal values
+            pos = _bloom_hashes(
+                arr.drop_null().to_numpy(zero_copy_only=False),
+                n_bits, n_hashes)
+            member = np.ones(int(valid.sum()), dtype=bool)
+            for row in pos:
+                member &= (bm[(row >> np.uint64(6)).astype(np.int64)]
+                           & (np.uint64(1) << (row & np.uint64(63)))) != 0
+            keep[valid] = member
+        return b.filter(pa.array(keep))
+
+    survivors = fact.map_batches(prefilter, batch_format="pyarrow")
+    if exact == "none":
+        return survivors
+    if exact == "broadcast":
+        distinct = _distinct_keys(keys_ds, keys_col, key_col)
+        tabs = [ray.get(r) for r in distinct.to_arrow_refs()]
+        tabs = [t for t in tabs if t.num_rows]
+        if not tabs:
+            return survivors.limit(0)
+        return broadcast_semi_join(
+            survivors, pa.concat_tables(tabs)[key_col], key_col)
+    # the groupby inside _distinct_keys can emit schema-less empty blocks
+    # for empty hash partitions, which a later Dataset.join aborts on —
+    # drop them by block metadata (the known Ray workaround in dedup.py)
+    from .dedup import _drop_empty_blocks
+    distinct = _drop_empty_blocks(
+        _distinct_keys(keys_ds, keys_col, key_col).materialize())
+    return hash_join(survivors, distinct, on=key_col,
+                     num_partitions=num_partitions)
+
+
 def hash_join(left, right, on, right_on=None, join_type="inner",
               num_partitions: int = 16):
     """Big-big equi-join via Ray Data's hash-shuffle join."""
