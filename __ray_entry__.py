@@ -588,6 +588,17 @@ def _q_documents_sample(sf_dir: str):
     return sample_hash(ds, "doc_id", 1000)
 
 
+def _q_documents_sample_fixed(sf_dir: str):
+    """Deterministic FIXED-SIZE sample (exactly 100 docs): bottom-k by
+    hashed id — block-local prune to ≤ k rows, tiny driver merge, no
+    shuffle, no RNG state; same row set in SQL via ORDER BY hash LIMIT."""
+    import ray.data as rd
+    from timezonemap_ray.stages.select import sample_bottom_k
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return sample_bottom_k(ds, "doc_id", 100)
+
+
 def _q_events_topk_per_user(sf_dir: str):
     """Top-3 events per user by value (ties → smallest event_id): exact
     per-group top-k with a block-local combiner (shuffle moves ≤ k·groups
@@ -850,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "documents_sample": _q_documents_sample,
+        "documents_sample_fixed": _q_documents_sample_fixed,
         "events_topk_per_user": _q_events_topk_per_user,
         # broadcast semi/anti filter-joins
         "orders_semi_customers": _q_orders_semi_customers,
@@ -1078,6 +1090,11 @@ def oracle_sql() -> dict[str, str]:
             + __import__("timezonemap_ray.stages.select",
                          fromlist=["sample_hash_sql_pred"])
             .sample_hash_sql_pred("doc_id", 1000)),
+        "documents_sample_fixed": (
+            "SELECT doc_id, n_chars FROM documents ORDER BY "
+            + __import__("timezonemap_ray.stages.select",
+                         fromlist=["sample_bottom_k_sql_order"])
+            .sample_bottom_k_sql_order("doc_id") + " LIMIT 100"),
         "events_topk_per_user": """
             SELECT user_id, event_id,
                    CAST(round(value * 100.0) AS BIGINT) AS value_c

@@ -308,3 +308,29 @@ def test_topk_per_group_ties_and_small_groups(ray_session):
         .to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
     assert got[got["g"] == 1]["id"].tolist() == [10, 11]  # ids 12,13 lose
     assert got[got["g"] == 2]["id"].tolist() == [20]      # group smaller than k
+
+
+def test_sample_bottom_k_matches_duckdb(ray_session):
+    """Fixed-size deterministic sample: exact row-set parity with the SQL
+    ORDER BY hash LIMIT k formulation, including negative ids (numpy %
+    vs SQL % sign divergence) and k > n (returns everything)."""
+    import duckdb
+    import ray.data as rd
+    from timezonemap_ray.stages.select import (sample_bottom_k,
+                                               sample_bottom_k_sql_order)
+    rng = np.random.default_rng(3)
+    ids = rng.choice(np.arange(-5_000, 5_000), 2_000, replace=False)
+    tbl = pa.table({"id": pa.array(ids, type=pa.int64()),
+                    "x": pa.array(rng.uniform(size=2_000))})
+    ds = rd.from_arrow(tbl).repartition(7)
+    got = sample_bottom_k(ds, "id", 50).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute(
+        f"SELECT id, x FROM t ORDER BY "
+        f"{sample_bottom_k_sql_order('id')} LIMIT 50").df()
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["x"].tolist() == want["x"].tolist()
+    # k > n: everything comes back, still deterministic order
+    allr = sample_bottom_k(ds, "id", 10_000).to_pandas()
+    assert len(allr) == 2_000

@@ -352,6 +352,38 @@ def sample_hash_sql_pred(id_col: str, rate_bp: int) -> str:
             f" % {SAMPLE_SPACE}) < {rate_bp}")
 
 
+def sample_bottom_k(ds, id_col: str, k: int) -> pa.Table:
+    """Deterministic uniform k-row sample: the k rows whose hashed id
+    (``(id*SAMPLE_MULT) % SAMPLE_MOD``, ties by id) is smallest. Bottom-k
+    of a pseudo-random hash IS a uniform sample, and it is mergeable:
+    every block prunes itself to ≤ k rows (vectorized lexsort), the
+    ≤ k×blocks survivors fold into the global bottom-k on the driver —
+    no shuffle, no RNG state, stable under retries/resumes, and
+    SQL-reproducible (``ORDER BY`` the same hash ``LIMIT k``; see
+    ``sample_bottom_k_sql_order``). Complements ``sample_hash``: that one
+    samples a RATE (size varies with input), this one a fixed SIZE."""
+
+    def bottom(t: pa.Table) -> pa.Table:
+        v = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)
+        sel = np.lexsort((v, h))[:k]
+        return t.take(pa.array(sel))
+
+    parts = [b for b in ds.map_batches(bottom, batch_format="pyarrow")
+                          .iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    if not parts:
+        return ds.schema().base_schema.empty_table()
+    return bottom(pa.concat_tables(parts))
+
+
+def sample_bottom_k_sql_order(id_col: str) -> str:
+    """The SQL ORDER BY expression matching ``sample_bottom_k`` exactly
+    (same negative-id renormalization as ``sample_hash_sql_pred``)."""
+    m = SAMPLE_MOD
+    return (f"(((({id_col} * {SAMPLE_MULT}) % {m}) + {m}) % {m}), {id_col}")
+
+
 def _hash_part_of(garr, n_parts: int) -> np.ndarray:
     """Deterministic coarse partition id per row for ANY group-key type
     (int, string, with or without nulls): dictionary-encode the batch,
