@@ -545,6 +545,47 @@ def _q_orders_bloom_semi_lineitem(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_totalprice"])
 
 
+def _q_docs_split_counts(sf_dir: str):
+    """Deterministic train/val/test split (hash(doc_id) mod 10 → 8/1/1)
+    with per-(split, lang) doc counts and char sums. Per-block partial
+    counts fold on the driver — O(blocks·splits·langs) partial rows,
+    never corpus rows; SQL-reproducible split assignment."""
+    import ray.data as rd
+    from timezonemap_ray.stages.corpus import split_counts
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return split_counts(ds, "doc_id", "lang", sum_col="n_chars")
+
+
+def _q_docs_source_quota(sf_dir: str):
+    """Per-source quota downsampling: keep ≤ 12 docs per source, chosen
+    in deterministic hash order (cap heavily-crawled domains, keep small
+    ones whole). Combiner-shaped top-k: blocks prune to ≤ k/group before
+    the key-partitioned exact re-select."""
+    import ray.data as rd
+    from timezonemap_ray.stages.corpus import quota_per_group
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+    return quota_per_group(ds, "source", "doc_id", 12)
+
+
+def _q_docs_decontaminate(sf_dir: str):
+    """Train/test decontamination: flag corpus docs sharing any word
+    8-gram with the (hash-sampled ~5%) benchmark set. Benchmark shingles
+    broadcast once (ray.put: sorted hash array + exact-string set);
+    corpus streams through a vectorized np.isin screen with exact-string
+    re-verify of hash hits — zero shuffle, collision-proof vs the exact
+    SQL oracle."""
+    import ray.data as rd
+    from timezonemap_ray.stages.corpus import decontaminate
+    from timezonemap_ray.stages.select import sample_hash
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    bench = sample_hash(docs, "doc_id", 500)        # ~5% eval set
+    corpus = sample_hash(docs, "doc_id", 500, invert=True)
+    return decontaminate(corpus, bench, shingle=8)
+
+
 def _q_tile_assignments(sf_dir: str):
     """vector→raster: per-cell tile assignment over the whole world grid
     (independent of sf tables; deterministic)."""
@@ -862,6 +903,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "documents_sample": _q_documents_sample,
         "documents_sample_fixed": _q_documents_sample_fixed,
+        "docs_split_counts": _q_docs_split_counts,
+        "docs_source_quota": _q_docs_source_quota,
+        "docs_decontaminate": _q_docs_decontaminate,
         "events_topk_per_user": _q_events_topk_per_user,
         # broadcast semi/anti filter-joins
         "orders_semi_customers": _q_orders_semi_customers,
@@ -877,6 +921,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from timezonemap_ray import oracle
+    from timezonemap_ray.stages.select import sample_hash_sql_pred
+
+    _SAMPLE_PRED_500 = sample_hash_sql_pred("doc_id", 500)
+    _SAMPLE_PRED_500_D = sample_hash_sql_pred("d.doc_id", 500)
 
     return {
         "geo_span_extract": oracle.sql_geo_span_extract(),
@@ -1095,6 +1143,50 @@ def oracle_sql() -> dict[str, str]:
             + __import__("timezonemap_ray.stages.select",
                          fromlist=["sample_bottom_k_sql_order"])
             .sample_bottom_k_sql_order("doc_id") + " LIMIT 100"),
+        "docs_split_counts": (
+            "SELECT "
+            + __import__("timezonemap_ray.stages.corpus",
+                         fromlist=["split_sql_expr"])
+            .split_sql_expr("doc_id")
+            + """ AS split, lang,
+                   count(*) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+            FROM documents GROUP BY 1, 2"""),
+        "docs_source_quota": (
+            """WITH ranked AS (
+                 SELECT doc_id, source, n_chars,
+                        ROW_NUMBER() OVER (PARTITION BY source ORDER BY """
+            + __import__("timezonemap_ray.stages.corpus",
+                         fromlist=["quota_sql_order"])
+            .quota_sql_order("doc_id")
+            + """) AS rn FROM documents)
+               SELECT doc_id, source, n_chars FROM ranked
+               WHERE rn <= 12"""),
+        "docs_decontaminate": (
+            r"""WITH words AS (
+                  SELECT doc_id,
+                         string_split_regex(trim(text), '\s+') AS w
+                  FROM documents),
+                sh AS (
+                  SELECT DISTINCT doc_id,
+                         array_to_string(w[g.i:g.i+7], ' ') AS s
+                  FROM words,
+                       LATERAL (SELECT unnest(generate_series(1, len(w) - 7))
+                                AS i) g
+                  WHERE len(w) >= 8),
+                bench AS (
+                  SELECT DISTINCT s FROM sh
+                  WHERE """ + _SAMPLE_PRED_500 + r"""),
+                hits AS (
+                  SELECT sh.doc_id, count(*) AS n_hits
+                  FROM sh JOIN bench USING (s)
+                  WHERE NOT (""" + _SAMPLE_PRED_500 + r""")
+                  GROUP BY sh.doc_id)
+              SELECT d.doc_id,
+                     COALESCE(h.n_hits, 0) AS n_hits,
+                     COALESCE(h.n_hits, 0) > 0 AS contaminated
+              FROM documents d LEFT JOIN hits h USING (doc_id)
+              WHERE NOT (""" + _SAMPLE_PRED_500_D + r""")"""),
         "events_topk_per_user": """
             SELECT user_id, event_id,
                    CAST(round(value * 100.0) AS BIGINT) AS value_c

@@ -327,17 +327,19 @@ SAMPLE_MOD = 1000000007
 SAMPLE_SPACE = 10_000  # basis points
 
 
-def sample_hash(ds, id_col: str, rate_bp: int):
+def sample_hash(ds, id_col: str, rate_bp: int, invert: bool = False):
     """Keep rows where ``((id·2654435761) mod 1000000007) mod 10000 <
     rate_bp`` — a deterministic ~rate_bp/10000 sample. Pure int64
     arithmetic (ids must stay below 2^63 / 2654435761 ≈ 3.4e9 — true for
     every testdata id space), so DuckDB reproduces the exact row set via
     ``sample_hash_sql_pred``. No RNG state: stable under retries, resumes
-    and engine swaps."""
+    and engine swaps. ``invert=True`` keeps the complement (the exact
+    other rows — a disjoint holdout)."""
     def keep(b: pa.Table) -> pa.Table:
         v = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         h = (v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)
-        return b.filter(pa.array((h % np.int64(SAMPLE_SPACE)) < rate_bp))
+        m = (h % np.int64(SAMPLE_SPACE)) < rate_bp
+        return b.filter(pa.array(~m if invert else m))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
