@@ -295,13 +295,24 @@ def _pull_range(ds, column, lo, hi) -> np.ndarray:
     return np.concatenate(parts) if parts else np.empty(0)
 
 
-def quantile_exact(ds, column: str, qs: list) -> pa.Table:
+def quantile_exact(ds, column: str, qs: list, stage: bool = True) -> pa.Table:
     """EXACT discrete quantiles (DuckDB/Postgres ``quantile_disc``
     semantics: smallest value with cumulative count ≥ q·n, i.e. 0-based
     rank ``max(0, ceil(q·n) − 1)``; NaN/null ignored).
 
     Returns a table (q: double, value: double), one row per requested q.
-    """
+
+    ``stage=True`` (default) projects the ONE needed column and
+    materializes it before the refinement: the algorithm is multi-scan
+    (extent + O(log value-range) histogram rounds), and without staging
+    every round re-executes the whole upstream pipeline. A single f64
+    column is ~8 bytes/row — object-store-resident (spilling beyond),
+    which beats O(rounds) recomputes of arbitrary upstream work. Pass
+    ``stage=False`` when the caller already staged (grouped_quantile's
+    hot path) or when upstream is a bare parquet read it is cheaper to
+    re-scan than to pin."""
+    if stage:
+        ds = ds.select_columns([column]).materialize()
     extent = _fold_extent(ds, column)  # ONE extent scan, shared with
     n = extent[0]                      # kth_smallest (review-found dup)
     if n == 0:
@@ -482,6 +493,10 @@ def grouped_quantile(ds, group_col: str, value_col: str, qs: list,
     qs = [float(q) for q in qs]
 
     if hot_group_rows is not None:
+        # the hot path is multi-scan (pre-count + one quantile_exact per
+        # hot group): stage the two needed columns ONCE so those scans
+        # read pinned blocks instead of re-executing upstream each time
+        ds = ds.select_columns([group_col, value_col]).materialize()
         counts = group_row_counts(ds, group_col)
         hot = [g for g, n in counts if n > hot_group_rows]
         if hot:
@@ -509,7 +524,7 @@ def grouped_quantile(ds, group_col: str, value_col: str, qs: list,
                 one = ds.map_batches(
                     lambda b, _m=mask: b.filter(_m(b)),
                     batch_format="pyarrow")
-                qt = quantile_exact(one, value_col, qs)
+                qt = quantile_exact(one, value_col, qs, stage=False)
                 if len(qt) and qt["value"].null_count == len(qt):
                     continue  # all-NaN group: cold path emits nothing
                 tables.append(pa.table({
