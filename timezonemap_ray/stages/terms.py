@@ -41,6 +41,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+# Vocabulary sizes up to this many (term, df) rows are broadcast via
+# ray.put instead of hash-shuffle-joined: ~2M rows ≈ tens of MB in plasma,
+# shipped once per node and mapped zero-copy into every join task.
+_BROADCAST_VOCAB_MAX = 2_000_000
+
+
 def _flat_tokens(b: pa.Table, text_col: str):
     """(tokens, parent_doc_row_indices) for one block — ``\\S+`` runs.
     Splitting on ``\\s+`` yields empty-string artifacts at text edges;
@@ -169,14 +175,43 @@ def distinctive_terms(ds, id_col: str = "doc_id", text_col: str = "text",
     n_docs = ds.count()
     tf = doc_term_freq(ds, id_col, text_col)
     df = doc_frequencies(ds, id_col, text_col)
-    # Cap join partitions by cluster CPUs: each hash-shuffle aggregator
-    # actor reserves 0.125 CPU, and an aggregator fleet larger than the
-    # cluster starves the map side (observed deadlock: 64 partitions on a
-    # 4-CPU session). cpus*2 keeps aggregator demand at cpus/4.
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    join_parts = max(2, min(n_parts, cpus * 2))
-    joined = tf.join(df, join_type="inner", num_partitions=join_parts,
-                     on=("term",))
+    # doc_frequencies ends in a hash-shuffle groupby, which emits
+    # SCHEMA-LESS empty blocks for empty hash partitions (more partitions
+    # than distinct terms at high cpu counts); Dataset.join aborts on them
+    # ("No match ... FieldRef.Name(term) on right side"). df is
+    # vocab-sized, so materialize + drop-empties is cheap; tf is pure
+    # map_batches output and needs no guard.
+    from .dedup import _drop_empty_blocks
+    df = _drop_empty_blocks(df.materialize())
+    vocab_rows = df.count()
+    if vocab_rows <= _BROADCAST_VOCAB_MAX:
+        # small-side broadcast: ship the (term → df) table once via
+        # ray.put, attach df to the fact side with a vectorized
+        # pc.index_in + take per batch — no all-to-all shuffle at all
+        # (measured 5.2 s shuffle join → sub-second at sf0.1/32 cpus).
+        vt = pa.concat_tables(
+            df.iter_batches(batch_format="pyarrow")).combine_chunks()
+        vref = ray.put(vt)
+
+        def attach_df(b: pa.Table) -> pa.Table:
+            v = ray.get(vref)
+            pos = pc.index_in(b["term"], value_set=v["term"])
+            good = pc.is_valid(pos)  # inner-join semantics
+            b = b.filter(good)
+            taken = pc.take(v["df"], pos.filter(good))
+            return b.append_column("df", taken)
+
+        joined = tf.map_batches(attach_df, batch_format="pyarrow")
+    else:
+        # huge-vocab fallback (100 TB crawls: unbounded distinct terms):
+        # hash-shuffle join on term. Cap join partitions by cluster CPUs:
+        # each hash-shuffle aggregator actor reserves 0.125 CPU, and an
+        # aggregator fleet larger than the cluster starves the map side
+        # (observed deadlock: 64 partitions on a 4-CPU session).
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        join_parts = max(2, min(n_parts, cpus * 2))
+        joined = tf.join(df, join_type="inner", num_partitions=join_parts,
+                         on=("term",))
 
     def add_part(b: pa.Table) -> pa.Table:
         return b.append_column(
