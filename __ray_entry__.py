@@ -311,6 +311,16 @@ def _q_ann_ivf(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def _q_kmeans_profile(sf_dir: str):
+    """Distributed Lloyd's over the embedding table → per-cluster size +
+    mean squared distance, size-ranked (rows-only: iterative float
+    algorithm, no SQL equivalent)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.cluster import kmeans_cluster_profile
+    return kmeans_cluster_profile(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), k=8, seed=7)
+
+
 def _q_media_similarity(sf_dir: str):
     """Multimodal composition: fake-decode media features → cosine top-k
     similarity search over them (rows-only: stubbed codec)."""
@@ -875,6 +885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
+        "kmeans_profile": _q_kmeans_profile,
         # multimodal plumbing
         "media_decode": _q_media_decode,
         "media_similarity": _q_media_similarity,
@@ -1307,5 +1318,6 @@ def oracle_sql() -> dict[str, str]:
         # dedup_simhash / dedup_embedding (LSH recall is probabilistic and
         # keyed on blake2b hashes), ann_ivf_topk (approximate),
         # approx_distinct_users (HLL sketch),
+        # kmeans_profile (iterative float algorithm),
         # media_decode / media_similarity (stubbed codec)
     }

@@ -1,0 +1,111 @@
+"""Distributed k-means (stages/cluster.py).
+
+Blob worlds are deterministic (seeded numpy), well-separated, so cluster
+MEMBERSHIP must be exactly recovered regardless of float reduce order.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from timezonemap_ray.stages.cluster import (
+    _pp_init, kmeans_assign, kmeans_cluster_profile, kmeans_fit)
+
+
+def _blob_table(centers, per_blob=60, dim=8, spread=0.05, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs, labels = [], []
+    for li, c in enumerate(centers):
+        base = np.zeros(dim)
+        base[: len(c)] = c
+        pts = base + rng.normal(scale=spread, size=(per_blob, dim))
+        vecs.append(pts)
+        labels.extend([li] * per_blob)
+    mat = np.concatenate(vecs)
+    return pa.table({
+        "vec_id": pa.array(np.arange(mat.shape[0], dtype=np.int64)),
+        "embedding": pa.array(list(mat)),
+        "label": pa.array(np.asarray(labels, dtype=np.int64))}), mat
+
+
+CENTERS = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+
+
+def test_kmeans_recovers_separated_blobs(ray_session):
+    t, mat = _blob_table(CENTERS)
+    ds = rd.from_arrow(t).repartition(6)
+    cents, info = kmeans_fit(ds, k=3, iters=25, seed=7)
+    assert cents.shape == (3, 8)
+    assert info["iters"] <= 25 and info["counts"].sum() == t.num_rows
+    # each true blob center has exactly one centroid within spread-distance
+    got = []
+    for c in CENTERS:
+        tgt = np.zeros(8)
+        tgt[:2] = c
+        d = np.sqrt(((cents - tgt) ** 2).sum(axis=1))
+        assert d.min() < 0.5
+        got.append(int(d.argmin()))
+    assert sorted(got) == [0, 1, 2]  # distinct centroids, one per blob
+
+    # membership purity: every vector assigned to its blob's centroid
+    out = pa.concat_tables([b for b in kmeans_assign(ds, cents)
+                            .iter_batches(batch_format="pyarrow")])
+    by_id = out.sort_by("vec_id")
+    assign = by_id["cluster_id"].to_numpy(zero_copy_only=False)
+    labels = by_id["label"].to_numpy(zero_copy_only=False)
+    for li in range(3):
+        members = assign[labels == li]
+        assert (members == members[0]).all()
+        assert members[0] == got[li]
+
+
+def test_kmeans_early_stop_and_sse(ray_session):
+    t, mat = _blob_table(CENTERS)
+    ds = rd.from_arrow(t).repartition(4)
+    cents, info = kmeans_fit(ds, k=3, iters=50, seed=7, tol=1e-10)
+    assert info["iters"] < 50  # converged well before the cap
+    # SSE equals the true within-cluster squared error at the fitted cents
+    a = np.argmin(((mat[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)
+    want = sum(((mat[a == j] - cents[j]) ** 2).sum() for j in range(3))
+    assert info["sse"] == pytest.approx(want, rel=1e-9)
+
+
+def test_kmeans_empty_clusters_keep_position(ray_session):
+    # 2 distinct points, k=5: 3 clusters must stay empty, no NaN anywhere
+    mat = np.array([[0.0] * 4, [9.0] * 4])
+    t = pa.table({"embedding": pa.array(list(np.repeat(mat, 20, axis=0)))})
+    ds = rd.from_arrow(t)
+    cents, info = kmeans_fit(ds, k=5, iters=10, seed=1,
+                             init_sample_n=40)
+    assert np.isfinite(cents).all()
+    assert (np.sort(info["counts"])[-2:] == [20, 20]).all()
+    assert (info["counts"] == 0).sum() == 3
+
+
+def test_kmeans_fewer_rows_than_k(ray_session):
+    t = pa.table({"embedding": pa.array([[1.0, 2.0], [3.0, 4.0]])})
+    cents, info = kmeans_fit(rd.from_arrow(t), k=8, iters=3, seed=2)
+    assert cents.shape == (2, 2)
+
+
+def test_pp_init_deterministic():
+    x = np.random.default_rng(0).normal(size=(100, 4))
+    a = _pp_init(x, 5, seed=11)
+    b = _pp_init(x, 5, seed=11)
+    assert (a == b).all()
+    # duplicate-point corner: all mass at one point still yields k rows
+    dup = np.zeros((10, 3))
+    c = _pp_init(dup, 4, seed=1)
+    assert c.shape == (4, 3) and (c == 0).all()
+
+
+def test_cluster_profile_stable_shape(ray_session):
+    t, _ = _blob_table(CENTERS, per_blob=40)
+    prof = kmeans_cluster_profile(rd.from_arrow(t).repartition(3), k=3,
+                                  seed=7)
+    assert prof.column_names == ["rank", "n", "mean_dist2"]
+    assert prof.num_rows == 3
+    assert prof["n"].to_pylist() == [40, 40, 40]
+    assert all(v >= 0 for v in prof["mean_dist2"].to_pylist())

@@ -1,0 +1,177 @@
+"""Distributed k-means (Lloyd's) over an embedding column.
+
+The reference has no clustering (it is a geo lookup engine — SURVEY §2);
+this is a training-data-pipeline extension: corpus bucketing for curricula,
+IVF centroid training at full-corpus fidelity, and density diagnostics.
+
+Scale shape (the part that matters at 100 TB):
+
+- **Stage once, iterate over blocks.** The vector column is projected and
+  materialized ONCE (``select_columns([vec_col]).materialize()``) before
+  the loop — Lloyd's is a multi-scan algorithm, and re-executing the
+  upstream pipeline per iteration would multiply the read cost by
+  ``iters`` (same staging pattern as ``select.quantile_exact``).
+- **Partials, not points, shuffle.** Each iteration is ONE
+  ``map_batches`` pass emitting k×(d+2) numbers per block — per-centroid
+  vector sums, member counts, and the block's SSE — reduced on the driver
+  (k·d·n_blocks floats, kilobytes even for thousands of blocks). No
+  groupby, no all-to-all; the corpus itself never moves.
+- **Broadcast centroids.** The k×d centroid matrix ships via ``ray.put``
+  once per iteration and is read zero-copy by every task.
+- Per-block assignment is a vectorized ``argmin`` over the full distance
+  matrix; per-centroid sums use per-dimension ``np.bincount`` (one C pass
+  per dimension — no ``np.add.at`` scatter, which is an order of
+  magnitude slower).
+
+Determinism: k-means++ init is seeded on a fixed-order driver sample;
+per-block partials are exact; the driver reduce sums partials in cid-major
+order. Cross-block float addition order follows block arrival, so centroid
+coordinates are reproducible to ~1 ulp across runs — cluster MEMBERSHIP of
+well-separated data is exactly reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..vecs import list_column_to_matrix
+
+
+def _pp_init(x: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Seeded k-means++ on a driver-side sample: first centroid uniform,
+    each next ∝ squared distance to the nearest chosen one."""
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    k = min(k, n)
+    first = int(rng.integers(n))
+    cents = [x[first]]
+    d2 = ((x - x[first]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        tot = float(d2.sum())
+        if tot <= 0:  # all remaining points coincide with a centroid
+            nxt = int(rng.integers(n))
+        else:
+            nxt = int(rng.choice(n, p=d2 / tot))
+        cents.append(x[nxt])
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
+    return np.asarray(cents, dtype=np.float64)
+
+
+def _assign_block(v: np.ndarray, c: np.ndarray):
+    """(assignments, per-point squared distance) — one matmul, no loops."""
+    d2 = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ c.T) \
+        + (c * c).sum(axis=1)[None, :]
+    a = np.argmin(d2, axis=1)
+    return a, np.maximum(d2[np.arange(len(a)), a], 0.0)
+
+
+def kmeans_fit(ds, k: int, vec_col: str = "embedding", iters: int = 20,
+               seed: int = 7, init_sample_n: int = 4096, tol: float = 1e-7):
+    """Full-corpus Lloyd's. Returns ``(centroids (k, d) float64, info)``
+    where ``info`` has ``iters`` (actually run), ``sse`` (final total),
+    and ``counts`` (members per centroid at the last assignment).
+
+    Unlike ``ann.train_centroids`` (cosine mini-KMeans on a sample, good
+    enough for IVF routing), this sees EVERY vector each iteration —
+    use it when cluster quality matters more than build latency."""
+    staged = ds.select_columns([vec_col]).materialize()
+    sample_rows = staged.take(init_sample_n)
+    if not sample_rows:
+        raise ValueError("kmeans_fit: dataset is empty")
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cents = _pp_init(sample, k, seed)
+    k = cents.shape[0]  # may shrink if the sample had < k rows
+    d = cents.shape[1]
+
+    info = {"iters": 0, "sse": float("inf"), "counts": None}
+    for it in range(iters):
+        ref = ray.put(cents)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            v = list_column_to_matrix(b[vec_col])
+            a, pd2 = _assign_block(v, c)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.empty((k, d), dtype=np.float64)
+            for j in range(d):  # one C-speed bincount per dimension
+                sums[:, j] = np.bincount(a, weights=v[:, j], minlength=k)
+            sse = np.zeros(k, dtype=np.float64)
+            np.add.at(sse, a, pd2)  # k-sized scatter, not n-sized — cheap
+            return pa.table({
+                "cid": pa.array(np.arange(k, dtype=np.int64)),
+                "n": pa.array(counts),
+                "vsum": pa.array(list(sums)),
+                "sse": pa.array(sse)})
+
+        tot_n = np.zeros(k, dtype=np.int64)
+        tot_sum = np.zeros((k, d), dtype=np.float64)
+        tot_sse = 0.0
+        parts = [t for t in staged.map_batches(partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")]
+        merged = pa.concat_tables(parts).combine_chunks()
+        # cid-major accumulation for run-to-run reduce-order stability
+        order = pa.compute.sort_indices(merged, sort_keys=[("cid",
+                                                            "ascending")])
+        merged = merged.take(order)
+        cids = merged["cid"].to_numpy(zero_copy_only=False)
+        ns = merged["n"].to_numpy(zero_copy_only=False)
+        vsums = list_column_to_matrix(merged["vsum"])
+        sses = merged["sse"].to_numpy(zero_copy_only=False)
+        np.add.at(tot_n, cids, ns)
+        np.add.at(tot_sum, cids, vsums)
+        tot_sse = float(sses.sum())
+
+        new = cents.copy()  # empty clusters keep their position
+        nz = tot_n > 0
+        new[nz] = tot_sum[nz] / tot_n[nz, None]
+        shift = float(np.sqrt(((new - cents) ** 2).sum(axis=1)).max())
+        cents = new
+        info = {"iters": it + 1, "sse": tot_sse, "counts": tot_n}
+        if shift <= tol:
+            break
+    return cents, info
+
+
+def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
+    """Append ``cluster_id`` (int64 nearest centroid) and ``dist2``
+    (float64 squared distance) to every row — a pure streaming
+    ``map_batches`` over a broadcast centroid matrix."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        v = list_column_to_matrix(b[vec_col])
+        a, pd2 = _assign_block(v, c)
+        return b.append_column("cluster_id", pa.array(a.astype(np.int64))) \
+                .append_column("dist2", pa.array(pd2))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_cluster_profile(ds, k: int, vec_col: str = "embedding",
+                           iters: int = 20, seed: int = 7) -> pa.Table:
+    """Fit + assign + per-cluster summary → (cluster_id, n, mean_dist2),
+    one row per non-empty cluster, cluster ids relabeled by descending
+    size (ties by cluster_id) so the output is stable under centroid
+    permutation. The summary is a partial-aggregate groupby over the
+    tiny (cluster_id, dist2) projection."""
+    from ray.data.aggregate import Count, Mean
+
+    cents, _ = kmeans_fit(ds, k, vec_col=vec_col, iters=iters, seed=seed)
+    assigned = kmeans_assign(ds, cents, vec_col=vec_col)
+    prof = assigned.select_columns(["cluster_id", "dist2"]) \
+        .groupby("cluster_id") \
+        .aggregate(Count(alias_name="n"), Mean("dist2",
+                                               alias_name="mean_dist2"))
+    t = pa.concat_tables(
+        [b for b in prof.iter_batches(batch_format="pyarrow")])
+    idx = pa.compute.sort_indices(
+        t, sort_keys=[("n", "descending"), ("cluster_id", "ascending")])
+    t = t.take(idx)
+    return pa.table({
+        "rank": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+        "n": pa.compute.cast(t["n"], pa.int64()),
+        "mean_dist2": pa.compute.cast(t["mean_dist2"], pa.float64())})
