@@ -227,6 +227,13 @@ def decontaminate(corpus_ds, bench_ds, shingle: int = 8,
     import ray
     bh, bs = collect_benchmark_shingles(bench_ds, shingle, text_col)
     bh_ref, bs_ref = ray.put(bh), ray.put(bs)
+    # An actor pool equal to the whole cluster starves the upstream read
+    # (observed DEADLOCK: 4 actors on a 4-CPU session hold every CPU while
+    # ReadParquet waits backpressured forever — same quirk class as the
+    # hash-shuffle aggregator cap in stages/terms.py). Always leave ≥ 1
+    # CPU for the feeding tasks.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    concurrency = max(1, min(concurrency, cpus - 1))
     return corpus_ds.map_batches(
         Decontaminator, fn_constructor_args=(bh_ref, bs_ref, shingle,
                                              text_col),
