@@ -311,6 +311,16 @@ def _q_ann_ivf(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def _q_heavy_hitter_terms(sf_dir: str):
+    """Exact heavy hitters (freq ≥ ⌈0.003·N⌉ tokens) via the two-pass
+    Misra-Gries candidate pattern — sketch-pruned but bit-exact, so it is
+    fully oracle-checked."""
+    import ray.data as rd
+    from timezonemap_ray.stages.sketch import heavy_hitter_terms
+    return heavy_hitter_terms(
+        rd.read_parquet(f"{sf_dir}/documents.parquet"), phi=0.003)
+
+
 def _q_kmeans_profile(sf_dir: str):
     """Distributed Lloyd's over the embedding table → per-cluster size +
     mean squared distance, size-ranked (rows-only: iterative float
@@ -886,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
         "kmeans_profile": _q_kmeans_profile,
+        "heavy_hitter_terms": _q_heavy_hitter_terms,
         # multimodal plumbing
         "media_decode": _q_media_decode,
         "media_similarity": _q_media_similarity,
@@ -1000,6 +1011,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN lang_pred = 'en' THEN c_en WHEN lang_pred = 'es' THEN c_es WHEN lang_pred = 'fr' THEN c_fr WHEN lang_pred = 'de' THEN c_de WHEN lang_pred = 'zh' THEN c_zh END AS DOUBLE) / greatest(n_tok, 1)
                        AS lang_score
             FROM pred""",
+        "heavy_hitter_terms": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+              FROM documents),
+            tot AS (SELECT count(*) AS n FROM toks)
+            SELECT term, count(*)::BIGINT AS n
+            FROM toks GROUP BY term
+            HAVING count(*) >= ceil(0.003 * (SELECT n FROM tot))""",
         "vocab_top_terms": r"""
             SELECT term, count(*)::BIGINT AS n
             FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS term

@@ -1,10 +1,20 @@
-"""Distributed sketches — approximate distinct counting (HyperLogLog).
+"""Distributed sketches — approximate distinct counting (HyperLogLog) and
+EXACT heavy hitters via a Misra-Gries candidate pass.
 
 SURVEY §2 notes the reference has no approximate operators; the 100 TB
 engine needs them. HLL here is the canonical mergeable-sketch shape: each
 Arrow block folds into a tiny register array inside ``map_batches``, block
 sketches merge by elementwise max — an all-reduce of ``2^p`` bytes instead
 of a distinct shuffle of the full key column.
+
+``heavy_hitter_terms`` is the two-pass exact-at-scale pattern: a mergeable
+Misra-Gries summary per block (k counters, error ≤ n_block/(k+1); merged
+error ≤ N/(k+1) — Agarwal et al., "Mergeable Summaries", PODS'12) yields a
+small candidate SUPERSET of every term with frequency ≥ φN; a second
+streaming pass counts only the broadcast candidates exactly. Unlike a raw
+sketch the output is bit-exact (SQL-oracle-checkable): the sketch only
+bounds what the exact pass must count — the full vocabulary never
+shuffles.
 """
 
 from __future__ import annotations
@@ -76,3 +86,110 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
             merged = np.maximum(merged,
                                 np.frombuffer(blob.as_py(), dtype=np.uint8))
     return hll_estimate(merged)
+
+
+def _mg_prune(terms: pa.Array, counts: np.ndarray, k: int):
+    """Misra-Gries summary from exact block counts: decrement every
+    counter by the (k+1)-th largest count so ≤ k stay positive. The kept
+    value understates the true block count by at most n_block/(k+1)."""
+    if len(counts) <= k:
+        return terms, counts
+    t = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    keep = counts > t
+    return terms.filter(pa.array(keep)), counts[keep] - t
+
+
+def heavy_hitter_terms(ds, phi: float = 0.001, text_col: str = "text",
+                       k: int | None = None) -> pa.Table:
+    """EXACT terms with frequency ≥ ⌈φ·N⌉ (N = total tokens) →
+    (term: string, n: int64), ordered (n DESC, term ASC).
+
+    Pass 1 streams block-local Misra-Gries summaries (k counters each) to
+    the driver — k·n_blocks rows, never the vocabulary. Merged lower
+    bounds + the global undercount ceiling N/(k+1) prune candidates that
+    cannot reach the threshold. Pass 2 broadcasts the surviving candidate
+    list and counts ONLY those terms exactly (per-block ``pc.is_in`` +
+    bincount partials, tiny groupby-free driver reduce)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    import ray
+
+    from .terms import _flat_tokens
+
+    if not (0 < phi <= 1):
+        raise ValueError("phi must be in (0, 1]")
+    if k is None:
+        k = max(64, int(math.ceil(2.0 / phi)))
+
+    def mg_partial(b: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(b, text_col)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64()),
+                             "block_n": pa.array([], type=pa.int64())})
+        enc = flat.dictionary_encode()
+        counts = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                             minlength=len(enc.dictionary)).astype(np.int64)
+        terms, kept = _mg_prune(enc.dictionary, counts, k)
+        if len(kept) == 0:
+            # prune can empty a uniform block (all counts == t); the block
+            # token count must still reach the driver — "" is never a \S+
+            # token, so the marker row cannot collide with a real term
+            return pa.table({"term": pa.array([""], type=pa.string()),
+                             "c": pa.array([0], type=pa.int64()),
+                             "block_n": pa.array([len(flat)],
+                                                 type=pa.int64())})
+        bn = np.zeros(len(kept), dtype=np.int64)
+        bn[0] = len(flat)  # block token count rides on the first row
+        return pa.table({"term": terms, "c": pa.array(kept),
+                         "block_n": pa.array(bn)})
+
+    _empty = pa.table({"term": pa.array([], type=pa.string()),
+                       "c": pa.array([], type=pa.int64()),
+                       "block_n": pa.array([], type=pa.int64())})
+    parts = pa.concat_tables(
+        [t for t in ds.map_batches(mg_partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")] + [_empty]).combine_chunks()
+    total_n = int(pc.sum(parts["block_n"]).as_py() or 0)
+    if total_n == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    thresh = int(math.ceil(phi * total_n))
+    # merged lower bound per term; undercount across ALL blocks ≤ N/(k+1)
+    summed = parts.group_by("term").aggregate([("c", "sum")])
+    slack = total_n // (k + 1)
+    cand = summed.filter(
+        pc.greater_equal(pc.add(summed["c_sum"], slack), thresh))["term"]
+    if len(cand) == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    cand_ref = ray.put(cand.combine_chunks())
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        cv = ray.get(cand_ref)
+        flat, _ = _flat_tokens(b, text_col)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        pos = pc.index_in(flat, value_set=cv)
+        good = pc.is_valid(pos)
+        hits = pos.filter(good).to_numpy(zero_copy_only=False)
+        counts = np.bincount(hits, minlength=len(cv)).astype(np.int64)
+        nz = counts > 0
+        return pa.table({"term": cv.filter(pa.array(nz)),
+                         "n": pa.array(counts[nz])})
+
+    ex = pa.concat_tables(
+        [t for t in ds.map_batches(exact_partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]
+        + [pa.table({"term": pa.array([], type=pa.string()),
+                     "n": pa.array([], type=pa.int64())})]).combine_chunks()
+    tot = ex.group_by("term").aggregate([("n", "sum")])
+    tot = tot.filter(pc.greater_equal(tot["n_sum"], thresh))
+    out = pa.table({"term": tot["term"],
+                    "n": pc.cast(tot["n_sum"], pa.int64())})
+    idx = pc.sort_indices(out, sort_keys=[("n", "descending"),
+                                          ("term", "ascending")])
+    return out.take(idx)
