@@ -321,6 +321,16 @@ def _q_heavy_hitter_terms(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/documents.parquet"), phi=0.003)
 
 
+def _q_heavy_hitter_users(sf_dir: str):
+    """Hot keys in events.user_id (count ≥ ⌈0.008·N⌉) — the skewed-key
+    detector the salted joins rely on, exact and oracle-checked."""
+    import ray.data as rd
+    from timezonemap_ray.stages.sketch import heavy_hitter_keys
+    return heavy_hitter_keys(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        "user_id", phi=0.008)
+
+
 def _q_kmeans_profile(sf_dir: str):
     """Distributed Lloyd's over the embedding table → per-cluster size +
     mean squared distance, size-ranked (rows-only: iterative float
@@ -897,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "kmeans_profile": _q_kmeans_profile,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
+        "heavy_hitter_users": _q_heavy_hitter_users,
         # multimodal plumbing
         "media_decode": _q_media_decode,
         "media_similarity": _q_media_similarity,
@@ -1011,6 +1022,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN lang_pred = 'en' THEN c_en WHEN lang_pred = 'es' THEN c_es WHEN lang_pred = 'fr' THEN c_fr WHEN lang_pred = 'de' THEN c_de WHEN lang_pred = 'zh' THEN c_zh END AS DOUBLE) / greatest(n_tok, 1)
                        AS lang_score
             FROM pred""",
+        "heavy_hitter_users": r"""
+            WITH tot AS (SELECT count(*) AS n FROM events
+                         WHERE user_id IS NOT NULL)
+            SELECT user_id, count(*)::BIGINT AS n
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
+            HAVING count(*) >= ceil(0.008 * (SELECT n FROM tot))""",
         "heavy_hitter_terms": r"""
             WITH toks AS (
               SELECT unnest(regexp_extract_all(text, '\S+')) AS term

@@ -85,3 +85,25 @@ def test_mg_prune_bound():
         d = orig[term] - c
         t = d if t is None else t
         assert d == t and d >= 0
+
+
+def test_heavy_hitter_keys_exact(ray_session):
+    rng = np.random.default_rng(9)
+    # skewed int keys: 3 hot users + uniform tail, plus some nulls
+    keys = np.concatenate([
+        np.repeat([7, 11, 13], [400, 300, 200]),
+        rng.integers(1000, 2000, size=600)])
+    rng.shuffle(keys)
+    vals = keys.astype(object)
+    vals[::97] = None  # sprinkle nulls — must be ignored
+    t = pa.table({"user_id": pa.array(list(vals), type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(7)
+    from timezonemap_ray.stages.sketch import heavy_hitter_keys
+    got = heavy_hitter_keys(ds, "user_id", phi=0.05, k=8)
+    nn = [int(v) for v in vals if v is not None]
+    want = _exact_hh([" ".join(str(x) for x in nn)], 0.05)
+    want = [(int(k_), c) for k_, c in want]
+    assert list(zip(got["user_id"].to_pylist(),
+                    got["n"].to_pylist())) == want
+    assert got.schema.field("user_id").type == pa.int64()
+    assert {7, 11, 13} <= {k_ for k_, _ in want}  # non-vacuous

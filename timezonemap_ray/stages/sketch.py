@@ -99,6 +99,93 @@ def _mg_prune(terms: pa.Array, counts: np.ndarray, k: int):
     return terms.filter(pa.array(keep)), counts[keep] - t
 
 
+def _heavy_hitters_core(ds, extract, key_name: str, key_type,
+                        phi: float, k: int | None) -> pa.Table:
+    """Shared two-pass exact heavy-hitter engine. ``extract(block)`` →
+    flat null-free pa.Array of occurrences; see ``heavy_hitter_terms`` /
+    ``heavy_hitter_keys`` for the semantics and the scale argument."""
+    import math
+
+    import pyarrow.compute as pc
+
+    import ray
+
+    if not (0 < phi <= 1):
+        raise ValueError("phi must be in (0, 1]")
+    if k is None:
+        k = max(64, int(math.ceil(2.0 / phi)))
+
+    def _res(keys, ns):
+        return pa.table({key_name: keys, "n": ns})
+
+    _empty_out = _res(pa.array([], type=key_type),
+                      pa.array([], type=pa.int64()))
+
+    def mg_partial(b: pa.Table) -> pa.Table:
+        flat = extract(b)
+        if len(flat) == 0:
+            return pa.table({key_name: pa.array([], type=key_type),
+                             "c": pa.array([], type=pa.int64()),
+                             "block_n": pa.array([], type=pa.int64())})
+        enc = flat.dictionary_encode()
+        counts = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                             minlength=len(enc.dictionary)).astype(np.int64)
+        keys, kept = _mg_prune(enc.dictionary, counts, k)
+        if len(kept) == 0:
+            # prune can empty a uniform block (all counts == t); keep one
+            # zero-credit counter so the block token count still reaches
+            # the driver — a c=0 row only widens the candidate superset
+            keys, kept = enc.dictionary[:1], np.zeros(1, dtype=np.int64)
+        bn = np.zeros(len(kept), dtype=np.int64)
+        bn[0] = len(flat)  # block occurrence count rides on the first row
+        return pa.table({key_name: keys, "c": pa.array(kept),
+                         "block_n": pa.array(bn)})
+
+    _empty_partial = pa.table({key_name: pa.array([], type=key_type),
+                               "c": pa.array([], type=pa.int64()),
+                               "block_n": pa.array([], type=pa.int64())})
+    parts = pa.concat_tables(
+        [t for t in ds.map_batches(mg_partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]
+        + [_empty_partial]).combine_chunks()
+    total_n = int(pc.sum(parts["block_n"]).as_py() or 0)
+    if total_n == 0:
+        return _empty_out
+    thresh = int(math.ceil(phi * total_n))
+    # merged lower bound per key; undercount across ALL blocks ≤ N/(k+1)
+    summed = parts.group_by(key_name).aggregate([("c", "sum")])
+    slack = total_n // (k + 1)
+    cand = summed.filter(
+        pc.greater_equal(pc.add(summed["c_sum"], slack), thresh))[key_name]
+    if len(cand) == 0:
+        return _empty_out
+    cand_ref = ray.put(cand.combine_chunks())
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        cv = ray.get(cand_ref)
+        flat = extract(b)
+        if len(flat) == 0:
+            return _empty_out
+        pos = pc.index_in(flat, value_set=cv)
+        good = pc.is_valid(pos)
+        hits = pos.filter(good).to_numpy(zero_copy_only=False)
+        counts = np.bincount(hits, minlength=len(cv)).astype(np.int64)
+        nz = counts > 0
+        return _res(cv.filter(pa.array(nz)), pa.array(counts[nz]))
+
+    ex = pa.concat_tables(
+        [t for t in ds.map_batches(exact_partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]
+        + [_empty_out]).combine_chunks()
+    tot = ex.group_by(key_name).aggregate([("n", "sum")])
+    tot = tot.filter(pc.greater_equal(tot["n_sum"], thresh))
+    out = pa.table({key_name: tot[key_name],
+                    "n": pc.cast(tot["n_sum"], pa.int64())})
+    idx = pc.sort_indices(out, sort_keys=[("n", "descending"),
+                                          (key_name, "ascending")])
+    return out.take(idx)
+
+
 def heavy_hitter_terms(ds, phi: float = 0.001, text_col: str = "text",
                        k: int | None = None) -> pa.Table:
     """EXACT terms with frequency ≥ ⌈φ·N⌉ (N = total tokens) →
@@ -108,88 +195,28 @@ def heavy_hitter_terms(ds, phi: float = 0.001, text_col: str = "text",
     the driver — k·n_blocks rows, never the vocabulary. Merged lower
     bounds + the global undercount ceiling N/(k+1) prune candidates that
     cannot reach the threshold. Pass 2 broadcasts the surviving candidate
-    list and counts ONLY those terms exactly (per-block ``pc.is_in`` +
+    list and counts ONLY those terms exactly (per-block ``pc.index_in`` +
     bincount partials, tiny groupby-free driver reduce)."""
-    import math
-
-    import pyarrow.compute as pc
-
-    import ray
-
     from .terms import _flat_tokens
 
-    if not (0 < phi <= 1):
-        raise ValueError("phi must be in (0, 1]")
-    if k is None:
-        k = max(64, int(math.ceil(2.0 / phi)))
-
-    def mg_partial(b: pa.Table) -> pa.Table:
+    def extract(b: pa.Table):
         flat, _ = _flat_tokens(b, text_col)
-        if len(flat) == 0:
-            return pa.table({"term": pa.array([], type=pa.string()),
-                             "c": pa.array([], type=pa.int64()),
-                             "block_n": pa.array([], type=pa.int64())})
-        enc = flat.dictionary_encode()
-        counts = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
-                             minlength=len(enc.dictionary)).astype(np.int64)
-        terms, kept = _mg_prune(enc.dictionary, counts, k)
-        if len(kept) == 0:
-            # prune can empty a uniform block (all counts == t); the block
-            # token count must still reach the driver — "" is never a \S+
-            # token, so the marker row cannot collide with a real term
-            return pa.table({"term": pa.array([""], type=pa.string()),
-                             "c": pa.array([0], type=pa.int64()),
-                             "block_n": pa.array([len(flat)],
-                                                 type=pa.int64())})
-        bn = np.zeros(len(kept), dtype=np.int64)
-        bn[0] = len(flat)  # block token count rides on the first row
-        return pa.table({"term": terms, "c": pa.array(kept),
-                         "block_n": pa.array(bn)})
+        return flat
 
-    _empty = pa.table({"term": pa.array([], type=pa.string()),
-                       "c": pa.array([], type=pa.int64()),
-                       "block_n": pa.array([], type=pa.int64())})
-    parts = pa.concat_tables(
-        [t for t in ds.map_batches(mg_partial, batch_format="pyarrow")
-         .iter_batches(batch_format="pyarrow")] + [_empty]).combine_chunks()
-    total_n = int(pc.sum(parts["block_n"]).as_py() or 0)
-    if total_n == 0:
-        return pa.table({"term": pa.array([], type=pa.string()),
-                         "n": pa.array([], type=pa.int64())})
-    thresh = int(math.ceil(phi * total_n))
-    # merged lower bound per term; undercount across ALL blocks ≤ N/(k+1)
-    summed = parts.group_by("term").aggregate([("c", "sum")])
-    slack = total_n // (k + 1)
-    cand = summed.filter(
-        pc.greater_equal(pc.add(summed["c_sum"], slack), thresh))["term"]
-    if len(cand) == 0:
-        return pa.table({"term": pa.array([], type=pa.string()),
-                         "n": pa.array([], type=pa.int64())})
-    cand_ref = ray.put(cand.combine_chunks())
+    return _heavy_hitters_core(ds, extract, "term", pa.string(), phi, k)
 
-    def exact_partial(b: pa.Table) -> pa.Table:
-        cv = ray.get(cand_ref)
-        flat, _ = _flat_tokens(b, text_col)
-        if len(flat) == 0:
-            return pa.table({"term": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
-        pos = pc.index_in(flat, value_set=cv)
-        good = pc.is_valid(pos)
-        hits = pos.filter(good).to_numpy(zero_copy_only=False)
-        counts = np.bincount(hits, minlength=len(cv)).astype(np.int64)
-        nz = counts > 0
-        return pa.table({"term": cv.filter(pa.array(nz)),
-                         "n": pa.array(counts[nz])})
 
-    ex = pa.concat_tables(
-        [t for t in ds.map_batches(exact_partial, batch_format="pyarrow")
-         .iter_batches(batch_format="pyarrow")]
-        + [pa.table({"term": pa.array([], type=pa.string()),
-                     "n": pa.array([], type=pa.int64())})]).combine_chunks()
-    tot = ex.group_by("term").aggregate([("n", "sum")])
-    tot = tot.filter(pc.greater_equal(tot["n_sum"], thresh))
-    out = pa.table({"term": tot["term"],
-                    "n": pc.cast(tot["n_sum"], pa.int64())})
-    idx = pc.sort_indices(out, sort_keys=[("n", "descending"),
-                                          ("term", "ascending")])
-    return out.take(idx)
+def heavy_hitter_keys(ds, column: str, phi: float = 0.001,
+                      k: int | None = None) -> pa.Table:
+    """EXACT hot keys in ``column`` (count ≥ ⌈φ·N⌉ over non-null rows) →
+    (<column>, n: int64), ordered (n DESC, key ASC). Null keys are
+    dropped. Same two-pass Misra-Gries candidate machinery as
+    ``heavy_hitter_terms`` — use it to find skewed join/groupby keys
+    (hot users, hot cells) without shuffling the key column."""
+    sch = ds.schema()
+    key_type = sch.types[sch.names.index(column)]
+
+    def extract(b: pa.Table):
+        return b[column].combine_chunks().drop_null()
+
+    return _heavy_hitters_core(ds, extract, column, key_type, phi, k)
