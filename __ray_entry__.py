@@ -214,6 +214,14 @@ def _q_token_count(sf_dir: str):
         .map_batches(token_count, batch_format="pyarrow")
 
 
+def _q_token_diversity(sf_dir: str):
+    import ray.data as rd
+    from timezonemap_ray.stages.text import token_diversity
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(token_diversity, batch_format="pyarrow")
+
+
 def _q_quality(sf_dir: str):
     import ray.data as rd
     from timezonemap_ray.stages.text import quality_score
@@ -889,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tz_distance_boundary": _q_tz_distance,
         # text analysis
         "token_count": _q_token_count,
+        "token_diversity": _q_token_diversity,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint_md5": _q_fingerprint,
@@ -972,6 +981,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE array_length(string_split_regex(trim(text), '\\s+'))
                    END::BIGINT AS n_tokens,
                    length(text)::BIGINT AS n_chars
+            FROM documents""",
+        "token_diversity": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+                   len(list_distinct(regexp_extract_all(text, '\S+')))::BIGINT
+                       AS n_distinct,
+                   len(list_distinct(regexp_extract_all(text, '\S+')))::DOUBLE
+                     / greatest(len(regexp_extract_all(text, '\S+')), 1)
+                       AS diversity
             FROM documents""",
         "quality_score": r"""
             SELECT doc_id,

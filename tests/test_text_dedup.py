@@ -279,3 +279,32 @@ def test_distributed_cc_raises_on_nonconvergence(ray_session):
         "b": pa.array(range(1, n), type=pa.int64())}))
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.clusters_from_pairs_ds(ids, pairs, max_iters=3)
+
+
+def test_token_diversity_matches_sql(ray_session, docs_path, con):
+    import ray.data as rd
+    out = rd.read_parquet(docs_path, columns=["doc_id", "text"]) \
+            .map_batches(text.token_diversity, batch_format="pyarrow") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    sql = con.sql(r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+               len(list_distinct(regexp_extract_all(text, '\S+')))::BIGINT
+                   AS n_distinct,
+               len(list_distinct(regexp_extract_all(text, '\S+')))::DOUBLE
+                 / greatest(len(regexp_extract_all(text, '\S+')), 1)
+                   AS diversity
+        FROM documents ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(out, sql)
+
+
+def test_token_diversity_edges(ray_session):
+    import ray.data as rd
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": ["", "   ", "a a a a", "a b c a"]})
+    out = rd.from_arrow(t) \
+        .map_batches(text.token_diversity, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_tokens"].tolist() == [0, 0, 4, 4]
+    assert out["n_distinct"].tolist() == [0, 0, 1, 3]
+    assert out["diversity"].tolist() == [0.0, 0.0, 0.25, 0.75]

@@ -107,6 +107,43 @@ def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+def token_diversity(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Repetition / diversity quality signal → (doc_id, n_tokens,
+    n_distinct, diversity: float64 = n_distinct/max(n_tokens,1)).
+
+    Near-zero diversity flags boilerplate & generated spam — a standard
+    pre-training corpus filter. Fully vectorized: flatten the token list
+    column once, pair parent-doc indices with dictionary codes, one
+    ``np.unique`` per block (same kernel shape as ``terms.doc_term_freq``
+    — no Python loop over rows or tokens).
+    Oracle: ``len(list_distinct(regexp_extract_all(text, '\\S+')))``."""
+    toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep).combine_chunks()
+    parent = parent.filter(keep).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n = batch.num_rows
+    n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+    if len(flat):
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = parent * len(enc.dictionary) + codes
+        upair = np.unique(pair)
+        n_distinct = np.bincount(upair // len(enc.dictionary),
+                                 minlength=n).astype(np.int64)
+    else:
+        n_distinct = np.zeros(n, dtype=np.int64)
+    div = n_distinct / np.maximum(n_tokens, 1).astype(np.float64)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(n_tokens, type=pa.int64()),
+        "n_distinct": pa.array(n_distinct, type=pa.int64()),
+        "diversity": pa.array(div, type=pa.float64()),
+    })
+
+
 def md5_digest(batch: pa.Table, text_col: str = "text",
                out_col: str = "digest") -> pa.Table:
     """Content digest column (md5 hex — matches DuckDB ``md5(text)``)."""
