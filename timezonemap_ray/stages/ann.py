@@ -170,7 +170,7 @@ def ivf_build(ds, index_dir: str, n_centroids: int = 16,
 
 def ivf_query(index_dir: str, query_ids, query_matrix, k: int = 10,
               nprobe: int = 4, vec_col="embedding", id_col="vec_id",
-              concurrency=(1, 8)):
+              concurrency=None):
     """Query a built IVF index: read only the union of the queries' probed
     centroid partitions (directory-level pruning via a partition filter),
     then per-query restrict to its own probe list and take block-local
@@ -256,14 +256,20 @@ def ivf_query(index_dir: str, query_ids, query_matrix, k: int = 10,
                 "score": pa.array(np.concatenate(out_s), type=pa.float64()),
             })
 
-    partials = ds.map_batches(IVFBlockTopK, batch_format="pyarrow",
-                              concurrency=concurrency)
+    if concurrency is None:
+        # stateless task pool: no per-call actor spin-up (same trade as
+        # brute_topk — the payload re-wrap per task is trivial)
+        partials = ds.map_batches(lambda b: IVFBlockTopK()(b),
+                                  batch_format="pyarrow")
+    else:
+        partials = ds.map_batches(IVFBlockTopK, batch_format="pyarrow",
+                                  concurrency=concurrency)
     return _final_topk(partials, k), frac
 
 
 def ivf_topk(ds, query_ids, query_matrix, k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, sample_n: int = 2000, vec_col="embedding",
-             id_col="vec_id", concurrency=(1, 8), index_dir: str | None = None):
+             id_col="vec_id", concurrency=None, index_dir: str | None = None):
     """Build-then-query convenience wrapper (the ``queries()`` entry).
     ``index_dir=None`` builds a throwaway index under /tmp (removed after
     the query); pass a path to keep (and reuse) the physical partitioning."""
