@@ -109,3 +109,25 @@ def test_cluster_profile_stable_shape(ray_session):
     assert prof.num_rows == 3
     assert prof["n"].to_pylist() == [40, 40, 40]
     assert all(v >= 0 for v in prof["mean_dist2"].to_pylist())
+
+
+def test_ivf_full_trainer_recall(ray_session, tmp_path):
+    # full-corpus trainer routes well-separated blobs into pure partitions
+    from timezonemap_ray.stages.ann import brute_topk, ivf_build, ivf_query
+    # IVF routes in COSINE space — blobs must be distinct DIRECTIONS
+    # (an origin-centered blob normalizes to random directions)
+    t, mat = _blob_table([(10.0, 0.0), (0.0, 10.0), (7.0, 7.0)],
+                         per_blob=50, dim=8)
+    ds = rd.from_arrow(t).repartition(4)
+    cents = ivf_build(ds, str(tmp_path / "ivf"), n_centroids=3,
+                      trainer="full", seed=7)
+    assert cents.shape == (3, 8)
+    qids = np.array([0, 1, 2], dtype=np.int64)  # one blob → one probe dir
+    qmat = mat[[0, 1, 2]]
+    got, frac = ivf_query(str(tmp_path / "ivf"), qids, qmat, k=5, nprobe=1)
+    want = brute_topk(rd.from_arrow(t), qids, qmat, k=5)
+    assert frac < 1.0  # pruning actually happened
+    assert got.sort_by([("query_id", "ascending"), ("rank", "ascending")]) \
+        .select(["query_id", "vec_id"]).equals(
+            want.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+            .select(["query_id", "vec_id"]))

@@ -128,7 +128,7 @@ def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
 
 def ivf_build(ds, index_dir: str, n_centroids: int = 16,
               sample_n: int = 2000, vec_col="embedding", id_col="vec_id",
-              seed: int = 5) -> np.ndarray:
+              seed: int = 5, trainer: str = "sample") -> np.ndarray:
     """Build a PHYSICALLY partitioned IVF index: one pass assigns every
     vector to its nearest centroid and the workers write
     ``index_dir/vectors/centroid_id=C/`` parquet partitions; centroids are
@@ -139,9 +139,31 @@ def ivf_build(ds, index_dir: str, n_centroids: int = 16,
 
     import ray.data as rd  # noqa: F401 (ds is already a Dataset)
 
-    sample = np.array([r[vec_col] for r in ds.take(sample_n)],
-                      dtype=np.float64)
-    cents = train_centroids(sample, n_centroids, seed=seed)
+    if trainer == "full":
+        # full-corpus spherical training via the distributed Lloyd's in
+        # stages/cluster.py: normalize vectors in a streaming pass, run
+        # Euclidean k-means (≡ cosine on the unit sphere), re-normalize
+        # the centroids so the assign step's argmax-dot ranking matches.
+        # Costs `iters` corpus scans (staged/materialized once) — use when
+        # routing quality matters more than build latency.
+        from .cluster import kmeans_fit
+
+        def _norm_batch(b: pa.Table) -> pa.Table:
+            v = _normalize(list_column_to_matrix(b[vec_col]))
+            return pa.table({vec_col: pa.array(list(v))})
+
+        cents, _ = kmeans_fit(
+            ds.map_batches(_norm_batch, batch_format="pyarrow"),
+            n_centroids, vec_col=vec_col, seed=seed,
+            init_sample_n=sample_n)
+        cents = _normalize(cents)
+    elif trainer == "sample":
+        sample = np.array([r[vec_col] for r in ds.take(sample_n)],
+                          dtype=np.float64)
+        cents = train_centroids(sample, n_centroids, seed=seed)
+    else:
+        raise ValueError(f"unknown trainer {trainer!r} "
+                         "(expected 'sample' or 'full')")
     ref = ray.put(cents)
 
     def assign(b: pa.Table) -> pa.Table:
