@@ -141,25 +141,38 @@ def _heavy_hitters_core(ds, extract, key_name: str, key_type,
         return pa.table({key_name: keys, "c": pa.array(kept),
                          "block_n": pa.array(bn)})
 
-    _empty_partial = pa.table({key_name: pa.array([], type=key_type),
-                               "c": pa.array([], type=pa.int64()),
-                               "block_n": pa.array([], type=pa.int64())})
-    parts = pa.concat_tables(
-        [t for t in ds.map_batches(mg_partial, batch_format="pyarrow")
-         .iter_batches(batch_format="pyarrow")]
-        + [_empty_partial]).combine_chunks()
-    total_n = int(pc.sum(parts["block_n"]).as_py() or 0)
+    # STREAMING Misra-Gries merge on the driver: fold each block summary
+    # into an O(k) accumulator (merge = counter add, then subtract the
+    # (k+1)-th largest and drop non-positives — Agarwal et al.,
+    # "Mergeable Summaries": the merged error stays ≤ N/(k+1)). Driver
+    # memory is O(k) independent of block count; a concat-everything
+    # merge would hold k·n_blocks rows (billions at 100 TB).
+    acc: dict = {}
+    total_n = 0
+    for t in ds.map_batches(mg_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        total_n += int(pc.sum(t["block_n"]).as_py() or 0)
+        cs = t["c"].to_numpy(zero_copy_only=False)
+        for key, c in zip(t[key_name].to_pylist(), cs):
+            acc[key] = acc.get(key, 0) + int(c)
+        if len(acc) > k:
+            vals = np.fromiter(acc.values(), dtype=np.int64,
+                               count=len(acc))
+            t_sub = int(np.partition(
+                vals, len(vals) - (k + 1))[len(vals) - (k + 1)])
+            acc = {ky: v - t_sub for ky, v in acc.items() if v > t_sub}
     if total_n == 0:
         return _empty_out
     thresh = int(math.ceil(phi * total_n))
-    # merged lower bound per key; undercount across ALL blocks ≤ N/(k+1)
-    summed = parts.group_by(key_name).aggregate([("c", "sum")])
+    # merged lower bound per key; total undercount ≤ N/(k+1). A key
+    # ABSENT from acc has true count ≤ N/(k+1) < ⌈φN⌉ (k ≥ 2/φ), so the
+    # candidate superset needs only the retained counters.
     slack = total_n // (k + 1)
-    cand = summed.filter(
-        pc.greater_equal(pc.add(summed["c_sum"], slack), thresh))[key_name]
-    if len(cand) == 0:
+    cand_keys = [ky for ky, v in acc.items() if v + slack >= thresh]
+    if not cand_keys:
         return _empty_out
-    cand_ref = ray.put(cand.combine_chunks())
+    cand = pa.array(cand_keys, type=key_type)
+    cand_ref = ray.put(cand)
 
     def exact_partial(b: pa.Table) -> pa.Table:
         cv = ray.get(cand_ref)
