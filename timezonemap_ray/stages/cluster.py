@@ -12,10 +12,11 @@ Scale shape (the part that matters at 100 TB):
   upstream pipeline per iteration would multiply the read cost by
   ``iters`` (same staging pattern as ``select.quantile_exact``).
 - **Partials, not points, shuffle.** Each iteration is ONE
-  ``map_batches`` pass emitting k×(d+2) numbers per block — per-centroid
-  vector sums, member counts, and the block's SSE — reduced on the driver
-  (k·d·n_blocks floats, kilobytes even for thousands of blocks). No
-  groupby, no all-to-all; the corpus itself never moves.
+  ``map_batches`` pass emitting ≤ k×(d+2) numbers per block — non-empty
+  centroids' vector sums, member counts, and the block's SSE — folded
+  into an O(k·d) accumulator as they stream to the driver (memory
+  independent of block count). No groupby, no all-to-all; the corpus
+  itself never moves.
 - **Broadcast centroids.** The k×d centroid matrix ships via ``ray.put``
   once per iteration and is read zero-copy by every task.
 - Per-block assignment is a vectorized ``argmin`` over the full distance
@@ -100,29 +101,31 @@ def kmeans_fit(ds, k: int, vec_col: str = "embedding", iters: int = 20,
                 sums[:, j] = np.bincount(a, weights=v[:, j], minlength=k)
             sse = np.zeros(k, dtype=np.float64)
             np.add.at(sse, a, pd2)  # k-sized scatter, not n-sized — cheap
+            nz = counts > 0
             return pa.table({
-                "cid": pa.array(np.arange(k, dtype=np.int64)),
-                "n": pa.array(counts),
-                "vsum": pa.array(list(sums)),
-                "sse": pa.array(sse)})
+                "cid": pa.array(np.arange(k, dtype=np.int64)[nz]),
+                "n": pa.array(counts[nz]),
+                "vsum": pa.array(list(sums[nz])),
+                "sse": pa.array(sse[nz])})
 
+        # STREAMING driver fold: O(k·d) memory independent of block count
+        # (a concat-all merge would hold k·n_blocks rows). Cross-block
+        # float addition follows block arrival order → centroids
+        # reproducible to ~1 ulp; membership of separated data is exact.
         tot_n = np.zeros(k, dtype=np.int64)
         tot_sum = np.zeros((k, d), dtype=np.float64)
         tot_sse = 0.0
-        parts = [t for t in staged.map_batches(partial, batch_format="pyarrow")
-                 .iter_batches(batch_format="pyarrow")]
-        merged = pa.concat_tables(parts).combine_chunks()
-        # cid-major accumulation for run-to-run reduce-order stability
-        order = pa.compute.sort_indices(merged, sort_keys=[("cid",
-                                                            "ascending")])
-        merged = merged.take(order)
-        cids = merged["cid"].to_numpy(zero_copy_only=False)
-        ns = merged["n"].to_numpy(zero_copy_only=False)
-        vsums = list_column_to_matrix(merged["vsum"])
-        sses = merged["sse"].to_numpy(zero_copy_only=False)
-        np.add.at(tot_n, cids, ns)
-        np.add.at(tot_sum, cids, vsums)
-        tot_sse = float(sses.sum())
+        for t in staged.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            if t.num_rows == 0:
+                continue
+            cids = t["cid"].to_numpy(zero_copy_only=False)
+            # np.add.at, not fancy-index +=: a batch may coalesce several
+            # blocks' partials, so cids can repeat within one batch
+            np.add.at(tot_n, cids, t["n"].to_numpy(zero_copy_only=False))
+            np.add.at(tot_sum, cids, list_column_to_matrix(t["vsum"]))
+            tot_sse += float(
+                t["sse"].to_numpy(zero_copy_only=False).sum())
 
         new = cents.copy()  # empty clusters keep their position
         nz = tot_n > 0
