@@ -583,6 +583,17 @@ def _q_orders_bloom_semi_lineitem(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_totalprice"])
 
 
+def _q_docs_sample_per_source(sf_dir: str):
+    """Stratified deterministic sample: 20 docs per source (bottom-k by
+    hashed id within each group) — topk_per_group combiner shape, SQL
+    QUALIFY row_number reproducible."""
+    import ray.data as rd
+    from timezonemap_ray.stages.select import sample_per_group
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return sample_per_group(ds, "source", "doc_id", k=20)
+
+
 def _q_docs_split_counts(sf_dir: str):
     """Deterministic train/val/test split (hash(doc_id) mod 10 → 8/1/1)
     with per-(split, lang) doc counts and char sums. Per-block partial
@@ -945,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "documents_sample": _q_documents_sample,
         "documents_sample_fixed": _q_documents_sample_fixed,
+        "docs_sample_per_source": _q_docs_sample_per_source,
         "docs_split_counts": _q_docs_split_counts,
         "docs_source_quota": _q_docs_source_quota,
         "docs_decontaminate": _q_docs_decontaminate,
@@ -1209,6 +1221,12 @@ def oracle_sql() -> dict[str, str]:
             + __import__("timezonemap_ray.stages.select",
                          fromlist=["sample_bottom_k_sql_order"])
             .sample_bottom_k_sql_order("doc_id") + " LIMIT 100"),
+        "docs_sample_per_source": (
+            "SELECT doc_id, source FROM documents QUALIFY row_number()"
+            " OVER (PARTITION BY source ORDER BY "
+            + __import__("timezonemap_ray.stages.select",
+                         fromlist=["sample_bottom_k_sql_order"])
+            .sample_bottom_k_sql_order("doc_id") + ") <= 20"),
         "docs_split_counts": (
             "SELECT "
             + __import__("timezonemap_ray.stages.corpus",

@@ -334,3 +334,30 @@ def test_sample_bottom_k_matches_duckdb(ray_session):
     # k > n: everything comes back, still deterministic order
     allr = sample_bottom_k(ds, "id", 10_000).to_pandas()
     assert len(allr) == 2_000
+
+
+def test_sample_per_group_matches_sql(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+    from timezonemap_ray.stages.select import (sample_bottom_k_sql_order,
+                                               sample_per_group)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    got = sample_per_group(ds, "source", "doc_id", k=7) \
+        .to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    order = sample_bottom_k_sql_order("doc_id")
+    sql = con.sql(f"""
+        SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source ORDER BY {order}) <= 7
+        ORDER BY source, doc_id""").df()
+    pd.testing.assert_frame_equal(got[["doc_id", "source"]], sql)
+    # every source contributes exactly min(7, group size) rows
+    sizes = con.sql("SELECT source, count(*) AS n FROM documents "
+                    "GROUP BY source").df().set_index("source")["n"]
+    per = got.groupby("source").size()
+    for src, n in sizes.items():
+        assert per.get(src, 0) == min(7, n)

@@ -683,3 +683,26 @@ def topk_per_group(ds, group_col: str, order_col: str, k: int,
 
     return ds.map_batches(local, batch_format="pyarrow") \
         .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def sample_per_group(ds, group_col: str, id_col: str, k: int,
+                     n_parts: int = 64):
+    """Deterministic k-row uniform sample PER GROUP: each group keeps its
+    k rows with the smallest hashed id (ties by id) — stratified
+    ``sample_bottom_k``. Composes the hash order with the
+    ``topk_per_group`` combiner (block-local prune to ≤ k rows/group/block
+    before the shuffle), so it inherits the same scale shape: the shuffle
+    moves ≤ k·groups·blocks rows, never the table. SQL-reproducible via
+    ``QUALIFY row_number() OVER (PARTITION BY group ORDER BY
+    <sample_bottom_k_sql_order(id)>) <= k``."""
+
+    def add_h(b: pa.Table) -> pa.Table:
+        v = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)
+        # topk_per_group orders DESC; negate so largest ≡ smallest hash
+        return b.append_column("_negh", pa.array(-h))
+
+    out = topk_per_group(ds.map_batches(add_h, batch_format="pyarrow"),
+                         group_col, "_negh", k, id_col, n_parts=n_parts)
+    return out.map_batches(lambda b: b.drop_columns(["_negh"]),
+                           batch_format="pyarrow")
