@@ -540,8 +540,15 @@ def _q_events_window_funcs(sf_dir: str):
 
 def _q_events_asof_orders(sf_dir: str):
     from timezonemap_ray.pipelines.relational import events_asof_orders
-    return events_asof_orders(sf_dir).select_columns(
-        ["event_id", "user_id", "ts", "last_orderkey"])
+    df = events_asof_orders(sf_dir).select_columns(
+        ["event_id", "user_id", "ts", "last_orderkey"]).to_pandas()
+    # Ray's to_pandas maps nullable-arrow int64 → pandas masked Int64;
+    # DuckDB's .df() gives plain numpy int64. Align the physical dtype
+    # when null-free so the driver's value hash sees identical frames.
+    for c in ["event_id", "user_id", "last_orderkey"]:
+        if not df[c].isna().any():
+            df[c] = df[c].astype("int64")
+    return df
 
 
 def _q_training_pipeline(sf_dir: str):
