@@ -157,6 +157,9 @@ def build_index(zone_table, region: tuple = WORLD,
         idx.subcover = _build_subcover(idx)
     if len(idx) >= HYBRID_MIN_RECS:
         idx.edge_groups = _build_edge_groups(idx)
+        n_edges = sum(e[0].size for e in idx.edges)
+        avg = max(1, n_edges // max(1, len(idx)))
+        idx.small_sel = int(np.clip(SMALL_SEL_EDGE_BUDGET // avg, 64, 1024))
     return idx
 
 
@@ -166,7 +169,14 @@ def build_index(zone_table, region: tuple = WORLD,
 # 41/169-record worlds, 1.5-1.6× on the 1625-record world — PERF.md round 2).
 HYBRID_MIN_RECS = 512
 GROUP_RECS = 32        # rank-contiguous records per group
-SMALL_SEL = 256        # per-record point count below which gather wins
+SMALL_SEL = 256        # fallback per-record point count threshold
+# The gather/per-record knee scales INVERSELY with edges-per-record: the
+# gathered kernel's cost per point ∝ the group's (padded) edge rows, the
+# per-record path's fixed dispatch amortizes over more points as records
+# get heavier. Measured optima (round-2 continuation sweep, PERF.md):
+# ~40 edges/rec → knee ≥ 384; ~230 edges/rec → knee ≈ 64; both fit
+# knee ≈ 15000 / avg_edges. Computed per index at build time.
+SMALL_SEL_EDGE_BUDGET = 15_000
 
 
 def _build_edge_groups(idx: ZoneIndex) -> list:
@@ -452,7 +462,8 @@ def _lookup_hybrid(idx, groups, lats, lngs, zone_points, zone_idx, matched):
       rank-ascending processing order this is the same pruning as the
       ``~matched`` early-exit, and it stays correct when a group's small
       members resolve after a higher-ranked big member (min wins);
-    - records with ≥ ``SMALL_SEL`` candidate points take the identical
+    - records with ≥ ``idx.small_sel`` (adaptive; ``SMALL_SEL`` fallback)
+      candidate points take the identical
       broadcast path (incl. the rect fast path) with immediate updates;
     - the small remainder of each group runs one gathered-PIP call, then
       ``np.minimum.at`` (duplicate rows possible) picks the smallest rank.
@@ -460,6 +471,7 @@ def _lookup_hybrid(idx, groups, lats, lngs, zone_points, zone_idx, matched):
     """
     m = lats.size
     winner = np.full(m, _NO_WINNER, dtype=np.int32)
+    small_sel = getattr(idx, "small_sel", SMALL_SEL)
     for grp in groups:
         small_rows: list = []
         small_recs: list = []
@@ -475,7 +487,7 @@ def _lookup_hybrid(idx, groups, lats, lngs, zone_points, zone_idx, matched):
             sel = _env_prefilter(idx, rec_i, sel, lats, lngs)
             if sel.size == 0:
                 continue
-            if sel.size >= SMALL_SEL:
+            if sel.size >= small_sel:
                 rows = _pip_record(idx, rec_i, sel, lats, lngs)
                 if rows.size:  # rows unique ⇒ plain vectorized min
                     winner[rows] = np.minimum(winner[rows], np.int32(rec_i))
