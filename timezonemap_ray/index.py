@@ -159,7 +159,8 @@ def build_index(zone_table, region: tuple = WORLD,
         idx.edge_groups = _build_edge_groups(idx)
         n_edges = sum(e[0].size for e in idx.edges)
         avg = max(1, n_edges // max(1, len(idx)))
-        idx.small_sel = int(np.clip(SMALL_SEL_EDGE_BUDGET // avg, 64, 1024))
+        idx.small_sel = int(np.clip(SMALL_SEL_EDGE_BUDGET // avg, 64,
+                                    SMALL_SEL))
     return idx
 
 
@@ -174,8 +175,12 @@ SMALL_SEL = 256        # fallback per-record point count threshold
 # gathered kernel's cost per point ∝ the group's (padded) edge rows, the
 # per-record path's fixed dispatch amortizes over more points as records
 # get heavier. Measured optima (round-2 continuation sweep, PERF.md):
-# ~40 edges/rec → knee ≥ 384; ~230 edges/rec → knee ≈ 64; both fit
-# knee ≈ 15000 / avg_edges. Computed per index at build time.
+# ~40 edges/rec → knee ≥ 384 single-thread; ~230 edges/rec → knee ≈ 64;
+# both fit knee ≈ 15000 / avg_edges. Computed per index at build time,
+# CLAMPED to ≤ SMALL_SEL: under 32-way parallelism the gathered kernel's
+# extra memory traffic hits DRAM contention sooner than single-thread, so
+# the rule only LOWERS the threshold for dense geometry (1.35-1.8×
+# measured) and never raises it past the parallel-tested default.
 SMALL_SEL_EDGE_BUDGET = 15_000
 
 
