@@ -326,7 +326,8 @@ def _q_heavy_hitter_terms(sf_dir: str):
     import ray.data as rd
     from timezonemap_ray.stages.sketch import heavy_hitter_terms
     return heavy_hitter_terms(
-        rd.read_parquet(f"{sf_dir}/documents.parquet"), phi=0.003)
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
+        phi=0.003)
 
 
 def _q_heavy_hitter_users(sf_dir: str):

@@ -131,3 +131,13 @@ def test_ivf_full_trainer_recall(ray_session, tmp_path):
         .select(["query_id", "vec_id"]).equals(
             want.sort_by([("query_id", "ascending"), ("rank", "ascending")])
             .select(["query_id", "vec_id"]))
+
+
+def test_kmeans_tolerates_empty_blocks(ray_session):
+    t, _ = _blob_table(CENTERS, per_blob=20)
+    ds = rd.from_arrow(t).repartition(200)  # 60 rows → mostly empty blocks
+    cents, info = kmeans_fit(ds, k=3, iters=10, seed=7)
+    assert np.isfinite(cents).all() and info["counts"].sum() == t.num_rows
+    out = pa.concat_tables([b for b in kmeans_assign(ds, cents)
+                            .iter_batches(batch_format="pyarrow")])
+    assert out.num_rows == t.num_rows

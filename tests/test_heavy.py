@@ -107,3 +107,23 @@ def test_heavy_hitter_keys_exact(ray_session):
                     got["n"].to_pylist())) == want
     assert got.schema.field("user_id").type == pa.int64()
     assert {7, 11, 13} <= {k_ for k_, _ in want}  # non-vacuous
+
+
+def test_heavy_hitters_tiny_k_clamped_exact(ray_session):
+    # engineered loss case for UNclamped k: one mid-frequency hitter
+    # spread thin across blocks beneath many hotter terms — the clamp
+    # k >= ceil(1/phi) must keep it a candidate
+    texts = []
+    for blk in range(20):
+        words = []
+        for h in range(30):                    # 30 hot terms, count 4/blk
+            words += [f"hot{h}"] * 4
+        words += ["needle"] * 2                # 2/blk → 40 total
+        words += [f"tail{blk}_{j}" for j in range(40)]
+        texts.append(" ".join(words))
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(20)
+    # total tokens = 20*(120+2+40) = 3240; needle=40 ≥ ceil(0.01*3240)=33
+    got = heavy_hitter_terms(ds, phi=0.01, k=4)  # k=4 would prune needle
+    want = _exact_hh(texts, 0.01)
+    assert ("needle", 40) in want
+    assert list(zip(got["term"].to_pylist(), got["n"].to_pylist())) == want

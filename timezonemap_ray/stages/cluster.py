@@ -72,13 +72,19 @@ def _assign_block(v: np.ndarray, c: np.ndarray):
 def kmeans_fit(ds, k: int, vec_col: str = "embedding", iters: int = 20,
                seed: int = 7, init_sample_n: int = 4096, tol: float = 1e-7):
     """Full-corpus Lloyd's. Returns ``(centroids (k, d) float64, info)``
-    where ``info`` has ``iters`` (actually run), ``sse`` (final total),
-    and ``counts`` (members per centroid at the last assignment).
+    where ``info`` has ``iters`` (actually run) plus ``sse`` / ``counts``
+    from the LAST ASSIGNMENT PASS — i.e. measured against the centroids
+    *before* the final update (standard Lloyd's bookkeeping; at
+    convergence, ``tol``-close to the returned-centroid stats, but after
+    an ``iters``-cap stop they describe the previous iterate — use
+    ``kmeans_assign`` for exact stats of the returned centroids).
 
     Unlike ``ann.train_centroids`` (cosine mini-KMeans on a sample, good
     enough for IVF routing), this sees EVERY vector each iteration —
     use it when cluster quality matters more than build latency."""
-    staged = ds.select_columns([vec_col]).materialize()
+    proj = ds if ds.schema().names == [vec_col] \
+        else ds.select_columns([vec_col])
+    staged = proj.materialize()
     sample_rows = staged.take(init_sample_n)
     if not sample_rows:
         raise ValueError("kmeans_fit: dataset is empty")
@@ -92,6 +98,12 @@ def kmeans_fit(ds, k: int, vec_col: str = "embedding", iters: int = 20,
         ref = ray.put(cents)
 
         def partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:  # hash-shuffle ops can emit empty blocks
+                return pa.table({"cid": pa.array([], type=pa.int64()),
+                                 "n": pa.array([], type=pa.int64()),
+                                 "vsum": pa.array([], type=pa.list_(
+                                     pa.float64())),
+                                 "sse": pa.array([], type=pa.float64())})
             c = ray.get(ref)
             v = list_column_to_matrix(b[vec_col])
             a, pd2 = _assign_block(v, c)
@@ -145,6 +157,10 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
     ref = ray.put(np.asarray(centroids, dtype=np.float64))
 
     def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("cluster_id",
+                                   pa.array([], type=pa.int64())) \
+                    .append_column("dist2", pa.array([], type=pa.float64()))
         c = ray.get(ref)
         v = list_column_to_matrix(b[vec_col])
         a, pd2 = _assign_block(v, c)
@@ -163,8 +179,14 @@ def kmeans_cluster_profile(ds, k: int, vec_col: str = "embedding",
     tiny (cluster_id, dist2) projection."""
     from ray.data.aggregate import Count, Mean
 
-    cents, _ = kmeans_fit(ds, k, vec_col=vec_col, iters=iters, seed=seed)
-    assigned = kmeans_assign(ds, cents, vec_col=vec_col)
+    # Stage the projection ONCE: fit iterates over it (its internal
+    # staging detects the 1-column schema and skips re-projection) and
+    # the assign pass reuses the same materialized blocks — no second
+    # scan of the full-width input (review-found).
+    staged = ds.select_columns([vec_col]).materialize()
+    cents, _ = kmeans_fit(staged, k, vec_col=vec_col, iters=iters,
+                          seed=seed)
+    assigned = kmeans_assign(staged, cents, vec_col=vec_col)
     prof = assigned.select_columns(["cluster_id", "dist2"]) \
         .groupby("cluster_id") \
         .aggregate(Count(alias_name="n"), Mean("dist2",

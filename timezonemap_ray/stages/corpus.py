@@ -231,8 +231,14 @@ def decontaminate(corpus_ds, bench_ds, shingle: int = 8,
     # (observed DEADLOCK: 4 actors on a 4-CPU session hold every CPU while
     # ReadParquet waits backpressured forever — same quirk class as the
     # hash-shuffle aggregator cap in stages/terms.py). Always leave ≥ 1
-    # CPU for the feeding tasks.
+    # CPU for the feeding tasks; on a ≤ 2-CPU session even a 1-actor pool
+    # can starve the read, so fall back to a stateless task pool there
+    # (per-task re-init = one plasma ray.get, trivial).
     cpus = int(ray.cluster_resources().get("CPU", 8))
+    if cpus <= 2:
+        return corpus_ds.map_batches(
+            lambda b: Decontaminator(bh_ref, bs_ref, shingle, text_col)(b),
+            batch_format="pyarrow")
     concurrency = max(1, min(concurrency, cpus - 1))
     return corpus_ds.map_batches(
         Decontaminator, fn_constructor_args=(bh_ref, bs_ref, shingle,

@@ -114,6 +114,11 @@ def _heavy_hitters_core(ds, extract, key_name: str, key_type,
         raise ValueError("phi must be in (0, 1]")
     if k is None:
         k = max(64, int(math.ceil(2.0 / phi)))
+    # The absent-key argument below needs N/(k+1) < ⌈φN⌉, i.e. k ≥ ⌈1/φ⌉:
+    # a smaller caller-supplied k would let a true heavy hitter be pruned
+    # from every summary and silently dropped (review-found). Clamping up
+    # only widens the candidate superset — the exact pass is unchanged.
+    k = max(k, int(math.ceil(1.0 / phi)))
 
     def _res(keys, ns):
         return pa.table({key_name: keys, "n": ns})
