@@ -570,6 +570,21 @@ def _q_training_pipeline(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_orders_bloom_anti_events(sf_dir: str):
+    """Bloom-SPLIT exact anti join: orders whose customer never appears in
+    events. Bloom-negative rows stream straight to the output (no
+    shuffle); only the maybe-set is verified exactly
+    (stages/join.bloom_anti_join — the orphan-detection shape)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.join import bloom_anti_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id"])
+    return bloom_anti_join(orders, events, "o_custkey", keys_col="user_id")
+
+
 def _q_orders_bloom_semi_lineitem(sf_dir: str):
     """Bloom-prefiltered EXACT semi join: orders with at least one
     lineitem of quantity > 45. The 100 TB big-big filter-join shape: the
@@ -973,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_semi_customers": _q_orders_semi_customers,
         "orders_anti_customers": _q_orders_anti_customers,
         "orders_bloom_semi_lineitem": _q_orders_bloom_semi_lineitem,
+        "orders_bloom_anti_events": _q_orders_bloom_anti_events,
         # raster <-> vector tiling
         "tile_assignments": _q_tile_assignments,
         "tiles_boxes": _q_tiles_boxes,
@@ -1309,6 +1325,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey
                             AND l_quantity > 45)""",
+        "orders_bloom_anti_events": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM events
+                              WHERE user_id = o_custkey)""",
         "order_lineitem_revenue": """
             SELECT o_orderpriority, count(*) AS n_items,
                    CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT)

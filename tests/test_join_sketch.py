@@ -133,3 +133,41 @@ def test_bloom_semi_join_string_keys(ray_session):
                           rd.from_arrow(keys), "s").to_pandas()
     assert sorted(set(out["s"])) == ["b", "e"]
     assert len(out) == 100
+
+
+def test_bloom_anti_join_exact_modes(ray_session):
+    """bloom_anti_join: both exact modes reproduce the naive NOT-IN-set
+    answer (null fact keys kept); the definite stream alone is a SUBSET
+    of the true anti-output (bloom has no false negatives)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.join import bloom_anti_join
+    rng = np.random.default_rng(11)
+    fact_keys = rng.integers(0, 50_000, 10_000)
+    fact = pa.table({
+        "k": pa.array([None if i % 89 == 0 else int(v)
+                       for i, v in enumerate(fact_keys)], type=pa.int64()),
+        "payload": pa.array(np.arange(10_000))})
+    member = rng.choice(50_000, 2_000, replace=False)
+    keys = pa.table({"kk": pa.array(
+        [None] + [int(v) for v in member], type=pa.int64())})
+    in_set = set(int(v) for v in member)
+    want = sorted(int(p) for kv, p in zip(fact["k"].to_pylist(),
+                                          fact["payload"].to_pylist())
+                  if kv is None or kv not in in_set)
+    fact_ds = rd.from_arrow(fact).repartition(6)
+    keys_ds = rd.from_arrow(keys).repartition(4)
+    for mode in ("broadcast", "shuffle"):
+        out = bloom_anti_join(fact_ds, keys_ds, "k", keys_col="kk",
+                              exact=mode).to_pandas()
+        assert sorted(out["payload"].tolist()) == want, mode
+        assert list(out.columns) == ["k", "payload"], mode
+
+
+def test_bloom_anti_join_empty_keys(ray_session):
+    import ray.data as rd
+    from timezonemap_ray.stages.join import bloom_anti_join
+    fact = pa.table({"k": pa.array([1, 2, 3], type=pa.int64())})
+    keys = pa.table({"k": pa.array([], type=pa.int64())})
+    out = bloom_anti_join(rd.from_arrow(fact), rd.from_arrow(keys),
+                          "k").to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 2, 3]

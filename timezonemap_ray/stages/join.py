@@ -209,6 +209,83 @@ def bloom_semi_join(fact, keys_ds, key_col: str, keys_col: str | None = None,
                      num_partitions=num_partitions)
 
 
+def bloom_anti_join(fact, keys_ds, key_col: str, keys_col: str | None = None,
+                    n_bits: int = 1 << 23, n_hashes: int = 4,
+                    exact: str = "broadcast", num_partitions: int = 16):
+    """EXACT anti join (fact rows whose key does NOT appear in ``keys_ds``)
+    with a bloom split — the big-big complement of ``bloom_semi_join``.
+
+    The bloom bitmap has NO false negatives, so a bloom-NEGATIVE fact row
+    is *definitely* anti-output and is emitted straight from a streaming
+    scan — no shuffle, no join. Only the bloom-POSITIVE "maybe" rows
+    (true members + ~1% false positives) need exact verification against
+    the distinct key set (``exact="broadcast"`` when the distinct keys fit
+    in plasma, else ``exact="shuffle"`` left-outer + null filter).
+
+    Cost shape: TWO streaming scans of the fact side (the two branches of
+    a Ray Dataset re-execute their shared lineage) but the exact-join
+    input shrinks to the maybe-set — at 100 TB, two cheap parquet scans
+    beat one full-table shuffle whenever most fact keys are absent from
+    the key side (the usual anti-join regime: orphan detection,
+    decontamination, holdout exclusion). Null fact keys are never IN the
+    key set → always kept (SQL ``NOT EXISTS`` with a non-null key side).
+    """
+    keys_col = keys_col or key_col
+    bits = build_bloom(keys_ds, keys_col, n_bits=n_bits, n_hashes=n_hashes)
+    ref = ray.put(bits)
+
+    def _split(b: pa.Table, want_maybe: bool) -> pa.Table:
+        bm = ray.get(ref)  # node-local plasma read
+        arr = b[key_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid = np.asarray(arr.is_valid())
+        member = np.zeros(b.num_rows, dtype=bool)
+        if valid.any():
+            pos = _bloom_hashes(
+                arr.drop_null().to_numpy(zero_copy_only=False),
+                n_bits, n_hashes)
+            mem = np.ones(int(valid.sum()), dtype=bool)
+            for row in pos:
+                mem &= (bm[(row >> np.uint64(6)).astype(np.int64)]
+                        & (np.uint64(1) << (row & np.uint64(63)))) != 0
+            member[valid] = mem
+        # nulls: member=False → definite anti-output stream
+        return b.filter(pa.array(member if want_maybe else ~member))
+
+    definite = fact.map_batches(lambda b: _split(b, False),
+                                batch_format="pyarrow")
+    maybes = fact.map_batches(lambda b: _split(b, True),
+                              batch_format="pyarrow")
+    if exact == "broadcast":
+        distinct = _distinct_keys(keys_ds, keys_col, key_col)
+        tabs = [t for t in (ray.get(r) for r in distinct.to_arrow_refs())
+                if t.num_rows]
+        if not tabs:
+            return fact  # key side empty: everything is anti-output
+        verified = broadcast_semi_join(
+            maybes, pa.concat_tables(tabs)[key_col], key_col, anti=True)
+    elif exact == "shuffle":
+        from .dedup import _drop_empty_blocks
+        distinct = _drop_empty_blocks(
+            _distinct_keys(keys_ds, keys_col, key_col).materialize())
+        marked = distinct.map_batches(
+            lambda b: b.append_column("_hit", pa.array(
+                np.ones(b.num_rows, dtype=bool))),
+            batch_format="pyarrow")
+        joined = hash_join(maybes, marked, on=key_col,
+                           join_type="left_outer",
+                           num_partitions=num_partitions)
+        import pyarrow.compute as pc
+        verified = joined.map_batches(
+            lambda b: b.filter(pc.is_null(b["_hit"]))
+                       .drop_columns(["_hit"]),
+            batch_format="pyarrow")
+    else:
+        raise ValueError(f"unknown exact mode {exact!r}")
+    return definite.union(verified)
+
+
 def hash_join(left, right, on, right_on=None, join_type="inner",
               num_partitions: int = 16):
     """Big-big equi-join via Ray Data's hash-shuffle join."""
