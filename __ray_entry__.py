@@ -340,6 +340,21 @@ def _q_heavy_hitter_users(sf_dir: str):
         "user_id", phi=0.008)
 
 
+def _q_pca_project(sf_dir: str):
+    """Distributed exact-covariance PCA (moment partials → driver eigh →
+    broadcast projection); top-2 coordinates per vector (rows-only: no
+    SQL eigendecomposition)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.pca import pca_fit, pca_project
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    comps, info = pca_fit(ds, k=2)
+    out = pca_project(ds, comps, info["mean"]).to_pandas()
+    out["p1"] = [v[0] for v in out["pca"]]
+    out["p2"] = [v[1] for v in out["pca"]]
+    return out[["vec_id", "p1", "p2"]]
+
+
 def _q_kmeans_profile(sf_dir: str):
     """Distributed Lloyd's over the embedding table → per-cluster size +
     mean squared distance, size-ranked (rows-only: iterative float
@@ -949,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
         "kmeans_profile": _q_kmeans_profile,
+        "pca_project_top2": _q_pca_project,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
         "heavy_hitter_users": _q_heavy_hitter_users,
         # multimodal plumbing
@@ -1420,5 +1436,6 @@ def oracle_sql() -> dict[str, str]:
         # keyed on blake2b hashes), ann_ivf_topk (approximate),
         # approx_distinct_users (HLL sketch),
         # kmeans_profile (iterative float algorithm),
+        # pca_project_top2 (eigendecomposition),
         # media_decode / media_similarity (stubbed codec)
     }
