@@ -811,6 +811,17 @@ def _q_events_latest_per_user(sf_dir: str):
     return latest_per_group(ds, "user_id", ["ts", "event_id"])
 
 
+def _q_events_ohlc_per_user(sf_dir: str):
+    """Per-user OPEN/HIGH/LOW/CLOSE/N over time-ordered event values —
+    associative argmin/argmax endpoint partials (one row per group per
+    block shuffles; values picked, never summed → bit-exact)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.agg import grouped_ohlc
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    return grouped_ohlc(ds, "user_id", "ts", "event_id", "value")
+
+
 def _q_events_stats_per_type(sf_dir: str):
     """Grouped moments (count / sum / sum-of-squares) with values
     cents-scaled to int64 BEFORE aggregating — integer-exact and
@@ -980,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_funcs": _q_events_window_funcs,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_stats_per_type": _q_events_stats_per_type,
+        "events_ohlc_per_user": _q_events_ohlc_per_user,
         "events_pivot_types": _q_events_pivot_types,
         "orders_rollup": _q_orders_rollup,
         "orders_left_lineitem": _q_orders_left_lineitem,
@@ -1396,6 +1408,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
             FROM events GROUP BY user_id""",
+        "events_ohlc_per_user": """
+            WITH ranked AS (
+              SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM events),
+            agg AS (SELECT user_id, max(value) AS high, min(value) AS low,
+                           count(*)::BIGINT AS n
+                    FROM events GROUP BY user_id)
+            SELECT a.user_id, o.value AS open, a.high, a.low,
+                   c.value AS close, a.n
+            FROM agg a
+            JOIN ranked o ON o.user_id = a.user_id AND o.rn_a = 1
+            JOIN ranked c ON c.user_id = a.user_id AND c.rn_d = 1""",
         "orders_rollup": """
             WITH c AS (SELECT o_orderpriority, o_orderstatus,
                               CAST(round(o_totalprice * 100.0) AS BIGINT)

@@ -189,3 +189,56 @@ def test_normalize_text_matches_duckdb(ray_session):
                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text
         FROM t ORDER BY doc_id""").df()
     assert got["norm_text"].tolist() == want["norm_text"].tolist()
+
+
+def test_grouped_ohlc_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+    from timezonemap_ray.stages.agg import grouped_ohlc
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    got = grouped_ohlc(ds.repartition(8), "user_id", "ts", "event_id",
+                       "value") \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    sql = con.sql("""
+        WITH ranked AS (
+          SELECT user_id, value, 
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn_a,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events),
+        agg AS (SELECT user_id, max(value) AS high, min(value) AS low,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY user_id)
+        SELECT a.user_id, o.value AS open, a.high, a.low,
+               c.value AS close, a.n
+        FROM agg a
+        JOIN ranked o ON o.user_id = a.user_id AND o.rn_a = 1
+        JOIN ranked c ON c.user_id = a.user_id AND c.rn_d = 1
+        ORDER BY a.user_id""").df()
+    cols = ["user_id", "open", "high", "low", "close", "n"]
+    pd.testing.assert_frame_equal(got[cols], sql[cols])
+
+
+def test_grouped_ohlc_single_and_tie(ray_session):
+    import ray.data as rd
+    from timezonemap_ray.stages.agg import grouped_ohlc
+    # one group with a ts tie (id breaks it), one singleton group
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "ts": pa.array([100, 100, 200, 50], type=pa.timestamp("us")),
+        "id": pa.array([7, 3, 9, 1], type=pa.int64()),
+        "v": pa.array([10.0, 20.0, 5.0, 42.0])})
+    out = grouped_ohlc(rd.from_arrow(t).repartition(3), "g", "ts", "id",
+                       "v").to_pandas().sort_values("g") \
+        .reset_index(drop=True)
+    # open for g=1: ts=100 tie → id=3 wins → 20.0; close: ts=200 → 5.0
+    assert out.loc[0, ["open", "high", "low", "close", "n"]].tolist() == \
+        [20.0, 20.0, 5.0, 5.0, 3]
+    assert out.loc[1, ["open", "high", "low", "close", "n"]].tolist() == \
+        [42.0, 42.0, 42.0, 42.0, 1]

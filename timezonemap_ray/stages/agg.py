@@ -291,3 +291,88 @@ def rollup_agg(ds, cols: list, value_col: str | None = None,
     levels.append(rd.from_arrow(pa.table(tot_cols)))
 
     return levels[0].union(*levels[1:])
+
+
+def grouped_ohlc(ds, group_col: str, ts_col: str, id_col: str,
+                 value_col: str, n_parts: int = 64):
+    """Per-group OPEN/HIGH/LOW/CLOSE/N over a time-ordered value column —
+    open = value at the smallest (ts, id), close = at the largest, ties
+    broken by ``id_col`` (fully deterministic, SQL row_number
+    reproducible). Output: (group, open, high, low, close, n).
+
+    The ordered endpoints are ASSOCIATIVE argmin/argmax aggregates: each
+    block folds to ONE row per group carrying its endpoint (ts, id, value)
+    triples plus high/low/n, so the shuffle moves ≤ groups·blocks rows —
+    never raw events — and the per-partition combine re-applies the same
+    vectorized fold to partials. Values are picked, not summed: no float
+    reduce-order drift, bit-exact vs the SQL oracle."""
+
+    def fold(t: pa.Table, pre_folded: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], type=pa.int64()),
+                "_ots": pa.array([], type=pa.timestamp("us")),
+                "_oid": pa.array([], type=pa.int64()),
+                "open": pa.array([], type=pa.float64()),
+                "_cts": pa.array([], type=pa.timestamp("us")),
+                "_cid": pa.array([], type=pa.int64()),
+                "close": pa.array([], type=pa.float64()),
+                "high": pa.array([], type=pa.float64()),
+                "low": pa.array([], type=pa.float64()),
+                "n": pa.array([], type=pa.int64())})
+        ots, oid, ov = ("_ots", "_oid", "open") if pre_folded \
+            else (ts_col, id_col, value_col)
+        cts, cid, cv = ("_cts", "_cid", "close") if pre_folded \
+            else (ts_col, id_col, value_col)
+        asc = t.take(pc.sort_indices(t, sort_keys=[
+            (group_col, "ascending"), (ots, "ascending"),
+            (oid, "ascending")]))
+        from .select import _group_codes
+        codes, _ = _group_codes(asc[group_col])
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], codes.size] - 1
+        first = asc.take(pa.array(starts))
+        if pre_folded:
+            # close endpoint needs its own ordering over close triples
+            dsc = t.take(pc.sort_indices(t, sort_keys=[
+                (group_col, "ascending"), (cts, "descending"),
+                (cid, "descending")]))
+            codes_d, _ = _group_codes(dsc[group_col])
+            starts_d = np.flatnonzero(np.r_[True,
+                                            codes_d[1:] != codes_d[:-1]])
+            last = dsc.take(pa.array(starts_d))
+            hi = np.maximum.reduceat(
+                asc["high"].to_numpy(zero_copy_only=False), starts)
+            lo = np.minimum.reduceat(
+                asc["low"].to_numpy(zero_copy_only=False), starts)
+            ns = np.add.reduceat(
+                asc["n"].to_numpy(zero_copy_only=False), starts)
+        else:
+            last = asc.take(pa.array(ends))
+            vals = asc[value_col].to_numpy(zero_copy_only=False)
+            hi = np.maximum.reduceat(vals, starts)
+            lo = np.minimum.reduceat(vals, starts)
+            ns = np.diff(np.r_[starts, codes.size]).astype(np.int64)
+        return pa.table({
+            group_col: first[group_col],
+            "_ots": first[ots], "_oid": first[oid],
+            "open": pc.cast(first[ov], pa.float64()),
+            "_cts": last[cts], "_cid": last[cid],
+            "close": pc.cast(last[cv], pa.float64()),
+            "high": pa.array(hi, type=pa.float64()),
+            "low": pa.array(lo, type=pa.float64()),
+            "n": pa.array(ns.astype(np.int64))})
+
+    def local(b: pa.Table) -> pa.Table:
+        p = fold(b, pre_folded=False)
+        return p.append_column(
+            "_part", pa.array(_hash_part_of(p[group_col], n_parts)))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if "_part" in g.column_names:
+            g = g.drop_columns(["_part"])
+        out = fold(g, pre_folded=True)
+        return out.drop_columns(["_ots", "_oid", "_cts", "_cid"])
+
+    return ds.map_batches(local, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
