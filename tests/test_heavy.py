@@ -127,3 +127,29 @@ def test_heavy_hitters_tiny_k_clamped_exact(ray_session):
     want = _exact_hh(texts, 0.01)
     assert ("needle", 40) in want
     assert list(zip(got["term"].to_pylist(), got["n"].to_pylist())) == want
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 10_000), st.sampled_from([0.01, 0.05, 0.2]),
+       st.sampled_from([2, 8, 64]), st.integers(1, 12))
+def test_heavy_hitters_property_exact(ray_session, seed, phi, k, blocks):
+    """For ANY corpus shape / φ / caller-k / partitioning, the result
+    equals the naive exact answer (the k-clamp upholds the superset
+    guarantee even for adversarially small k)."""
+    rng = np.random.default_rng(seed)
+    n_docs = int(rng.integers(1, 60))
+    vocab = [f"w{i}" for i in range(int(rng.integers(1, 40)))]
+    # zipf-ish skew so some terms clear the threshold
+    probs = 1.0 / np.arange(1, len(vocab) + 1)
+    probs /= probs.sum()
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 30)),
+                                 p=probs))
+             for _ in range(n_docs)]
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(blocks)
+    got = heavy_hitter_terms(ds, phi=phi, k=k)
+    want = _exact_hh(texts, phi)
+    assert list(zip(got["term"].to_pylist(),
+                    got["n"].to_pylist())) == want
