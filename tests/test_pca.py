@@ -61,3 +61,15 @@ def test_pca_empty_blocks_and_degenerate(ray_session):
     assert np.isfinite(comps).all() and info["n"] == 50
     with pytest.raises(ValueError):
         pca_fit(rd.from_arrow(t.slice(0, 1)), k=1)
+
+
+def test_pca_project_whitened(ray_session):
+    t, _ = _aniso_table(n=300, seed=2)
+    ds = rd.from_arrow(t).repartition(4)
+    comps, info = pca_fit(ds, k=4)
+    out = pca_project(ds, comps, info["mean"],
+                      explained_variance=info["explained_variance"]) \
+        .to_pandas()
+    proj = np.array(out["pca"].tolist())
+    # whitened: each component has ~unit sample variance
+    assert np.allclose(proj.var(axis=0, ddof=1), 1.0, rtol=1e-6)

@@ -86,10 +86,20 @@ def _moment_partial(vec_col: str):
 
 
 def pca_project(ds, components: np.ndarray, mean: np.ndarray,
-                vec_col: str = "embedding", out_col: str = "pca"):
+                vec_col: str = "embedding", out_col: str = "pca",
+                explained_variance: np.ndarray | None = None):
     """Append the k-dim projection ``(x − mean) @ componentsᵀ`` to every
-    row — a pure streaming ``map_batches`` over broadcast components."""
-    ref = ray.put({"c": np.asarray(components, dtype=np.float64),
+    row — a pure streaming ``map_batches`` over broadcast components.
+    Pass ``explained_variance`` (from ``pca_fit``) to WHITEN: each
+    coordinate is divided by √eigenvalue (unit variance per component —
+    the usual pre-step before cosine ANN / near-dup on anisotropic
+    embeddings). Zero-variance components divide by 1."""
+    comps = np.asarray(components, dtype=np.float64)
+    if explained_variance is not None:
+        scale = np.sqrt(np.asarray(explained_variance, dtype=np.float64))
+        scale[scale == 0] = 1.0
+        comps = comps / scale[:, None]
+    ref = ray.put({"c": comps,
                    "m": np.asarray(mean, dtype=np.float64)})
 
     def project(b: pa.Table) -> pa.Table:
