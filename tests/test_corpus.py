@@ -120,3 +120,28 @@ def test_decontaminator_exact_string_verify(ray_session):
                       "text": pa.array([text])}))
     assert out["n_hits"].to_pylist() == [0]
     assert out["contaminated"].to_pylist() == [False]
+
+
+def test_decontaminate_tiny_cluster_task_pool(ray_session, monkeypatch):
+    """cpus <= 2 routes through the stateless task pool (no actor pool to
+    starve the read) — same results as the actor-pool path."""
+    import ray.data as rd
+    from timezonemap_ray.stages import corpus as C
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["alpha beta gamma delta epsilon zeta eta theta iota",
+                 "totally unrelated words here nothing shared at all ok",
+                 "x y z " * 10]})
+    bench = pa.table({
+        "text": ["alpha beta gamma delta epsilon zeta eta theta iota"]})
+    want = C.decontaminate(rd.from_arrow(docs), rd.from_arrow(bench),
+                           shingle=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    import ray as ray_mod
+    monkeypatch.setattr(ray_mod, "cluster_resources", lambda: {"CPU": 1})
+    got = C.decontaminate(rd.from_arrow(docs), rd.from_arrow(bench),
+                          shingle=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)
+    assert got["contaminated"].tolist() == [True, False, False]
