@@ -822,6 +822,34 @@ def _q_events_ohlc_per_user(sf_dir: str):
     return grouped_ohlc(ds, "user_id", "ts", "event_id", "value")
 
 
+def _q_events_quartile_counts(sf_dir: str):
+    """Composition: EXACT distributed quartiles of events.value
+    (quantile_exact — multi-scan histogram refinement, no sort) feed a
+    broadcast bucket classifier; counts per bucket. Boundaries are
+    bit-exact vs quantile_disc, so the whole composition oracle-checks."""
+    import numpy as np
+    import ray.data as rd
+    from timezonemap_ray.stages.select import quantile_exact
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    qt = quantile_exact(ds, "value", [0.25, 0.5, 0.75])
+    bounds = np.asarray(qt["value"].to_pylist(), dtype=np.float64)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        # first boundary with value <= bound; else 'q4'
+        idx = np.searchsorted(bounds, v, side="left")
+        names = np.array(["q1", "q2", "q3", "q4"])
+        return pa.table({"bucket": pa.array(names[idx])})
+
+    out = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("bucket").count()
+    t = pa.concat_tables(
+        [bb for bb in out.iter_batches(batch_format="pyarrow")])
+    return pa.table({
+        "bucket": t["bucket"],
+        "n": pc.cast(t["count()"], pa.int64())})
+
+
 def _q_events_stats_per_type(sf_dir: str):
     """Grouped moments (count / sum / sum-of-squares) with values
     cents-scaled to int64 BEFORE aggregating — integer-exact and
@@ -992,6 +1020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": _q_events_latest_per_user,
         "events_stats_per_type": _q_events_stats_per_type,
         "events_ohlc_per_user": _q_events_ohlc_per_user,
+        "events_quartile_counts": _q_events_quartile_counts,
         "events_pivot_types": _q_events_pivot_types,
         "orders_rollup": _q_orders_rollup,
         "orders_left_lineitem": _q_orders_left_lineitem,
@@ -1408,6 +1437,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
             FROM events GROUP BY user_id""",
+        "events_quartile_counts": """
+            WITH b AS (SELECT quantile_disc(value, 0.25) AS q1,
+                              quantile_disc(value, 0.5) AS q2,
+                              quantile_disc(value, 0.75) AS q3 FROM events)
+            SELECT CASE WHEN value <= q1 THEN 'q1'
+                        WHEN value <= q2 THEN 'q2'
+                        WHEN value <= q3 THEN 'q3'
+                        ELSE 'q4' END AS bucket,
+                   count(*)::BIGINT AS n
+            FROM events, b GROUP BY 1""",
         "events_ohlc_per_user": """
             WITH ranked AS (
               SELECT user_id, value,
