@@ -222,6 +222,19 @@ def _q_token_diversity(sf_dir: str):
         .map_batches(token_diversity, batch_format="pyarrow")
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Context-window chunking (50-token windows, stride 40): the
+    training-data op that turns documents into model inputs. One regex
+    split + Arrow list-offset arithmetic + binary_join per block — no
+    Python loop over docs/tokens/chunks."""
+    import ray.data as rd
+    from timezonemap_ray.stages.text import chunk_documents
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(lambda b: chunk_documents(b, chunk=50, stride=40),
+                     batch_format="pyarrow")
+
+
 def _q_quality(sf_dir: str):
     import ray.data as rd
     from timezonemap_ray.stages.text import quality_score
@@ -986,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_count": _q_token_count,
         "token_diversity": _q_token_diversity,
+        "chunk_documents": _q_chunk_documents,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint_md5": _q_fingerprint,
@@ -1075,6 +1089,22 @@ def oracle_sql() -> dict[str, str]:
                    END::BIGINT AS n_tokens,
                    length(text)::BIGINT AS n_chars
             FROM documents""",
+        "chunk_documents": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            n AS (SELECT doc_id, toks, len(toks) AS nt FROM t
+                  WHERE len(toks) > 0),
+            idx AS (SELECT doc_id, toks, nt,
+                           unnest(generate_series(0,
+                             CASE WHEN nt <= 50 THEN 0
+                                  ELSE CAST(ceil((nt - 50) / 40.0) AS BIGINT)
+                             END)) AS ci
+                    FROM n)
+            SELECT doc_id, ci AS chunk_idx,
+                   array_to_string(toks[ci*40 + 1 : least(ci*40 + 50, nt)],
+                                   ' ') AS chunk_text,
+                   (least(ci*40 + 50, nt) - ci*40)::BIGINT AS n_tokens
+            FROM idx""",
         "token_diversity": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,

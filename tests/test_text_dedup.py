@@ -308,3 +308,48 @@ def test_token_diversity_edges(ray_session):
     assert out["n_tokens"].tolist() == [0, 0, 4, 4]
     assert out["n_distinct"].tolist() == [0, 0, 1, 3]
     assert out["diversity"].tolist() == [0.0, 0.0, 0.25, 0.75]
+
+
+def test_chunk_documents_matches_sql(ray_session, docs_path, con):
+    import ray.data as rd
+    out = rd.read_parquet(docs_path, columns=["doc_id", "text"]) \
+        .map_batches(lambda b: text.chunk_documents(b, chunk=12, stride=8),
+                     batch_format="pyarrow") \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]) \
+        .reset_index(drop=True)
+    sql = con.sql(r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+        idx AS (SELECT doc_id, toks, nt,
+                       unnest(generate_series(0,
+                         CASE WHEN nt <= 12 THEN 0
+                              ELSE CAST(ceil((nt - 12) / 8.0) AS BIGINT)
+                         END)) AS ci
+                FROM n)
+        SELECT doc_id, ci AS chunk_idx,
+               array_to_string(toks[ci*8 + 1 : least(ci*8 + 12, nt)], ' ')
+                   AS chunk_text,
+               (least(ci*8 + 12, nt) - ci*8)::BIGINT AS n_tokens
+        FROM idx ORDER BY doc_id, chunk_idx""").df()
+    pd.testing.assert_frame_equal(out, sql)
+
+
+def test_chunk_documents_edges(ray_session):
+    import ray.data as rd
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": ["", "a b c", "  x  ", " ".join(
+                      f"t{i}" for i in range(25))]})
+    out = rd.from_arrow(t) \
+        .map_batches(lambda b: text.chunk_documents(b, chunk=10, stride=10),
+                     batch_format="pyarrow") \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]) \
+        .reset_index(drop=True)
+    # doc1: no tokens → no chunks; doc2: 1 chunk; doc3: 1; doc4: 25 toks,
+    # no overlap (stride=chunk=10) → ceil(15/10)+1 = 3 chunks (10,10,5)
+    assert out[out.doc_id == 1].empty
+    assert out[out.doc_id == 2]["chunk_text"].tolist() == ["a b c"]
+    assert out[out.doc_id == 3]["chunk_text"].tolist() == ["x"]
+    d4 = out[out.doc_id == 4]
+    assert d4["n_tokens"].tolist() == [10, 10, 5]
+    assert d4["chunk_text"].iloc[2] == "t20 t21 t22 t23 t24"

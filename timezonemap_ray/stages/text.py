@@ -227,3 +227,60 @@ def token_hashes(text: str, shingle: int = 3, pad: bool = True,
 def hash_u64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"),
                                           digest_size=8).digest(), "little")
+
+
+def chunk_documents(batch: pa.Table, chunk: int = 50, stride: int = 40,
+                    text_col: str = "text") -> pa.Table:
+    """Context-window chunking for training pipelines → one row per chunk:
+    (doc_id, chunk_idx, chunk_text, n_tokens).
+
+    Chunks are token windows ``[i·stride, i·stride + chunk)`` over the
+    ``\\S+`` tokens, ``n_chunks = ceil(max(n−chunk, 0)/stride) + 1`` (every
+    token covered; trailing window may be short; ``chunk > stride`` ⇒
+    overlap). ``chunk_text`` is the window joined with single spaces
+    (normalized whitespace — the SQL-reproducible contract:
+    ``array_to_string(list_slice(...), ' ')``). Docs with no tokens emit
+    nothing (unnest semantics).
+
+    Fully vectorized: one regex split, flatten once, chunk windows become
+    a ``ListArray`` view over the flat token buffer (offset arithmetic,
+    no copies), joined by the ``binary_join`` kernel — no Python loop
+    over docs, tokens or chunks."""
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+    toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep).combine_chunks()
+    parent = pc.list_parent_indices(toks).filter(keep) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    n_rows = batch.num_rows
+    nt = np.bincount(parent, minlength=n_rows).astype(np.int64)
+    doc_start = np.r_[0, np.cumsum(nt)]  # flat offset of each doc's tokens
+    n_chunks = np.where(
+        nt > 0, np.ceil(np.maximum(nt - chunk, 0) / stride).astype(np.int64)
+        + 1, 0)
+    doc_of_chunk = np.repeat(np.arange(n_rows), n_chunks)
+    # chunk_idx within each doc: global arange minus each doc's first slot
+    first_slot = np.r_[0, np.cumsum(n_chunks)][:-1]
+    cidx = np.arange(doc_of_chunk.size) - first_slot[doc_of_chunk]
+    starts = doc_start[doc_of_chunk] + cidx * stride
+    ends = np.minimum(starts + chunk, doc_start[doc_of_chunk]
+                      + nt[doc_of_chunk])
+    offsets = np.empty(doc_of_chunk.size + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(ends - starts, out=offsets[1:])
+    lens = ends - starts
+    total = int(offsets[-1]) if doc_of_chunk.size else 0
+    # flat gather = repeat(starts) + position-within-window, no per-chunk loop
+    gather = (np.repeat(starts, lens)
+              + (np.arange(total) - np.repeat(offsets[:-1], lens))) \
+        if total else np.empty(0, dtype=np.int64)
+    windows = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()),
+        flat.take(pa.array(gather)))
+    return pa.table({
+        "doc_id": pc.take(batch["doc_id"], pa.array(doc_of_chunk)),
+        "chunk_idx": pa.array(cidx),
+        "chunk_text": pc.binary_join(windows, " "),
+        "n_tokens": pa.array((ends - starts).astype(np.int64))})
