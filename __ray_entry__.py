@@ -235,6 +235,22 @@ def _q_chunk_documents(sf_dir: str):
                      batch_format="pyarrow")
 
 
+def _q_pack_chunks(sf_dir: str):
+    """Composition: chunk documents into 50-token windows, then pack the
+    chunks into 256-token training sequences (block-local first-fit-
+    decreasing — streaming, deterministic; rows-only: iterative greedy
+    has no SQL form)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.text import chunk_documents, pack_sequences
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(lambda b: pack_sequences(
+            chunk_documents(b, chunk=50, stride=40), capacity=256),
+            batch_format="pyarrow") \
+        .select_columns(["doc_id", "chunk_idx", "n_tokens", "pack_id",
+                         "pack_pos"])
+
+
 def _q_quality(sf_dir: str):
     import ray.data as rd
     from timezonemap_ray.stages.text import quality_score
@@ -1000,6 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "token_diversity": _q_token_diversity,
         "chunk_documents": _q_chunk_documents,
+        "pack_chunks": _q_pack_chunks,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint_md5": _q_fingerprint,
@@ -1534,5 +1551,6 @@ def oracle_sql() -> dict[str, str]:
         # approx_distinct_users (HLL sketch),
         # kmeans_profile (iterative float algorithm),
         # pca_project_top2 (eigendecomposition),
+        # pack_chunks (iterative greedy bin packing),
         # media_decode / media_similarity (stubbed codec)
     }

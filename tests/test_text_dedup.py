@@ -353,3 +353,32 @@ def test_chunk_documents_edges(ray_session):
     d4 = out[out.doc_id == 4]
     assert d4["n_tokens"].tolist() == [10, 10, 5]
     assert d4["chunk_text"].iloc[2] == "t20 t21 t22 t23 t24"
+
+
+def test_pack_sequences_invariants(ray_session):
+    rng = np.random.default_rng(6)
+    lens = rng.integers(1, 200, size=500).astype(np.int64)
+    t = pa.table({"chunk": pa.array(np.arange(500, dtype=np.int64)),
+                  "n_tokens": pa.array(lens)})
+    out = text.pack_sequences(t, capacity=256)
+    df = out.to_pandas()
+    # every chunk packed exactly once, capacity never exceeded
+    assert len(df) == 500
+    per_bin = df.groupby("pack_id")["n_tokens"].sum()
+    assert (per_bin <= 256).all()
+    # pack_pos is a dense 0..k-1 sequence within each bin
+    for _, g in df.groupby("pack_id"):
+        assert sorted(g["pack_pos"]) == list(range(len(g)))
+    # FFD fill quality: mean fill of non-trailing bins is high
+    assert per_bin.mean() > 0.8 * 256
+    # deterministic
+    df2 = text.pack_sequences(t, capacity=256).to_pandas()
+    assert df.equals(df2)
+
+
+def test_pack_sequences_oversized_and_empty(ray_session):
+    t = pa.table({"n_tokens": pa.array([600, 5], type=pa.int64())})
+    df = text.pack_sequences(t, capacity=256).to_pandas()
+    assert df["pack_id"].nunique() == 2  # oversize gets its own bin
+    empty = text.pack_sequences(t.slice(0, 0), capacity=256)
+    assert empty.num_rows == 0 and "pack_id" in empty.column_names

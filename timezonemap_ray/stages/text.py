@@ -284,3 +284,61 @@ def chunk_documents(batch: pa.Table, chunk: int = 50, stride: int = 40,
         "chunk_idx": pa.array(cidx),
         "chunk_text": pc.binary_join(windows, " "),
         "n_tokens": pa.array((ends - starts).astype(np.int64))})
+
+
+def pack_sequences(batch: pa.Table, capacity: int = 512,
+                   len_col: str = "n_tokens") -> pa.Table:
+    """Sample packing: first-fit-decreasing bin packing of chunks into
+    fixed ``capacity``-token training sequences → adds (pack_id: int64
+    local to the block, pack_pos: int64 slot within the sequence).
+
+    Packing is BLOCK-LOCAL by design — at 100 TB, a global packing would
+    serialize the corpus through one solver for at most a ~1% fill-ratio
+    gain; per-block FFD on ≥ thousands of chunks is within a few percent
+    of optimal (classic 11/9·OPT+1 bound) and keeps the op streaming and
+    deterministic (ties broken by input order via stable sort). Items
+    longer than ``capacity`` get a singleton bin (never split here —
+    chunking upstream owns length control)."""
+    n = batch.num_rows
+    if n == 0:
+        return batch.append_column("pack_id",
+                                   pa.array([], type=pa.int64())) \
+                    .append_column("pack_pos",
+                                   pa.array([], type=pa.int64()))
+    lens = batch[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(-lens, kind="stable")  # FFD: largest first
+    bin_of = np.empty(n, dtype=np.int64)
+    pos_of = np.empty(n, dtype=np.int64)
+    remaining: list[int] = []   # remaining capacity per open bin
+    counts: list[int] = []      # items per bin
+    for row in order:           # O(n·bins) greedy — C-light, block-local
+        ln = int(lens[row])
+        for b, rem in enumerate(remaining):
+            if rem >= ln:
+                bin_of[row] = b
+                pos_of[row] = counts[b]
+                remaining[b] = rem - ln
+                counts[b] += 1
+                break
+        else:
+            bin_of[row] = len(remaining)
+            pos_of[row] = 0
+            remaining.append(max(capacity - ln, 0))
+            counts.append(1)
+    # globally-usable pack ids: hash the bin's FIRST item (pack_pos 0)
+    # so ids are content-derived and deterministic — block-local counters
+    # would collide across blocks in any downstream global groupby
+    first_rows = np.empty(len(counts), dtype=np.int64)
+    first_rows[bin_of[pos_of == 0]] = np.flatnonzero(pos_of == 0)
+    seed = lens[first_rows].astype(np.uint64) * np.uint64(1_000_003) \
+        + np.arange(len(counts), dtype=np.uint64)
+    if "doc_id" in batch.column_names:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        seed = seed * np.uint64(1_000_003) + d[first_rows]
+    if "chunk_idx" in batch.column_names:
+        c = batch["chunk_idx"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        seed = seed * np.uint64(1_000_003) + c[first_rows]
+    gids = (_splitmix64(seed) >> np.uint64(1)).astype(np.int64)  # ≥ 0
+    return batch.append_column("pack_id", pa.array(gids[bin_of])) \
+                .append_column("pack_pos", pa.array(pos_of))
