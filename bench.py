@@ -165,6 +165,16 @@ def run_bench(num_cpus: int) -> dict:
                      "user_id", ["ts", "event_id"]).count()
     timings["latest_per_group"] = time.perf_counter() - t0
 
+    # context-window chunking + FFD sequence packing (streaming text ops)
+    from timezonemap_ray.stages.text import chunk_documents, pack_sequences
+    t0 = time.perf_counter()
+    rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                    columns=["doc_id", "text"]) \
+        .map_batches(lambda b: pack_sequences(
+            chunk_documents(b, chunk=50, stride=40), capacity=256),
+            batch_format="pyarrow").count()
+    timings["chunk_pack"] = time.perf_counter() - t0
+
     return {
         "metric": "timezone-lookup join throughput (points/sec) + headline pipeline wall times",
         "value": round(timings["flagship_docs_join"], 3),
