@@ -312,6 +312,19 @@ def _q_dedup_ngram(sf_dir: str):
                                                columns=["doc_id", "text"]))
 
 
+def _q_duplicated_spans(sf_dir: str):
+    """Cross-document exact substring duplication (Lee et al. 2022
+    signal): windows whose text recurs in ≥ 2 docs. Windows never
+    shuffle — only distinct (digest, doc) partials do; flagged digests
+    broadcast back as a semi-join key set."""
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import duplicated_spans
+    return duplicated_spans(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        window=20, stride=10)
+
+
 def _q_dedup_embedding(sf_dir: str):
     import ray.data as rd
     import pyarrow.parquet as pq
@@ -1030,6 +1043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
+        "duplicated_spans": _q_duplicated_spans,
         # similarity search
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1106,6 +1120,25 @@ def oracle_sql() -> dict[str, str]:
                    END::BIGINT AS n_tokens,
                    length(text)::BIGINT AS n_chars
             FROM documents""",
+        "duplicated_spans": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            nn AS (SELECT doc_id, toks, len(toks) AS nt FROM t
+                   WHERE len(toks) > 0),
+            idx AS (SELECT doc_id, toks, nt, unnest(generate_series(0,
+                      CASE WHEN nt <= 20 THEN 0
+                           ELSE CAST(ceil((nt - 20) / 10.0) AS BIGINT)
+                      END)) AS ci FROM nn),
+            w AS (SELECT doc_id, ci,
+                         array_to_string(toks[ci*10 + 1 :
+                                              least(ci*10 + 20, nt)],
+                                         ' ') AS wt,
+                         (least(ci*10 + 20, nt) - ci*10)::BIGINT AS n_tokens
+                  FROM idx),
+            d AS (SELECT wt FROM (SELECT wt, count(DISTINCT doc_id) AS nd
+                                  FROM w GROUP BY wt) WHERE nd >= 2)
+            SELECT w.doc_id, w.ci AS chunk_idx, w.n_tokens
+            FROM w JOIN d USING (wt)""",
         "chunk_documents": r"""
             WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
                        FROM documents),

@@ -382,3 +382,42 @@ def test_pack_sequences_oversized_and_empty(ray_session):
     assert df["pack_id"].nunique() == 2  # oversize gets its own bin
     empty = text.pack_sequences(t.slice(0, 0), capacity=256)
     assert empty.num_rows == 0 and "pack_id" in empty.column_names
+
+
+def test_duplicated_spans_matches_sql(ray_session, docs_path, con):
+    import ray.data as rd
+    got = dedup.duplicated_spans(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"])
+        .repartition(4), window=20, stride=10) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]) \
+        .reset_index(drop=True)
+    sql = con.sql(r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        nn AS (SELECT doc_id, toks, len(toks) AS nt FROM t
+               WHERE len(toks) > 0),
+        idx AS (SELECT doc_id, toks, nt, unnest(generate_series(0,
+                  CASE WHEN nt <= 20 THEN 0
+                       ELSE CAST(ceil((nt - 20) / 10.0) AS BIGINT)
+                  END)) AS ci FROM nn),
+        w AS (SELECT doc_id, ci,
+                     array_to_string(toks[ci*10 + 1 : least(ci*10+20, nt)],
+                                     ' ') AS wt,
+                     (least(ci*10 + 20, nt) - ci*10)::BIGINT AS n_tokens
+              FROM idx),
+        d AS (SELECT wt FROM (SELECT wt, count(DISTINCT doc_id) AS nd
+                              FROM w GROUP BY wt) WHERE nd >= 2)
+        SELECT w.doc_id, w.ci AS chunk_idx, w.n_tokens
+        FROM w JOIN d USING (wt)
+        ORDER BY doc_id, chunk_idx""").df()
+    pd.testing.assert_frame_equal(got, sql)
+    assert len(got) > 0  # testdata contains exact-dup docs → shared spans
+
+
+def test_duplicated_spans_no_dups(ray_session):
+    import ray.data as rd
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": ["completely unique words one",
+                           "another totally different set"]})
+    out = dedup.duplicated_spans(rd.from_arrow(t), window=3, stride=2)
+    assert out.count() == 0

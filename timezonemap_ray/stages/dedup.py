@@ -758,3 +758,74 @@ def embedding_dedup(ds, dim: int, threshold: float = 0.95, n_bits: int = 12,
     pairs_ds = _runs_map_groups(buckets, "bucket", pairs_of_group)
     return cluster_assign(ds.select_columns([id_col]), pairs_ds,
                           id_col=id_col)
+
+
+def duplicated_spans(ds, window: int = 50, stride: int = 25,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Cross-document EXACT substring duplication (the Lee et al. 2022
+    "exact substring dedup" signal, shingle-window approximation): flag
+    every ``window``-token span (stride ``stride``) whose normalized text
+    occurs in ≥ 2 DISTINCT documents → Dataset of
+    (doc_id, chunk_idx, n_tokens).
+
+    Scale shape (composition of existing primitives):
+    1. windows via ``text.chunk_documents`` (Arrow list-offset views, no
+       Python loop);
+    2. md5 digest per window (C-speed; comparing by digest ≡ comparing by
+       text up to collisions — none at corpus scale for 128-bit md5);
+    3. per-block DISTINCT (digest, doc) partials — a document never spans
+       blocks, so summing per-block partials counts distinct docs exactly
+       (same argument as ``terms.doc_frequencies``) and raw windows never
+       shuffle, only one row per distinct (digest, doc) per block;
+    4. digests with ≥ 2 docs broadcast back as a semi-join key set
+       (``join.broadcast_semi_join``) over the streaming window set.
+    """
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    from .join import broadcast_semi_join
+    from .text import chunk_documents, md5_digest
+
+    def windows(b: pa.Table) -> pa.Table:
+        w = chunk_documents(b, chunk=window, stride=stride,
+                            text_col=text_col)
+        w = md5_digest(w, text_col="chunk_text", out_col="_dg")
+        return w.drop_columns(["chunk_text"])
+
+    wds = ds.map_batches(windows, batch_format="pyarrow")
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        # windows derived IN-CALL from whole document rows, so a doc's
+        # windows can never straddle two partials — per-call distinct
+        # (digest, doc) pairs then sum to the exact distinct-doc count
+        # (same invariant argument as terms.doc_frequencies; deriving
+        # windows in a separate stage would break it if Ray re-batched)
+        import numpy as np
+        import pyarrow.compute as pc
+        w = windows(b)
+        if w.num_rows == 0:
+            return pa.table({"_dg": pa.array([], type=pa.string()),
+                             "nd": pa.array([], type=pa.int64())})
+        enc = w["_dg"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = w[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((docs, codes))
+        c, d = codes[order], docs[order]
+        first = np.r_[True, (c[1:] != c[:-1]) | (d[1:] != d[:-1])]
+        keep = order[first]
+        return pa.table({"_dg": pc.take(enc.dictionary,
+                                        pa.array(codes[keep])),
+                         "nd": pa.array(np.ones(keep.size, dtype=np.int64))})
+
+    counts = ds.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby("_dg").aggregate(Sum("nd", alias_name="nd"))
+    dup = counts.filter(expr="nd >= 2")
+    tabs = [t for t in (ray.get(r) for r in dup.to_arrow_refs())
+            if t.num_rows]
+    if not tabs:
+        return wds.limit(0).select_columns([id_col, "chunk_idx",
+                                            "n_tokens"])
+    dup_keys = pa.concat_tables(tabs)["_dg"]
+    flagged = broadcast_semi_join(wds, dup_keys, "_dg")
+    return flagged.select_columns([id_col, "chunk_idx", "n_tokens"])
