@@ -242,3 +242,17 @@ def test_grouped_ohlc_single_and_tie(ray_session):
         [20.0, 20.0, 5.0, 5.0, 3]
     assert out.loc[1, ["open", "high", "low", "close", "n"]].tolist() == \
         [42.0, 42.0, 42.0, 42.0, 1]
+
+
+def test_grouped_ohlc_drops_null_values(ray_session):
+    import ray.data as rd
+    from timezonemap_ray.stages.agg import grouped_ohlc
+    t = pa.table({
+        "g": pa.array([1, 1, 1], type=pa.int64()),
+        "ts": pa.array([1, 2, 3], type=pa.timestamp("us")),
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "v": pa.array([5.0, None, 1.0])})
+    out = grouped_ohlc(rd.from_arrow(t), "g", "ts", "id", "v").to_pandas()
+    row = out.iloc[0]
+    assert [row["open"], row["high"], row["low"], row["close"],
+            row["n"]] == [5.0, 5.0, 1.0, 1.0, 2]

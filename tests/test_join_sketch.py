@@ -171,3 +171,14 @@ def test_bloom_anti_join_empty_keys(ray_session):
     out = bloom_anti_join(rd.from_arrow(fact), rd.from_arrow(keys),
                           "k").to_pandas()
     assert sorted(out["k"].tolist()) == [1, 2, 3]
+
+
+def test_bloom_anti_join_empty_keys_shuffle_mode(ray_session):
+    import ray.data as rd
+    from timezonemap_ray.stages.join import bloom_anti_join
+    fact = pa.table({"k": pa.array([1, 2, 3], type=pa.int64())})
+    for keys in (pa.table({"k": pa.array([], type=pa.int64())}),
+                 pa.table({"k": pa.array([None, None], type=pa.int64())})):
+        out = bloom_anti_join(rd.from_arrow(fact), rd.from_arrow(keys),
+                              "k", exact="shuffle").to_pandas()
+        assert sorted(out["k"].tolist()) == [1, 2, 3]

@@ -421,3 +421,14 @@ def test_duplicated_spans_no_dups(ray_session):
                            "another totally different set"]})
     out = dedup.duplicated_spans(rd.from_arrow(t), window=3, stride=2)
     assert out.count() == 0
+
+
+def test_duplicated_spans_string_ids(ray_session):
+    import ray.data as rd
+    shared = " ".join(f"s{i}" for i in range(8))
+    t = pa.table({"uid": pa.array(["a", "b", "c"]),
+                  "text": [shared, shared, "nothing in common here"]})
+    out = dedup.duplicated_spans(rd.from_arrow(t).repartition(2),
+                                 window=8, stride=4, id_col="uid") \
+        .to_pandas()
+    assert sorted(out["uid"].unique()) == ["a", "b"]

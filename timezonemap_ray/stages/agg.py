@@ -305,7 +305,10 @@ def grouped_ohlc(ds, group_col: str, ts_col: str, id_col: str,
     triples plus high/low/n, so the shuffle moves ≤ groups·blocks rows —
     never raw events — and the per-partition combine re-applies the same
     vectorized fold to partials. Values are picked, not summed: no float
-    reduce-order drift, bit-exact vs the SQL oracle."""
+    reduce-order drift, bit-exact vs the SQL oracle. Rows with null ts,
+    id or value are dropped first (SQL aggregates ignore NULL; a null
+    value becomes NaN in to_numpy and would poison the reduceat min/max
+    — review-found)."""
 
     def fold(t: pa.Table, pre_folded: bool) -> pa.Table:
         if t.num_rows == 0:
@@ -364,6 +367,9 @@ def grouped_ohlc(ds, group_col: str, ts_col: str, id_col: str,
             "n": pa.array(ns.astype(np.int64))})
 
     def local(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.and_(pc.is_valid(b[ts_col]),
+                                     pc.is_valid(b[id_col])),
+                             pc.is_valid(b[value_col])))
         p = fold(b, pre_folded=False)
         return p.append_column(
             "_part", pa.array(_hash_part_of(p[group_col], n_parts)))

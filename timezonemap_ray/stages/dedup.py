@@ -789,7 +789,7 @@ def duplicated_spans(ds, window: int = 50, stride: int = 25,
 
     def windows(b: pa.Table) -> pa.Table:
         w = chunk_documents(b, chunk=window, stride=stride,
-                            text_col=text_col)
+                            text_col=text_col, id_col=id_col)
         w = md5_digest(w, text_col="chunk_text", out_col="_dg")
         return w.drop_columns(["chunk_text"])
 
@@ -809,7 +809,9 @@ def duplicated_spans(ds, window: int = 50, stride: int = 25,
                              "nd": pa.array([], type=pa.int64())})
         enc = w["_dg"].combine_chunks().dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        docs = w[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # dictionary-encode doc ids too: works for string/any id type
+        docs = w[id_col].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((docs, codes))
         c, d = codes[order], docs[order]
         first = np.r_[True, (c[1:] != c[:-1]) | (d[1:] != d[:-1])]

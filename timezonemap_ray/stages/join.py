@@ -169,23 +169,7 @@ def bloom_semi_join(fact, keys_ds, key_col: str, keys_col: str | None = None,
 
     def prefilter(b: pa.Table) -> pa.Table:
         bm = ray.get(ref)  # node-local plasma read
-        arr = b[key_col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        valid = np.asarray(arr.is_valid())
-        keep = np.zeros(b.num_rows, dtype=bool)
-        if valid.any():
-            # drop_null BEFORE to_numpy: a null-carrying int64 column
-            # to_numpy's as float64 (NaN), and hash_array(float64) differs
-            # from the build side's hash_array(int64) for equal values
-            pos = _bloom_hashes(
-                arr.drop_null().to_numpy(zero_copy_only=False),
-                n_bits, n_hashes)
-            member = np.ones(int(valid.sum()), dtype=bool)
-            for row in pos:
-                member &= (bm[(row >> np.uint64(6)).astype(np.int64)]
-                           & (np.uint64(1) << (row & np.uint64(63)))) != 0
-            keep[valid] = member
+        keep = _bloom_member_mask(b[key_col], bm, n_bits, n_hashes)
         return b.filter(pa.array(keep))
 
     survivors = fact.map_batches(prefilter, batch_format="pyarrow")
@@ -207,6 +191,28 @@ def bloom_semi_join(fact, keys_ds, key_col: str, keys_col: str | None = None,
         _distinct_keys(keys_ds, keys_col, key_col).materialize())
     return hash_join(survivors, distinct, on=key_col,
                      num_partitions=num_partitions)
+
+
+def _bloom_member_mask(arr, bm: np.ndarray, n_bits: int,
+                       n_hashes: int) -> np.ndarray:
+    """Boolean bloom-membership mask per row of an Arrow array (nulls →
+    False). drop_null BEFORE to_numpy: a null-carrying int64 column
+    to_numpy's as float64 (NaN), and hash_array(float64) differs from the
+    build side's hash_array(int64) for equal values (review-found, shared
+    by the semi and anti probes)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    valid = np.asarray(arr.is_valid())
+    member = np.zeros(len(arr), dtype=bool)
+    if valid.any():
+        pos = _bloom_hashes(arr.drop_null().to_numpy(zero_copy_only=False),
+                            n_bits, n_hashes)
+        mem = np.ones(int(valid.sum()), dtype=bool)
+        for row in pos:
+            mem &= (bm[(row >> np.uint64(6)).astype(np.int64)]
+                    & (np.uint64(1) << (row & np.uint64(63)))) != 0
+        member[valid] = mem
+    return member
 
 
 def bloom_anti_join(fact, keys_ds, key_col: str, keys_col: str | None = None,
@@ -236,21 +242,8 @@ def bloom_anti_join(fact, keys_ds, key_col: str, keys_col: str | None = None,
 
     def _split(b: pa.Table, want_maybe: bool) -> pa.Table:
         bm = ray.get(ref)  # node-local plasma read
-        arr = b[key_col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        valid = np.asarray(arr.is_valid())
-        member = np.zeros(b.num_rows, dtype=bool)
-        if valid.any():
-            pos = _bloom_hashes(
-                arr.drop_null().to_numpy(zero_copy_only=False),
-                n_bits, n_hashes)
-            mem = np.ones(int(valid.sum()), dtype=bool)
-            for row in pos:
-                mem &= (bm[(row >> np.uint64(6)).astype(np.int64)]
-                        & (np.uint64(1) << (row & np.uint64(63)))) != 0
-            member[valid] = mem
         # nulls: member=False → definite anti-output stream
+        member = _bloom_member_mask(b[key_col], bm, n_bits, n_hashes)
         return b.filter(pa.array(member if want_maybe else ~member))
 
     definite = fact.map_batches(lambda b: _split(b, False),
@@ -269,6 +262,8 @@ def bloom_anti_join(fact, keys_ds, key_col: str, keys_col: str | None = None,
         from .dedup import _drop_empty_blocks
         distinct = _drop_empty_blocks(
             _distinct_keys(keys_ds, keys_col, key_col).materialize())
+        if distinct.count() == 0:
+            return fact  # key side empty/all-null: everything is output
         marked = distinct.map_batches(
             lambda b: b.append_column("_hit", pa.array(
                 np.ones(b.num_rows, dtype=bool))),

@@ -38,18 +38,24 @@ def pca_fit(ds, vec_col: str = "embedding", k: int | None = None):
     tot_n = 0
     tot_sum = None
     tot_outer = None
+    import pyarrow.compute as pc
     for t in ds.map_batches(_moment_partial(vec_col),
                             batch_format="pyarrow") \
             .iter_batches(batch_format="pyarrow"):
-        for row in t.to_pylist():
-            n, s, o = row["n"], np.asarray(row["s"]), np.asarray(row["o"])
-            d = s.size
-            if tot_sum is None:
-                tot_sum = np.zeros(d)
-                tot_outer = np.zeros((d, d))
-            tot_n += n
-            tot_sum += s
-            tot_outer += o.reshape(d, d)
+        if t.num_rows == 0:
+            continue
+        # flatten+reshape, no per-row Python: a 768-dim partial is ~590k
+        # floats per block — to_pylist() would churn them all through
+        # Python objects on the driver (review-found)
+        ss = pc.list_flatten(t["s"]).to_numpy(zero_copy_only=False)
+        oo = pc.list_flatten(t["o"]).to_numpy(zero_copy_only=False)
+        d = ss.size // t.num_rows
+        if tot_sum is None:
+            tot_sum = np.zeros(d)
+            tot_outer = np.zeros((d, d))
+        tot_n += int(pc.sum(t["n"]).as_py())
+        tot_sum += ss.reshape(t.num_rows, d).sum(axis=0)
+        tot_outer += oo.reshape(t.num_rows, d, d).sum(axis=0)
     if tot_n < 2:
         raise ValueError("pca_fit needs at least 2 rows")
     d = tot_sum.size
