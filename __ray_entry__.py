@@ -325,6 +325,44 @@ def _q_duplicated_spans(sf_dir: str):
         window=20, stride=10)
 
 
+def _q_clean_chunks(sf_dir: str):
+    """Curation composite: flag cross-doc duplicated spans → anti-join the
+    contaminated docs away (broadcast key set) → chunk the survivors into
+    50-token windows → per-doc chunk/token totals. Every stage streams;
+    the only shuffles are the span-digest partial groupby and the final
+    tiny per-doc count."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    import ray as _ray
+    from timezonemap_ray.stages.dedup import duplicated_spans
+    from timezonemap_ray.stages.join import broadcast_semi_join
+    from timezonemap_ray.stages.text import chunk_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    flagged = duplicated_spans(docs, window=20, stride=10) \
+        .select_columns(["doc_id"])
+    tabs = [t for t in (_ray.get(r) for r in flagged.to_arrow_refs())
+            if t.num_rows]
+    bad_ids = pa.concat_tables(tabs)["doc_id"].unique() if tabs \
+        else pa.array([], type=pa.int64())
+    clean = broadcast_semi_join(docs, bad_ids, "doc_id", anti=True)
+    chunks = clean.map_batches(
+        lambda b: chunk_documents(b, chunk=50, stride=40),
+        batch_format="pyarrow")
+    out = chunks.groupby("doc_id").aggregate(
+        Count(alias_name="n_chunks"), Sum("n_tokens", alias_name="n_tokens"))
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_chunks": pc.cast(b["n_chunks"], pa.int64()),
+            "n_tokens": pc.cast(b["n_tokens"], pa.int64())})
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 def _q_dedup_embedding(sf_dir: str):
     import ray.data as rd
     import pyarrow.parquet as pq
@@ -1044,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
         "duplicated_spans": _q_duplicated_spans,
+        "clean_chunks": _q_clean_chunks,
         # similarity search
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1120,6 +1159,32 @@ def oracle_sql() -> dict[str, str]:
                    END::BIGINT AS n_tokens,
                    length(text)::BIGINT AS n_chars
             FROM documents""",
+        "clean_chunks": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            nn AS (SELECT doc_id, toks, len(toks) AS nt FROM t
+                   WHERE len(toks) > 0),
+            widx AS (SELECT doc_id, toks, nt, unnest(generate_series(0,
+                       CASE WHEN nt <= 20 THEN 0
+                            ELSE CAST(ceil((nt - 20) / 10.0) AS BIGINT)
+                       END)) AS ci FROM nn),
+            w AS (SELECT doc_id,
+                         array_to_string(toks[ci*10 + 1 :
+                                              least(ci*10 + 20, nt)],
+                                         ' ') AS wt
+                  FROM widx),
+            dupw AS (SELECT wt FROM (SELECT wt, count(DISTINCT doc_id) nd
+                                     FROM w GROUP BY wt) WHERE nd >= 2),
+            bad AS (SELECT DISTINCT w.doc_id FROM w JOIN dupw USING (wt)),
+            clean AS (SELECT doc_id, toks, nt FROM nn
+                      WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+            cidx AS (SELECT doc_id, nt, unnest(generate_series(0,
+                       CASE WHEN nt <= 50 THEN 0
+                            ELSE CAST(ceil((nt - 50) / 40.0) AS BIGINT)
+                       END)) AS ci FROM clean)
+            SELECT doc_id, count(*)::BIGINT AS n_chunks,
+                   sum(least(ci*40 + 50, nt) - ci*40)::BIGINT AS n_tokens
+            FROM cidx GROUP BY doc_id""",
         "duplicated_spans": r"""
             WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
                        FROM documents),
