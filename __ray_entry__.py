@@ -981,6 +981,30 @@ def _q_normalize_text(sf_dir: str):
     return ds.map_batches(normalize_text, batch_format="pyarrow")
 
 
+def _q_redact_text(sf_dir: str):
+    """PII / blocklist redaction: mask PII-shaped patterns (email, long
+    digit runs) plus a content blocklist, counting redactions per doc —
+    chained RE2 replace+count kernels, zero Python per row."""
+    import ray.data as rd
+    from timezonemap_ray.stages.text import REDACT_PATTERNS, redact_text
+    patterns = REDACT_PATTERNS + ((r"\b(spark|big)\b", "[MASKED]"),)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: redact_text(b, patterns=patterns),
+                          batch_format="pyarrow")
+
+
+def _q_inverted_index(sf_dir: str):
+    """Inverted index build: term → (n_docs, ascending comma-joined
+    posting list). Per-block distinct pairs, one coarse hash shuffle on
+    term, vectorized posting assembly per partition."""
+    import ray.data as rd
+    from timezonemap_ray.stages.terms import inverted_index
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return inverted_index(ds)
+
+
 def _q_orders_left_lineitem(sf_dir: str):
     """LEFT OUTER hash join: every order with its lineitem count and
     revenue (0 when no lineitems). Lineitem pre-aggregates per orderkey
@@ -1075,6 +1099,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_terms": _q_vocab_top_terms,
         "distinctive_terms": _q_distinctive_terms,
         "normalize_text": _q_normalize_text,
+        "redact_text": _q_redact_text,
+        "inverted_index": _q_inverted_index,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -1621,6 +1647,35 @@ def oracle_sql() -> dict[str, str]:
                    lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
                        AS norm_text
             FROM documents""",
+        "redact_text": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\b\d{7,}\b', '[NUMBER]', 'g'),
+                       '\b(spark|big)\b', '[MASKED]', 'g') AS clean_text,
+                   (len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'), '\b\d{7,}\b'))
+                    + len(regexp_extract_all(regexp_replace(regexp_replace(
+                       text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\b\d{7,}\b', '[NUMBER]', 'g'),
+                       '\b(spark|big)\b')))::BIGINT AS n_redacted
+            FROM documents""",
+        "inverted_index": r"""
+            WITH pairs AS (
+                SELECT DISTINCT term, doc_id FROM (
+                    SELECT unnest(regexp_extract_all(text, '\S+')) AS term,
+                           doc_id
+                    FROM documents))
+            SELECT term, count(*)::BIGINT AS n_docs,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                       AS postings
+            FROM pairs GROUP BY term""",
         "orders_left_lineitem": """
             WITH li AS (
                 SELECT l_orderkey,

@@ -112,3 +112,35 @@ def test_tf_idf_empty_dataset(ray_session):
                     "text": pa.array([], type=pa.string())})
     assert term_counts(_ds(tbl, blocks=2)).count() == 0
     assert top_terms(_ds(tbl, blocks=2), k=3).num_rows == 0
+
+
+def test_inverted_index_matches_duckdb(ray_session):
+    from timezonemap_ray.stages.terms import inverted_index
+    tbl = _docs_tbl()
+    got = inverted_index(_ds(tbl)).to_pandas().sort_values("term") \
+        .reset_index(drop=True)
+    want = _con(tbl).execute(r"""
+        WITH pairs AS (
+            SELECT DISTINCT term, doc_id FROM (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS term,
+                       doc_id FROM documents))
+        SELECT term, count(*)::BIGINT AS n_docs,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+        FROM pairs GROUP BY term ORDER BY term""").df()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    assert got["postings"].tolist() == want["postings"].tolist()
+
+
+def test_inverted_index_posting_order_and_empty_docs(ray_session):
+    from timezonemap_ray.stages.terms import inverted_index
+    tbl = pa.table({
+        "doc_id": pa.array([9, 3, 7, 5], type=pa.int64()),
+        "text": pa.array(["cat dog cat", "dog", "", "cat"]),
+    })
+    got = inverted_index(_ds(tbl, blocks=3)).to_pandas() \
+        .set_index("term").sort_index()
+    assert got.loc["cat", "postings"] == "5,9"   # ascending despite input order
+    assert got.loc["cat", "n_docs"] == 2         # dup token in one doc counted once
+    assert got.loc["dog", "postings"] == "3,9"
+    assert 7 not in got["postings"].str.split(",").explode().astype(int).tolist()

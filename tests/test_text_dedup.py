@@ -432,3 +432,30 @@ def test_duplicated_spans_string_ids(ray_session):
                                  window=8, stride=4, id_col="uid") \
         .to_pandas()
     assert sorted(out["uid"].unique()) == ["a", "b"]
+
+
+def test_redact_text_masks_and_counts(ray_session):
+    import pyarrow as pa
+    from timezonemap_ray.stages.text import REDACT_PATTERNS, redact_text
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "mail me at bob.smith+x@example.co.uk today",
+            "card 12345678 and pin 123 stay",   # only the 7+ digit run masked
+            "nothing sensitive here",
+            "two mails a@b.io c@d.org and 9999999",
+        ]),
+    })
+    out = redact_text(tbl)
+    texts = out["clean_text"].to_pylist()
+    assert texts[0] == "mail me at [EMAIL] today"
+    assert texts[1] == "card [NUMBER] and pin 123 stay"
+    assert texts[2] == "nothing sensitive here"
+    assert texts[3] == "two mails [EMAIL] [EMAIL] and [NUMBER]"
+    assert out["n_redacted"].to_pylist() == [1, 1, 0, 3]
+    assert out.schema.field("n_redacted").type == pa.int64()
+    # custom blocklist rule chains after the defaults
+    out2 = redact_text(tbl, patterns=REDACT_PATTERNS
+                       + ((r"\b(stay|today)\b", "[MASKED]"),))
+    assert out2["clean_text"].to_pylist()[0].endswith("[MASKED]")
+    assert out2["n_redacted"].to_pylist() == [2, 2, 0, 3]

@@ -235,3 +235,70 @@ def distinctive_terms(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return joined.map_batches(add_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
+                   n_parts: int = 64):
+    """Inverted index build → Dataset of (term, n_docs: int64,
+    postings: string) where ``postings`` is the ascending comma-joined
+    doc-id list — the classic search/retrieval index construction.
+
+    Scale shape: each block contributes its DISTINCT (term, doc_id)
+    pairs (raw tokens never shuffle; a document is one row so per-block
+    distinct is globally distinct), pairs hash-shuffle ONCE on a coarse
+    term partition, and each partition builds every posting list
+    vectorized (one sort + run-slice + Arrow ``binary_join`` per
+    partition — never one dispatch per term).
+
+    Partitioning assumption (documented for 100 TB): one term's posting
+    list fits in one partition's block. For crawl-scale stopword terms,
+    segment postings by doc-id range (emit (term, segment) keys) before
+    this stage; the synthetic corpus is far below that regime.
+    """
+    from .select import _hash_part_of
+
+    def pairs(b: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(b, text_col)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=b[id_col].type)})
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(enc.dictionary)
+        upair = np.unique(parent.astype(np.int64) * v + codes)
+        return pa.table({
+            "term": pc.take(enc.dictionary, pa.array(upair % v)),
+            id_col: pc.take(b[id_col], pa.array(upair // v))})
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_part", pa.array(_hash_part_of(b["term"], n_parts)))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "n_docs": pa.array([], type=pa.int64()),
+                             "postings": pa.array([], type=pa.string())})
+        idx = pc.sort_indices(g, sort_keys=[("term", "ascending"),
+                                            (id_col, "ascending")])
+        g = g.take(idx)
+        codes = g["term"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        bounds = np.r_[starts, len(codes)]
+        ids_str = pc.cast(g[id_col], pa.string()).combine_chunks()
+        if isinstance(ids_str, pa.ChunkedArray):
+            ids_str = ids_str.combine_chunks()
+        lst = pa.ListArray.from_arrays(
+            pa.array(bounds.astype(np.int64), type=pa.int64()).cast(pa.int32()),
+            ids_str)
+        return pa.table({
+            "term": pc.take(g["term"], pa.array(starts)),
+            "n_docs": pa.array((bounds[1:] - bounds[:-1]).astype(np.int64)),
+            "postings": pc.binary_join(lst, ","),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")

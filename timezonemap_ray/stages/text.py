@@ -57,6 +57,41 @@ def normalize_text(batch: pa.Table, text_col: str = "text",
     return pa.table({"doc_id": batch["doc_id"], out_col: t})
 
 
+# Default redaction rules: PII-shaped patterns (email / long digit runs)
+# plus a content blocklist seam. All RE2; Arrow and DuckDB both compile
+# these with RE2 so the oracle is bit-identical (verified: \b, alternation
+# and 'g'-flag replace agree).
+REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{7,}\b", "[NUMBER]"),
+)
+
+
+def redact_text(batch: pa.Table, patterns=REDACT_PATTERNS,
+                text_col: str = "text") -> pa.Table:
+    """PII / blocklist redaction: mask every match of each (pattern,
+    replacement) rule and count redactions per document — the standard
+    pre-release scrub in a training-data pipeline. Pure RE2 kernels
+    (one replace + one count pass per rule), zero Python per row; rules
+    apply in order so a later pattern sees earlier replacements, exactly
+    like chained ``regexp_replace(.., 'g')`` calls in SQL.
+    """
+    t = batch[text_col]
+    n_red = None
+    for pat, repl in patterns:
+        c = pc.cast(pc.count_substring_regex(t, pattern=pat), pa.int64())
+        n_red = c if n_red is None else pc.add(n_red, c)
+        t = pc.replace_substring_regex(t, pattern=pat, replacement=repl)
+    if n_red is None:
+        n_red = pa.nulls(batch.num_rows, pa.int64())
+        n_red = pc.fill_null(n_red, 0)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "clean_text": t,
+        "n_redacted": n_red,
+    })
+
+
 def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Document quality features + a combined score.
 
