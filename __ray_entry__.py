@@ -981,6 +981,18 @@ def _q_normalize_text(sf_dir: str):
     return ds.map_batches(normalize_text, batch_format="pyarrow")
 
 
+def _q_events_zscore(sf_dir: str):
+    """Group-wise z-score normalization without a window shuffle:
+    exact cents-scaled moments per event_type broadcast via ray.put,
+    streaming per-row normalization; bit-reproducible IEEE expression
+    (see stages.agg.zscore_by_group)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.agg import zscore_by_group
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return zscore_by_group(ds, "event_type", "value")
+
+
 def _q_redact_text(sf_dir: str):
     """PII / blocklist redaction: mask PII-shaped patterns (email, long
     digit runs) plus a content blocklist, counting redactions per doc —
@@ -1129,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_funcs": _q_events_window_funcs,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_stats_per_type": _q_events_stats_per_type,
+        "events_zscore": _q_events_zscore,
         "events_ohlc_per_user": _q_events_ohlc_per_user,
         "events_quartile_counts": _q_events_quartile_counts,
         "events_pivot_types": _q_events_pivot_types,
@@ -1600,6 +1613,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS sum_c,
                    CAST(sum(v * v) AS BIGINT) AS sumsq_c
             FROM c GROUP BY event_type""",
+        "events_zscore": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100.0) AS BIGINT) AS v
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+                 s AS (SELECT event_type,
+                              count(*)::DOUBLE AS n,
+                              CAST(sum(v) AS BIGINT)::DOUBLE AS sum_c,
+                              CAST(sum(v * v) AS BIGINT)::DOUBLE AS sumsq_c
+                       FROM c GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN e.value IS NULL OR isnan(e.value) THEN NULL
+                        ELSE (CAST(round(e.value * 100.0) AS BIGINT)::DOUBLE
+                                  * s.n - s.sum_c)
+                             / NULLIF(sqrt(GREATEST(
+                                   s.n * s.sumsq_c - s.sum_c * s.sum_c,
+                                   0.0)), 0.0)
+                   END AS zscore
+            FROM events e LEFT JOIN s USING (event_type)""",
         "events_pivot_types": """
             SELECT user_id,
                    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

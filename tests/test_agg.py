@@ -256,3 +256,51 @@ def test_grouped_ohlc_drops_null_values(ray_session):
     row = out.iloc[0]
     assert [row["open"], row["high"], row["low"], row["close"],
             row["n"]] == [5.0, 5.0, 1.0, 1.0, 2]
+
+
+def test_zscore_by_group_bit_exact_vs_duckdb(ray_session):
+    from timezonemap_ray.stages.agg import zscore_by_group
+    rng = np.random.default_rng(23)
+    n = 400
+    vals = np.round(rng.uniform(-50, 400, n), 2)
+    vals[7] = np.nan                      # NaN value → NULL zscore
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "event_type": pa.array([f"t{i % 5}" for i in range(n)]),
+        "value": pa.array(vals),
+    })
+    # null value and a zero-variance singleton group
+    v = tbl["value"].to_pylist(); v[11] = None
+    tbl = tbl.set_column(2, "value", pa.array(v, type=pa.float64()))
+    et = tbl["event_type"].to_pylist(); et[3] = "solo"
+    tbl = tbl.set_column(1, "event_type", pa.array(et))
+
+    got = zscore_by_group(_ds(tbl), "event_type", "value") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    want = _con(tbl, "events").execute("""
+        WITH c AS (SELECT event_type,
+                          CAST(round(value * 100.0) AS BIGINT) AS v
+                   FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+             s AS (SELECT event_type, count(*)::DOUBLE AS n,
+                          CAST(sum(v) AS BIGINT)::DOUBLE AS sum_c,
+                          CAST(sum(v * v) AS BIGINT)::DOUBLE AS sumsq_c
+                   FROM c GROUP BY event_type)
+        SELECT e.event_id, e.event_type, e.value,
+               CASE WHEN e.value IS NULL OR isnan(e.value) THEN NULL
+                    ELSE (CAST(round(e.value * 100.0) AS BIGINT)::DOUBLE
+                              * s.n - s.sum_c)
+                         / NULLIF(sqrt(GREATEST(
+                               s.n * s.sumsq_c - s.sum_c * s.sum_c, 0.0)),
+                               0.0)
+               END AS zscore
+        FROM events e LEFT JOIN s USING (event_type)
+        ORDER BY event_id""").df()
+    # bit-exact float compare (the reproducibility contract)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert pd.isna(got.loc[7, "zscore"])      # NaN input
+    assert pd.isna(got.loc[11, "zscore"])     # null input
+    assert pd.isna(got.loc[3, "zscore"])      # singleton group (σ = 0)
+    # z-scores are standardized: per-group mean ≈ 0, σ ≈ 1
+    g = got.dropna(subset=["zscore"]).groupby("event_type")["zscore"]
+    assert (g.mean().abs() < 1e-9).all()
+    assert ((g.std(ddof=0) - 1).abs() < 1e-9).all()

@@ -382,3 +382,62 @@ def grouped_ohlc(ds, group_col: str, ts_col: str, id_col: str,
 
     return ds.map_batches(local, batch_format="pyarrow") \
         .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def zscore_by_group(ds, group_col: str, value_col: str,
+                    scale: float = 100.0, out_col: str = "zscore"):
+    """Group-wise z-score normalization — the standard feature scaling
+    pass — WITHOUT a window-function shuffle: per-group exact moments
+    via :func:`grouped_stats` (combiner partials; only (group, n, Σ, Σ²)
+    rows shuffle), the tiny stats table broadcast once via ``ray.put``,
+    and every fact row normalized in a streaming ``map_batches``.
+
+    Bit-reproducibility contract: the score is ONE fixed IEEE expression
+    over int64-exact inputs, identical in numpy and SQL —
+
+        z = (vc·n − sum_c) / sqrt(max(n·sumsq_c − sum_c², 0))
+
+    with ``vc = SQL-round(value·scale)`` and every operand cast int64 →
+    float64 first (exact while < 2^53; the same bound
+    :func:`grouped_stats` already documents). Zero variance → NULL
+    (SQL ``NULLIF``); NaN/null values and groups absent from the stats
+    → NULL. No mean-then-subtract two-step: dividing scaled ints keeps
+    the expression scale-free (the ·scale factors cancel).
+    """
+    import ray
+
+    stats = grouped_stats(ds, group_col, value_col, scale=scale)
+    st = pa.concat_tables(
+        stats.iter_batches(batch_format="pyarrow")).combine_chunks()
+    sref = ray.put(st)
+
+    def apply(b: pa.Table) -> pa.Table:
+        s = ray.get(sref)
+        pos = pc.index_in(b[group_col], value_set=s[group_col])
+        have = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+        posv = pc.fill_null(pos, 0)
+        nf = pc.take(s["n"], posv).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sf = pc.take(s["sum_c"], posv).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sqf = pc.take(s["sumsq_c"], posv).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        v = b[value_col]
+        ok = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            ok = pc.and_kleene(ok, pc.invert(pc.is_nan(v)))
+        ok = pc.fill_null(ok, False).to_numpy(zero_copy_only=False) & have
+        v0 = pc.fill_null(v, 0.0)
+        v0 = pc.if_else(pc.is_nan(v0), pa.scalar(0.0, v0.type), v0) \
+            if pa.types.is_floating(v.type) else v0
+        vcf = _sql_cents(v0, scale).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        den = np.sqrt(np.maximum(nf * sqf - sf * sf, 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (vcf * nf - sf) / den
+        valid = ok & (den != 0.0)
+        out = pa.array(np.where(valid, z, 0.0), type=pa.float64())
+        out = pc.if_else(pa.array(valid), out, pa.scalar(None, pa.float64()))
+        return b.append_column(out_col, out)
+
+    return ds.map_batches(apply, batch_format="pyarrow")
