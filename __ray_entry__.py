@@ -981,6 +981,19 @@ def _q_normalize_text(sf_dir: str):
     return ds.map_batches(normalize_text, batch_format="pyarrow")
 
 
+def _q_value_quantiles_sketch(sf_dir: str):
+    """One-pass mergeable approximate quantiles (equi-weight compaction
+    sketch): the 100 TB scale path next to the exact multi-scan
+    quantiles — single streaming pass, driver memory O(k·n_parts).
+    No oracle: approximate by construction (rank error ≤ ~3N/k; the
+    exact twin `value_quantiles` IS oracle-checked, and pytest bounds
+    this sketch's rank error against it)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.sketch import quantile_sketch
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return quantile_sketch(ds, "value", [0.01, 0.25, 0.5, 0.75, 0.99])
+
+
 def _q_events_zscore(sf_dir: str):
     """Group-wise z-score normalization without a window shuffle:
     exact cents-scaled moments per event_type broadcast via ray.put,
@@ -1156,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct_users,
         # selection operators (exact quantile / hash sample / top-k per group)
         "value_quantiles": _q_value_quantiles,
+        "value_quantiles_sketch": _q_value_quantiles_sketch,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "documents_sample": _q_documents_sample,
         "documents_sample_fixed": _q_documents_sample_fixed,

@@ -182,3 +182,40 @@ def test_bloom_anti_join_empty_keys_shuffle_mode(ray_session):
         out = bloom_anti_join(rd.from_arrow(fact), rd.from_arrow(keys),
                               "k", exact="shuffle").to_pandas()
         assert sorted(out["k"].tolist()) == [1, 2, 3]
+
+
+def test_quantile_sketch_rank_error_bound(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from timezonemap_ray.stages.sketch import quantile_sketch
+    rng = np.random.default_rng(7)
+    vals = np.r_[rng.lognormal(3.0, 2.0, 60000), [np.nan] * 50]
+    v = vals.tolist(); v[13] = None   # null dropped like NaN
+    ds = rd.from_arrow(pa.table({"value": pa.array(v, type=pa.float64())})) \
+        .repartition(17)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    out = quantile_sketch(ds, "value", qs, k=1024).to_pandas()
+    clean = np.sort(vals[~np.isnan(vals)])
+    for q, val in zip(out["q"], out["value"]):
+        rank = np.searchsorted(clean, val) / len(clean)
+        # 3 compaction levels at k=1024 → ≤ ~0.3% theoretical; assert 1%
+        assert abs(rank - q) < 0.01, (q, rank)
+    # determinism: same input → identical sketch output
+    out2 = quantile_sketch(ds, "value", qs, k=1024).to_pandas()
+    assert out["value"].tolist() == out2["value"].tolist()
+
+
+def test_quantile_sketch_small_and_empty(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from timezonemap_ray.stages.sketch import quantile_sketch
+    # fewer points than k → exact quantile values (no compaction)
+    ds = rd.from_arrow(pa.table({"value": pa.array(
+        np.arange(100, dtype=np.float64))})).repartition(3)
+    out = quantile_sketch(ds, "value", [0.5], k=1024).to_pandas()
+    assert abs(out["value"][0] - 50.0) <= 1.0
+    empty = rd.from_arrow(pa.table({"value": pa.array([], type=pa.float64())}))
+    oute = quantile_sketch(empty, "value", [0.5, 0.9], k=64).to_pandas()
+    assert len(oute) == 2 and oute["value"].isna().all()

@@ -238,3 +238,92 @@ def heavy_hitter_keys(ds, column: str, phi: float = 0.001,
         return b[column].combine_chunks().drop_null()
 
     return _heavy_hitters_core(ds, extract, column, key_type, phi, k)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable approximate-quantile sketch (one-pass scale path)
+# ---------------------------------------------------------------------------
+
+def _qcompact(vals: np.ndarray, wts: np.ndarray, k: int):
+    """Equi-weight compaction of a SORTED weighted summary down to ≤ k
+    points: bucket boundaries at cumulative weight j·W/k, representative =
+    the point covering each boundary, weight = bucket mass. Deterministic;
+    one compaction adds ≤ W/k rank error. Total mass is preserved
+    exactly (the last bucket always ends at W)."""
+    if len(vals) <= k:
+        return vals, wts
+    cum = np.cumsum(wts)
+    w_total = cum[-1]
+    edges = np.arange(1, k + 1) * (w_total / k)
+    idx = np.unique(np.clip(np.searchsorted(cum, edges), 0, len(vals) - 1))
+    return vals[idx], np.diff(np.r_[0.0, cum[idx]])
+
+
+def quantile_sketch(ds, column: str, qs, k: int = 2048, n_parts: int = 32):
+    """One-pass mergeable approximate quantiles → pa.Table (q, value).
+
+    The scale path next to the EXACT multi-scan quantiles
+    (``select.quantile_exact``): a 100 TB column is sketched in a single
+    streaming pass. Three levels, each deterministic:
+
+      1. per block: sort + equi-weight compact to ≤ k weighted points
+         (only k rows per block leave the map stage);
+      2. coarse partitions: summary rows hash-scatter over ``n_parts``
+         groups, each group merge-compacts to ≤ k points (the only
+         shuffle, ≤ k rows/block in, ≤ k·n_parts rows total out);
+      3. driver: merge the ≤ n_parts·k points and read quantiles off the
+         cumulative weight — O(k·n_parts) memory, independent of data
+         size.
+
+    Rank error ≤ ~3·N/k (one compaction per level); k=2048 → ~0.15 %.
+    NaN/null values are dropped (SQL aggregate semantics)."""
+    import pyarrow.compute as pc
+
+    def _clean(col) -> np.ndarray:
+        keep = pc.is_valid(col)
+        if pa.types.is_floating(col.type):
+            keep = pc.and_kleene(keep, pc.invert(pc.is_nan(col)))
+        v = col.filter(pc.fill_null(keep, False))
+        return v.to_numpy(zero_copy_only=False).astype(np.float64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.sort(_clean(b[column]))
+        vals, wts = _qcompact(v, np.ones(len(v)), k)
+        return pa.table({
+            "value": pa.array(vals, type=pa.float64()),
+            "weight": pa.array(wts, type=pa.float64()),
+            "_part": pa.array((np.arange(len(vals)) * np.int64(2654435761))
+                              % n_parts),
+        })
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"value": pa.array([], type=pa.float64()),
+                             "weight": pa.array([], type=pa.float64())})
+        v = g["value"].to_numpy(zero_copy_only=False)
+        w = g["weight"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        vals, wts = _qcompact(v[order], w[order], k)
+        return pa.table({"value": pa.array(vals, type=pa.float64()),
+                         "weight": pa.array(wts, type=pa.float64())})
+
+    lvl2 = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+    parts = [t for t in lvl2.iter_batches(batch_format="pyarrow")]
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"value": pa.array([], type=pa.float64()),
+         "weight": pa.array([], type=pa.float64())})
+    qs = list(qs)
+    if merged.num_rows == 0:
+        return pa.table({"q": pa.array(qs, type=pa.float64()),
+                         "value": pa.array([None] * len(qs),
+                                           type=pa.float64())})
+    v = merged["value"].to_numpy(zero_copy_only=False)
+    w = merged["weight"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    ranks = np.asarray(qs, dtype=np.float64) * cum[-1]
+    idx = np.clip(np.searchsorted(cum, ranks), 0, len(v) - 1)
+    return pa.table({"q": pa.array(qs, type=pa.float64()),
+                     "value": pa.array(v[idx], type=pa.float64())})
