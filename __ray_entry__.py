@@ -981,6 +981,23 @@ def _q_normalize_text(sf_dir: str):
     return ds.map_batches(normalize_text, batch_format="pyarrow")
 
 
+def _q_events_rolling(sf_dir: str):
+    """Fixed-size rolling window aggregate per key (ROWS BETWEEN 4
+    PRECEDING AND CURRENT ROW): rolling sum/count/mean — one coarse
+    hash shuffle, vectorized prefix-sum scan per partition."""
+    from timezonemap_ray.pipelines.relational import events_rolling
+    return events_rolling(sf_dir, window=5)
+
+
+def _q_customer_returns_topk(sf_dir: str):
+    """TPC-H Q10 flavor: top-20 customers by returned-item revenue.
+    Filter+partial-agg inside the lineitem scan, one orderkey hash
+    join, combiner groupby, broadcast dims after aggregation,
+    block-local top-k (no global sort)."""
+    from timezonemap_ray.pipelines.relational import customer_returns_topk
+    return customer_returns_topk(sf_dir, limit=20)
+
+
 def _q_value_quantiles_sketch(sf_dir: str):
     """One-pass mergeable approximate quantiles (equi-weight compaction
     sketch): the 100 TB scale path next to the exact multi-scan
@@ -1152,6 +1169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_revenue": _q_order_lineitem_revenue,
         "revenue_by_nation": _q_revenue_by_nation,
         "events_window_funcs": _q_events_window_funcs,
+        "events_rolling": _q_events_rolling,
+        "customer_returns_topk": _q_customer_returns_topk,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_stats_per_type": _q_events_stats_per_type,
         "events_zscore": _q_events_zscore,
@@ -1627,6 +1646,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS sum_c,
                    CAST(sum(v * v) AS BIGINT) AS sumsq_c
             FROM c GROUP BY event_type""",
+        "events_rolling": """
+            WITH c AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100.0) AS BIGINT) AS value_c
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(sum(value_c) OVER w AS BIGINT) AS roll_sum_c,
+                   CAST(count(*) OVER w AS BIGINT) AS roll_n,
+                   (CAST(sum(value_c) OVER w AS BIGINT)::DOUBLE
+                    / CAST(count(*) OVER w AS BIGINT)::DOUBLE)
+                       AS roll_mean_c
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+        "customer_returns_topk": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_extendedprice
+                                           * (1.0 - l_discount)
+                                           * 10000.0) AS BIGINT))
+                            AS BIGINT) AS rev_dm
+                FROM lineitem WHERE l_returnflag = 'R'
+                GROUP BY l_orderkey),
+            per_cust AS (
+                SELECT o_custkey,
+                       CAST(sum(li.rev_dm) AS BIGINT) AS rev_dm
+                FROM li JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY o_custkey)
+            SELECT o_custkey, c_name, n_name, p.rev_dm
+            FROM per_cust p
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY p.rev_dm DESC, o_custkey LIMIT 20""",
         "events_zscore": """
             WITH c AS (SELECT event_type,
                               CAST(round(value * 100.0) AS BIGINT) AS v

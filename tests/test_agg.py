@@ -304,3 +304,42 @@ def test_zscore_by_group_bit_exact_vs_duckdb(ray_session):
     g = got.dropna(subset=["zscore"]).groupby("event_type")["zscore"]
     assert (g.mean().abs() < 1e-9).all()
     assert ((g.std(ddof=0) - 1).abs() < 1e-9).all()
+
+
+def test_events_rolling_group_boundary(ray_session, tmp_path):
+    """Rolling window must reset at user boundaries and clamp at group
+    starts (roll_n < window on the first rows of each user)."""
+    import pyarrow.parquet as pq
+    from timezonemap_ray.pipelines.relational import events_rolling
+    n = 40
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array((np.arange(n) % 3).astype(np.int64)),
+        "ts": pa.array(np.arange(n).astype("datetime64[us]")),
+        "value": pa.array(np.full(n, 1.0)),
+        "event_type": pa.array(["x"] * n),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = events_rolling(str(tmp_path), window=4).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = _con(tbl, "events").execute("""
+        WITH c AS (SELECT event_id, user_id, ts,
+                          CAST(round(value * 100.0) AS BIGINT) AS value_c
+                   FROM events)
+        SELECT event_id, user_id,
+               CAST(sum(value_c) OVER w AS BIGINT) AS roll_sum_c,
+               CAST(count(*) OVER w AS BIGINT) AS roll_n,
+               (CAST(sum(value_c) OVER w AS BIGINT)::DOUBLE
+                / CAST(count(*) OVER w AS BIGINT)::DOUBLE) AS roll_mean_c
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_exact=True,
+                                  check_dtype=False)
+    # first row of each user: window clamped to 1
+    firsts = got.groupby("user_id").head(1)
+    assert (firsts["roll_n"] == 1).all()
+    # value=1.0 everywhere → rolling sum = 100·roll_n
+    assert (got["roll_sum_c"] == 100 * got["roll_n"]).all()

@@ -207,6 +207,78 @@ def revenue_by_nation(sf_dir: str):
     return out.sort("n_name")
 
 
+def customer_returns_topk(sf_dir: str, limit: int = 20):
+    """TPC-H Q10 flavor: top customers by RETURNED-item revenue —
+    lineitem(R) ⋈ orders ⋈ customer ⋈ nation, deci-milli-cents-exact.
+
+    Scale shape: (1) the returnflag filter + per-orderkey integer partial
+    aggregation run INSIDE the lineitem scan (the big side shrinks before
+    any shuffle and revenue is int64 dm — no float reduce drift);
+    (2) the only all-to-all is the orderkey hash join; (3) per-customer
+    revenue is a combiner groupby of int partials; (4) customer/nation
+    attach via broadcast probes AFTER aggregation (dim joins touch
+    customer-count rows, not lineitems); (5) top-k is block-local → tiny
+    driver merge, never a global sort."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from ..stages.join import broadcast_lookup, hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_returnflag"])
+
+    def pre_agg(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        dm = pc.cast(pc.round(
+            pc.multiply(pc.multiply(b["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0),
+                                                b["l_discount"])),
+                        pa.scalar(10000.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev_dm": dm})
+        g = pa.TableGroupBy(t, "l_orderkey").aggregate([("rev_dm", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rev_dm": g["rev_dm_sum"]})
+
+    li = li.map_batches(pre_agg, batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Sum("rev_dm", alias_name="rev_dm"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[
+            ("rev_dm", "descending"), ("o_custkey", "ascending")])[:limit]
+        return b.take(idx)
+
+    partials = [t for t in per_cust.map_batches(
+        local_topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow") if t.num_rows > 0]
+    if not partials:
+        partials = [pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                              "rev_dm": pa.array([], type=pa.int64())})]
+    merged = pa.concat_tables(partials).combine_chunks()
+    idx = pc.sort_indices(merged, sort_keys=[
+        ("rev_dm", "descending"), ("o_custkey", "ascending")])[:limit]
+    top = merged.take(idx)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    pos = pc.index_in(top["o_custkey"],
+                      value_set=cust["c_custkey"].combine_chunks())
+    top = top.append_column(
+        "c_name", pc.take(cust["c_name"].combine_chunks(), pos))
+    nk = pc.take(cust["c_nationkey"].combine_chunks(), pos)
+    npos = pc.index_in(nk, value_set=nat["n_nationkey"].combine_chunks())
+    top = top.append_column(
+        "n_name", pc.take(nat["n_name"].combine_chunks(), npos))
+    return top.select(["o_custkey", "c_name", "n_name", "rev_dm"])
+
+
 def events_window_funcs(sf_dir: str, n_parts: int = 64):
     """Per-key ordered window functions over the events stream: running
     sum, row_number and lag-gap per user — SQL
@@ -275,6 +347,68 @@ def events_window_funcs(sf_dir: str, n_parts: int = 64):
             "running_sum_c": pa.array(cum - base, type=pa.int64()),
             "row_num": pa.array(row_num, type=pa.int64()),
             "gap_us": pa.array(gap, type=pa.int64(), mask=first)})
+
+    return ds.map_batches(add_cents_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def events_rolling(sf_dir: str, window: int = 5, n_parts: int = 64):
+    """Fixed-size ROLLING window aggregate per key — SQL ``ROWS BETWEEN
+    k-1 PRECEDING AND CURRENT ROW`` over (user_id, ts, event_id): rolling
+    sum, rolling count and rolling mean of the cents-scaled value.
+
+    Same scale shape as :func:`events_window_funcs` (one coarse hash
+    shuffle on user_id, vectorized sort + segmented scan per partition);
+    the rolling sum is ``cum[i] − cum[max(i−k, group_start−1)]`` — pure
+    int64 prefix-sum arithmetic, exact in any engine; the mean is ONE
+    float division of two exact ints (bit-equal to SQL)."""
+    import numpy as np
+    import ray.data as rd
+    from ..stages.select import _hash_part_of
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def add_cents_part(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        b = b.drop_columns(["value"]).append_column("value_c", cents)
+        return b.append_column(
+            "_part", pa.array(_hash_part_of(b["user_id"], n_parts)))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if "_part" in g.column_names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "roll_sum_c": pa.array([], type=pa.int64()),
+                "roll_n": pa.array([], type=pa.int64()),
+                "roll_mean_c": pa.array([], type=pa.float64())})
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        c = g["value_c"].to_numpy(zero_copy_only=False)
+        cum0 = np.r_[0, np.cumsum(c)]          # cum0[j+1] = Σ c[:j+1]
+        start_rep = np.repeat(starts, lens)
+        i = np.arange(n, dtype=np.int64)
+        base = np.maximum(i - window, start_rep - 1)  # exclusive-left idx
+        roll_sum = cum0[i + 1] - cum0[base + 1]
+        roll_n = np.minimum(i - start_rep + 1, window)
+        mean = roll_sum.astype(np.float64) / roll_n.astype(np.float64)
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "roll_sum_c": pa.array(roll_sum, type=pa.int64()),
+            "roll_n": pa.array(roll_n, type=pa.int64()),
+            "roll_mean_c": pa.array(mean, type=pa.float64())})
 
     return ds.map_batches(add_cents_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(per_part, batch_format="pyarrow")
