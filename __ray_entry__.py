@@ -981,6 +981,31 @@ def _q_normalize_text(sf_dir: str):
     return ds.map_batches(normalize_text, batch_format="pyarrow")
 
 
+_MIXTURE_RATES = {"src0": 10000, "src1": 7500, "src2": 5000, "src3": 2500,
+                  "src4": 1000, "src5": 0}
+
+
+def _q_docs_mixture(sf_dir: str):
+    """Weighted dataset-mixture composition: each source kept at its own
+    deterministic hash-sample rate (the training-mix step). Stateless
+    int64 hash predicate per row — no RNG, no shuffle."""
+    import ray.data as rd
+    from timezonemap_ray.stages.corpus import mixture_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+    return mixture_sample(ds, "source", "doc_id", _MIXTURE_RATES)
+
+
+def _q_events_winsorized(sf_dir: str):
+    """Percentile clipping (winsorize p05/p95): exact distributed
+    quantile bounds broadcast into a streaming clip pass."""
+    import ray.data as rd
+    from timezonemap_ray.stages.select import winsorize
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    return winsorize(ds, "value", 0.05, 0.95)
+
+
 def _q_events_rolling(sf_dir: str):
     """Fixed-size rolling window aggregate per key (ROWS BETWEEN 4
     PRECEDING AND CURRENT ROW): rolling sum/count/mean — one coarse
@@ -1195,6 +1220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_per_source": _q_docs_sample_per_source,
         "docs_split_counts": _q_docs_split_counts,
         "docs_source_quota": _q_docs_source_quota,
+        "docs_mixture": _q_docs_mixture,
+        "events_winsorized": _q_events_winsorized,
         "docs_decontaminate": _q_docs_decontaminate,
         "events_topk_per_user": _q_events_topk_per_user,
         # broadcast semi/anti filter-joins
@@ -1504,6 +1531,21 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY event_type""",
+        "docs_mixture": (
+            "SELECT doc_id, source, n_chars FROM documents WHERE "
+            + __import__("timezonemap_ray.stages.corpus",
+                         fromlist=["mixture_sql_pred"])
+            .mixture_sql_pred("doc_id", "source", _MIXTURE_RATES)),
+        "events_winsorized": """
+            WITH b AS (SELECT quantile_disc(value, 0.05) AS lo,
+                              quantile_disc(value, 0.95) AS hi
+                       FROM events WHERE NOT isnan(value))
+            SELECT event_id, value,
+                   CASE WHEN value IS NULL THEN NULL
+                        WHEN isnan(value) THEN value
+                        ELSE LEAST(GREATEST(value, b.lo), b.hi)
+                   END AS value_w
+            FROM events, b""",
         "value_quantiles": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q, "
             f"quantile_disc(value, {q}) AS value "

@@ -361,3 +361,51 @@ def test_sample_per_group_matches_sql(ray_session, sf_dir):
     per = got.groupby("source").size()
     for src, n in sizes.items():
         assert per.get(src, 0) == min(7, n)
+
+
+def test_winsorize_bounds_and_edges(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from timezonemap_ray.stages.select import quantile_exact, winsorize
+    rng = np.random.default_rng(3)
+    v = rng.normal(0, 100, 3000).tolist()
+    v[5] = None          # null stays null
+    v[17] = float("nan")  # NaN passes through
+    tbl = pa.table({"event_id": pa.array(range(3000), type=pa.int64()),
+                    "value": pa.array(v, type=pa.float64())})
+    ds = rd.from_arrow(tbl).repartition(7)
+    qt = quantile_exact(ds, "value", [0.05, 0.95])
+    lo, hi = qt["value"].to_pylist()
+    out = winsorize(ds, "value", 0.05, 0.95).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    w = out["value_w"]
+    assert w.isna()[5]          # null in → null out
+    assert np.isnan(w[17])      # NaN in → NaN out (not clipped to hi)
+    ok = w.dropna()[~np.isnan(w.dropna())]
+    assert ok.min() == lo and ok.max() == hi
+    inside = out["value"].between(lo, hi)
+    assert (out.loc[inside & out["value"].notna(), "value_w"]
+            == out.loc[inside & out["value"].notna(), "value"]).all()
+
+
+def test_mixture_sample_rates_and_determinism(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from timezonemap_ray.stages.corpus import mixture_sample
+    n = 20000
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "source": pa.array([f"s{i % 4}" for i in range(n)]),
+    })
+    ds = rd.from_arrow(tbl).repartition(9)
+    rates = {"s0": 10000, "s1": 5000, "s2": 500}  # s3 absent → dropped
+    out = mixture_sample(ds, "source", "doc_id", rates).to_pandas()
+    counts = out.groupby("source").size()
+    assert counts.get("s0") == n // 4                      # rate 100%
+    assert abs(counts.get("s1") / (n // 4) - 0.5) < 0.05   # ~50%
+    assert abs(counts.get("s2") / (n // 4) - 0.05) < 0.02  # ~5%
+    assert "s3" not in counts.index
+    out2 = mixture_sample(ds, "source", "doc_id", rates).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])  # deterministic

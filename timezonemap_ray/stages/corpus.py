@@ -244,3 +244,41 @@ def decontaminate(corpus_ds, bench_ds, shingle: int = 8,
         Decontaminator, fn_constructor_args=(bh_ref, bs_ref, shingle,
                                              text_col),
         batch_format="pyarrow", concurrency=concurrency)
+
+
+def mixture_sample(ds, group_col: str, id_col: str, rates_bp: dict):
+    """Weighted dataset-mixture composition: keep each group (source /
+    domain / language) at its OWN deterministic hash-sample rate in basis
+    points — the training-mix step ("web 25 %, books 100 %, code 50 %").
+
+    Vectorized per batch: group → rate via ``pc.index_in`` into the tiny
+    broadcast rate table, then the same stateless int64 hash predicate as
+    ``select.sample_hash`` (no RNG state: stable under retries/resumes,
+    disjointness and SQL reproducibility inherited). Groups absent from
+    ``rates_bp`` are dropped (rate 0)."""
+    import pyarrow.compute as pc
+
+    from .select import SAMPLE_MOD, SAMPLE_MULT, SAMPLE_SPACE
+
+    keys = pa.array(list(rates_bp.keys()))
+    rates = np.asarray(list(rates_bp.values()), dtype=np.int64)
+
+    def keep(b: pa.Table) -> pa.Table:
+        pos = pc.index_in(b[group_col], value_set=keys)
+        posn = pc.fill_null(pos, -1).to_numpy(zero_copy_only=False)
+        rate = np.where(posn >= 0, rates[np.clip(posn, 0, None)], 0)
+        v = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)
+        return b.filter(pa.array((h % np.int64(SAMPLE_SPACE)) < rate))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def mixture_sql_pred(id_col: str, group_col: str, rates_bp: dict) -> str:
+    """The SQL predicate matching ``mixture_sample`` exactly (same
+    negative-id renormalization as ``sample_hash_sql_pred``)."""
+    from .select import SAMPLE_MOD, SAMPLE_MULT, SAMPLE_SPACE
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in rates_bp.items())
+    m = SAMPLE_MOD
+    return (f"((((({id_col} * {SAMPLE_MULT}) % {m}) + {m}) % {m})"
+            f" % {SAMPLE_SPACE}) < (CASE {group_col} {cases} ELSE 0 END)")

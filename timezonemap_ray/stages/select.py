@@ -706,3 +706,29 @@ def sample_per_group(ds, group_col: str, id_col: str, k: int,
                          group_col, "_negh", k, id_col, n_parts=n_parts)
     return out.map_batches(lambda b: b.drop_columns(["_negh"]),
                            batch_format="pyarrow")
+
+
+def winsorize(ds, column: str, lo_q: float = 0.05, hi_q: float = 0.95,
+              out_col: str | None = None):
+    """Percentile clipping (winsorization) — the standard outlier
+    treatment before training: values clamp to the EXACT
+    [quantile_disc(lo_q), quantile_disc(hi_q)] bounds from
+    :func:`quantile_exact`, broadcast as two scalars into a streaming
+    clip pass. Two passes total (bounds + clip); the bounds pass stages
+    only the one needed column. NaN passes through (SQL ``GREATEST`` /
+    ``LEAST`` NaN semantics differ — both sides guard explicitly); null
+    stays null."""
+    import pyarrow.compute as pc
+
+    qt = quantile_exact(ds, column, [lo_q, hi_q])
+    lo, hi = qt["value"].to_pylist()
+    name = out_col or f"{column}_w"
+
+    def clip(b: pa.Table) -> pa.Table:
+        valid = pc.is_valid(b[column]).to_numpy(zero_copy_only=False)
+        v = b[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.where(np.isnan(v), v, np.clip(v, lo, hi))
+        return b.append_column(
+            name, pa.array(c, type=pa.float64(), mask=~valid))
+
+    return ds.map_batches(clip, batch_format="pyarrow")
