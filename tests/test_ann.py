@@ -270,3 +270,81 @@ def test_frame_sampler_all_or_nothing(ray_session):
         "duration_ms": pa.array([5000], type=pa.int32())})
     out = media.FrameSampler()(t)
     assert out.num_rows == 0  # frames 0-1 decode, frame 2 fails -> discard all
+
+
+def test_pq_recall_and_code_shape(ray_session, emb_path, queries):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    qids, qmat = queries
+    ds = rd.read_parquet(emb_path)
+    exact = ann.brute_topk(ds, qids, qmat, k=10).to_pandas()
+    # codes-only ADC (no re-rank): moderate recall on near-random vectors
+    adc = ann.pq_topk(ds, qids, qmat, k=10, m=16, ks=256).to_pandas()
+    # with exact re-rank of a 50-candidate shortlist: near-perfect
+    rr = ann.pq_topk(ds, qids, qmat, k=10, m=16, ks=256,
+                     rerank_l=50).to_pandas()
+
+    def recall(approx):
+        per = []
+        for q in set(qids.tolist()):
+            a = set(exact[exact.query_id == q].vec_id)
+            b = set(approx[approx.query_id == q].vec_id)
+            per.append(len(a & b) / len(a))
+        return float(np.mean(per))
+
+    assert recall(adc) >= 0.5
+    assert recall(rr) >= 0.9
+    # encode: 16 uint8 codes per vector (16× compression of 64 f32 dims)
+    t = pq.read_table(emb_path)
+    sample = np.array(t["embedding"].to_pylist()[:300], dtype=np.float64)
+    cbs = ann.pq_train(sample, m=16, ks=256)
+    assert cbs.shape == (16, 256, 4)
+    codes = ann.pq_encode(ds, cbs).to_pandas()
+    assert len(codes) == t.num_rows
+    assert all(len(c) == 16 for c in codes["codes"].head(20))
+    # determinism: same input → identical codes + identical top-k
+    codes2 = ann.pq_encode(ds, cbs).to_pandas()
+    a = codes.sort_values("vec_id").reset_index(drop=True)
+    b = codes2.sort_values("vec_id").reset_index(drop=True)
+    assert all((x == y).all() for x, y in zip(a["codes"], b["codes"]))
+    rr2 = ann.pq_topk(ds, qids, qmat, k=10, m=16, ks=256,
+                      rerank_l=50).to_pandas()
+    pd.testing.assert_frame_equal(rr, rr2)
+
+
+def test_pq_clustered_data_cluster_retrieval_and_rerank(ray_session):
+    """On clustered vectors PQ codes collapse WITHIN a tight cluster (all
+    members share codes — fine ranking there is undecidable by design),
+    but the ADC scan must still retrieve from the RIGHT cluster, and the
+    exact re-rank pass must recover true top-k recall."""
+    import pyarrow as pa
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, (8, 32))
+    x = np.vstack([c + rng.normal(0, 0.05, (250, 32)) for c in centers])
+    labels = np.repeat(np.arange(8), 250)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(x)), type=pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in x]),
+    })
+    ds = rd.from_arrow(tbl).repartition(5)
+    qrows = [10, 300, 700, 1500]
+    qids, qmat = np.arange(4), x[qrows]
+    adc = ann.pq_topk(ds, qids, qmat, k=10, m=8, ks=64).to_pandas()
+    # every ADC hit comes from the query's own cluster
+    for qi, row in zip(qids.tolist(), qrows):
+        hits = adc[adc.query_id == qi]["vec_id"].to_numpy()
+        assert (labels[hits] == labels[row]).all()
+    # exact re-rank recovers the true within-cluster top-k
+    exact = ann.brute_topk(ds, qids, qmat, k=10).to_pandas()
+    # rerank_l must cover the ADC tie class: all 250 cluster members
+    # share one code word here, so a 100-candidate shortlist would
+    # tie-truncate; 250 captures the full cluster
+    rr = ann.pq_topk(ds, qids, qmat, k=10, m=8, ks=64,
+                     rerank_l=250).to_pandas()
+    per = []
+    for q in qids.tolist():
+        a = set(exact[exact.query_id == q].vec_id)
+        b = set(rr[rr.query_id == q].vec_id)
+        per.append(len(a & b) / len(a))
+    assert float(np.mean(per)) >= 0.9, per

@@ -311,3 +311,175 @@ def ivf_topk(ds, query_ids, query_matrix, k: int = 10, n_centroids: int = 16,
         if throwaway:
             shutil.rmtree(index_dir, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-vector ADC scan
+# ---------------------------------------------------------------------------
+
+def pq_train(sample: np.ndarray, m: int = 8, ks: int = 16,
+             iters: int = 12, seed: int = 7) -> np.ndarray:
+    """Train PQ codebooks on a driver-side sample → (m, ks, d/m).
+
+    Standard FAISS-style recipe: split the (normalized) vector into ``m``
+    subspaces and run plain-L2 Lloyd's per subspace. Training on a
+    deterministic sample is the sanctioned scale path — codebooks are a
+    few KB regardless of corpus size. Deterministic (seeded init, argmin
+    first-wins ties)."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    cbs = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        k_eff = min(ks, sub.shape[0])
+        c = sub[rng.choice(sub.shape[0], size=k_eff, replace=False)]
+        for _ in range(iters):
+            dist = (-2.0 * sub @ c.T + (c ** 2).sum(1)[None, :])
+            assign = np.argmin(dist, axis=1)
+            for cj in range(k_eff):
+                sel = sub[assign == cj]
+                if len(sel):
+                    c[cj] = sel.mean(axis=0)
+        if k_eff < ks:  # degenerate tiny sample: pad by repeating
+            c = np.vstack([c, np.repeat(c[:1], ks - k_eff, axis=0)])
+        cbs[j] = c
+    return cbs
+
+
+def pq_encode(ds, codebooks: np.ndarray, vec_col="embedding",
+              id_col="vec_id"):
+    """Encode every vector to ``m`` uint8 codes (argmin sub-centroid) —
+    a 32×+ compression of the corpus (64 f32 dims → 8 bytes). Codebooks
+    broadcast once via ``ray.put``; per block one (n, ks) matmul per
+    subspace. Output: (vec_id, codes: fixed_size_list<uint8>[m])."""
+    ref = ray.put(np.asarray(codebooks, dtype=np.float64))
+
+    def enc(b: pa.Table) -> pa.Table:
+        cb = ray.get(ref)
+        m, ks, dsub = cb.shape
+        v = _normalize(list_column_to_matrix(b[vec_col]))
+        codes = np.empty((v.shape[0], m), dtype=np.uint8)
+        for j in range(m):
+            sub = v[:, j * dsub:(j + 1) * dsub]
+            dist = -2.0 * sub @ cb[j].T + (cb[j] ** 2).sum(1)[None, :]
+            codes[:, j] = np.argmin(dist, axis=1).astype(np.uint8)
+        flat = pa.array(codes.reshape(-1), type=pa.uint8())
+        return pa.table({
+            id_col: b[id_col],
+            "codes": pa.FixedSizeListArray.from_arrays(flat, m)})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(ds, query_ids, query_matrix, k: int = 10, m: int = 8,
+            ks: int = 16, sample_n: int = 4000, iters: int = 12,
+            rerank_l: int = 0, vec_col="embedding", id_col="vec_id"):
+    """Approximate cosine top-k via PQ + ADC (asymmetric distance): train
+    codebooks on a deterministic sample, encode the corpus to m-byte
+    codes, then scan CODES ONLY — per block the distance is m table
+    gathers per query (no float vector reads), block-local top-k, tiny
+    driver merge. On unit vectors ‖q−x‖² = 2−2cos, so the emitted
+    ``score = 1 − dist/2`` ranks like cosine; recall vs ``brute_topk``
+    is pytest-bounded. The 100 TB story: the float corpus is read once
+    at encode time; every subsequent query wave touches 8 bytes/vector."""
+    from .select import sample_bottom_k
+
+    samp_tbl = sample_bottom_k(ds.select_columns([id_col, vec_col]),
+                               id_col, sample_n)
+    sample = list_column_to_matrix(samp_tbl[vec_col])
+    cbs = pq_train(sample, m=m, ks=ks, iters=iters)
+    codes = pq_encode(ds, cbs, vec_col=vec_col, id_col=id_col)
+
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    dsub = q.shape[1] // m
+    # LUT[qi, j, c] = ‖q_sub − centroid‖² → (nq, m, ks)
+    lut = np.empty((q.shape[0], m, ks), dtype=np.float64)
+    for j in range(m):
+        qs = q[:, j * dsub:(j + 1) * dsub]
+        diff = qs[:, None, :] - cbs[j][None, :, :]
+        lut[:, j, :] = (diff ** 2).sum(axis=2)
+    payload = ray.put({"lut": lut,
+                       "qids": np.asarray(query_ids, dtype=np.int64)})
+
+    def scan(b: pa.Table) -> pa.Table:
+        p = ray.get(payload)
+        lut_, qids = p["lut"], p["qids"]
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        flat = b["codes"].combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False)
+        cd = flat.reshape(-1, m)                       # (n, m) uint8
+        nq = lut_.shape[0]
+        dist = np.zeros((nq, cd.shape[0]), dtype=np.float64)
+        for j in range(m):
+            dist += lut_[:, j, :][:, cd[:, j]]        # (nq, n) gather
+        # when re-ranking, every block must surface the full shortlist
+        # width, not just k — otherwise ties are truncated per block and
+        # the exact pass can never see them
+        kk = min(max(k, rerank_l), cd.shape[0])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(nq):
+            row = dist[qi]
+            top = np.argpartition(row, kk - 1)[:kk] if kk < row.size \
+                else np.arange(row.size)
+            out_q.append(np.full(top.size, qids[qi], dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_s.append(1.0 - row[top] / 2.0)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64())})
+
+    partials = codes.map_batches(scan, batch_format="pyarrow")
+    if not rerank_l:
+        return _final_topk(partials, k)
+
+    # Exact re-rank (the standard IVF-PQ refinement): the ADC scan only
+    # SHORTLISTS rerank_l candidates per query; their true float vectors
+    # — ≤ nq·rerank_l rows by construction — are re-read via a broadcast
+    # semi-filter and scored exactly. The corpus-wide pass still touches
+    # only 1-byte codes.
+    import pyarrow.compute as pc
+    shortlist = _final_topk(partials, max(rerank_l, k)).to_pandas()
+    allowed = {(int(r.query_id), int(r.vec_id))
+               for r in shortlist.itertuples()}
+    cand = np.unique(shortlist["vec_id"].to_numpy())
+    cand_ref = ray.put(cand)
+    qref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
+                    "mat": q})
+
+    def exact_scores(b: pa.Table) -> pa.Table:
+        cd = ray.get(cand_ref)
+        keep = pc.is_in(b[id_col], value_set=pa.array(cd))
+        b = b.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64())})
+        p = ray.get(qref)
+        v = _normalize(list_column_to_matrix(b[vec_col]))
+        sims = v @ p["mat"].T                         # (n_cand, nq)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nq = sims.shape[1]
+        return pa.table({
+            "query_id": pa.array(np.repeat(p["qids"], ids.size)),
+            "vec_id": pa.array(np.tile(ids, nq)),
+            "score": pa.array(sims.T.reshape(-1), type=pa.float64())})
+
+    scored = ds.map_batches(exact_scores, batch_format="pyarrow") \
+        .to_pandas()
+    mask = [(int(a), int(b_)) in allowed
+            for a, b_ in zip(scored["query_id"], scored["vec_id"])]
+    scored = scored[mask]
+    scored = scored.sort_values(["query_id", "score", "vec_id"],
+                                ascending=[True, False, True])
+    scored = scored.groupby("query_id", sort=True).head(k) \
+        .reset_index(drop=True)
+    scored["rank"] = scored.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        scored[["query_id", "vec_id", "rank", "score"]],
+        preserve_index=False)
