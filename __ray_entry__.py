@@ -1000,6 +1000,18 @@ _MIXTURE_RATES = {"src0": 10000, "src1": 7500, "src2": 5000, "src3": 2500,
                   "src4": 1000, "src5": 0}
 
 
+def _q_fuzzy_customer_pairs(sf_dir: str):
+    """Entity-resolution fuzzy join: all customer-name pairs within
+    Levenshtein distance 1, via exact deletion-neighborhood blocking
+    (SymSpell) — vectorized signature generation, one coarse shuffle,
+    in-bucket verification only, combiner pair dedup."""
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import fuzzy_pairs_lev1
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    return fuzzy_pairs_lev1(ds, "c_custkey", "c_name")
+
+
 def _q_docs_mixture(sf_dir: str):
     """Weighted dataset-mixture composition: each source kept at its own
     deterministic hash-sample rate (the training-mix step). Stateless
@@ -1189,6 +1201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
+        "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
         "duplicated_spans": _q_duplicated_spans,
         "clean_chunks": _q_clean_chunks,
         # similarity search
@@ -1547,6 +1560,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY event_type""",
+        "fuzzy_customer_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND levenshtein(a.c_name, b.c_name) <= 1""",
         "docs_mixture": (
             "SELECT doc_id, source, n_chars FROM documents WHERE "
             + __import__("timezonemap_ray.stages.corpus",

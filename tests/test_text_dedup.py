@@ -459,3 +459,37 @@ def test_redact_text_masks_and_counts(ray_session):
                        + ((r"\b(stay|today)\b", "[MASKED]"),))
     assert out2["clean_text"].to_pylist()[0].endswith("[MASKED]")
     assert out2["n_redacted"].to_pylist() == [2, 2, 0, 3]
+
+
+def test_fuzzy_pairs_lev1_matches_bruteforce(ray_session):
+    import itertools
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import _lev_le1, fuzzy_pairs_lev1
+    names = ["alpha", "alphA", "alpa", "alpha!", "beta", "betta", "bta",
+             "gamma", "gamm", "gamme", "delta", "alphaa", "ab", "ba", "a",
+             "", "x", "xy", "alpha"]  # incl. exact dup, empty, swaps
+    tbl = pa.table({"id": pa.array(range(len(names)), type=pa.int64()),
+                    "name": pa.array(names)})
+    got = fuzzy_pairs_lev1(rd.from_arrow(tbl).repartition(4), "id", "name") \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    def lev(a, b):  # full DP reference
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[len(b)]
+
+    want = sorted((i, j) for i, j in itertools.combinations(
+        range(len(names)), 2) if lev(names[i], names[j]) <= 1)
+    assert list(map(tuple, got[["id_a", "id_b"]].to_numpy())) == want
+    # swap pairs ("ab","ba") share deletion sigs but are distance 2 —
+    # must be verified away
+    assert (12, 13) not in set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+    # _lev_le1 agrees with the DP on every pair
+    for a, b in itertools.combinations(names, 2):
+        assert _lev_le1(a, b) == (lev(a, b) <= 1), (a, b)

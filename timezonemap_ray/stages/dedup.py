@@ -831,3 +831,143 @@ def duplicated_spans(ds, window: int = 50, stride: int = 25,
     dup_keys = pa.concat_tables(tabs)["_dg"]
     flagged = broadcast_semi_join(wds, dup_keys, "_dg")
     return flagged.select_columns([id_col, "chunk_idx", "n_tokens"])
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy-duplicate join (entity resolution, Levenshtein ≤ 1)
+# ---------------------------------------------------------------------------
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) ≤ 1 in O(len) — substitution (equal length,
+    ≤ 1 mismatch) or single indel (one-gap walk)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_pairs_lev1(ds, id_col: str, name_col: str, n_parts: int = 64,
+                     max_bucket: int = 4096):
+    """All pairs of rows whose ``name_col`` values are within Levenshtein
+    distance 1 → Dataset of (id_a, id_b), id_a < id_b — the entity-
+    resolution fuzzy join.
+
+    Blocking is the deletion-neighborhood signature (SymSpell/FastSS):
+    sig set = {name} ∪ {name minus one char}. Two strings within one edit
+    ALWAYS share a signature (exact blocking — no recall loss), so only
+    same-signature buckets are verified. Signature generation is fully
+    vectorized (one ``utf8_slice`` + ``binary_join`` pass per deletion
+    position — looped over max name length, not rows); buckets co-locate
+    via ONE coarse hash shuffle; verification (`_lev_le1`) runs only on
+    in-bucket candidates; cross-bucket duplicate pairs dedup with a
+    combiner groupby. Buckets above ``max_bucket`` are capped with a log
+    line (the LSH hot-bucket contract — at crawl scale a universal token
+    would otherwise quadratically explode one bucket)."""
+    import logging
+
+    import pyarrow.compute as pc
+
+    from .select import _hash_part_of
+
+    def sigs(b: pa.Table) -> pa.Table:
+        names = b[name_col]
+        if isinstance(names, pa.ChunkedArray):
+            names = names.combine_chunks()
+        lens = pc.utf8_length(names).to_numpy(zero_copy_only=False)
+        maxlen = int(lens.max()) if len(lens) else 0
+        outs = []
+        ids = b[id_col]
+        # d == maxlen pass yields the identity signature for every row
+        # (slice beyond the end is the whole string + empty tail)
+        for d in range(maxlen + 1):
+            keep = pa.array(lens >= d)
+            left = pc.utf8_slice_codeunits(names, 0, d)
+            right = pc.utf8_slice_codeunits(names, d + 1, 1 << 30)
+            sig = pc.binary_join_element_wise(left, right, "")
+            t = pa.table({"sig": sig, id_col: ids, name_col: names})
+            outs.append(t.filter(keep))
+        out = pa.concat_tables(outs)
+        # a row whose length < maxlen emits its identity sig twice (at
+        # d == len and d == maxlen); drop exact (sig, id) dups per block
+        key = pc.binary_join_element_wise(
+            out["sig"], pc.cast(out[id_col], pa.string()), "\x00")
+        enc = key.combine_chunks().dictionary_encode()
+        first = np.unique(enc.indices.to_numpy(zero_copy_only=False),
+                          return_index=True)[1]
+        return out.take(pa.array(np.sort(first)))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_part", pa.array(_hash_part_of(b["sig"], n_parts)))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[("sig", "ascending"),
+                                            (id_col, "ascending")])
+        g = g.take(idx)
+        codes = g["sig"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        bounds = np.r_[starts, len(codes)]
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        names = g[name_col].to_pylist()
+        out_a, out_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            if e - s > max_bucket:
+                logging.getLogger(__name__).warning(
+                    "fuzzy_pairs_lev1: bucket capped %d -> %d",
+                    e - s, max_bucket)
+                e = s + max_bucket
+            for i in range(s, e):
+                for j in range(i + 1, e):
+                    if ids[i] != ids[j] and _lev_le1(names[i], names[j]):
+                        lo, hi = (ids[i], ids[j]) if ids[i] < ids[j] \
+                            else (ids[j], ids[i])
+                        out_a.append(lo)
+                        out_b.append(hi)
+        if not out_a:
+            return empty
+        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                         "id_b": pa.array(out_b, type=pa.int64())})
+
+    pairs = ds.map_batches(sigs, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+    # cross-bucket duplicates (a pair shares several signatures): exact
+    # distinct via per-block dedup partials + one combiner groupby
+    def local_distinct(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        c = b["id_b"].to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([a, c], axis=1), axis=0)  # any int64 ids
+        return pa.table({"id_a": pa.array(u[:, 0], type=pa.int64()),
+                         "id_b": pa.array(u[:, 1], type=pa.int64())})
+
+    from ray.data.aggregate import Count
+    out = pairs.map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n"))
+    return out.map_batches(lambda t: t.drop_columns(["_n"]),
+                           batch_format="pyarrow")
