@@ -1075,6 +1075,16 @@ def _q_events_zscore(sf_dir: str):
     return zscore_by_group(ds, "event_type", "value")
 
 
+def _q_vocab_bigrams(sf_dir: str):
+    """Bigram LM statistics: adjacent-token pairs counted with the
+    term_counts combiner shape (only (bigram, n) partials shuffle)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.terms import bigram_counts
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bigram_counts(ds)
+
+
 def _q_redact_text(sf_dir: str):
     """PII / blocklist redaction: mask PII-shaped patterns (email, long
     digit runs) plus a content blocklist, counting redactions per doc —
@@ -1191,6 +1201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": _q_fingerprint,
         "fingerprint_rolling": _q_fingerprint_rolling,
         "vocab_top_terms": _q_vocab_top_terms,
+        "vocab_bigrams": _q_vocab_bigrams,
         "distinctive_terms": _q_distinctive_terms,
         "normalize_text": _q_normalize_text,
         "redact_text": _q_redact_text,
@@ -1421,6 +1432,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*)::BIGINT AS n
             FROM toks GROUP BY term
             HAVING count(*) >= ceil(0.003 * (SELECT n FROM tot))""",
+        "vocab_bigrams": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS l
+                          FROM documents)
+            SELECT bigram, count(*)::BIGINT AS n FROM (
+                SELECT unnest(list_transform(range(1, len(l)),
+                              i -> l[i] || ' ' || l[i+1])) AS bigram
+                FROM toks WHERE len(l) >= 2)
+            GROUP BY bigram""",
         "vocab_top_terms": r"""
             SELECT term, count(*)::BIGINT AS n
             FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS term

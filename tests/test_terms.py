@@ -144,3 +144,25 @@ def test_inverted_index_posting_order_and_empty_docs(ray_session):
     assert got.loc["cat", "n_docs"] == 2         # dup token in one doc counted once
     assert got.loc["dog", "postings"] == "3,9"
     assert 7 not in got["postings"].str.split(",").explode().astype(int).tolist()
+
+
+def test_bigram_counts_matches_duckdb(ray_session):
+    from timezonemap_ray.stages.terms import bigram_counts
+    tbl = _docs_tbl()
+    got = bigram_counts(_ds(tbl)).to_pandas().sort_values("bigram") \
+        .reset_index(drop=True)
+    want = _con(tbl).execute(r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS l
+                      FROM documents)
+        SELECT bigram, count(*)::BIGINT AS n FROM (
+            SELECT unnest(list_transform(range(1, len(l)),
+                          i -> l[i] || ' ' || l[i+1])) AS bigram
+            FROM toks WHERE len(l) >= 2)
+        GROUP BY bigram ORDER BY bigram""").df()
+    assert got["bigram"].tolist() == want["bigram"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    # single-token and empty docs contribute nothing
+    import ray.data as rd
+    one = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                    "text": pa.array(["solo", ""])})
+    assert bigram_counts(rd.from_arrow(one)).count() == 0

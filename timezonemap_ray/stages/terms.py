@@ -302,3 +302,38 @@ def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
     return ds.map_batches(pairs, batch_format="pyarrow") \
         .map_batches(add_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def bigram_counts(ds, text_col: str = "text"):
+    """Global bigram (adjacent-token-pair) frequencies → Dataset of
+    (bigram: string, n: int64) — the n-gram LM statistics pass.
+
+    Same combiner shape as :func:`term_counts`: bigrams are formed
+    vectorized from the flat token buffer (adjacent positions with the
+    same parent doc — a document never spans blocks, so per-block
+    pairing is globally exact), counted per block via dictionary-encode
+    + bincount, and only (bigram, n) partials shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(b, text_col)
+        empty = pa.table({"bigram": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if len(flat) < 2:
+            return empty
+        same = parent[1:] == parent[:-1]        # adjacent within one doc
+        if not same.any():
+            return empty
+        left = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+        right = flat.slice(1).filter(pa.array(same))
+        bg = pc.binary_join_element_wise(left, right, " ")
+        if isinstance(bg, pa.ChunkedArray):
+            bg = bg.combine_chunks()
+        enc = bg.dictionary_encode()
+        counts = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                             minlength=len(enc.dictionary))
+        return pa.table({"bigram": enc.dictionary,
+                         "n": pa.array(counts.astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n", alias_name="n"))
