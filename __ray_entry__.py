@@ -1075,6 +1075,14 @@ def _q_events_zscore(sf_dir: str):
     return zscore_by_group(ds, "event_type", "value")
 
 
+def _q_profile_documents(sf_dir: str):
+    """Data-profiling card: one-row corpus quality summary (counts,
+    int-exact size moments, exact length quantiles, exact duplicate
+    count) — three bounded streaming passes, all-int64 output."""
+    from timezonemap_ray.pipelines.profile import profile_documents
+    return profile_documents(sf_dir)
+
+
 def _q_vocab_bigrams(sf_dir: str):
     """Bigram LM statistics: adjacent-token pairs counted with the
     term_counts combiner shape (only (bigram, n) partials shuffle)."""
@@ -1202,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_rolling": _q_fingerprint_rolling,
         "vocab_top_terms": _q_vocab_top_terms,
         "vocab_bigrams": _q_vocab_bigrams,
+        "profile_documents": _q_profile_documents,
         "distinctive_terms": _q_distinctive_terms,
         "normalize_text": _q_normalize_text,
         "redact_text": _q_redact_text,
@@ -1432,6 +1441,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*)::BIGINT AS n
             FROM toks GROUP BY term
             HAVING count(*) >= ceil(0.003 * (SELECT n FROM tot))""",
+        "profile_documents": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   count(DISTINCT source)::BIGINT AS n_sources,
+                   sum(n_chars)::BIGINT AS sum_chars,
+                   max(n_chars)::BIGINT AS max_chars,
+                   CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+                   CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95_chars,
+                   (count(*) - count(DISTINCT md5(text)))::BIGINT
+                       AS n_dup_texts
+            FROM documents""",
         "vocab_bigrams": r"""
             WITH toks AS (SELECT doc_id,
                                  regexp_extract_all(text, '\S+') AS l

@@ -176,3 +176,37 @@ def test_shuffled_with_precomputed_salts(ray_session, sf_dir, engine):
     b = shuffled_join(pts, engine, salt_counts={1234: 4}).to_pandas()
     cols = ["doc_id", "span_idx", "zone_id", "matched"]
     pd.testing.assert_frame_equal(_sorted(a)[cols], _sorted(b)[cols])
+
+
+def test_profile_documents_with_dups(ray_session, tmp_path):
+    """Profile card on a corpus WITH duplicates: exact dup count and
+    quantiles must match DuckDB."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from timezonemap_ray.pipelines.profile import profile_documents
+    rng = np.random.default_rng(9)
+    texts = [f"doc body {i % 40}" for i in range(200)]   # 40 distinct
+    tbl = pa.table({
+        "doc_id": pa.array(range(200), type=pa.int64()),
+        "text": pa.array(texts),
+        "source": pa.array([f"s{i % 7}" for i in range(200)]),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = profile_documents(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute("""
+        SELECT count(*)::BIGINT AS n_rows,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               sum(n_chars)::BIGINT AS sum_chars,
+               max(n_chars)::BIGINT AS max_chars,
+               CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+               CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95_chars,
+               (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup_texts
+        FROM documents""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_dup_texts"][0] == 160
