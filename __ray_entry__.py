@@ -1075,6 +1075,18 @@ def _q_events_zscore(sf_dir: str):
     return zscore_by_group(ds, "event_type", "value")
 
 
+def _q_mask_tokens(sf_dir: str):
+    """Deterministic MLM/T5-style token masking (15%): stateless
+    (doc, position)-keyed hash — reproducible across engines/retries,
+    fully vectorized rebuild via ListArray + binary_join."""
+    import ray.data as rd
+    from timezonemap_ray.stages.text import mask_tokens
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: mask_tokens(b, rate_bp=1500),
+                          batch_format="pyarrow")
+
+
 def _q_profile_documents(sf_dir: str):
     """Data-profiling card: one-row corpus quality summary (counts,
     int-exact size moments, exact length quantiles, exact duplicate
@@ -1213,6 +1225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _q_profile_documents,
         "distinctive_terms": _q_distinctive_terms,
         "normalize_text": _q_normalize_text,
+        "mask_tokens": _q_mask_tokens,
         "redact_text": _q_redact_text,
         "inverted_index": _q_inverted_index,
         # dedup family
@@ -1441,6 +1454,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*)::BIGINT AS n
             FROM toks GROUP BY term
             HAVING count(*) >= ceil(0.003 * (SELECT n FROM tot))""",
+        "mask_tokens": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS l
+                          FROM documents)
+            SELECT doc_id,
+                   CASE WHEN l IS NULL THEN NULL ELSE coalesce(
+                       array_to_string(list_transform(l, (t, i) ->
+                       CASE WHEN ((((((doc_id % 1000000007) + 1000000007) % 1000000007) * 100003 + i) % 1000000007 * 2654435761) % 1000000007) % 10000 < 1500
+                            THEN '<mask>' ELSE t END), ' '), '') END
+                       AS masked_text,
+                   len(list_filter(l, (t, i) -> ((((((doc_id % 1000000007) + 1000000007) % 1000000007) * 100003 + i) % 1000000007 * 2654435761) % 1000000007) % 10000 < 1500))::BIGINT AS n_masked
+            FROM toks""",
         "profile_documents": """
             SELECT count(*)::BIGINT AS n_rows,
                    count(DISTINCT source)::BIGINT AS n_sources,

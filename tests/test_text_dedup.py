@@ -493,3 +493,43 @@ def test_fuzzy_pairs_lev1_matches_bruteforce(ray_session):
     # _lev_le1 agrees with the DP on every pair
     for a, b in itertools.combinations(names, 2):
         assert _lev_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+
+def test_mask_tokens_matches_duckdb_and_edges(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from timezonemap_ray.stages.text import mask_sql_pred, mask_tokens
+    rng = np.random.default_rng(4)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(vocab[int(j)] for j in rng.integers(0, 4, int(n)))
+             for n in rng.integers(0, 40, 150)]
+    texts[0] = ""          # no tokens
+    texts[1] = None        # null text → null outputs
+    texts[2] = "  x  y  "  # ragged whitespace canonicalizes
+    tbl = pa.table({"doc_id": pa.array(range(150), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    got = mask_tokens(tbl, rate_bp=2000).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    pred = mask_sql_pred("doc_id", "i", 2000)
+    want = con.execute(rf"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS l
+                      FROM documents)
+        SELECT doc_id,
+               CASE WHEN l IS NULL THEN NULL ELSE coalesce(
+                   array_to_string(list_transform(l, (t, i) ->
+                   CASE WHEN {pred} THEN '<mask>' ELSE t END), ' '), '') END
+                   AS masked_text,
+               len(list_filter(l, (t, i) -> {pred}))::BIGINT AS n_masked
+        FROM toks ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["masked_text"][0] == "" and got["n_masked"][0] == 0
+    assert got["masked_text"][1] is None or pd.isna(got["masked_text"][1])
+    # empirical mask rate near 20%
+    total = sum(len(t.split()) for t in got["masked_text"].dropna())
+    assert abs(got["n_masked"].dropna().sum() / max(total, 1) - 0.2) < 0.04
+    # determinism across runs
+    again = mask_tokens(tbl, rate_bp=2000).to_pandas()
+    pd.testing.assert_frame_equal(got, again)

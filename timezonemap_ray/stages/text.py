@@ -414,3 +414,74 @@ def pack_sequences(batch: pa.Table, capacity: int = 512,
     gids = (_splitmix64(seed) >> np.uint64(1)).astype(np.int64)  # ≥ 0
     return batch.append_column("pack_id", pa.array(gids[bin_of])) \
                 .append_column("pack_pos", pa.array(pos_of))
+
+
+MASK_TOKEN = "<mask>"
+_MASK_MIX = 100003  # position mixer, coprime with SAMPLE_MOD
+
+
+def mask_tokens(batch: pa.Table, rate_bp: int = 1500,
+                text_col: str = "text") -> pa.Table:
+    """Deterministic token masking (MLM/T5-style corruption): token ``i``
+    (1-based) of document ``d`` masks iff
+
+        ((((d mod M)·100003 + i) mod M)·SAMPLE_MULT mod M) mod 10000 < rate
+
+    — the stateless sample_hash scheme keyed by (doc, position), so the
+    mask pattern is reproducible across engines/retries and expressible
+    in SQL (indexed list lambdas). Output text is tokens joined by single
+    spaces (the same canonicalization the SQL ``array_to_string`` twin
+    applies). Fully vectorized: one flat-token pass, one numpy hash, one
+    ListArray rebuild + ``binary_join``."""
+    from .terms import _flat_tokens
+
+    from ..stages.select import SAMPLE_MOD, SAMPLE_MULT, SAMPLE_SPACE
+
+    flat, parent = _flat_tokens(batch, text_col)
+    n_rows = batch.num_rows
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    if len(flat) == 0:
+        valid = pc.is_valid(batch[text_col])
+        texts = pc.if_else(valid, pa.array([""] * n_rows),
+                           pa.scalar(None, pa.string()))
+        zeros = pc.if_else(valid,
+                           pa.array(np.zeros(n_rows, dtype=np.int64)),
+                           pa.scalar(None, pa.int64()))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "masked_text": texts, "n_masked": zeros})
+    counts = np.bincount(parent, minlength=n_rows)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = (np.arange(len(flat), dtype=np.int64)
+           - starts[parent] + 1)                       # 1-based in-doc
+    M = np.int64(SAMPLE_MOD)
+    d = ((doc_ids[parent] % M) + M) % M                # SQL-sign parity
+    x = (d * np.int64(_MASK_MIX) + pos) % M
+    h = ((x * np.int64(SAMPLE_MULT)) % M) % np.int64(SAMPLE_SPACE)
+    masked = h < rate_bp
+    toks = pc.if_else(pa.array(masked), pa.scalar(MASK_TOKEN), flat)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), toks)
+    text_out = pc.binary_join(lst, " ")
+    n_masked = np.bincount(parent[masked], minlength=n_rows)
+    # null text → null outputs (SQL: regexp_extract_all(NULL) is NULL)
+    valid = pc.is_valid(batch[text_col])
+    text_out = pc.if_else(valid, text_out, pa.scalar(None, pa.string()))
+    n_out = pc.if_else(valid, pa.array(n_masked.astype(np.int64)),
+                       pa.scalar(None, pa.int64()))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "masked_text": text_out,
+        "n_masked": n_out,
+    })
+
+
+def mask_sql_pred(doc_col: str, idx: str, rate_bp: int) -> str:
+    """The SQL predicate matching ``mask_tokens`` (same negative-id
+    renormalization as the sample family)."""
+    from ..stages.select import SAMPLE_MOD, SAMPLE_MULT, SAMPLE_SPACE
+    m = SAMPLE_MOD
+    return (f"(((((({doc_col} % {m}) + {m}) % {m}) * {_MASK_MIX} + {idx})"
+            f" % {m} * {SAMPLE_MULT}) % {m}) % {SAMPLE_SPACE} < {rate_bp}")
