@@ -1075,6 +1075,18 @@ def _q_events_zscore(sf_dir: str):
     return zscore_by_group(ds, "event_type", "value")
 
 
+def _q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE over (priority, status): the full grouping-sets
+    lattice from ONE raw pass + combo-table re-aggregation."""
+    import ray.data as rd
+    from timezonemap_ray.stages.agg import cube_agg
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderstatus",
+                                  "o_totalprice"])
+    return cube_agg(ds, ["o_orderpriority", "o_orderstatus"],
+                    value_col="o_totalprice")
+
+
 def _q_mask_tokens(sf_dir: str):
     """Deterministic MLM/T5-style token masking (15%): stateless
     (doc, position)-keyed hash — reproducible across engines/retries,
@@ -1265,6 +1277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quartile_counts": _q_events_quartile_counts,
         "events_pivot_types": _q_events_pivot_types,
         "orders_rollup": _q_orders_rollup,
+        "orders_cube": _q_orders_cube,
         "orders_left_lineitem": _q_orders_left_lineitem,
         "events_asof_orders": _q_events_asof_orders,
         "customers_per_nation": _q_customers_per_nation,
@@ -1454,6 +1467,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*)::BIGINT AS n
             FROM toks GROUP BY term
             HAVING count(*) >= ceil(0.003 * (SELECT n FROM tot))""",
+        "orders_cube": """
+            WITH c AS (SELECT o_orderpriority, o_orderstatus,
+                              CAST(round(o_totalprice * 100.0) AS BIGINT)
+                                  AS cents
+                       FROM orders)
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS total_c
+            FROM c GROUP BY CUBE(o_orderpriority, o_orderstatus)""",
         "mask_tokens": r"""
             WITH toks AS (SELECT doc_id,
                                  regexp_extract_all(text, '\S+') AS l

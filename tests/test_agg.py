@@ -343,3 +343,26 @@ def test_events_rolling_group_boundary(ray_session, tmp_path):
     assert (firsts["roll_n"] == 1).all()
     # value=1.0 everywhere → rolling sum = 100·roll_n
     assert (got["roll_sum_c"] == 100 * got["roll_n"]).all()
+
+
+def test_cube_agg_matches_duckdb(ray_session):
+    from timezonemap_ray.stages.agg import cube_agg
+    rng = np.random.default_rng(31)
+    n = 500
+    tbl = pa.table({
+        "a": pa.array([f"a{i % 3}" for i in range(n)]),
+        "b": pa.array([f"b{i % 4}" for i in range(n)]),
+        "v": pa.array(np.round(rng.uniform(-20, 90, n), 2)),
+    })
+    got = cube_agg(_ds(tbl), ["a", "b"], value_col="v").to_pandas()
+    want = _con(tbl).execute("""
+        WITH c AS (SELECT a, b, CAST(round(v * 100.0) AS BIGINT) AS cents
+                   FROM t)
+        SELECT a, b, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_c
+        FROM c GROUP BY CUBE(a, b)""").df()
+    key = ["a", "b", "n", "total_c"]
+    a_ = got[key].sort_values(key).reset_index(drop=True)
+    b_ = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a_, b_, check_dtype=False)
+    # lattice shape: 12 finest + 3 (a) + 4 (b) + 1 total
+    assert len(got) == 20

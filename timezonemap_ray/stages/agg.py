@@ -441,3 +441,74 @@ def zscore_by_group(ds, group_col: str, value_col: str,
         return b.append_column(out_col, out)
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def cube_agg(ds, cols: list, value_col: str | None = None,
+             scale: float = 100.0):
+    """GROUP BY CUBE(cols): count (+ exact cents-scaled sum) at EVERY
+    subset of the grouping columns — the full grouping-sets lattice,
+    completing the family next to :func:`rollup_agg` (prefixes only).
+
+    Same exactness shape: one raw-data pass builds the finest aggregate
+    (materialized — it is the small distinct-combination table), every
+    other subset re-aggregates THAT (integer partials are associative),
+    and the grand total is a driver fold of the coarsest rows. 2^k − 2
+    extra groupbys run over combo-table-sized inputs, never the data.
+    Same null caveat as rollup: a real null group value is
+    indistinguishable from the cube null."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({c: b[c] for c in cols})
+        t = t.append_column("n", pa.array(
+            np.ones(b.num_rows, dtype=np.int64)))
+        if value_col is not None:
+            t = t.append_column("total_c", _sql_cents(b[value_col], scale))
+        aggs = [("n", "sum")] + (
+            [("total_c", "sum")] if value_col is not None else [])
+        g = pa.TableGroupBy(t, cols).aggregate(aggs)
+        out = {c: g[c] for c in cols}
+        out["n"] = pc.cast(g["n_sum"], pa.int64())
+        if value_col is not None:
+            out["total_c"] = pc.cast(g["total_c_sum"], pa.int64())
+        return pa.table(out)
+
+    metric_cols = ["n"] + (["total_c"] if value_col is not None else [])
+    in_schema = ds.schema()
+    group_types = {c: t for c, t in zip(in_schema.names, in_schema.types)
+                   if c in cols}
+
+    finest = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(cols).aggregate(
+            *[Sum(m, alias_name=m) for m in metric_cols]).materialize()
+
+    def make_pad(kept):
+        def pad(b: pa.Table) -> pa.Table:
+            out = {}
+            for c in cols:
+                out[c] = b[c] if c in kept \
+                    else pa.nulls(b.num_rows, type=group_types[c])
+            for m in metric_cols:
+                out[m] = b[m]
+            return pa.table(out)
+        return pad
+
+    levels = [finest]
+    for r in range(len(cols) - 1, 0, -1):
+        for kept in combinations(cols, r):
+            sub = finest.groupby(list(kept)).aggregate(
+                *[Sum(m, alias_name=m) for m in metric_cols])
+            levels.append(sub.map_batches(make_pad(set(kept)),
+                                          batch_format="pyarrow"))
+
+    import ray.data as rd
+    tot = finest.aggregate(*[Sum(m, alias_name=m) for m in metric_cols])
+    tot_cols = {c: pa.nulls(1, type=group_types[c]) for c in cols}
+    for m in metric_cols:
+        v = tot[m] if tot and tot.get(m) is not None else 0
+        tot_cols[m] = pa.array([int(v)], type=pa.int64())
+    levels.append(rd.from_arrow(pa.table(tot_cols)))
+
+    return levels[0].union(*levels[1:])
