@@ -1075,6 +1075,14 @@ def _q_events_zscore(sf_dir: str):
     return zscore_by_group(ds, "event_type", "value")
 
 
+def _q_event_transitions(sf_dir: str):
+    """Markov transition counts over each user's ordered event stream:
+    one coarse shuffle, vectorized adjacent-pair counting, combiner
+    groupby of (from, to, n) partials."""
+    from timezonemap_ray.pipelines.relational import event_transitions
+    return event_transitions(sf_dir)
+
+
 def _q_orders_cube(sf_dir: str):
     """GROUP BY CUBE over (priority, status): the full grouping-sets
     lattice from ONE raw pass + combo-table re-aggregation."""
@@ -1105,6 +1113,13 @@ def _q_profile_documents(sf_dir: str):
     count) — three bounded streaming passes, all-int64 output."""
     from timezonemap_ray.pipelines.profile import profile_documents
     return profile_documents(sf_dir)
+
+
+def _q_audit_referential(sf_dir: str):
+    """Referential-integrity audit: orphan counts per FK relationship
+    via bloom-split exact anti joins (bulk never shuffles)."""
+    from timezonemap_ray.pipelines.profile import audit_referential
+    return audit_referential(sf_dir)
 
 
 def _q_vocab_bigrams(sf_dir: str):
@@ -1235,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_terms": _q_vocab_top_terms,
         "vocab_bigrams": _q_vocab_bigrams,
         "profile_documents": _q_profile_documents,
+        "audit_referential": _q_audit_referential,
         "distinctive_terms": _q_distinctive_terms,
         "normalize_text": _q_normalize_text,
         "mask_tokens": _q_mask_tokens,
@@ -1269,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "events_window_funcs": _q_events_window_funcs,
         "events_rolling": _q_events_rolling,
+        "event_transitions": _q_event_transitions,
         "customer_returns_topk": _q_customer_returns_topk,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_stats_per_type": _q_events_stats_per_type,
@@ -1467,6 +1484,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*)::BIGINT AS n
             FROM toks GROUP BY term
             HAVING count(*) >= ceil(0.003 * (SELECT n FROM tot))""",
+        "event_transitions": """
+            WITH s AS (SELECT user_id, event_type,
+                              lag(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT prev AS from_type, event_type AS to_type,
+                   count(*)::BIGINT AS n
+            FROM s WHERE prev IS NOT NULL
+            GROUP BY prev, event_type""",
         "orders_cube": """
             WITH c AS (SELECT o_orderpriority, o_orderstatus,
                               CAST(round(o_totalprice * 100.0) AS BIGINT)
@@ -1487,6 +1514,19 @@ def oracle_sql() -> dict[str, str]:
                        AS masked_text,
                    len(list_filter(l, (t, i) -> ((((((doc_id % 1000000007) + 1000000007) % 1000000007) * 100003 + i) % 1000000007 * 2654435761) % 1000000007) % 10000 < 1500))::BIGINT AS n_masked
             FROM toks""",
+        "audit_referential": """
+            SELECT (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                        (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+                       AS orphan_lineitems,
+                   (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                        (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey))::BIGINT
+                       AS orphan_orders,
+                   (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                        (SELECT 1 FROM nation n
+                         WHERE n.n_nationkey = c.c_nationkey))::BIGINT
+                       AS orphan_customers""",
         "profile_documents": """
             SELECT count(*)::BIGINT AS n_rows,
                    count(DISTINCT source)::BIGINT AS n_sources,

@@ -210,3 +210,67 @@ def test_profile_documents_with_dups(ray_session, tmp_path):
         FROM documents""").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["n_dup_texts"][0] == 160
+
+
+def test_audit_referential_detects_orphans(ray_session, tmp_path):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from timezonemap_ray.pipelines.profile import audit_referential
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 99, 98], type=pa.int64())}),
+        tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([10, 11, 77], type=pa.int64())}),
+        tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 11], type=pa.int64()),
+        "c_nationkey": pa.array([0, 5], type=pa.int64())}),
+        tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], type=pa.int64())}),
+        tmp_path / "nation.parquet")
+    got = audit_referential(str(tmp_path)).to_pandas().iloc[0]
+    assert got["orphan_lineitems"] == 2   # 99, 98
+    assert got["orphan_orders"] == 1      # custkey 77
+    assert got["orphan_customers"] == 1   # nationkey 5
+
+
+def test_event_transitions_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from timezonemap_ray.pipelines.relational import event_transitions
+    rng = np.random.default_rng(17)
+    n = 600
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(rng.integers(0, 25, n).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 10**6, n).astype("datetime64[us]")),
+        "event_type": pa.array([f"t{int(x)}" for x in
+                                rng.integers(0, 5, n)]),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = event_transitions(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute("""
+        WITH s AS (SELECT user_id, event_type,
+                          lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+                   FROM events)
+        SELECT prev AS from_type, event_type AS to_type,
+               count(*)::BIGINT AS n
+        FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type""").df()
+    key = ["from_type", "to_type"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # conservation: total transitions = rows - distinct users
+    assert got["n"].sum() == n - tbl["user_id"].to_pandas().nunique()

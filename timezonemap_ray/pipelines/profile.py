@@ -84,3 +84,44 @@ def profile_documents(sf_dir: str, qs=(0.5, 0.95)) -> pa.Table:
     cols["n_dup_texts"] = pa.array([n_rows - n_distinct_texts],
                                    type=pa.int64())
     return pa.table(cols)
+
+
+def audit_referential(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit across the relational schema — the
+    data-quality gate a pipeline runs before joining at scale: counts of
+    orphan rows per foreign-key relationship, one int64 row.
+
+    Each check is the bloom-split exact anti join (`join.bloom_anti_join`)
+    — bloom-negative fact rows stream straight to the count (no shuffle
+    for the bulk), only the maybe-set verifies exactly. The audit never
+    materializes data: three bounded anti-join counts."""
+    import ray.data as rd
+
+    from ..stages.join import bloom_anti_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    orders_k = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey"])
+    orphan_li = bloom_anti_join(li, orders_k, "l_orderkey",
+                                "o_orderkey").count()
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    cust_k = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey"])
+    orphan_orders = bloom_anti_join(orders, cust_k, "o_custkey",
+                                    "c_custkey").count()
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey"])
+    nat_k = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey"])
+    orphan_cust = bloom_anti_join(cust, nat_k, "c_nationkey",
+                                  "n_nationkey").count()
+
+    return pa.table({
+        "orphan_lineitems": pa.array([orphan_li], type=pa.int64()),
+        "orphan_orders": pa.array([orphan_orders], type=pa.int64()),
+        "orphan_customers": pa.array([orphan_cust], type=pa.int64()),
+    })

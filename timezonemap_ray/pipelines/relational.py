@@ -414,6 +414,60 @@ def events_rolling(sf_dir: str, window: int = 5, n_parts: int = 64):
         .groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
 
+def event_transitions(sf_dir: str, n_parts: int = 64):
+    """Event-type transition counts (the Markov/path-analysis pass):
+    for each user's (ts, event_id)-ordered stream, count every adjacent
+    (from_type → to_type) pair → (from_type, to_type, n).
+
+    Scale shape: ONE coarse hash shuffle on user_id, per-partition
+    vectorized sort + adjacent-pair mask (users never split, so per-
+    partition pairs are globally exact), per-partition pair-count
+    partials (dictionary-encode both sides, one bincount), then a tiny
+    combiner groupby over (from_type, to_type) partials."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..stages.select import _hash_part_of
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_part", pa.array(_hash_part_of(b["user_id"], n_parts)))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({"from_type": pa.array([], type=pa.string()),
+                          "to_type": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if g.num_rows < 2:
+            return empty
+        g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx)
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        et = g["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(et.dictionary)
+        pair = codes[:-1][same] * v + codes[1:][same]
+        upair, cnt = np.unique(pair, return_counts=True)
+        return pa.table({
+            "from_type": pc.take(et.dictionary, pa.array(upair // v)),
+            "to_type": pc.take(et.dictionary, pa.array(upair % v)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow") \
+        .groupby(["from_type", "to_type"]).aggregate(
+            Sum("n", alias_name="n"))
+
+
 def customers_per_nation(sf_dir: str):
     """customer ⋈ nation (vectorized broadcast dim join) → count per nation
     name. The hot path is ``pc.index_in`` + ``take`` per batch (see
