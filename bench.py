@@ -175,6 +175,28 @@ def run_bench(num_cpus: int) -> dict:
             batch_format="pyarrow").count()
     timings["chunk_pack"] = time.perf_counter() - t0
 
+    # deterministic MLM-style token masking (flat-token pass + rebuild)
+    from timezonemap_ray.stages.text import mask_tokens
+    t0 = time.perf_counter()
+    rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                    columns=["doc_id", "text"]) \
+        .map_batches(lambda b: mask_tokens(b, rate_bp=1500),
+                     batch_format="pyarrow").count()
+    timings["mask_tokens"] = time.perf_counter() - t0
+
+    # PQ ANN: sampled codebooks + uint8 ADC scan + exact re-rank
+    from timezonemap_ray.stages.ann import pq_topk
+    t0 = time.perf_counter()
+    pq_topk(rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), ids, mat,
+            k=10, m=16, ks=256, rerank_l=50)
+    timings["ann_pq_topk"] = time.perf_counter() - t0
+
+    # rolling fixed-window aggregate per key (prefix-sum scan)
+    from timezonemap_ray.pipelines.relational import events_rolling
+    t0 = time.perf_counter()
+    events_rolling(SF_DIR, window=5).count()
+    timings["events_rolling"] = time.perf_counter() - t0
+
     return {
         "metric": "timezone-lookup join throughput (points/sec) + headline pipeline wall times",
         "value": round(timings["flagship_docs_join"], 3),
