@@ -366,3 +366,24 @@ def test_cube_agg_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(a_, b_, check_dtype=False)
     # lattice shape: 12 finest + 3 (a) + 4 (b) + 1 total
     assert len(got) == 20
+
+
+def test_zscore_join_fallback_equals_broadcast(ray_session, monkeypatch):
+    """Forcing the high-cardinality hash-join path must give the exact
+    same output as the broadcast path."""
+    import timezonemap_ray.stages.agg as agg
+    rng = np.random.default_rng(41)
+    n = 300
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "event_type": pa.array([f"t{i % 6}" for i in range(n)]),
+        "value": pa.array(np.round(rng.uniform(-5, 50, n), 2)),
+    })
+    ds = _ds(tbl)
+    broad = agg.zscore_by_group(ds, "event_type", "value").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    monkeypatch.setattr(agg, "BROADCAST_STATS_MAX", 0)
+    joined = agg.zscore_by_group(ds, "event_type", "value").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        broad, joined[broad.columns.tolist()], check_exact=True)

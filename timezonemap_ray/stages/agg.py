@@ -37,6 +37,9 @@ import pyarrow.compute as pc
 from .select import _hash_part_of
 
 
+BROADCAST_STATS_MAX = 2_000_000  # zscore broadcast→join threshold
+
+
 def _sql_cents(b_col, scale: float = 100.0):
     """SQL-round (ties away from zero) scale-to-int64 — the shared
     stabilization contract (see ``__ray_entry__._round_sql``)."""
@@ -407,6 +410,33 @@ def zscore_by_group(ds, group_col: str, value_col: str,
     import ray
 
     stats = grouped_stats(ds, group_col, value_col, scale=scale)
+    # broadcast path up to BROADCAST_STATS_MAX groups (tens of MB in
+    # plasma, shipped once per node); beyond that — a crawl-scale
+    # high-cardinality group key — attach the stats by hash join on the
+    # group key instead of pulling them through the driver (same
+    # threshold contract as the distinctive_terms vocab join).
+    stats = stats.materialize()
+    if stats.count() > BROADCAST_STATS_MAX:
+        from .dedup import _drop_empty_blocks
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        joined = ds.join(_drop_empty_blocks(stats), join_type="left_outer",
+                         num_partitions=max(2, cpus * 2), on=(group_col,))
+
+        def apply_joined(b: pa.Table) -> pa.Table:
+            nf = pc.fill_null(b["n"], 0).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            sf = pc.fill_null(b["sum_c"], 0) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            sqf = pc.fill_null(b["sumsq_c"], 0) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            have = pc.is_valid(b["n"]).to_numpy(zero_copy_only=False)
+            out = _z_apply(b, value_col, scale, nf, sf, sqf, have, out_col)
+            return out.drop_columns(
+                [c for c in ("n", "sum_c", "sumsq_c", "mean", "std")
+                 if c in out.column_names])
+
+        return joined.map_batches(apply_joined, batch_format="pyarrow")
+
     st = pa.concat_tables(
         stats.iter_batches(batch_format="pyarrow")).combine_chunks()
     sref = ray.put(st)
@@ -422,25 +452,33 @@ def zscore_by_group(ds, group_col: str, value_col: str,
             .astype(np.float64)
         sqf = pc.take(s["sumsq_c"], posv).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        v = b[value_col]
-        ok = pc.is_valid(v)
-        if pa.types.is_floating(v.type):
-            ok = pc.and_kleene(ok, pc.invert(pc.is_nan(v)))
-        ok = pc.fill_null(ok, False).to_numpy(zero_copy_only=False) & have
-        v0 = pc.fill_null(v, 0.0)
-        v0 = pc.if_else(pc.is_nan(v0), pa.scalar(0.0, v0.type), v0) \
-            if pa.types.is_floating(v.type) else v0
-        vcf = _sql_cents(v0, scale).to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        den = np.sqrt(np.maximum(nf * sqf - sf * sf, 0.0))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            z = (vcf * nf - sf) / den
-        valid = ok & (den != 0.0)
-        out = pa.array(np.where(valid, z, 0.0), type=pa.float64())
-        out = pc.if_else(pa.array(valid), out, pa.scalar(None, pa.float64()))
-        return b.append_column(out_col, out)
+        return _z_apply(b, value_col, scale, nf, sf, sqf, have, out_col)
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def _z_apply(b: pa.Table, value_col: str, scale: float,
+             nf: np.ndarray, sf: np.ndarray, sqf: np.ndarray,
+             have: np.ndarray, out_col: str) -> pa.Table:
+    """Shared z-score kernel: one fixed IEEE expression over per-row
+    exact moments (see zscore_by_group's contract)."""
+    v = b[value_col]
+    ok = pc.is_valid(v)
+    if pa.types.is_floating(v.type):
+        ok = pc.and_kleene(ok, pc.invert(pc.is_nan(v)))
+    ok = pc.fill_null(ok, False).to_numpy(zero_copy_only=False) & have
+    v0 = pc.fill_null(v, 0.0)
+    v0 = pc.if_else(pc.is_nan(v0), pa.scalar(0.0, v0.type), v0) \
+        if pa.types.is_floating(v.type) else v0
+    vcf = _sql_cents(v0, scale).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    den = np.sqrt(np.maximum(nf * sqf - sf * sf, 0.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = (vcf * nf - sf) / den
+    valid = ok & (den != 0.0)
+    out = pa.array(np.where(valid, z, 0.0), type=pa.float64())
+    out = pc.if_else(pa.array(valid), out, pa.scalar(None, pa.float64()))
+    return b.append_column(out_col, out)
 
 
 def cube_agg(ds, cols: list, value_col: str | None = None,
