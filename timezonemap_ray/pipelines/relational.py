@@ -69,7 +69,9 @@ def top_revenue_orders(sf_dir: str, limit: int = 20):
     top = merged.take(idx)
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_name"])
+                         columns=["c_custkey", "c_name"],
+                         filters=[("c_custkey", "in",
+                                   top["o_custkey"].to_pylist())])
     pos = pc.index_in(top["o_custkey"], value_set=cust["c_custkey"].combine_chunks())
     top = top.append_column("c_name", pc.take(cust["c_name"].combine_chunks(), pos))
     return top.select(["o_orderkey", "o_custkey", "c_name", "o_totalprice"])
@@ -264,8 +266,12 @@ def customer_returns_topk(sf_dir: str, limit: int = 20):
         ("rev_dm", "descending"), ("o_custkey", "ascending")])[:limit]
     top = merged.take(idx)
 
+    # dim reads are key-filtered at the parquet layer: only the ≤ limit
+    # matching customer row-groups reach the driver, not the table
+    keys = top["o_custkey"].to_pylist()
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_name", "c_nationkey"])
+                         columns=["c_custkey", "c_name", "c_nationkey"],
+                         filters=[("c_custkey", "in", keys)])
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name"])
     pos = pc.index_in(top["o_custkey"],
