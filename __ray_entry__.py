@@ -450,6 +450,30 @@ def _q_ann_pq(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def _q_docs_hash_embed_topk(sf_dir: str):
+    """Text→vector bridge composite: feature-hashing (hashing-trick)
+    doc vectors derived in-stream, then exact cosine top-k of 3 probe
+    docs against the corpus via the block-local brute kernel. Rows-only:
+    hashed projections have no SQL twin; invariants are pytest-bound
+    (self-similarity = 1, identical texts collide)."""
+    import numpy as np
+    import ray.data as rd
+    from timezonemap_ray.stages.ann import brute_topk
+    from timezonemap_ray.stages.text import feature_hash_vectors
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    vecs = ds.map_batches(lambda b: feature_hash_vectors(b, dim=256),
+                          batch_format="pyarrow")
+    import pyarrow.parquet as pq
+    probe = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"]).slice(0, 3)
+    pv = feature_hash_vectors(probe, dim=256)
+    qmat = np.array(pv["embedding"].to_pylist(), dtype=np.float64)
+    out = brute_topk(vecs, pv["doc_id"].to_numpy(), qmat, k=5,
+                     id_col="doc_id")
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 def _q_kmeans_profile(sf_dir: str):
     """Distributed Lloyd's over the embedding table → per-cluster size +
     mean squared distance, size-ranked (rows-only: iterative float
@@ -588,6 +612,29 @@ def _q_distinct_users(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     uniq = ds.groupby("user_id").count().count()
     return pa.table({"n_users": pa.array([uniq], type=pa.int64())})
+
+
+def _q_cms_user_counts(sf_dir: str):
+    """Count-min sketch per-user event counts: sparse cell partials →
+    combiner groupby → fixed-size dense fold; estimates for the exact
+    top-20 users emitted next to the sketch value. Rows-only
+    (approximate, one-sided; ε-bound pytest-checked)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from timezonemap_ray.stages.sketch import cms_build, cms_estimate
+    from timezonemap_ray.stages.agg import latest_per_group  # noqa: F401
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    cms = cms_build(ds, "user_id")
+    from ray.data.aggregate import Count
+    top = ds.groupby("user_id").aggregate(Count(alias_name="n_true"))         .to_pandas().sort_values(["n_true", "user_id"],
+                                 ascending=[False, True]).head(20)
+    est = cms_estimate(cms, top["user_id"].to_numpy())
+    return pa.table({
+        "user_id": pa.array(top["user_id"].to_numpy(), type=pa.int64()),
+        "n_true": pa.array(top["n_true"].to_numpy(), type=pa.int64()),
+        "n_est": pa.array(est.astype(np.int64)),
+    })
 
 
 def _q_approx_distinct_users(sf_dir: str):
@@ -1269,6 +1316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
+        "docs_hash_embed_topk": _q_docs_hash_embed_topk,
         "kmeans_profile": _q_kmeans_profile,
         "pca_project_top2": _q_pca_project,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
@@ -1303,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "distinct_users_per_type": _q_distinct_users_per_type,
         "approx_distinct_users": _q_approx_distinct_users,
+        "cms_user_counts": _q_cms_user_counts,
         # selection operators (exact quantile / hash sample / top-k per group)
         "value_quantiles": _q_value_quantiles,
         "value_quantiles_sketch": _q_value_quantiles_sketch,

@@ -219,3 +219,26 @@ def test_quantile_sketch_small_and_empty(ray_session):
     empty = rd.from_arrow(pa.table({"value": pa.array([], type=pa.float64())}))
     oute = quantile_sketch(empty, "value", [0.5, 0.9], k=64).to_pandas()
     assert len(oute) == 2 and oute["value"].isna().all()
+
+
+def test_cms_one_sided_and_tight(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from timezonemap_ray.stages.sketch import cms_build, cms_estimate
+    rng = np.random.default_rng(13)
+    # zipf-ish key distribution with known exact counts
+    keys = rng.zipf(1.5, 50000) % 997
+    tbl = pa.table({"user_id": pa.array(keys.astype(np.int64))})
+    ds = rd.from_arrow(tbl).repartition(11)
+    cms = cms_build(ds, "user_id", depth=4, width=4096)
+    assert cms.shape == (4, 4096)
+    assert cms.sum() == 4 * len(keys)  # each occurrence lands once per row
+    uk, true = np.unique(keys, return_counts=True)
+    est = cms_estimate(cms, uk)
+    assert (est >= true).all()                    # never undercounts
+    eps_bound = np.e / 4096 * len(keys)
+    assert (est - true).max() <= eps_bound        # CM guarantee
+    # determinism
+    cms2 = cms_build(ds, "user_id", depth=4, width=4096)
+    assert (cms == cms2).all()

@@ -533,3 +533,25 @@ def test_mask_tokens_matches_duckdb_and_edges(ray_session):
     # determinism across runs
     again = mask_tokens(tbl, rate_bp=2000).to_pandas()
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_feature_hash_vectors_properties(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from timezonemap_ray.stages.text import feature_hash_vectors
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["a b c a", "a b c a", "x y z w q",
+                          "", "a b c a d"]),
+    })
+    out = feature_hash_vectors(t, dim=64)
+    v = np.array(out["embedding"].to_pylist(), dtype=np.float64)
+    assert v.shape == (5, 64)
+    assert np.allclose(v[0], v[1])                       # content-stable
+    assert not np.allclose(v[0], v[2])                   # discriminative
+    assert np.allclose(np.linalg.norm(v[[0, 1, 2, 4]], axis=1), 1.0)
+    assert np.allclose(v[3], 0.0)                        # empty doc → 0
+    assert float(v[0] @ v[4]) > 0.9                      # near-dup close
+    # block-split stability: same vectors regardless of batching
+    a = feature_hash_vectors(t.slice(0, 2), dim=64)["embedding"].to_pylist()
+    assert np.allclose(np.array(a[0]), v[0])

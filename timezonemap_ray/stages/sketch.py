@@ -327,3 +327,60 @@ def quantile_sketch(ds, column: str, qs, k: int = 2048, n_parts: int = 32):
     idx = np.clip(np.searchsorted(cum, ranks), 0, len(v) - 1)
     return pa.table({"q": pa.array(qs, type=pa.float64()),
                      "value": pa.array(v[idx], type=pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable approximate per-key counts)
+# ---------------------------------------------------------------------------
+
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
+                       0x94D049BB133111EB, 0xD6E8FEB86659FD93],
+                      dtype=np.uint64)
+
+
+def _cms_cols(keys: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) bucket columns for int64 keys — one splitmix per row
+    seed, vectorized."""
+    from .text import _splitmix64
+    k = keys.astype(np.uint64)
+    return np.stack([
+        (_splitmix64(k ^ _CMS_SEEDS[d]) % np.uint64(width)).astype(np.int64)
+        for d in range(depth)])
+
+
+def cms_build(ds, column: str, depth: int = 4, width: int = 4096):
+    """Build a count-min sketch over an int key column → dense
+    (depth, width) int64 matrix on the driver.
+
+    Mergeable + distributed: each block emits SPARSE (row, col, n) cell
+    partials (≤ depth × distinct-keys-per-block rows — raw keys never
+    shuffle), a combiner groupby sums cells, and only the fixed-size
+    dense matrix (depth·width ints) reaches the driver. Estimates are
+    one-sided: est ≥ true, est ≤ true + εN w.h.p. (ε ≈ e/width)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(v, return_counts=True)
+        cols = _cms_cols(uk, depth, width)            # (depth, u)
+        rows = np.repeat(np.arange(depth, dtype=np.int64), len(uk))
+        cell = rows * width + cols.reshape(-1)
+        return pa.table({
+            "cell": pa.array(cell),
+            "n": pa.array(np.tile(cnt.astype(np.int64), depth))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("n", alias_name="n"))
+    cms = np.zeros(depth * width, dtype=np.int64)
+    for r in agg.take_all():
+        cms[int(r["cell"])] += int(r["n"])
+    return cms.reshape(depth, width)
+
+
+def cms_estimate(cms: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-query the sketch: est(key) = min over rows of the hashed
+    cell — vectorized for a key array."""
+    depth, width = cms.shape
+    cols = _cms_cols(np.asarray(keys, dtype=np.int64), depth, width)
+    ests = np.stack([cms[d, cols[d]] for d in range(depth)])
+    return ests.min(axis=0)

@@ -485,3 +485,46 @@ def mask_sql_pred(doc_col: str, idx: str, rate_bp: int) -> str:
     m = SAMPLE_MOD
     return (f"(((((({doc_col} % {m}) + {m}) % {m}) * {_MASK_MIX} + {idx})"
             f" % {m} * {SAMPLE_MULT}) % {m}) % {SAMPLE_SPACE} < {rate_bp}")
+
+
+def feature_hash_vectors(batch: pa.Table, dim: int = 256,
+                         text_col: str = "text",
+                         out_col: str = "embedding") -> pa.Table:
+    """Feature-hashing (hashing-trick) document vectors: each token's
+    64-bit hash picks a bucket (``h % dim``) and a deterministic sign
+    (bit 63), accumulated then L2-normalized — the classic scalable
+    text→vector bridge (no vocabulary, no training, merge-free). The
+    output ``list<float>`` column is drop-in for the ANN / PQ / kmeans /
+    PCA stages, so "hash-TF vectors → cosine near-dup / top-k" composes
+    from existing operators.
+
+    Fully vectorized per block: one flat-token pass, one md5-free numpy
+    hash (splitmix64 over token dictionary codes is NOT content-stable
+    across blocks — so hash the token BYTES via the FNV-1a fold below,
+    C-speed over the dictionary only: each distinct token hashes once
+    per block, not once per occurrence)."""
+    from .terms import _flat_tokens
+
+    flat, parent = _flat_tokens(batch, text_col)
+    n_rows = batch.num_rows
+    out = np.zeros((n_rows, dim), dtype=np.float64)
+    if len(flat):
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # content-stable 64-bit hash per DISTINCT token (FNV-1a over bytes)
+        dict_hashes = np.empty(len(enc.dictionary), dtype=np.uint64)
+        for i, tok in enumerate(enc.dictionary.to_pylist()):
+            h = np.uint64(14695981039346656037)
+            for by in tok.encode("utf-8"):
+                h = (h ^ np.uint64(by)) * np.uint64(1099511628211)
+            dict_hashes[i] = h
+        hh = _splitmix64(dict_hashes)
+        buckets = (hh % np.uint64(dim)).astype(np.int64)
+        signs = np.where((hh >> np.uint64(63)).astype(bool), -1.0, 1.0)
+        np.add.at(out, (parent, buckets[codes]), signs[codes])
+    norms = np.linalg.norm(out, axis=1)
+    norms[norms == 0] = 1.0
+    out = out / norms[:, None]
+    flat_vals = pa.array(out.reshape(-1).astype(np.float32))
+    emb = pa.FixedSizeListArray.from_arrays(flat_vals, dim)
+    return pa.table({"doc_id": batch["doc_id"], out_col: emb})
