@@ -312,6 +312,29 @@ def _q_dedup_ngram(sf_dir: str):
                                                columns=["doc_id", "text"]))
 
 
+def _q_merged_dup_spans(sf_dir: str):
+    """Maximal duplicated REGIONS per doc: window-level duplicate hits
+    coalesced by the gaps-and-islands interval merge (vectorized
+    segmented running max) — the span-removal planning step."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import duplicated_spans
+    from timezonemap_ray.stages.spans import merge_spans
+    hits = duplicated_spans(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        window=20, stride=10)
+
+    def to_intervals(b):
+        s = _pc.multiply(b["chunk_idx"], 10)
+        s = _pc.cast(s, "int64")
+        return b.drop_columns(["chunk_idx", "n_tokens"])             .append_column("s", s)             .append_column("e", _pc.add(s, _pc.cast(b["n_tokens"],
+                                                    "int64")))
+
+    iv = hits.map_batches(to_intervals, batch_format="pyarrow")
+    return merge_spans(iv, "doc_id", "s", "e")
+
+
 def _q_duplicated_spans(sf_dir: str):
     """Cross-document exact substring duplication (Lee et al. 2022
     signal): windows whose text recurs in ≥ 2 docs. Windows never
@@ -1311,6 +1334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
         "duplicated_spans": _q_duplicated_spans,
+        "merged_dup_spans": _q_merged_dup_spans,
         "clean_chunks": _q_clean_chunks,
         # similarity search
         "ann_brute_topk": _q_ann_brute,
@@ -1425,6 +1449,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_chunks,
                    sum(least(ci*40 + 50, nt) - ci*40)::BIGINT AS n_tokens
             FROM cidx GROUP BY doc_id""",
+"merged_dup_spans": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            nn AS (SELECT doc_id, toks, len(toks) AS nt FROM t
+                   WHERE len(toks) > 0),
+            idx AS (SELECT doc_id, toks, nt, unnest(generate_series(0,
+                      CASE WHEN nt <= 20 THEN 0
+                           ELSE CAST(ceil((nt - 20) / 10.0) AS BIGINT)
+                      END)) AS ci FROM nn),
+            w AS (SELECT doc_id, ci,
+                         array_to_string(toks[ci*10 + 1 :
+                                              least(ci*10 + 20, nt)],
+                                         ' ') AS wt,
+                         (least(ci*10 + 20, nt) - ci*10)::BIGINT AS n_tokens
+                  FROM idx),
+            d AS (SELECT wt FROM (SELECT wt, count(DISTINCT doc_id) AS nd
+                                  FROM w GROUP BY wt) WHERE nd >= 2),
+            f AS (SELECT w.doc_id, (w.ci*10)::BIGINT AS s,
+                         (w.ci*10 + w.n_tokens)::BIGINT AS e
+                  FROM w JOIN d USING (wt)),
+            g AS (SELECT doc_id, s, e,
+                         CASE WHEN s > coalesce(max(e) OVER (
+                                  PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), -1)
+                              THEN 1 ELSE 0 END AS brk
+                  FROM f),
+            h AS (SELECT doc_id, s, e,
+                         sum(brk) OVER (PARTITION BY doc_id
+                                        ORDER BY s, e) AS grp
+                  FROM g)
+            SELECT doc_id, min(s)::BIGINT AS span_start,
+                   max(e)::BIGINT AS span_end,
+                   count(*)::BIGINT AS n_windows
+            FROM h GROUP BY doc_id, grp""",
         "duplicated_spans": r"""
             WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
                        FROM documents),

@@ -555,3 +555,23 @@ def test_feature_hash_vectors_properties(ray_session):
     # block-split stability: same vectors regardless of batching
     a = feature_hash_vectors(t.slice(0, 2), dim=64)["embedding"].to_pylist()
     assert np.allclose(np.array(a[0]), v[0])
+
+
+def test_merge_spans_gaps_and_islands(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from timezonemap_ray.stages.spans import merge_spans
+    tbl = pa.table({
+        "doc_id": pa.array([1, 1, 1, 1, 2, 2, 3], type=pa.int64()),
+        # doc 1: [0,20)+[10,30) merge; [30,50) touches → merge; [60,70) gap
+        # doc 2: containment [0,100) ⊃ [10,20) merges into one
+        "s": pa.array([0, 10, 30, 60, 0, 10, 5], type=pa.int64()),
+        "e": pa.array([20, 30, 50, 70, 100, 20, 9], type=pa.int64()),
+    })
+    out = merge_spans(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas().sort_values(["doc_id", "span_start"]) \
+        .reset_index(drop=True)
+    got = list(map(tuple, out.to_numpy()))
+    assert got == [(1, 0, 50, 3), (1, 60, 70, 1),
+                   (2, 0, 100, 2), (3, 5, 9, 1)]

@@ -71,3 +71,71 @@ def parse_geo_spans(batch: pa.Table, kind_col: str = "kind",
 def extract_geo_points(batch: pa.Table) -> pa.Table:
     """Composed explode + parse, the flagship pipeline's front-end."""
     return parse_geo_spans(explode_spans(batch))
+
+
+def merge_spans(ds, id_col: str = "doc_id", start_col: str = "s",
+                end_col: str = "e", n_parts: int = 64):
+    """Coalesce overlapping/touching [start, end) intervals per document
+    (gaps-and-islands) → (doc_id, span_start, span_end, n_windows) — the
+    step that turns window-level duplicate hits into maximal duplicated
+    REGIONS for surgical span removal.
+
+    One coarse hash shuffle on the doc id (a doc's intervals co-locate),
+    then per partition: one vectorized sort + per-doc running-max scan
+    (break where start > running max end), segment-reduce min/max/count.
+    All int64 — bit-stable vs the SQL window-function twin."""
+    import numpy as np
+
+    from .select import _hash_part_of  # noqa: F401 (see import below)
+
+    from ..stages.select import _hash_part_of as _hp
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_part", pa.array(_hp(b[id_col], n_parts)))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "span_start": pa.array([], type=pa.int64()),
+            "span_end": pa.array([], type=pa.int64()),
+            "n_windows": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            (id_col, "ascending"), (start_col, "ascending"),
+            (end_col, "ascending")])
+        g = g.take(idx)
+        d = g[id_col].to_numpy(zero_copy_only=False)
+        s = g[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = g[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        doc_start = np.r_[True, d[1:] != d[:-1]]
+        starts = np.flatnonzero(doc_start)
+        # vectorized SEGMENTED running max: bias each doc's ends by a
+        # distinct large base so the global cummax never crosses docs
+        # (valid because e ≥ 0 and e < 2^40 token offsets)
+        run_id = np.cumsum(doc_start) - 1
+        base = run_id.astype(np.int64) << np.int64(41)
+        cm = np.maximum.accumulate(e + base) - base
+        prev_max = np.empty(n, dtype=np.int64)
+        prev_max[1:] = cm[:-1]
+        prev_max[starts] = np.int64(-1)
+        brk = (s > prev_max) | doc_start
+        grp = np.cumsum(brk) - 1
+        n_grp = int(grp[-1]) + 1
+        out_s = np.full(n_grp, np.iinfo(np.int64).max, dtype=np.int64)
+        out_e = np.zeros(n_grp, dtype=np.int64)
+        np.minimum.at(out_s, grp, s)
+        np.maximum.at(out_e, grp, e)
+        cnt = np.bincount(grp, minlength=n_grp).astype(np.int64)
+        first_rows = np.flatnonzero(brk)
+        return pa.table({
+            id_col: pc.take(g[id_col], pa.array(first_rows)),
+            "span_start": pa.array(out_s),
+            "span_end": pa.array(out_e),
+            "n_windows": pa.array(cnt)})
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
