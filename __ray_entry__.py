@@ -487,9 +487,11 @@ def _q_docs_hash_embed_topk(sf_dir: str):
                          columns=["doc_id", "text"])
     vecs = ds.map_batches(lambda b: feature_hash_vectors(b, dim=256),
                           batch_format="pyarrow")
+    import pyarrow as pa
     import pyarrow.parquet as pq
-    probe = pq.read_table(f"{sf_dir}/documents.parquet",
-                          columns=["doc_id", "text"]).slice(0, 3)
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    probe = pa.Table.from_batches(
+        [next(pf.iter_batches(batch_size=3, columns=["doc_id", "text"]))])
     pv = feature_hash_vectors(probe, dim=256)
     qmat = np.array(pv["embedding"].to_pylist(), dtype=np.float64)
     out = brute_topk(vecs, pv["doc_id"].to_numpy(), qmat, k=5,
@@ -646,7 +648,6 @@ def _q_cms_user_counts(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from timezonemap_ray.stages.sketch import cms_build, cms_estimate
-    from timezonemap_ray.stages.agg import latest_per_group  # noqa: F401
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     cms = cms_build(ds, "user_id")
     from ray.data.aggregate import Count

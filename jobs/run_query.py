@@ -66,11 +66,17 @@ def main() -> int:
         print(f"{args.name}: rows={n} -> {args.out} "
               f"[{time.perf_counter()-t0:.2f}s]")
     else:
-        df = res.to_pandas() if hasattr(res, "to_pandas") else res
-        if not isinstance(df, pd.DataFrame):
-            df = df.to_pandas()
-        print(df.head(10).to_string())
-        print(f"{args.name}: rows={len(df)} "
+        if hasattr(res, "limit") and hasattr(res, "count"):
+            # Dataset: bounded driver footprint — 10 rows + a count
+            head = res.limit(10).to_pandas()
+            n = res.count()
+        else:
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            if not isinstance(df, pd.DataFrame):
+                df = df.to_pandas()
+            head, n = df.head(10), len(df)
+        print(head.to_string())
+        print(f"{args.name}: rows={n} "
               f"[{time.perf_counter()-t0:.2f}s]")
     ray.shutdown()
     return 0

@@ -360,7 +360,11 @@ def cms_build(ds, column: str, depth: int = 4, width: int = 4096):
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        v = b[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = b[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()  # null keys: not countable, never phantom
+        v = col.to_numpy(zero_copy_only=False).astype(np.int64)
         uk, cnt = np.unique(v, return_counts=True)
         cols = _cms_cols(uk, depth, width)            # (depth, u)
         rows = np.repeat(np.arange(depth, dtype=np.int64), len(uk))

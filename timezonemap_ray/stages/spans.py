@@ -86,17 +86,17 @@ def merge_spans(ds, id_col: str = "doc_id", start_col: str = "s",
     All int64 — bit-stable vs the SQL window-function twin."""
     import numpy as np
 
-    from .select import _hash_part_of  # noqa: F401 (see import below)
-
-    from ..stages.select import _hash_part_of as _hp
+    from .select import _hash_part_of
 
     def add_part(b: pa.Table) -> pa.Table:
         return b.append_column(
-            "_part", pa.array(_hp(b[id_col], n_parts)))
+            "_part", pa.array(_hash_part_of(b[id_col], n_parts)))
 
     def per_part(g: pa.Table) -> pa.Table:
+        id_type = g.schema.field(id_col).type if id_col in g.column_names \
+            else pa.int64()
         empty = pa.table({
-            id_col: pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=id_type),
             "span_start": pa.array([], type=pa.int64()),
             "span_end": pa.array([], type=pa.int64()),
             "n_windows": pa.array([], type=pa.int64())})
@@ -114,11 +114,21 @@ def merge_spans(ds, id_col: str = "doc_id", start_col: str = "s",
         doc_start = np.r_[True, d[1:] != d[:-1]]
         starts = np.flatnonzero(doc_start)
         # vectorized SEGMENTED running max: bias each doc's ends by a
-        # distinct large base so the global cummax never crosses docs
-        # (valid because e ≥ 0 and e < 2^40 token offsets)
+        # distinct large base so the global cummax never crosses docs.
+        # The shift adapts to the data (e ≥ 0); if docs × range can't
+        # fit int64 (≥ ~4M docs in one partition with huge offsets),
+        # fall back to the per-doc scan rather than silently overflow.
         run_id = np.cumsum(doc_start) - 1
-        base = run_id.astype(np.int64) << np.int64(41)
-        cm = np.maximum.accumulate(e + base) - base
+        bits = max(int(e.max()).bit_length(), 1) + 1
+        n_runs = int(run_id[-1]) + 1
+        if (n_runs << bits) < (1 << 62):
+            base = run_id.astype(np.int64) << np.int64(bits)
+            cm = np.maximum.accumulate(e + base) - base
+        else:
+            cm = e.copy()
+            bounds = np.r_[starts, n]
+            for a, b_ in zip(bounds[:-1], bounds[1:]):
+                cm[a:b_] = np.maximum.accumulate(e[a:b_])
         prev_max = np.empty(n, dtype=np.int64)
         prev_max[1:] = cm[:-1]
         prev_max[starts] = np.int64(-1)

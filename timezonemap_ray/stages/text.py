@@ -501,8 +501,8 @@ def feature_hash_vectors(batch: pa.Table, dim: int = 256,
     Fully vectorized per block: one flat-token pass, one md5-free numpy
     hash (splitmix64 over token dictionary codes is NOT content-stable
     across blocks — so hash the token BYTES via the FNV-1a fold below,
-    C-speed over the dictionary only: each distinct token hashes once
-    per block, not once per occurrence)."""
+    C-speed blake2b via ``hash_u64`` over the dictionary only: each
+    distinct token hashes once per block, not once per occurrence)."""
     from .terms import _flat_tokens
 
     flat, parent = _flat_tokens(batch, text_col)
@@ -511,13 +511,12 @@ def feature_hash_vectors(batch: pa.Table, dim: int = 256,
     if len(flat):
         enc = flat.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        # content-stable 64-bit hash per DISTINCT token (FNV-1a over bytes)
-        dict_hashes = np.empty(len(enc.dictionary), dtype=np.uint64)
-        for i, tok in enumerate(enc.dictionary.to_pylist()):
-            h = np.uint64(14695981039346656037)
-            for by in tok.encode("utf-8"):
-                h = (h ^ np.uint64(by)) * np.uint64(1099511628211)
-            dict_hashes[i] = h
+        # content-stable 64-bit hash per DISTINCT token (C-speed blake2b
+        # via the shared hash_u64 helper — once per dictionary entry,
+        # not per occurrence)
+        dict_hashes = np.fromiter(
+            (hash_u64(tok) for tok in enc.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(enc.dictionary))
         hh = _splitmix64(dict_hashes)
         buckets = (hh % np.uint64(dim)).astype(np.int64)
         signs = np.where((hh >> np.uint64(63)).astype(bool), -1.0, 1.0)
