@@ -312,6 +312,19 @@ def _q_dedup_ngram(sf_dir: str):
                                                columns=["doc_id", "text"]))
 
 
+def _q_dedup_span_removal(sf_dir: str):
+    """End-to-end exact-substring deduplication: detect duplicated
+    windows, merge to maximal regions, broadcast the (small) region
+    table, CUT the regions out in one streaming pass →
+    (doc_id, clean_text, n_removed)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import remove_duplicated_spans
+    return remove_duplicated_spans(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        window=20, stride=10)
+
+
 def _q_merged_dup_spans(sf_dir: str):
     """Maximal duplicated REGIONS per doc: window-level duplicate hits
     coalesced by the gaps-and-islands interval merge (vectorized
@@ -1336,6 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
         "duplicated_spans": _q_duplicated_spans,
         "merged_dup_spans": _q_merged_dup_spans,
+        "dedup_span_removal": _q_dedup_span_removal,
         "clean_chunks": _q_clean_chunks,
         # similarity search
         "ann_brute_topk": _q_ann_brute,
@@ -1450,7 +1464,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_chunks,
                    sum(least(ci*40 + 50, nt) - ci*40)::BIGINT AS n_tokens
             FROM cidx GROUP BY doc_id""",
-"merged_dup_spans": r"""
+"dedup_span_removal": r"""
+
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            nn AS (SELECT doc_id, toks, len(toks) AS nt FROM t
+                   WHERE len(toks) > 0),
+            idx AS (SELECT doc_id, toks, nt, unnest(generate_series(0,
+                      CASE WHEN nt <= 20 THEN 0
+                           ELSE CAST(ceil((nt - 20) / 10.0) AS BIGINT)
+                      END)) AS ci FROM nn),
+            w AS (SELECT doc_id, ci,
+                         array_to_string(toks[ci*10 + 1 :
+                                              least(ci*10 + 20, nt)],
+                                         ' ') AS wt,
+                         (least(ci*10 + 20, nt) - ci*10)::BIGINT AS n_tokens
+                  FROM idx),
+            d AS (SELECT wt FROM (SELECT wt, count(DISTINCT doc_id) AS nd
+                                  FROM w GROUP BY wt) WHERE nd >= 2),
+            f AS (SELECT w.doc_id, (w.ci*10)::BIGINT AS s,
+                         (w.ci*10 + w.n_tokens)::BIGINT AS e
+                  FROM w JOIN d USING (wt)),
+            g AS (SELECT doc_id, s, e,
+                         CASE WHEN s > coalesce(max(e) OVER (
+                                  PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), -1)
+                              THEN 1 ELSE 0 END AS brk
+                  FROM f),
+            h AS (SELECT doc_id, s, e,
+                         sum(brk) OVER (PARTITION BY doc_id
+                                        ORDER BY s, e) AS grp
+                  FROM g),
+            m AS (SELECT doc_id, min(s) AS span_start,
+                         max(e) AS span_end
+                  FROM h GROUP BY doc_id, grp),
+            ti AS (SELECT doc_id, toks,
+                          unnest(generate_series(1, nt)) AS i
+                   FROM nn),
+            tok AS (SELECT doc_id, i, toks[i] AS t FROM ti),
+            kept AS (SELECT tok.doc_id, tok.i, tok.t FROM tok
+                     WHERE NOT EXISTS (SELECT 1 FROM m
+                         WHERE m.doc_id = tok.doc_id
+                           AND tok.i - 1 >= m.span_start
+                           AND tok.i - 1 < m.span_end)),
+            k AS (SELECT doc_id,
+                         string_agg(t, ' ' ORDER BY i) AS clean_text,
+                         count(*) AS n_kept
+                  FROM kept GROUP BY doc_id),
+            sz AS (SELECT doc_id, nt FROM nn)
+            SELECT d2.doc_id,
+                   CASE WHEN d2.text IS NULL THEN NULL
+                        ELSE coalesce(k.clean_text, '') END AS clean_text,
+                   CASE WHEN d2.text IS NULL THEN NULL
+                        ELSE (coalesce(sz.nt, 0) - coalesce(k.n_kept, 0))
+                   END::BIGINT AS n_removed
+            FROM documents d2
+            LEFT JOIN k ON k.doc_id = d2.doc_id
+            LEFT JOIN sz ON sz.doc_id = d2.doc_id""",
+        "merged_dup_spans": r"""
             WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
                        FROM documents),
             nn AS (SELECT doc_id, toks, len(toks) AS nt FROM t

@@ -575,3 +575,38 @@ def test_merge_spans_gaps_and_islands(ray_session):
     got = list(map(tuple, out.to_numpy()))
     assert got == [(1, 0, 50, 3), (1, 60, 70, 1),
                    (2, 0, 100, 2), (3, 5, 9, 1)]
+
+
+def test_remove_duplicated_spans_end_to_end(ray_session):
+    """Injected cross-doc duplicate region is cut from every holder;
+    unique text survives verbatim (canonicalized); no-dup docs pass
+    through with n_removed = 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import remove_duplicated_spans
+    dup = " ".join(f"dup{i}" for i in range(25))       # > window tokens
+    # duplicates must be WINDOW-ALIGNED (stride grid) to be detected —
+    # the documented contract of the windowed detector (a suffix-array
+    # detector would catch unaligned dups; out of scope)
+    texts = [
+        f"{dup} unique one tail",
+        f"{dup} closing words here",
+        "completely original text " + " ".join(f"u{i}" for i in range(30)),
+    ]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                    "text": pa.array(texts)})
+    out = remove_duplicated_spans(rd.from_arrow(tbl).repartition(2),
+                                  window=20, stride=10) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[2, "clean_text"] == texts[2]
+    # the duplicated block is gone from both holders
+    for r in (0, 1):
+        assert out.loc[r, "n_removed"] > 0
+        assert "dup0" not in out.loc[r, "clean_text"]
+    # unique tokens outside merged windows survive
+    assert "unique" in out.loc[0, "clean_text"] or \
+        out.loc[0, "n_removed"] >= 25
+    assert "closing" in out.loc[1, "clean_text"] or \
+        out.loc[1, "n_removed"] >= 25

@@ -971,3 +971,91 @@ def fuzzy_pairs_lev1(ds, id_col: str, name_col: str, n_parts: int = 64,
         .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n"))
     return out.map_batches(lambda t: t.drop_columns(["_n"]),
                            batch_format="pyarrow")
+
+
+def remove_duplicated_spans(ds, window: int = 20, stride: int = 10,
+                            text_col: str = "text"):
+    """END-TO-END exact-substring deduplication (Lee et al. 2022's
+    remediation step): detect cross-document duplicated windows
+    (:func:`duplicated_spans`), coalesce them into maximal token regions
+    (:func:`spans.merge_spans`), then CUT those regions out of each
+    document → (doc_id, clean_text, n_removed) with ``clean_text`` the
+    surviving tokens joined by single spaces (the same canonicalization
+    as the SQL twin).
+
+    Scale shape: detection/merging shuffle only window digests and
+    interval partials; the merged region table (flagged docs only — a
+    small fraction of a real corpus) is broadcast via ``ray.put``; the
+    removal pass is one streaming scan. Per-batch work is vectorized
+    except one loop over the FLAGGED rows present in the batch (each
+    does two ``searchsorted`` calls on that doc's region arrays)."""
+    import ray
+
+    from .spans import merge_spans
+    from .terms import _flat_tokens as _ft
+
+    hits = duplicated_spans(ds, window=window, stride=stride)
+
+    def to_intervals(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pc.cast(pc.multiply(b["chunk_idx"], stride), pa.int64())
+        return pa.table({
+            "doc_id": b["doc_id"], "s": s,
+            "e": pc.add(s, pc.cast(b["n_tokens"], pa.int64()))})
+
+    merged = merge_spans(hits.map_batches(to_intervals,
+                                          batch_format="pyarrow"))
+    regions: dict = {}
+    for r in merged.take_all():           # flagged docs only — bounded
+        regions.setdefault(int(r["doc_id"]), []).append(
+            (int(r["span_start"]), int(r["span_end"])))
+    packed = {d: (np.array([a for a, _ in sorted(v)], dtype=np.int64),
+                  np.array([b for _, b in sorted(v)], dtype=np.int64))
+              for d, v in regions.items()}
+    ref = ray.put(packed)
+
+    def clean(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        reg = ray.get(ref)
+        flat, parent = _ft(b, text_col)
+        n_rows = b.num_rows
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(b[text_col])
+        if len(flat) == 0:
+            texts = pc.if_else(valid, pa.array([""] * n_rows),
+                               pa.scalar(None, pa.string()))
+            zeros = pc.if_else(valid,
+                               pa.array(np.zeros(n_rows, dtype=np.int64)),
+                               pa.scalar(None, pa.int64()))
+            return pa.table({"doc_id": b["doc_id"], "clean_text": texts,
+                             "n_removed": zeros})
+        counts = np.bincount(parent, minlength=n_rows)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        keep = np.ones(len(flat), dtype=bool)
+        removed = np.zeros(n_rows, dtype=np.int64)
+        for r in np.flatnonzero(np.isin(doc_ids,
+                                        np.fromiter(reg, dtype=np.int64,
+                                                    count=len(reg)))):
+            starts_a, ends_a = reg[int(doc_ids[r])]
+            lo, hi = offsets[r], offsets[r + 1]
+            pos = np.arange(hi - lo, dtype=np.int64)
+            j = np.searchsorted(starts_a, pos, side="right") - 1
+            inside = (j >= 0) & (pos < ends_a[np.clip(j, 0, None)])
+            keep[lo:hi] = ~inside
+            removed[r] = int(inside.sum())
+        toks = flat.filter(pa.array(keep))
+        new_counts = counts - removed
+        new_offsets = np.concatenate(
+            [[0], np.cumsum(new_counts)]).astype(np.int32)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offsets, type=pa.int32()), toks)
+        text_out = pc.binary_join(lst, " ")
+        text_out = pc.if_else(valid, text_out, pa.scalar(None, pa.string()))
+        rem = pc.if_else(valid, pa.array(removed),
+                         pa.scalar(None, pa.int64()))
+        return pa.table({"doc_id": b["doc_id"], "clean_text": text_out,
+                         "n_removed": rem})
+
+    return ds.map_batches(clean, batch_format="pyarrow")
