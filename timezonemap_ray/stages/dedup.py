@@ -994,7 +994,8 @@ def remove_duplicated_spans(ds, window: int = 20, stride: int = 10,
     from .spans import merge_spans
     from .terms import _flat_tokens as _ft
 
-    hits = duplicated_spans(ds, window=window, stride=stride)
+    hits = duplicated_spans(ds, window=window, stride=stride,
+                            text_col=text_col)
 
     def to_intervals(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1007,11 +1008,13 @@ def remove_duplicated_spans(ds, window: int = 20, stride: int = 10,
                                           batch_format="pyarrow"))
     regions: dict = {}
     for r in merged.take_all():           # flagged docs only — bounded
-        regions.setdefault(int(r["doc_id"]), []).append(
+        regions.setdefault(r["doc_id"], []).append(
             (int(r["span_start"]), int(r["span_end"])))
-    packed = {d: (np.array([a for a, _ in sorted(v)], dtype=np.int64),
-                  np.array([b for _, b in sorted(v)], dtype=np.int64))
-              for d, v in regions.items()}
+    packed = {}
+    for d, v in regions.items():          # any id type (int or string)
+        sv = sorted(v)
+        packed[d] = (np.array([a for a, _ in sv], dtype=np.int64),
+                     np.array([b for _, b in sv], dtype=np.int64))
     ref = ray.put(packed)
 
     def clean(b: pa.Table) -> pa.Table:
@@ -1033,16 +1036,18 @@ def remove_duplicated_spans(ds, window: int = 20, stride: int = 10,
         offsets = np.concatenate([[0], np.cumsum(counts)])
         keep = np.ones(len(flat), dtype=bool)
         removed = np.zeros(n_rows, dtype=np.int64)
-        for r in np.flatnonzero(np.isin(doc_ids,
-                                        np.fromiter(reg, dtype=np.int64,
-                                                    count=len(reg)))):
-            starts_a, ends_a = reg[int(doc_ids[r])]
-            lo, hi = offsets[r], offsets[r + 1]
-            pos = np.arange(hi - lo, dtype=np.int64)
-            j = np.searchsorted(starts_a, pos, side="right") - 1
-            inside = (j >= 0) & (pos < ends_a[np.clip(j, 0, None)])
-            keep[lo:hi] = ~inside
-            removed[r] = int(inside.sum())
+        for r in range(n_rows):
+            starts_ends = reg.get(doc_ids[r])
+            if starts_ends is None:
+                continue
+            starts_a, ends_a = starts_ends
+            lo, nt = int(offsets[r]), int(counts[r])
+            # merge_spans guarantees disjoint, sorted, in-bound regions:
+            # direct slice assignment per region, O(regions) not O(nt)
+            for a, b_ in zip(starts_a, ends_a):
+                keep[lo + a:lo + min(b_, nt)] = False
+            removed[r] = int(np.minimum(ends_a, nt).sum()
+                             - starts_a.sum())
         toks = flat.filter(pa.array(keep))
         new_counts = counts - removed
         new_offsets = np.concatenate(
