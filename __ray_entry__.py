@@ -486,6 +486,23 @@ def _q_ann_pq(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def _q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ: physically partitioned uint8 codes — probes read only
+    nprobe/n_centroids of an index that stores no floats; exact re-rank
+    of the shortlist against the original corpus. Rows-only
+    (approximate; recall/pruning pytest-bounded)."""
+    import tempfile
+    import ray.data as rd
+    from timezonemap_ray.stages.ann import ivfpq_build, ivfpq_query
+    ids, mat = _ann_queries(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    with tempfile.TemporaryDirectory(prefix="ivfpq_") as d:
+        ivfpq_build(ds, d, n_centroids=8, m=16, ks=256)
+        out, _frac = ivfpq_query(d, ids, mat, k=10, nprobe=6,
+                                 rerank_ds=ds, rerank_l=50)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 def _q_docs_hash_embed_topk(sf_dir: str):
     """Text→vector bridge composite: feature-hashing (hashing-trick)
     doc vectors derived in-stream, then exact cosine top-k of 3 probe
@@ -1355,6 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         "docs_hash_embed_topk": _q_docs_hash_embed_topk,
         "kmeans_profile": _q_kmeans_profile,
         "pca_project_top2": _q_pca_project,

@@ -348,3 +348,41 @@ def test_pq_clustered_data_cluster_retrieval_and_rerank(ray_session):
         b = set(rr[rr.query_id == q].vec_id)
         per.append(len(a & b) / len(a))
     assert float(np.mean(per)) >= 0.9, per
+
+
+def test_ivfpq_recall_pruning_compression(ray_session, emb_path, queries,
+                                          tmp_path):
+    import ray.data as rd
+    qids, qmat = queries
+    ds = rd.read_parquet(emb_path)
+    exact = ann.brute_topk(ds, qids, qmat, k=10).to_pandas()
+    idx = str(tmp_path / "ivfpq")
+    cents, cbs = ann.ivfpq_build(ds, idx, n_centroids=8, m=16, ks=256)
+    assert cents.shape[0] == 8 and cbs.shape == (16, 256, 4)
+    # full probe + rerank recovers brute results exactly
+    out, frac = ann.ivfpq_query(idx, qids, qmat, k=10, nprobe=8,
+                                rerank_ds=ds, rerank_l=100)
+    ap = out.to_pandas()
+    rec = np.mean([len(set(exact[exact.query_id == q].vec_id)
+                       & set(ap[ap.query_id == q].vec_id)) / 10
+                   for q in set(qids.tolist())])
+    assert rec >= 0.95
+    # partial probe physically prunes code bytes
+    out2, frac2 = ann.ivfpq_query(idx, qids, qmat, k=10, nprobe=2)
+    assert 0.0 < frac2 < 1.0
+    assert out2.num_rows > 0
+    # probe-coverage-bounded recall without rerank still beats chance
+    ap2 = ann.ivfpq_query(idx, qids, qmat, k=10, nprobe=4)[0].to_pandas()
+    rec2 = np.mean([len(set(exact[exact.query_id == q].vec_id)
+                        & set(ap2[ap2.query_id == q].vec_id)) / 10
+                    for q in set(qids.tolist())])
+    assert rec2 >= 0.3
+    # the codes index stores no float vectors: smaller than the IVF float
+    # index even with per-partition parquet overhead at 500 rows
+    import subprocess
+    ann.ivf_build(ds, str(tmp_path / "ivf"), n_centroids=8)
+    a = int(subprocess.check_output(
+        ["du", "-sb", idx + "/codes"]).split()[0])
+    b = int(subprocess.check_output(
+        ["du", "-sb", str(tmp_path / "ivf/vectors")]).split()[0])
+    assert b / a > 1.8

@@ -483,3 +483,190 @@ def pq_topk(ds, query_ids, query_matrix, k: int = 10, m: int = 8,
     return pa.Table.from_pandas(
         scored[["query_id", "vec_id", "rank", "score"]],
         preserve_index=False)
+
+
+def ivfpq_build(ds, index_dir: str, n_centroids: int = 16, m: int = 16,
+                ks: int = 256, sample_n: int = 4000, iters: int = 12,
+                vec_col="embedding", id_col="vec_id", seed: int = 5):
+    """IVF-PQ index build — the FAISS-standard billion-vector layout,
+    composing the two scale levers: coarse centroids give PHYSICAL
+    partition pruning (ivf_build's win: bytes read ∝ nprobe/n_centroids)
+    and product quantization shrinks what remains 16-32× (pq_encode's
+    win: m uint8 codes per vector, floats never stored in the index).
+
+    One corpus pass assigns + encodes; workers write
+    ``index_dir/codes/centroid_id=C/`` parquet partitions holding ONLY
+    (id, cid, codes). Codebooks + centroids (a few KB) sit beside them.
+    Vectors are encoded directly (not residual-encoded) so the query LUT
+    is probe-independent — one table per query, the same ADC scan as
+    ``pq_topk``; residual encoding is the accuracy upgrade documented as
+    future work."""
+    import os
+    import shutil
+
+    from .select import sample_bottom_k
+
+    samp_tbl = sample_bottom_k(ds.select_columns([id_col, vec_col]),
+                               id_col, sample_n)
+    sample = list_column_to_matrix(samp_tbl[vec_col])
+    cents = train_centroids(sample, n_centroids, seed=seed)
+    cbs = pq_train(sample, m=m, ks=ks, iters=iters)
+    cref, bref = ray.put(cents), ray.put(cbs)
+
+    def assign_encode(b: pa.Table) -> pa.Table:
+        c, cb = ray.get(cref), ray.get(bref)
+        v = _normalize(list_column_to_matrix(b[vec_col]))
+        a = np.argmax(v @ c.T, axis=1).astype(np.int64)
+        m_, ks_, dsub = cb.shape
+        codes = np.empty((v.shape[0], m_), dtype=np.uint8)
+        for j in range(m_):
+            sub = v[:, j * dsub:(j + 1) * dsub]
+            dist = -2.0 * sub @ cb[j].T + (cb[j] ** 2).sum(1)[None, :]
+            codes[:, j] = np.argmin(dist, axis=1).astype(np.uint8)
+        flat = pa.array(codes.reshape(-1), type=pa.uint8())
+        return pa.table({
+            id_col: b[id_col],
+            "centroid_id": pa.array(a),
+            "cid": pa.array(a),
+            "codes": pa.FixedSizeListArray.from_arrays(flat, m_)})
+
+    os.makedirs(index_dir, exist_ok=True)
+    code_dir = os.path.join(index_dir, "codes")
+    if os.path.isdir(code_dir):  # same stale-partition hazard as ivf_build
+        shutil.rmtree(code_dir)
+    ds.map_batches(assign_encode, batch_format="pyarrow") \
+        .write_parquet(code_dir, partition_cols=["centroid_id"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    np.save(os.path.join(index_dir, "codebooks.npy"), cbs)
+    return cents, cbs
+
+
+def ivfpq_query(index_dir: str, query_ids, query_matrix, k: int = 10,
+                nprobe: int = 4, rerank_ds=None, rerank_l: int = 0,
+                vec_col="embedding", id_col="vec_id"):
+    """Query an IVF-PQ index: probe ``nprobe`` centroid partitions
+    (directory-level pruning — non-probed CODE bytes never leave
+    storage), ADC-scan the probed codes per query, block-local shortlist,
+    tiny driver merge; optionally re-rank the ≤ nq·rerank_l shortlist
+    exactly against ``rerank_ds`` (the original float corpus) via a
+    broadcast semi-filter. Returns (table, bytes_read_fraction)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    cbs = np.load(os.path.join(index_dir, "codebooks.npy"))
+    m, ks, dsub = cbs.shape
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    probed = sorted({int(c) for row in probe for c in row})
+
+    root = os.path.join(index_dir, "codes")
+    probe_files = sorted(
+        f for c in probed
+        for f in glob.glob(os.path.join(root, f"centroid_id={c}",
+                                        "*.parquet")))
+    empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                      "vec_id": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64()),
+                      "score": pa.array([], type=pa.float64())})
+    if not probe_files:
+        return empty, 0.0
+    all_dirs = glob.glob(os.path.join(root, "centroid_id=*"))
+    probed_dirs = [os.path.join(root, f"centroid_id={c}") for c in probed]
+
+    def dir_bytes(dirs):
+        return sum(os.path.getsize(f) for d in dirs
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+
+    total = dir_bytes(all_dirs)
+    frac = dir_bytes(probed_dirs) / total if total else 1.0
+
+    lut = np.empty((qn.shape[0], m, ks), dtype=np.float64)
+    for j in range(m):
+        qs = qn[:, j * dsub:(j + 1) * dsub]
+        diff = qs[:, None, :] - cbs[j][None, :, :]
+        lut[:, j, :] = (diff ** 2).sum(axis=2)
+    payload = ray.put({"lut": lut, "probe": probe,
+                       "qids": np.asarray(query_ids, dtype=np.int64)})
+    kk_width = max(k, rerank_l)
+
+    def scan(b: pa.Table) -> pa.Table:
+        p = ray.get(payload)
+        lut_, qids, probe_ = p["lut"], p["qids"], p["probe"]
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        cid = np.asarray(b["cid"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        flat = b["codes"].combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False)
+        cd = flat.reshape(-1, m)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(lut_.shape[0]):
+            mask = np.isin(cid, probe_[qi])
+            if not mask.any():
+                continue
+            sub = cd[mask]
+            dist = np.zeros(sub.shape[0], dtype=np.float64)
+            for j in range(m):
+                dist += lut_[qi, j, :][sub[:, j]]
+            kk = min(kk_width, dist.size)
+            top = np.argpartition(dist, kk - 1)[:kk] if kk < dist.size \
+                else np.arange(dist.size)
+            out_q.append(np.full(top.size, qids[qi], dtype=np.int64))
+            out_v.append(ids[mask][top].astype(np.int64))
+            out_s.append(1.0 - dist[top] / 2.0)
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64())})
+
+    partials = rd.read_parquet(probe_files) \
+        .map_batches(scan, batch_format="pyarrow")
+    if not rerank_l or rerank_ds is None:
+        return _final_topk(partials, k), frac
+
+    import pyarrow.compute as pc
+    shortlist = _final_topk(partials, max(rerank_l, k)).to_pandas()
+    if shortlist.empty:
+        return empty, frac
+    allowed = {(int(r.query_id), int(r.vec_id))
+               for r in shortlist.itertuples()}
+    cand_ref = ray.put(np.unique(shortlist["vec_id"].to_numpy()))
+    qref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
+                    "mat": qn})
+
+    def exact_scores(b: pa.Table) -> pa.Table:
+        cdn = ray.get(cand_ref)
+        keep = pc.is_in(b[id_col], value_set=pa.array(cdn))
+        b = b.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        p = ray.get(qref)
+        v = _normalize(list_column_to_matrix(b[vec_col]))
+        sims = v @ p["mat"].T
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nq = sims.shape[1]
+        return pa.table({
+            "query_id": pa.array(np.repeat(p["qids"], ids.size)),
+            "vec_id": pa.array(np.tile(ids, nq)),
+            "score": pa.array(sims.T.reshape(-1), type=pa.float64())})
+
+    scored = rerank_ds.map_batches(exact_scores,
+                                   batch_format="pyarrow").to_pandas()
+    mask = [(int(a), int(b_)) in allowed
+            for a, b_ in zip(scored["query_id"], scored["vec_id"])]
+    scored = scored[mask].sort_values(
+        ["query_id", "score", "vec_id"], ascending=[True, False, True])
+    scored = scored.groupby("query_id", sort=True).head(k) \
+        .reset_index(drop=True)
+    scored["rank"] = scored.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        scored[["query_id", "vec_id", "rank", "score"]],
+        preserve_index=False), frac
