@@ -386,3 +386,42 @@ def test_ivfpq_recall_pruning_compression(ray_session, emb_path, queries,
     b = int(subprocess.check_output(
         ["du", "-sb", str(tmp_path / "ivf/vectors")]).split()[0])
     assert b / a > 1.8
+
+
+def test_ivfpq_residual_encoding_improves_clustered(ray_session, tmp_path):
+    """Residual PQ (FAISS-standard) quantizes the tighter (x − centroid)
+    spread: on clustered vectors its codes-only recall beats direct
+    encoding; the flag round-trips through the index directory."""
+    import pyarrow as pa
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, (8, 32))
+    x = np.vstack([c + rng.normal(0, 0.15, (250, 32)) for c in centers])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(x)), type=pa.int64()),
+        "embedding": pa.array([r.astype(np.float32) for r in x])})
+    ds = rd.from_arrow(tbl).repartition(5)
+    qids, qmat = np.arange(4), x[[10, 300, 700, 1500]]
+    exact = ann.brute_topk(ds, qids, qmat, k=10).to_pandas()
+
+    def recall(ap):
+        return float(np.mean(
+            [len(set(exact[exact.query_id == q].vec_id)
+                 & set(ap[ap.query_id == q].vec_id)) / 10
+             for q in qids.tolist()]))
+
+    recs = {}
+    for resid in (False, True):
+        idx = str(tmp_path / f"ivfpq_{resid}")
+        ann.ivfpq_build(ds, idx, n_centroids=8, m=8, ks=64,
+                        residual=resid)
+        adc = ann.ivfpq_query(idx, qids, qmat, k=10,
+                              nprobe=2)[0].to_pandas()
+        recs[resid] = recall(adc)
+    assert recs[True] >= recs[False]
+    assert recs[True] >= 0.4
+    # rerank on top of residual codes stays near-exact within the probes
+    idx = str(tmp_path / "ivfpq_True")
+    rr = ann.ivfpq_query(idx, qids, qmat, k=10, nprobe=8,
+                         rerank_ds=ds, rerank_l=250)[0].to_pandas()
+    assert recall(rr) >= 0.95

@@ -317,16 +317,11 @@ def ivf_topk(ds, query_ids, query_matrix, k: int = 10, n_centroids: int = 16,
 # Product quantization (PQ) — compressed-vector ADC scan
 # ---------------------------------------------------------------------------
 
-def pq_train(sample: np.ndarray, m: int = 8, ks: int = 16,
-             iters: int = 12, seed: int = 7) -> np.ndarray:
-    """Train PQ codebooks on a driver-side sample → (m, ks, d/m).
-
-    Standard FAISS-style recipe: split the (normalized) vector into ``m``
-    subspaces and run plain-L2 Lloyd's per subspace. Training on a
-    deterministic sample is the sanctioned scale path — codebooks are a
-    few KB regardless of corpus size. Deterministic (seeded init, argmin
-    first-wins ties)."""
-    x = _normalize(np.asarray(sample, dtype=np.float64))
+def _pq_train_raw(x: np.ndarray, m: int = 8, ks: int = 16,
+                  iters: int = 12, seed: int = 7) -> np.ndarray:
+    """PQ codebooks over PRE-TRANSFORMED vectors (no normalization) —
+    the residual-encoding path trains on (x − centroid) directly."""
+    x = np.asarray(x, dtype=np.float64)
     d = x.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -348,6 +343,19 @@ def pq_train(sample: np.ndarray, m: int = 8, ks: int = 16,
             c = np.vstack([c, np.repeat(c[:1], ks - k_eff, axis=0)])
         cbs[j] = c
     return cbs
+
+
+def pq_train(sample: np.ndarray, m: int = 8, ks: int = 16,
+             iters: int = 12, seed: int = 7) -> np.ndarray:
+    """Train PQ codebooks on a driver-side sample → (m, ks, d/m).
+
+    Standard FAISS-style recipe: split the (normalized) vector into ``m``
+    subspaces and run plain-L2 Lloyd's per subspace. Training on a
+    deterministic sample is the sanctioned scale path — codebooks are a
+    few KB regardless of corpus size. Deterministic (seeded init, argmin
+    first-wins ties)."""
+    return _pq_train_raw(_normalize(np.asarray(sample, dtype=np.float64)),
+                         m=m, ks=ks, iters=iters, seed=seed)
 
 
 def pq_encode(ds, codebooks: np.ndarray, vec_col="embedding",
@@ -487,7 +495,8 @@ def pq_topk(ds, query_ids, query_matrix, k: int = 10, m: int = 8,
 
 def ivfpq_build(ds, index_dir: str, n_centroids: int = 16, m: int = 16,
                 ks: int = 256, sample_n: int = 4000, iters: int = 12,
-                vec_col="embedding", id_col="vec_id", seed: int = 5):
+                vec_col="embedding", id_col="vec_id", seed: int = 5,
+                residual: bool = False):
     """IVF-PQ index build — the FAISS-standard billion-vector layout,
     composing the two scale levers: coarse centroids give PHYSICAL
     partition pruning (ivf_build's win: bytes read ∝ nprobe/n_centroids)
@@ -497,10 +506,14 @@ def ivfpq_build(ds, index_dir: str, n_centroids: int = 16, m: int = 16,
     One corpus pass assigns + encodes; workers write
     ``index_dir/codes/centroid_id=C/`` parquet partitions holding ONLY
     (id, cid, codes). Codebooks + centroids (a few KB) sit beside them.
-    Vectors are encoded directly (not residual-encoded) so the query LUT
-    is probe-independent — one table per query, the same ADC scan as
-    ``pq_topk``; residual encoding is the accuracy upgrade documented as
-    future work."""
+    ``residual=False`` encodes vectors directly — the query LUT is
+    probe-independent (one table per query, the same ADC scan as
+    ``pq_topk``). ``residual=True`` is the FAISS-standard accuracy
+    upgrade: codebooks train on and codes store (x − centroid[assign]),
+    whose spread is much tighter than the raw vectors', so the same m
+    bytes quantize finer; the query side then builds one LUT per
+    (query, probed centroid) — nprobe× more LUT work, identical scan
+    cost. The flag is persisted beside the codebooks."""
     import os
     import shutil
 
@@ -510,13 +523,20 @@ def ivfpq_build(ds, index_dir: str, n_centroids: int = 16, m: int = 16,
                                id_col, sample_n)
     sample = list_column_to_matrix(samp_tbl[vec_col])
     cents = train_centroids(sample, n_centroids, seed=seed)
-    cbs = pq_train(sample, m=m, ks=ks, iters=iters)
+    if residual:
+        sn = _normalize(np.asarray(sample, dtype=np.float64))
+        res = sn - cents[np.argmax(sn @ cents.T, axis=1)]
+        cbs = _pq_train_raw(res, m=m, ks=ks, iters=iters)
+    else:
+        cbs = pq_train(sample, m=m, ks=ks, iters=iters)
     cref, bref = ray.put(cents), ray.put(cbs)
 
     def assign_encode(b: pa.Table) -> pa.Table:
         c, cb = ray.get(cref), ray.get(bref)
         v = _normalize(list_column_to_matrix(b[vec_col]))
         a = np.argmax(v @ c.T, axis=1).astype(np.int64)
+        if residual:
+            v = v - c[a]
         m_, ks_, dsub = cb.shape
         codes = np.empty((v.shape[0], m_), dtype=np.uint8)
         for j in range(m_):
@@ -538,6 +558,8 @@ def ivfpq_build(ds, index_dir: str, n_centroids: int = 16, m: int = 16,
         .write_parquet(code_dir, partition_cols=["centroid_id"])
     np.save(os.path.join(index_dir, "centroids.npy"), cents)
     np.save(os.path.join(index_dir, "codebooks.npy"), cbs)
+    np.save(os.path.join(index_dir, "residual.npy"),
+            np.array([1 if residual else 0], dtype=np.int64))
     return cents, cbs
 
 
@@ -557,6 +579,9 @@ def ivfpq_query(index_dir: str, query_ids, query_matrix, k: int = 10,
 
     cents = np.load(os.path.join(index_dir, "centroids.npy"))
     cbs = np.load(os.path.join(index_dir, "codebooks.npy"))
+    res_path = os.path.join(index_dir, "residual.npy")
+    residual = bool(np.load(res_path)[0]) if os.path.exists(res_path) \
+        else False
     m, ks, dsub = cbs.shape
     qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
@@ -583,18 +608,37 @@ def ivfpq_query(index_dir: str, query_ids, query_matrix, k: int = 10,
     total = dir_bytes(all_dirs)
     frac = dir_bytes(probed_dirs) / total if total else 1.0
 
-    lut = np.empty((qn.shape[0], m, ks), dtype=np.float64)
-    for j in range(m):
-        qs = qn[:, j * dsub:(j + 1) * dsub]
-        diff = qs[:, None, :] - cbs[j][None, :, :]
-        lut[:, j, :] = (diff ** 2).sum(axis=2)
-    payload = ray.put({"lut": lut, "probe": probe,
-                       "qids": np.asarray(query_ids, dtype=np.int64)})
+    if residual:
+        # one LUT per (query, PROBED centroid): dist²(q, c + r) over the
+        # residual codebooks — LUT[qi][cid] built only for probed cells
+        lut_rc = {}
+        for qi in range(qn.shape[0]):
+            per_c = {}
+            for c in probe[qi]:
+                qr = qn[qi] - cents[int(c)]
+                t = np.empty((m, ks), dtype=np.float64)
+                for j in range(m):
+                    diff = qr[j * dsub:(j + 1) * dsub][None, :] - cbs[j]
+                    t[j] = (diff ** 2).sum(axis=1)
+                per_c[int(c)] = t
+            lut_rc[qi] = per_c
+        payload = ray.put({"lut_rc": lut_rc, "probe": probe,
+                           "qids": np.asarray(query_ids,
+                                              dtype=np.int64)})
+    else:
+        lut = np.empty((qn.shape[0], m, ks), dtype=np.float64)
+        for j in range(m):
+            qs = qn[:, j * dsub:(j + 1) * dsub]
+            diff = qs[:, None, :] - cbs[j][None, :, :]
+            lut[:, j, :] = (diff ** 2).sum(axis=2)
+        payload = ray.put({"lut": lut, "probe": probe,
+                           "qids": np.asarray(query_ids,
+                                              dtype=np.int64)})
     kk_width = max(k, rerank_l)
 
     def scan(b: pa.Table) -> pa.Table:
         p = ray.get(payload)
-        lut_, qids, probe_ = p["lut"], p["qids"], p["probe"]
+        qids, probe_ = p["qids"], p["probe"]
         ids = b[id_col].to_numpy(zero_copy_only=False)
         cid = np.asarray(b["cid"].to_numpy(zero_copy_only=False),
                          dtype=np.int64)
@@ -602,14 +646,27 @@ def ivfpq_query(index_dir: str, query_ids, query_matrix, k: int = 10,
             .to_numpy(zero_copy_only=False)
         cd = flat.reshape(-1, m)
         out_q, out_v, out_s = [], [], []
-        for qi in range(lut_.shape[0]):
+        for qi in range(len(probe_)):
             mask = np.isin(cid, probe_[qi])
             if not mask.any():
                 continue
             sub = cd[mask]
             dist = np.zeros(sub.shape[0], dtype=np.float64)
-            for j in range(m):
-                dist += lut_[qi, j, :][sub[:, j]]
+            if residual:
+                sub_cid = cid[mask]
+                for c, t in p["lut_rc"][qi].items():
+                    cm = sub_cid == c
+                    if not cm.any():
+                        continue
+                    sc = sub[cm]
+                    dc = np.zeros(sc.shape[0], dtype=np.float64)
+                    for j in range(m):
+                        dc += t[j][sc[:, j]]
+                    dist[cm] = dc
+            else:
+                lut_ = p["lut"]
+                for j in range(m):
+                    dist += lut_[qi, j, :][sub[:, j]]
             kk = min(kk_width, dist.size)
             top = np.argpartition(dist, kk - 1)[:kk] if kk < dist.size \
                 else np.arange(dist.size)
