@@ -348,6 +348,20 @@ def _q_merged_dup_spans(sf_dir: str):
     return merge_spans(iv, "doc_id", "s", "e")
 
 
+def _q_duplicated_spans_exact(sf_dir: str):
+    """UNALIGNED exact-substring duplication: stride=1 hashes every
+    window position, so any ≥ window-token duplicate is detected at any
+    offset (the Lee-et-al. fidelity mode; suffix arrays would compute
+    the same set cheaper — documented backlog). Digest volume ≈ corpus
+    tokens; only distinct (digest, doc) partials shuffle."""
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import duplicated_spans
+    return duplicated_spans(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        window=20, stride=1)
+
+
 def _q_duplicated_spans(sf_dir: str):
     """Cross-document exact substring duplication (Lee et al. 2022
     signal): windows whose text recurs in ≥ 2 docs. Windows never
@@ -1365,6 +1379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
         "duplicated_spans": _q_duplicated_spans,
+        "duplicated_spans_exact": _q_duplicated_spans_exact,
         "merged_dup_spans": _q_merged_dup_spans,
         "dedup_span_removal": _q_dedup_span_removal,
         "clean_chunks": _q_clean_chunks,
@@ -1575,6 +1590,25 @@ def oracle_sql() -> dict[str, str]:
                    max(e)::BIGINT AS span_end,
                    count(*)::BIGINT AS n_windows
             FROM h GROUP BY doc_id, grp""",
+        "duplicated_spans_exact": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            nn AS (SELECT doc_id, toks, len(toks) AS nt FROM t
+                   WHERE len(toks) > 0),
+            idx AS (SELECT doc_id, toks, nt, unnest(generate_series(0,
+                      CASE WHEN nt <= 20 THEN 0
+                           ELSE (nt - 20)::BIGINT
+                      END)) AS ci FROM nn),
+            w AS (SELECT doc_id, ci,
+                         array_to_string(toks[ci*1 + 1 :
+                                              least(ci*1 + 20, nt)],
+                                         ' ') AS wt,
+                         (least(ci*1 + 20, nt) - ci*1)::BIGINT AS n_tokens
+                  FROM idx),
+            d AS (SELECT wt FROM (SELECT wt, count(DISTINCT doc_id) AS nd
+                                  FROM w GROUP BY wt) WHERE nd >= 2)
+            SELECT w.doc_id, w.ci AS chunk_idx, w.n_tokens
+            FROM w JOIN d USING (wt)""",
         "duplicated_spans": r"""
             WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
                        FROM documents),

@@ -610,3 +610,26 @@ def test_remove_duplicated_spans_end_to_end(ray_session):
         out.loc[0, "n_removed"] >= 25
     assert "closing" in out.loc[1, "clean_text"] or \
         out.loc[1, "n_removed"] >= 25
+
+
+def test_duplicated_spans_stride1_catches_unaligned(ray_session):
+    """stride=1 detects a duplicate at ANY offset — the case the stride
+    grid misses (cf. test_remove_duplicated_spans_end_to_end's alignment
+    contract)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import duplicated_spans
+    dup = " ".join(f"dup{i}" for i in range(25))
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            f"{dup} unique one tail",
+            f"off grid {dup} closing words",   # offset 2: grid-misaligned
+            "completely original " + " ".join(f"u{i}" for i in range(30)),
+        ])})
+    ds = rd.from_arrow(tbl).repartition(2)
+    aligned = duplicated_spans(ds, window=20, stride=10).to_pandas()
+    exact = duplicated_spans(ds, window=20, stride=1).to_pandas()
+    assert len(aligned) == 0                       # grid misses it
+    assert set(exact["doc_id"]) == {0, 1}          # stride=1 finds both
+    assert 2 not in set(exact["doc_id"])
