@@ -1127,6 +1127,18 @@ def _q_fuzzy_customer_pairs(sf_dir: str):
     return fuzzy_pairs_lev1(ds, "c_custkey", "c_name")
 
 
+def _q_fuzzy_customer_pairs_k2(sf_dir: str):
+    """Entity-resolution fuzzy join at edit distance 2: size-≤2
+    deletion-neighborhood blocking (O(len²) sig passes, exact — no
+    recall loss), global candidate dedup BEFORE the banded-DP verify
+    (each unique pair verifies once)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import fuzzy_pairs
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    return fuzzy_pairs(ds, "c_custkey", "c_name", k=2)
+
+
 def _q_docs_mixture(sf_dir: str):
     """Weighted dataset-mixture composition: each source kept at its own
     deterministic hash-sample rate (the training-mix step). Stateless
@@ -1378,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
         "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
+        "fuzzy_customer_pairs_k2": _q_fuzzy_customer_pairs_k2,
         "duplicated_spans": _q_duplicated_spans,
         "duplicated_spans_exact": _q_duplicated_spans_exact,
         "merged_dup_spans": _q_merged_dup_spans,
@@ -1918,6 +1931,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY event_type""",
+        "fuzzy_customer_pairs_k2": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND levenshtein(a.c_name, b.c_name) <= 2""",
         "fuzzy_customer_pairs": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
             FROM customer a JOIN customer b

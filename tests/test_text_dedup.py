@@ -633,3 +633,31 @@ def test_duplicated_spans_stride1_catches_unaligned(ray_session):
     assert len(aligned) == 0                       # grid misses it
     assert set(exact["doc_id"]) == {0, 1}          # stride=1 finds both
     assert 2 not in set(exact["doc_id"])
+
+
+def test_fuzzy_pairs_k2_matches_bruteforce(ray_session):
+    import itertools
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import fuzzy_pairs
+    names = ["alpha", "alpXY", "alXha", "alp", "alphaXY", "beta", "bXtY",
+             "ab", "ba", "", "x", "xyz", "axc", "cxa", "alpha"]
+    tbl = pa.table({"id": pa.array(range(len(names)), type=pa.int64()),
+                    "name": pa.array(names)})
+    got = fuzzy_pairs(rd.from_arrow(tbl).repartition(4), "id", "name",
+                      k=2).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    def lev(a, b):
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[len(b)]
+
+    want = sorted((i, j) for i, j in itertools.combinations(
+        range(len(names)), 2) if lev(names[i], names[j]) <= 2)
+    assert list(map(tuple, got[["id_a", "id_b"]].to_numpy())) == want

@@ -864,25 +864,67 @@ def _lev_le1(a: str, b: str) -> bool:
 def fuzzy_pairs_lev1(ds, id_col: str, name_col: str, n_parts: int = 64,
                      max_bucket: int = 4096):
     """All pairs of rows whose ``name_col`` values are within Levenshtein
-    distance 1 → Dataset of (id_a, id_b), id_a < id_b — the entity-
-    resolution fuzzy join.
+    distance 1 → Dataset of (id_a, id_b), id_a < id_b — the k=1 entry of
+    the entity-resolution fuzzy join (see :func:`fuzzy_pairs` for the
+    blocking/verification design; this thin wrapper keeps the original
+    public name)."""
+    return fuzzy_pairs(ds, id_col, name_col, k=1, n_parts=n_parts,
+                       max_bucket=max_bucket)
 
-    Blocking is the deletion-neighborhood signature (SymSpell/FastSS):
-    sig set = {name} ∪ {name minus one char}. Two strings within one edit
-    ALWAYS share a signature (exact blocking — no recall loss), so only
-    same-signature buckets are verified. Signature generation is fully
-    vectorized (one ``utf8_slice`` + ``binary_join`` pass per deletion
-    position — looped over max name length, not rows); buckets co-locate
-    via ONE coarse hash shuffle; verification (`_lev_le1`) runs only on
-    in-bucket candidates; cross-bucket duplicate pairs dedup with a
-    combiner groupby. Buckets above ``max_bucket`` are capped with a log
-    line (the LSH hot-bucket contract — at crawl scale a universal token
-    would otherwise quadratically explode one bucket)."""
+def _lev_le(a: str, b: str, k: int) -> bool:
+    """Exact Levenshtein(a, b) ≤ k via a banded DP (band width 2k+1):
+    O(k·len) per pair, early exit when the whole band exceeds k."""
+    if k == 1:
+        return _lev_le1(a, b)
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if a == b:
+        return True
+    big = k + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        lo, hi = max(1, i - k), min(lb, i + k)
+        cur = [big] * (lb + 1)
+        if lo == 1:
+            cur[0] = i
+        best = big
+        for j in range(lo, hi + 1):
+            c = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]))
+            cur[j] = c
+            if c < best:
+                best = c
+        if best > k and (lo > 1 or cur[0] > k):
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+def fuzzy_pairs(ds, id_col: str, name_col: str, k: int = 1,
+                n_parts: int = 64, max_bucket: int = 4096):
+    """Generalized entity-resolution fuzzy join: all pairs within
+    Levenshtein distance ``k`` (k = 1 or 2) → Dataset of (id_a, id_b).
+
+    Blocking is the size-≤k deletion neighborhood (FastSS): if
+    lev(a, b) ≤ k then a and b share a signature obtained by deleting ≤ k
+    chars from each — exact blocking, no recall loss; ``_lev_le``
+    verification removes the false candidates. Signature generation is
+    vectorized per deletion-position combo (O(maxlen^k) slice+join passes
+    over the whole block — ~170 passes at k=2 for 18-char keys, never a
+    per-row Python loop). Signature volume is O(len^k) rows per input
+    row — the documented cost of k=2 blocking; same coarse-shuffle /
+    hot-bucket-cap / combiner-dedup shape as :func:`fuzzy_pairs_lev1`.
+    """
     import logging
+    from itertools import combinations
 
     import pyarrow.compute as pc
 
     from .select import _hash_part_of
+
+    if k < 1 or k > 2:
+        raise ValueError("fuzzy_pairs supports k in {1, 2}")
 
     def sigs(b: pa.Table) -> pa.Table:
         names = b[name_col]
@@ -890,20 +932,25 @@ def fuzzy_pairs_lev1(ds, id_col: str, name_col: str, n_parts: int = 64,
             names = names.combine_chunks()
         lens = pc.utf8_length(names).to_numpy(zero_copy_only=False)
         maxlen = int(lens.max()) if len(lens) else 0
-        outs = []
         ids = b[id_col]
-        # d == maxlen pass yields the identity signature for every row
-        # (slice beyond the end is the whole string + empty tail)
-        for d in range(maxlen + 1):
-            keep = pa.array(lens >= d)
-            left = pc.utf8_slice_codeunits(names, 0, d)
-            right = pc.utf8_slice_codeunits(names, d + 1, 1 << 30)
-            sig = pc.binary_join_element_wise(left, right, "")
-            t = pa.table({"sig": sig, id_col: ids, name_col: names})
-            outs.append(t.filter(keep))
+        outs = []
+        end = 1 << 30
+        for size in range(k + 1):
+            for combo in combinations(range(maxlen), size):
+                # valid only when every deleted position exists
+                need = (combo[-1] + 1) if combo else 0
+                keep = pa.array(lens >= max(need, size))
+                parts = []
+                prev = 0
+                for p in combo:
+                    parts.append(pc.utf8_slice_codeunits(names, prev, p))
+                    prev = p + 1
+                parts.append(pc.utf8_slice_codeunits(names, prev, end))
+                sig = parts[0] if len(parts) == 1 else \
+                    pc.binary_join_element_wise(*parts, "")
+                t = pa.table({"sig": sig, id_col: ids, name_col: names})
+                outs.append(t.filter(keep))
         out = pa.concat_tables(outs)
-        # a row whose length < maxlen emits its identity sig twice (at
-        # d == len and d == maxlen); drop exact (sig, id) dups per block
         key = pc.binary_join_element_wise(
             out["sig"], pc.cast(out[id_col], pa.string()), "\x00")
         enc = key.combine_chunks().dictionary_encode()
@@ -915,11 +962,19 @@ def fuzzy_pairs_lev1(ds, id_col: str, name_col: str, n_parts: int = 64,
         return b.append_column(
             "_part", pa.array(_hash_part_of(b["sig"], n_parts)))
 
+    _EMPTY = pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+        "name_a": pa.array([], type=pa.string()),
+        "name_b": pa.array([], type=pa.string())})
+
     def per_part(g: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
-                          "id_b": pa.array([], type=pa.int64())})
+        # emit UNVERIFIED candidates (with both names): a true pair shares
+        # MANY size-≤k deletion signatures, so verifying in-bucket repeats
+        # the DP once per shared sig (~20× at k=2); instead candidates
+        # dedup globally first and each unique pair verifies ONCE below
         if g.num_rows == 0:
-            return empty
+            return _EMPTY
         g = g.drop_columns(["_part"])
         idx = pc.sort_indices(g, sort_keys=[("sig", "ascending"),
                                             (id_col, "ascending")])
@@ -930,137 +985,66 @@ def fuzzy_pairs_lev1(ds, id_col: str, name_col: str, n_parts: int = 64,
         bounds = np.r_[starts, len(codes)]
         ids = g[id_col].to_numpy(zero_copy_only=False)
         names = g[name_col].to_pylist()
-        out_a, out_b = [], []
+        out_a, out_b, na, nb = [], [], [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s < 2:
                 continue
             if e - s > max_bucket:
                 logging.getLogger(__name__).warning(
-                    "fuzzy_pairs_lev1: bucket capped %d -> %d",
+                    "fuzzy_pairs: bucket capped %d -> %d",
                     e - s, max_bucket)
                 e = s + max_bucket
             for i in range(s, e):
                 for j in range(i + 1, e):
-                    if ids[i] != ids[j] and _lev_le1(names[i], names[j]):
-                        lo, hi = (ids[i], ids[j]) if ids[i] < ids[j] \
-                            else (ids[j], ids[i])
-                        out_a.append(lo)
-                        out_b.append(hi)
+                    if ids[i] == ids[j]:
+                        continue
+                    if ids[i] < ids[j]:
+                        out_a.append(ids[i]); out_b.append(ids[j])
+                        na.append(names[i]); nb.append(names[j])
+                    else:
+                        out_a.append(ids[j]); out_b.append(ids[i])
+                        na.append(names[j]); nb.append(names[i])
         if not out_a:
-            return empty
-        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
-                         "id_b": pa.array(out_b, type=pa.int64())})
+            return _EMPTY
+        t = pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                      "id_b": pa.array(out_b, type=pa.int64()),
+                      "name_a": pa.array(na, type=pa.string()),
+                      "name_b": pa.array(nb, type=pa.string())})
+        # block-local dedup: cross-sig duplicates inside one bucket part
+        # (exact 2-col unique — a packed key could collide for huge ids)
+        pairkey = np.stack([t["id_a"].to_numpy(zero_copy_only=False),
+                            t["id_b"].to_numpy(zero_copy_only=False)], 1)
+        first = np.unique(pairkey, axis=0, return_index=True)[1]
+        return t.take(pa.array(np.sort(first)))
 
-    pairs = ds.map_batches(sigs, batch_format="pyarrow") \
+    cand = ds.map_batches(sigs, batch_format="pyarrow") \
         .map_batches(add_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
-    # cross-bucket duplicates (a pair shares several signatures): exact
-    # distinct via per-block dedup partials + one combiner groupby
-    def local_distinct(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        a = b["id_a"].to_numpy(zero_copy_only=False)
-        c = b["id_b"].to_numpy(zero_copy_only=False)
-        u = np.unique(np.stack([a, c], axis=1), axis=0)  # any int64 ids
-        return pa.table({"id_a": pa.array(u[:, 0], type=pa.int64()),
-                         "id_b": pa.array(u[:, 1], type=pa.int64())})
+    def add_pair_part(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = b["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(a * np.uint64(0x9E3779B9) ^ c)
+        return b.append_column(
+            "_part", pa.array((h % np.uint64(n_parts)).astype(np.int64)))
 
-    from ray.data.aggregate import Count
-    out = pairs.map_batches(local_distinct, batch_format="pyarrow") \
-        .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n"))
-    return out.map_batches(lambda t: t.drop_columns(["_n"]),
-                           batch_format="pyarrow")
+    def verify_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        c = g["id_b"].to_numpy(zero_copy_only=False)
+        first = np.unique(np.stack([a, c], 1), axis=0,
+                          return_index=True)[1]
+        na = g["name_a"].to_pylist()
+        nb = g["name_b"].to_pylist()
+        keep = [i for i in first if _lev_le(na[i], nb[i], k)]
+        if not keep:
+            return empty
+        sel = pa.array(np.sort(np.asarray(keep)))
+        return pa.table({"id_a": pc.take(g["id_a"], sel),
+                         "id_b": pc.take(g["id_b"], sel)})
 
-
-def remove_duplicated_spans(ds, window: int = 20, stride: int = 10,
-                            text_col: str = "text"):
-    """END-TO-END exact-substring deduplication (Lee et al. 2022's
-    remediation step): detect cross-document duplicated windows
-    (:func:`duplicated_spans`), coalesce them into maximal token regions
-    (:func:`spans.merge_spans`), then CUT those regions out of each
-    document → (doc_id, clean_text, n_removed) with ``clean_text`` the
-    surviving tokens joined by single spaces (the same canonicalization
-    as the SQL twin).
-
-    Scale shape: detection/merging shuffle only window digests and
-    interval partials; the merged region table (flagged docs only — a
-    small fraction of a real corpus) is broadcast via ``ray.put``; the
-    removal pass is one streaming scan. Per-batch work is vectorized
-    except one loop over the FLAGGED rows present in the batch (each
-    does two ``searchsorted`` calls on that doc's region arrays)."""
-    import ray
-
-    from .spans import merge_spans
-    from .terms import _flat_tokens as _ft
-
-    hits = duplicated_spans(ds, window=window, stride=stride,
-                            text_col=text_col)
-
-    def to_intervals(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        s = pc.cast(pc.multiply(b["chunk_idx"], stride), pa.int64())
-        return pa.table({
-            "doc_id": b["doc_id"], "s": s,
-            "e": pc.add(s, pc.cast(b["n_tokens"], pa.int64()))})
-
-    merged = merge_spans(hits.map_batches(to_intervals,
-                                          batch_format="pyarrow"))
-    regions: dict = {}
-    for r in merged.take_all():           # flagged docs only — bounded
-        regions.setdefault(r["doc_id"], []).append(
-            (int(r["span_start"]), int(r["span_end"])))
-    packed = {}
-    for d, v in regions.items():          # any id type (int or string)
-        sv = sorted(v)
-        packed[d] = (np.array([a for a, _ in sv], dtype=np.int64),
-                     np.array([b for _, b in sv], dtype=np.int64))
-    ref = ray.put(packed)
-
-    def clean(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        reg = ray.get(ref)
-        flat, parent = _ft(b, text_col)
-        n_rows = b.num_rows
-        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        valid = pc.is_valid(b[text_col])
-        if len(flat) == 0:
-            texts = pc.if_else(valid, pa.array([""] * n_rows),
-                               pa.scalar(None, pa.string()))
-            zeros = pc.if_else(valid,
-                               pa.array(np.zeros(n_rows, dtype=np.int64)),
-                               pa.scalar(None, pa.int64()))
-            return pa.table({"doc_id": b["doc_id"], "clean_text": texts,
-                             "n_removed": zeros})
-        counts = np.bincount(parent, minlength=n_rows)
-        offsets = np.concatenate([[0], np.cumsum(counts)])
-        keep = np.ones(len(flat), dtype=bool)
-        removed = np.zeros(n_rows, dtype=np.int64)
-        for r in range(n_rows):
-            starts_ends = reg.get(doc_ids[r])
-            if starts_ends is None:
-                continue
-            starts_a, ends_a = starts_ends
-            lo, nt = int(offsets[r]), int(counts[r])
-            # merge_spans guarantees disjoint, sorted, in-bound regions:
-            # direct slice assignment per region, O(regions) not O(nt)
-            for a, b_ in zip(starts_a, ends_a):
-                keep[lo + a:lo + min(b_, nt)] = False
-            removed[r] = int(np.minimum(ends_a, nt).sum()
-                             - starts_a.sum())
-        toks = flat.filter(pa.array(keep))
-        new_counts = counts - removed
-        new_offsets = np.concatenate(
-            [[0], np.cumsum(new_counts)]).astype(np.int32)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        lst = pa.ListArray.from_arrays(
-            pa.array(new_offsets, type=pa.int32()), toks)
-        text_out = pc.binary_join(lst, " ")
-        text_out = pc.if_else(valid, text_out, pa.scalar(None, pa.string()))
-        rem = pc.if_else(valid, pa.array(removed),
-                         pa.scalar(None, pa.int64()))
-        return pa.table({"doc_id": b["doc_id"], "clean_text": text_out,
-                         "n_removed": rem})
-
-    return ds.map_batches(clean, batch_format="pyarrow")
+    return cand.map_batches(add_pair_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(verify_part, batch_format="pyarrow")
