@@ -1048,3 +1048,96 @@ def fuzzy_pairs(ds, id_col: str, name_col: str, k: int = 1,
 
     return cand.map_batches(add_pair_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(verify_part, batch_format="pyarrow")
+
+def remove_duplicated_spans(ds, window: int = 20, stride: int = 10,
+                            text_col: str = "text"):
+    """END-TO-END exact-substring deduplication (Lee et al. 2022's
+    remediation step): detect cross-document duplicated windows
+    (:func:`duplicated_spans`), coalesce them into maximal token regions
+    (:func:`spans.merge_spans`), then CUT those regions out of each
+    document → (doc_id, clean_text, n_removed) with ``clean_text`` the
+    surviving tokens joined by single spaces (the same canonicalization
+    as the SQL twin).
+
+    Scale shape: detection/merging shuffle only window digests and
+    interval partials; the merged region table (flagged docs only — a
+    small fraction of a real corpus) is broadcast via ``ray.put``; the
+    removal pass is one streaming scan. Per-batch work is vectorized
+    except one loop over the FLAGGED rows present in the batch (each
+    does two ``searchsorted`` calls on that doc's region arrays)."""
+    import ray
+
+    from .spans import merge_spans
+    from .terms import _flat_tokens as _ft
+
+    hits = duplicated_spans(ds, window=window, stride=stride,
+                            text_col=text_col)
+
+    def to_intervals(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pc.cast(pc.multiply(b["chunk_idx"], stride), pa.int64())
+        return pa.table({
+            "doc_id": b["doc_id"], "s": s,
+            "e": pc.add(s, pc.cast(b["n_tokens"], pa.int64()))})
+
+    merged = merge_spans(hits.map_batches(to_intervals,
+                                          batch_format="pyarrow"))
+    regions: dict = {}
+    for r in merged.take_all():           # flagged docs only — bounded
+        regions.setdefault(r["doc_id"], []).append(
+            (int(r["span_start"]), int(r["span_end"])))
+    packed = {}
+    for d, v in regions.items():          # any id type (int or string)
+        sv = sorted(v)
+        packed[d] = (np.array([a for a, _ in sv], dtype=np.int64),
+                     np.array([b for _, b in sv], dtype=np.int64))
+    ref = ray.put(packed)
+
+    def clean(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        reg = ray.get(ref)
+        flat, parent = _ft(b, text_col)
+        n_rows = b.num_rows
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(b[text_col])
+        if len(flat) == 0:
+            texts = pc.if_else(valid, pa.array([""] * n_rows),
+                               pa.scalar(None, pa.string()))
+            zeros = pc.if_else(valid,
+                               pa.array(np.zeros(n_rows, dtype=np.int64)),
+                               pa.scalar(None, pa.int64()))
+            return pa.table({"doc_id": b["doc_id"], "clean_text": texts,
+                             "n_removed": zeros})
+        counts = np.bincount(parent, minlength=n_rows)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        keep = np.ones(len(flat), dtype=bool)
+        removed = np.zeros(n_rows, dtype=np.int64)
+        for r in range(n_rows):
+            starts_ends = reg.get(doc_ids[r])
+            if starts_ends is None:
+                continue
+            starts_a, ends_a = starts_ends
+            lo, nt = int(offsets[r]), int(counts[r])
+            # merge_spans guarantees disjoint, sorted, in-bound regions:
+            # direct slice assignment per region, O(regions) not O(nt)
+            for a, b_ in zip(starts_a, ends_a):
+                keep[lo + a:lo + min(b_, nt)] = False
+            removed[r] = int(np.minimum(ends_a, nt).sum()
+                             - starts_a.sum())
+        toks = flat.filter(pa.array(keep))
+        new_counts = counts - removed
+        new_offsets = np.concatenate(
+            [[0], np.cumsum(new_counts)]).astype(np.int32)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offsets, type=pa.int32()), toks)
+        text_out = pc.binary_join(lst, " ")
+        text_out = pc.if_else(valid, text_out, pa.scalar(None, pa.string()))
+        rem = pc.if_else(valid, pa.array(removed),
+                         pa.scalar(None, pa.int64()))
+        return pa.table({"doc_id": b["doc_id"], "clean_text": text_out,
+                         "n_removed": rem})
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
