@@ -1168,6 +1168,15 @@ def _q_events_rolling(sf_dir: str):
     return events_rolling(sf_dir, window=5)
 
 
+def _q_shipping_priority_topk(sf_dir: str):
+    """TPC-H Q3 flavor: top unshipped-revenue orders for one market
+    segment — broadcast segment semi-join, date filters inside both
+    scans, int partial aggregation, one orderkey hash join, block-local
+    top-k."""
+    from timezonemap_ray.pipelines.relational import shipping_priority_topk
+    return shipping_priority_topk(sf_dir)
+
+
 def _q_customer_returns_topk(sf_dir: str):
     """TPC-H Q10 flavor: top-20 customers by returned-item revenue.
     Filter+partial-agg inside the lineitem scan, one orderkey hash
@@ -1420,6 +1429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "event_transitions": _q_event_transitions,
         "customer_returns_topk": _q_customer_returns_topk,
+        "shipping_priority_topk": _q_shipping_priority_topk,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_stats_per_type": _q_events_stats_per_type,
         "events_zscore": _q_events_zscore,
@@ -2111,6 +2121,25 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+        "shipping_priority_topk": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_extendedprice
+                                           * (1.0 - l_discount)
+                                           * 10000.0) AS BIGINT))
+                            AS BIGINT) AS rev_dm
+                FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1998-06-01'
+                GROUP BY l_orderkey)
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(li.rev_dm) AS BIGINT) AS rev_dm
+            FROM li
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY rev_dm DESC, o_orderdate, l_orderkey LIMIT 10""",
         "customer_returns_topk": """
             WITH li AS (
                 SELECT l_orderkey,

@@ -420,6 +420,88 @@ def events_rolling(sf_dir: str, window: int = 5, n_parts: int = 64):
         .groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
 
+def shipping_priority_topk(sf_dir: str, segment: str = "BUILDING",
+                           cutoff: str = "1998-06-01", limit: int = 10):
+    """TPC-H Q3 flavor: top unshipped-revenue orders for one market
+    segment — customer(segment) ⋉ orders(< cutoff) ⋈ lineitem(> cutoff).
+
+    Scale shape: (1) the segment's custkeys broadcast as a semi-join key
+    set (dim side never shuffles); (2) orders filter on date + segment
+    membership in one streaming pass; (3) lineitem filters on shipdate
+    and pre-aggregates int revenue per orderkey INSIDE the scan; (4) the
+    only all-to-all is the orderkey hash join; (5) top-k is block-local →
+    tiny driver merge (no global sort)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..stages.join import broadcast_semi_join, hash_join
+
+    cut = np.datetime64(cutoff).astype("datetime64[us]")
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"],
+                                segment))["c_custkey"].to_pylist()
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["o_orderdate"],
+                                pa.scalar(cut, pa.timestamp("us"))))
+
+    orders = broadcast_semi_join(orders.map_batches(
+        ofilter, batch_format="pyarrow"), keys, "o_custkey")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def pre_agg(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"],
+                                pa.scalar(cut, pa.timestamp("us"))))
+        dm = pc.cast(pc.round(
+            pc.multiply(pc.multiply(b["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0),
+                                                b["l_discount"])),
+                        pa.scalar(10000.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev_dm": dm})
+        g = pa.TableGroupBy(t, "l_orderkey").aggregate([("rev_dm", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rev_dm": g["rev_dm_sum"]})
+
+    li = li.map_batches(pre_agg, batch_format="pyarrow")
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    per_order = joined.groupby(
+        ["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
+            Sum("rev_dm", alias_name="rev_dm"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[
+            ("rev_dm", "descending"), ("o_orderdate", "ascending"),
+            ("l_orderkey", "ascending")])[:limit]
+        return b.take(idx)
+
+    parts = [t for t in per_order.map_batches(
+        local_topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow") if t.num_rows > 0]
+    if not parts:
+        return pa.table({
+            "l_orderkey": pa.array([], type=pa.int64()),
+            "o_orderdate": pa.array([], type=pa.timestamp("us")),
+            "o_orderpriority": pa.array([], type=pa.string()),
+            "rev_dm": pa.array([], type=pa.int64())})
+    merged = pa.concat_tables(parts).combine_chunks()
+    idx = pc.sort_indices(merged, sort_keys=[
+        ("rev_dm", "descending"), ("o_orderdate", "ascending"),
+        ("l_orderkey", "ascending")])[:limit]
+    return merged.take(idx).select(
+        ["l_orderkey", "o_orderdate", "o_orderpriority", "rev_dm"])
+
+
 def event_transitions(sf_dir: str, n_parts: int = 64):
     """Event-type transition counts (the Markov/path-analysis pass):
     for each user's (ts, event_id)-ordered stream, count every adjacent
