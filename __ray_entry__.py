@@ -1177,6 +1177,14 @@ def _q_shipping_priority_topk(sf_dir: str):
     return shipping_priority_topk(sf_dir)
 
 
+def _q_late_shipment_stats(sf_dir: str):
+    """TPC-H Q12 flavor: late-shipment counts per priority — one
+    orderkey hash join, vectorized timestamp-interval classification,
+    combiner groupby."""
+    from timezonemap_ray.pipelines.relational import late_shipment_stats
+    return late_shipment_stats(sf_dir)
+
+
 def _q_customer_returns_topk(sf_dir: str):
     """TPC-H Q10 flavor: top-20 customers by returned-item revenue.
     Filter+partial-agg inside the lineitem scan, one orderkey hash
@@ -1430,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "customer_returns_topk": _q_customer_returns_topk,
         "shipping_priority_topk": _q_shipping_priority_topk,
+        "late_shipment_stats": _q_late_shipment_stats,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_stats_per_type": _q_events_stats_per_type,
         "events_zscore": _q_events_zscore,
@@ -2140,6 +2149,14 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1998-06-01'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY rev_dm DESC, o_orderdate, l_orderkey LIMIT 10""",
+        "late_shipment_stats": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN l_shipdate > o_orderdate
+                                 + INTERVAL 30 DAY
+                            THEN 1 ELSE 0 END)::BIGINT AS late,
+                   count(*)::BIGINT AS total
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
         "customer_returns_topk": """
             WITH li AS (
                 SELECT l_orderkey,

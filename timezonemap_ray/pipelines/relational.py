@@ -502,6 +502,49 @@ def shipping_priority_topk(sf_dir: str, segment: str = "BUILDING",
         ["l_orderkey", "o_orderdate", "o_orderpriority", "rev_dm"])
 
 
+def late_shipment_stats(sf_dir: str, grace_days: int = 30):
+    """TPC-H Q12 flavor: late-shipment classification per order priority
+    — lineitem ⋈ orders with a per-row date-interval predicate
+    (shipdate > orderdate + grace), counted per priority.
+
+    Scale shape: the orderkey hash join is the one all-to-all; the
+    classification is a vectorized int64 timestamp comparison per batch;
+    the groupby moves one (priority, late, total) partial per block."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..stages.join import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    grace_us = np.int64(grace_days) * 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b["l_shipdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        odate = pc.cast(b["o_orderdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        late = (ship > odate + grace_us).astype(np.int64)
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "late": pa.array(late),
+                      "total": pa.array(np.ones(b.num_rows,
+                                                dtype=np.int64))})
+        g = pa.TableGroupBy(t, "o_orderpriority").aggregate(
+            [("late", "sum"), ("total", "sum")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "late": pc.cast(g["late_sum"], pa.int64()),
+                         "total": pc.cast(g["total_sum"], pa.int64())})
+
+    return joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("late", alias_name="late"),
+            Sum("total", alias_name="total"))
+
+
 def event_transitions(sf_dir: str, n_parts: int = 64):
     """Event-type transition counts (the Markov/path-analysis pass):
     for each user's (ts, event_id)-ordered stream, count every adjacent
