@@ -1185,6 +1185,14 @@ def _q_late_shipment_stats(sf_dir: str):
     return late_shipment_stats(sf_dir)
 
 
+def _q_priority_order_counts(sf_dir: str):
+    """TPC-H Q4 flavor: orders with ≥1 late lineitem per priority — the
+    EXISTS shape via a max-shipdate witness reduction (no per-row
+    probe), one orderkey hash join, combiner count."""
+    from timezonemap_ray.pipelines.relational import priority_order_counts
+    return priority_order_counts(sf_dir)
+
+
 def _q_customer_returns_topk(sf_dir: str):
     """TPC-H Q10 flavor: top-20 customers by returned-item revenue.
     Filter+partial-agg inside the lineitem scan, one orderkey hash
@@ -1439,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_returns_topk": _q_customer_returns_topk,
         "shipping_priority_topk": _q_shipping_priority_topk,
         "late_shipment_stats": _q_late_shipment_stats,
+        "priority_order_counts": _q_priority_order_counts,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_stats_per_type": _q_events_stats_per_type,
         "events_zscore": _q_events_zscore,
@@ -2149,6 +2158,14 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1998-06-01'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY rev_dm DESC, o_orderdate, l_orderkey LIMIT 10""",
+        "priority_order_counts": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                               + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority""",
         "late_shipment_stats": """
             SELECT o_orderpriority,
                    sum(CASE WHEN l_shipdate > o_orderdate

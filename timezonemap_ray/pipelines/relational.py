@@ -502,6 +502,52 @@ def shipping_priority_topk(sf_dir: str, segment: str = "BUILDING",
         ["l_orderkey", "o_orderdate", "o_orderpriority", "rev_dm"])
 
 
+def priority_order_counts(sf_dir: str, grace_days: int = 60):
+    """TPC-H Q4 flavor: orders with at least one LATE lineitem
+    (shipdate > orderdate + grace), counted per priority — the
+    EXISTS-semi-join aggregate shape.
+
+    Scale shape: lineitem pre-reduces to DISTINCT (orderkey, max
+    shipdate) partials inside the scan (per-block max + combiner
+    groupby), the qualifying test is one vectorized timestamp compare
+    after the orderkey hash join, and the count moves per-priority
+    partials only. No EXISTS probe per row — the max-shipdate reduction
+    IS the exists witness."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max
+    from ..stages.join import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def partial_max(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": b["l_orderkey"],
+                      "ship_us": pc.cast(b["l_shipdate"], pa.int64())})
+        g = pa.TableGroupBy(t, "l_orderkey").aggregate([("ship_us", "max")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "max_ship_us": g["ship_us_max"]})
+
+    last_ship = li.map_batches(partial_max, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(
+            Max("max_ship_us", alias_name="max_ship_us"))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    joined = hash_join(last_ship, orders, on="l_orderkey",
+                       right_on="o_orderkey")
+    grace_us = np.int64(grace_days) * 86_400_000_000
+
+    def qualify(b: pa.Table) -> pa.Table:
+        odate = pc.cast(b["o_orderdate"], pa.int64())
+        late = pc.greater(b["max_ship_us"], pc.add(odate, grace_us))
+        return b.filter(late).select(["o_orderpriority"])
+
+    return joined.map_batches(qualify, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
 def late_shipment_stats(sf_dir: str, grace_days: int = 30):
     """TPC-H Q12 flavor: late-shipment classification per order priority
     — lineitem ⋈ orders with a per-row date-interval predicate
