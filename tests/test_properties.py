@@ -230,3 +230,85 @@ def test_hybrid_rect_fast_path_big_member():
     # the hotspot really lands in the chosen rect zone
     assert (np.asarray(auto["zone_id"][:n_in], dtype=object)
             == idx.zone_ids[rec]).sum() >= SMALL_SEL
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.lists(
+    st.tuples(st.integers(0, 5),          # doc id
+              st.integers(0, 200),        # start
+              st.integers(1, 60)),        # length
+    min_size=1, max_size=60))
+def test_merge_spans_property(ray_session, data):
+    """merge_spans == brute-force interval union for ANY input: output
+    regions are disjoint with gaps between them, cover exactly the input
+    union, and n_windows sums to the input count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from timezonemap_ray.stages.spans import merge_spans
+    tbl = pa.table({
+        "doc_id": pa.array([d for d, _, _ in data], type=pa.int64()),
+        "s": pa.array([s for _, s, _ in data], type=pa.int64()),
+        "e": pa.array([s + ln for _, s, ln in data], type=pa.int64()),
+    })
+    out = merge_spans(rd.from_arrow(tbl).repartition(3)).to_pandas()
+    assert out["n_windows"].sum() == len(data)
+    for doc in set(d for d, _, _ in data):
+        ivs = [(s, s + ln) for dd, s, ln in data if dd == doc]
+        covered = set()
+        for s, e in ivs:
+            covered.update(range(s, e))
+        regions = out[out["doc_id"] == doc] \
+            .sort_values("span_start").to_numpy()
+        got_cov = set()
+        prev_end = None
+        for _, ss, ee, _ in regions:
+            assert ss < ee
+            if prev_end is not None:
+                assert ss > prev_end       # strict gap between regions
+            prev_end = ee
+            got_cov.update(range(ss, ee))
+        assert got_cov == covered
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 10_000), window=st.integers(1, 7))
+def test_events_rolling_property(ray_session, tmp_path_factory, seed,
+                                 window):
+    """Rolling sum/count/mean match a brute per-row window recompute for
+    random keys/orders/values."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from timezonemap_ray.pipelines.relational import events_rolling
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 120))
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(rng.integers(0, 4, n).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 50, n).astype("datetime64[us]")),
+        "value": pa.array(np.round(rng.uniform(-9, 9, n), 2)),
+    })
+    d = tmp_path_factory.mktemp("roll")
+    pq.write_table(tbl, d / "events.parquet")
+    got = events_rolling(str(d), window=window).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(f"""
+        WITH c AS (SELECT event_id, user_id, ts,
+                          CAST(round(value * 100.0) AS BIGINT) AS value_c
+                   FROM events)
+        SELECT event_id, user_id,
+               CAST(sum(value_c) OVER w AS BIGINT) AS roll_sum_c,
+               CAST(count(*) OVER w AS BIGINT) AS roll_n,
+               (CAST(sum(value_c) OVER w AS BIGINT)::DOUBLE
+                / CAST(count(*) OVER w AS BIGINT)::DOUBLE) AS roll_mean_c
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_exact=True,
+                                  check_dtype=False)
