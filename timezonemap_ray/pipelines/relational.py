@@ -132,33 +132,69 @@ def events_asof_orders(sf_dir: str):
                      value_cols=["last_orderkey"])
 
 
-def events_sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Gap-based sessionization: per user, a new session starts when the gap
-    to the previous event exceeds ``gap_minutes``. The per-key stateful pass
-    runs inside ``groupby(user_id).map_groups`` — each user's history is
-    co-located by the shuffle, the cumulative scan is pandas-vectorized."""
-    import pandas as pd
+def events_sessionize(sf_dir: str, gap_minutes: int = 30,
+                      n_parts: int = 64):
+    """Gap-based sessionization: per user, a new session starts when the
+    gap to the previous event exceeds ``gap_minutes``.
+
+    Scale shape: ONE coarse hash shuffle on user_id, then each partition
+    sessionizes ALL its users in one vectorized pass (sort + per-user
+    boundary reset + cumsum + segment reduce) — never one dispatch per
+    user (the `_coarse_groupby` lesson: per-tiny-group dispatch costs
+    more than the work; this was the last per-key `map_groups` on a
+    million-key space)."""
+    import numpy as np
     import ray.data as rd
+    from ..stages.select import _hash_part_of
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "user_id", "ts", "value"])
+                         columns=["event_id", "user_id", "ts"])
+    gap_us = np.int64(gap_minutes) * 60_000_000
 
-    gap = pd.Timedelta(minutes=gap_minutes)
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_part", pa.array(_hash_part_of(b["user_id"], n_parts)))
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        new_s = (g["ts"].diff().isna() | (g["ts"].diff() > gap)).astype("int64")
-        g["session_id"] = new_s.cumsum()
-        out = g.groupby("session_id", sort=True).agg(
-            n_events=("event_id", "size"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"))
-        out = out.reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+    def per_part(g: pa.Table) -> pa.Table:
+        if "_part" in g.column_names:
+            g = g.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "session_id": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "session_start": pa.array([], type=pa.timestamp("us")),
+                "session_end": pa.array([], type=pa.timestamp("us"))})
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx)
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(u)
+        user_start = np.r_[True, u[1:] != u[:-1]]
+        gap_break = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        new_s = user_start | gap_break
+        # session_id restarts at 1 per user: global cumsum minus the
+        # cumsum value at each user's first row (+1)
+        gs = np.cumsum(new_s)
+        base = np.repeat(gs[user_start] - 1,
+                         np.diff(np.r_[np.flatnonzero(user_start), n]))
+        sid = gs - base
+        starts = np.flatnonzero(new_s)
+        bounds = np.r_[starts, n]
+        return pa.table({
+            "user_id": pc.take(g["user_id"], pa.array(starts)),
+            "session_id": pa.array(sid[starts], type=pa.int64()),
+            "n_events": pa.array((bounds[1:] - bounds[:-1])
+                                 .astype(np.int64)),
+            "session_start": pc.take(g["ts"], pa.array(starts)),
+            "session_end": pc.take(g["ts"], pa.array(bounds[1:] - 1)),
+        })
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas") \
-             .sort(["user_id", "session_id"])
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow") \
+        .sort(["user_id", "session_id"])
 
 
 def revenue_by_nation(sf_dir: str):
