@@ -383,15 +383,28 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
                 df[c] = df[c].astype(f"{kind}{t.bit_width}")
         return df
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    # coarse partitions, NOT one dispatch per key: pandas merge_asof's
+    # ``by=`` argument performs the grouped as-of for every key in the
+    # partition in one vectorized call (the `_coarse_groupby` lesson)
+    from .select import _hash_part_of
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_part", pa.array(_hash_part_of(b[key], 64)))
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"], errors="ignore")
         l = g[g["_side"] == 0].drop(columns=["_side"] + value_cols,
                                     errors="ignore")
-        r = g[g["_side"] == 1][[on] + value_cols].sort_values(on)
-        l = l.sort_values(on)
+        r = g[g["_side"] == 1][[key, on] + value_cols]
+        l = l.sort_values(on, kind="stable")
         if len(r) == 0:
             for c in value_cols:
                 l[c] = None
             return _restore_dtypes(l)
-        return _restore_dtypes(pd.merge_asof(l, r, on=on, direction="backward"))
+        r = r.sort_values(on, kind="stable")
+        return _restore_dtypes(
+            pd.merge_asof(l, r, on=on, by=key, direction="backward"))
 
-    return both.groupby(key).map_groups(merge, batch_format="pandas")
+    return both.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(merge_part, batch_format="pandas")
