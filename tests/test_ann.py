@@ -425,3 +425,34 @@ def test_ivfpq_residual_encoding_improves_clustered(ray_session, tmp_path):
     rr = ann.ivfpq_query(idx, qids, qmat, k=10, nprobe=8,
                          rerank_ds=ds, rerank_l=250)[0].to_pandas()
     assert recall(rr) >= 0.95
+
+
+def test_opq_rotation_improves_anisotropic(ray_session):
+    """Parametric OPQ: on variance-concentrated embeddings the balanced
+    rotation beats plain PQ codes-only recall; the rotation matrix is
+    orthogonal (distance semantics unchanged)."""
+    import pyarrow as pa
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    scales = np.r_[np.full(8, 10.0), np.full(24, 0.3)]
+    x = rng.normal(0, 1, (2000, 32)) * scales
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(x)), type=pa.int64()),
+        "embedding": pa.array([r.astype(np.float32) for r in x])})
+    ds = rd.from_arrow(tbl).repartition(5)
+    qids, qmat = np.arange(5), x[[3, 400, 900, 1500, 1999]]
+    exact = ann.brute_topk(ds, qids, qmat, k=10).to_pandas()
+
+    def recall(ap):
+        return float(np.mean(
+            [len(set(exact[exact.query_id == q].vec_id)
+                 & set(ap[ap.query_id == q].vec_id)) / 10
+             for q in qids.tolist()]))
+
+    plain = ann.pq_topk(ds, qids, qmat, k=10, m=8, ks=64).to_pandas()
+    rot = ann.pq_topk_rotated(ds, qids, qmat, k=10, m=8,
+                              ks=64).to_pandas()
+    assert recall(rot) >= recall(plain)
+    assert recall(rot) >= 0.5
+    r = ann.opq_rotation(x[:500], m=8)
+    assert np.allclose(r @ r.T, np.eye(32), atol=1e-9)  # orthogonal

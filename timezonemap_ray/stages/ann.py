@@ -727,3 +727,67 @@ def ivfpq_query(index_dir: str, query_ids, query_matrix, k: int = 10,
     return pa.Table.from_pandas(
         scored[["query_id", "vec_id", "rank", "score"]],
         preserve_index=False), frac
+
+
+def opq_rotation(sample: np.ndarray, m: int, seed: int = 7) -> np.ndarray:
+    """Parametric OPQ rotation (Ge et al., OPQ-P; public method): rotate
+    into the eigenbasis, then PERMUTE eigenvectors so every PQ subspace
+    receives a balanced share of the variance (greedy: assign
+    eigenvalues in descending order to the subspace with the smallest
+    current log-product). Returns an orthogonal (d, d) matrix R; encode
+    and query both apply ``x @ R`` — orthogonality preserves norms and
+    distances, so ADC semantics are unchanged while per-subspace
+    quantization error drops on anisotropic embeddings."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    cov = (x.T @ x) / max(len(x), 1)
+    w, v = np.linalg.eigh(cov)            # ascending eigenvalues
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    # greedy balanced allocation of eigen-directions to subspaces
+    logs = np.zeros(m)
+    slots = np.zeros(m, dtype=np.int64)
+    assign = np.empty(d, dtype=np.int64)
+    for i in range(d):
+        open_ = np.flatnonzero(slots < dsub)
+        j = open_[np.argmin(logs[open_])]
+        assign[i] = j
+        logs[j] += np.log(max(w[i], 1e-12))
+        slots[j] += 1
+    # column order: subspace 0's directions first, then subspace 1's, ...
+    perm = np.concatenate([np.flatnonzero(assign == j) for j in range(m)])
+    return v[:, perm]
+
+
+def pq_topk_rotated(ds, query_ids, query_matrix, k: int = 10, m: int = 8,
+                    ks: int = 16, sample_n: int = 4000, iters: int = 12,
+                    rerank_l: int = 0, vec_col="embedding",
+                    id_col="vec_id"):
+    """`pq_topk` with a parametric-OPQ rotation learned from the same
+    deterministic sample: vectors rotate inside a streaming pre-pass,
+    queries rotate on the driver, then the standard PQ/ADC path runs in
+    the rotated space (orthogonal ⇒ identical cosine semantics)."""
+    from .select import sample_bottom_k
+
+    samp_tbl = sample_bottom_k(ds.select_columns([id_col, vec_col]),
+                               id_col, sample_n)
+    sample = list_column_to_matrix(samp_tbl[vec_col])
+    rot = opq_rotation(sample, m)
+    rref = ray.put(rot)
+
+    def rotate(b: pa.Table) -> pa.Table:
+        r = ray.get(rref)
+        v = _normalize(list_column_to_matrix(b[vec_col])) @ r
+        flat = pa.array(v.reshape(-1).astype(np.float32))
+        return pa.table({
+            id_col: b[id_col],
+            vec_col: pa.FixedSizeListArray.from_arrays(flat, v.shape[1])})
+
+    rotated = ds.map_batches(rotate, batch_format="pyarrow")
+    qrot = _normalize(np.asarray(query_matrix, dtype=np.float64)) @ rot
+    return pq_topk(rotated, query_ids, qrot, k=k, m=m, ks=ks,
+                   sample_n=sample_n, iters=iters, rerank_l=rerank_l,
+                   vec_col=vec_col, id_col=id_col)
