@@ -1207,6 +1207,13 @@ def _q_priority_order_counts(sf_dir: str):
     return priority_order_counts(sf_dir)
 
 
+def _q_forecast_revenue_delta(sf_dir: str):
+    """TPC-H Q6 flavor: one streaming predicate scan + int-exact fold,
+    zero shuffle."""
+    from timezonemap_ray.pipelines.relational import forecast_revenue_delta
+    return forecast_revenue_delta(sf_dir)
+
+
 def _q_customer_returns_topk(sf_dir: str):
     """TPC-H Q10 flavor: top-20 customers by returned-item revenue.
     Filter+partial-agg inside the lineitem scan, one orderkey hash
@@ -1463,6 +1470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority_topk": _q_shipping_priority_topk,
         "late_shipment_stats": _q_late_shipment_stats,
         "priority_order_counts": _q_priority_order_counts,
+        "forecast_revenue_delta": _q_forecast_revenue_delta,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_stats_per_type": _q_events_stats_per_type,
         "events_zscore": _q_events_zscore,
@@ -2173,6 +2181,16 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1998-06-01'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY rev_dm DESC, o_orderdate, l_orderkey LIMIT 10""",
+        "forecast_revenue_delta": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * l_discount
+                                       * 10000.0) AS BIGINT)) AS BIGINT)
+                       AS rev_dm,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.04
+              AND l_quantity < 25""",
         "priority_order_counts": """
             SELECT o_orderpriority, count(*)::BIGINT AS n_orders
             FROM orders o

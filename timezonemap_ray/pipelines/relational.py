@@ -538,6 +538,47 @@ def shipping_priority_topk(sf_dir: str, segment: str = "BUILDING",
         ["l_orderkey", "o_orderdate", "o_orderpriority", "rev_dm"])
 
 
+def forecast_revenue_delta(sf_dir: str):
+    """TPC-H Q6 flavor: potential revenue delta from discounted small
+    orders — ONE streaming scan with predicate + int-exact aggregate, no
+    shuffle at all (the all-map baseline every engine should ace):
+    sum(extendedprice·discount) over 1996 shipments with discount in
+    [0.02, 0.04] and quantity < 25, deci-milli-cent exact."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]")
+    hi = np.datetime64("1997-01-01").astype("datetime64[us]")
+
+    def fold(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(b["l_shipdate"],
+                                     pa.scalar(lo, pa.timestamp("us"))),
+                    pc.less(b["l_shipdate"],
+                            pa.scalar(hi, pa.timestamp("us")))),
+            pc.and_(pc.and_(pc.greater_equal(b["l_discount"], 0.02),
+                            pc.less_equal(b["l_discount"], 0.04)),
+                    pc.less(b["l_quantity"], 25)))
+        b = b.filter(keep)
+        dm = pc.cast(pc.round(
+            pc.multiply(pc.multiply(b["l_extendedprice"], b["l_discount"]),
+                        pa.scalar(10000.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        tot = pc.sum(dm).as_py() or 0
+        return pa.table({"rev_dm": pa.array([tot], type=pa.int64()),
+                         "n": pa.array([b.num_rows], type=pa.int64())})
+
+    rev, n = 0, 0
+    for r in ds.map_batches(fold, batch_format="pyarrow").take_all():
+        rev += int(r["rev_dm"])
+        n += int(r["n"])
+    return pa.table({"rev_dm": pa.array([rev], type=pa.int64()),
+                     "n_items": pa.array([n], type=pa.int64())})
+
+
 def priority_order_counts(sf_dir: str, grace_days: int = 60):
     """TPC-H Q4 flavor: orders with at least one LATE lineitem
     (shipdate > orderdate + grace), counted per priority — the
