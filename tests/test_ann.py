@@ -453,6 +453,11 @@ def test_opq_rotation_improves_anisotropic(ray_session):
     rot = ann.pq_topk_rotated(ds, qids, qmat, k=10, m=8,
                               ks=64).to_pandas()
     assert recall(rot) >= recall(plain)
-    assert recall(rot) >= 0.5
+    assert recall(rot) >= 0.8
     r = ann.opq_rotation(x[:500], m=8)
     assert np.allclose(r @ r.T, np.eye(32), atol=1e-9)  # orthogonal
+    # the allocation actually balances per-subspace variance (the naive
+    # negative-log greedy degenerated to the identity permutation)
+    xr = ann._normalize(x) @ r
+    var = xr.var(axis=0).reshape(8, 4).sum(axis=1)
+    assert var.max() / var.min() < 2.0

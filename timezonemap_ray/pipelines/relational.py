@@ -149,7 +149,12 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30,
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts"])
-    gap_us = np.int64(gap_minutes) * 60_000_000
+    # gap threshold in the COLUMN'S OWN timestamp unit (review-found:
+    # hard-coded µs silently broke [s]/[ns] inputs)
+    ts_type = dict(zip(ds.schema().names, ds.schema().types))["ts"]
+    _PER_MIN = {"s": 60, "ms": 60_000, "us": 60_000_000,
+                "ns": 60_000_000_000}
+    gap_ticks = np.int64(gap_minutes) * _PER_MIN[ts_type.unit]
 
     def add_part(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -163,8 +168,8 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30,
                 "user_id": pa.array([], type=pa.int64()),
                 "session_id": pa.array([], type=pa.int64()),
                 "n_events": pa.array([], type=pa.int64()),
-                "session_start": pa.array([], type=pa.timestamp("us")),
-                "session_end": pa.array([], type=pa.timestamp("us"))})
+                "session_start": pa.array([], type=ts_type),
+                "session_end": pa.array([], type=ts_type)})
         idx = pc.sort_indices(g, sort_keys=[
             ("user_id", "ascending"), ("ts", "ascending"),
             ("event_id", "ascending")])
@@ -173,7 +178,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30,
         ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         n = len(u)
         user_start = np.r_[True, u[1:] != u[:-1]]
-        gap_break = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        gap_break = np.r_[True, (ts[1:] - ts[:-1]) > gap_ticks]
         new_s = user_start | gap_break
         # session_id restarts at 1 per user: global cumsum minus the
         # cumsum value at each user's first row (+1)

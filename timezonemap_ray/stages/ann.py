@@ -325,6 +325,8 @@ def _pq_train_raw(x: np.ndarray, m: int = 8, ks: int = 16,
     d = x.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    if ks > 256:
+        raise ValueError(f"ks={ks} exceeds uint8 code space (max 256)")
     dsub = d // m
     rng = np.random.default_rng(seed)
     cbs = np.empty((m, ks, dsub), dtype=np.float64)
@@ -356,6 +358,56 @@ def pq_train(sample: np.ndarray, m: int = 8, ks: int = 16,
     first-wins ties)."""
     return _pq_train_raw(_normalize(np.asarray(sample, dtype=np.float64)),
                          m=m, ks=ks, iters=iters, seed=seed)
+
+
+
+def _exact_rerank(rerank_ds, shortlist, query_ids, qn, k,
+                  vec_col="embedding", id_col="vec_id") -> pa.Table:
+    """Shared exact re-rank for the PQ family: score the ≤ nq·L
+    shortlisted candidates against their true float vectors (broadcast
+    semi-filter over ``rerank_ds``), keep only (query, vec) pairs the
+    ADC shortlist proposed, and emit the global top-k per query.
+    One implementation for pq_topk / ivfpq_query (review-found drift
+    risk in the duplicated copies)."""
+    import pyarrow.compute as pc
+
+    allowed = {(int(r.query_id), int(r.vec_id))
+               for r in shortlist.itertuples()}
+    cand_ref = ray.put(np.unique(shortlist["vec_id"].to_numpy()))
+    qref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
+                    "mat": qn})
+
+    def exact_scores(b: pa.Table) -> pa.Table:
+        cd = ray.get(cand_ref)
+        keep = pc.is_in(b[id_col], value_set=pa.array(cd))
+        b = b.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64())})
+        p = ray.get(qref)
+        v = _normalize(list_column_to_matrix(b[vec_col]))
+        sims = v @ p["mat"].T                         # (n_cand, nq)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nq = sims.shape[1]
+        return pa.table({
+            "query_id": pa.array(np.repeat(p["qids"], ids.size)),
+            "vec_id": pa.array(np.tile(ids, nq)),
+            "score": pa.array(sims.T.reshape(-1), type=pa.float64())})
+
+    scored = rerank_ds.map_batches(exact_scores,
+                                   batch_format="pyarrow").to_pandas()
+    mask = [(int(a), int(b_)) in allowed
+            for a, b_ in zip(scored["query_id"], scored["vec_id"])]
+    scored = scored[mask].sort_values(
+        ["query_id", "score", "vec_id"], ascending=[True, False, True])
+    scored = scored.groupby("query_id", sort=True).head(k) \
+        .reset_index(drop=True)
+    scored["rank"] = scored.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        scored[["query_id", "vec_id", "rank", "score"]],
+        preserve_index=False)
 
 
 def pq_encode(ds, codebooks: np.ndarray, vec_col="embedding",
@@ -450,47 +502,9 @@ def pq_topk(ds, query_ids, query_matrix, k: int = 10, m: int = 8,
     # — ≤ nq·rerank_l rows by construction — are re-read via a broadcast
     # semi-filter and scored exactly. The corpus-wide pass still touches
     # only 1-byte codes.
-    import pyarrow.compute as pc
     shortlist = _final_topk(partials, max(rerank_l, k)).to_pandas()
-    allowed = {(int(r.query_id), int(r.vec_id))
-               for r in shortlist.itertuples()}
-    cand = np.unique(shortlist["vec_id"].to_numpy())
-    cand_ref = ray.put(cand)
-    qref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
-                    "mat": q})
-
-    def exact_scores(b: pa.Table) -> pa.Table:
-        cd = ray.get(cand_ref)
-        keep = pc.is_in(b[id_col], value_set=pa.array(cd))
-        b = b.filter(keep)
-        if b.num_rows == 0:
-            return pa.table({
-                "query_id": pa.array([], type=pa.int64()),
-                "vec_id": pa.array([], type=pa.int64()),
-                "score": pa.array([], type=pa.float64())})
-        p = ray.get(qref)
-        v = _normalize(list_column_to_matrix(b[vec_col]))
-        sims = v @ p["mat"].T                         # (n_cand, nq)
-        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        nq = sims.shape[1]
-        return pa.table({
-            "query_id": pa.array(np.repeat(p["qids"], ids.size)),
-            "vec_id": pa.array(np.tile(ids, nq)),
-            "score": pa.array(sims.T.reshape(-1), type=pa.float64())})
-
-    scored = ds.map_batches(exact_scores, batch_format="pyarrow") \
-        .to_pandas()
-    mask = [(int(a), int(b_)) in allowed
-            for a, b_ in zip(scored["query_id"], scored["vec_id"])]
-    scored = scored[mask]
-    scored = scored.sort_values(["query_id", "score", "vec_id"],
-                                ascending=[True, False, True])
-    scored = scored.groupby("query_id", sort=True).head(k) \
-        .reset_index(drop=True)
-    scored["rank"] = scored.groupby("query_id").cumcount() + 1
-    return pa.Table.from_pandas(
-        scored[["query_id", "vec_id", "rank", "score"]],
-        preserve_index=False)
+    return _exact_rerank(ds, shortlist, query_ids, q, k,
+                         vec_col=vec_col, id_col=id_col)
 
 
 def ivfpq_build(ds, index_dir: str, n_centroids: int = 16, m: int = 16,
@@ -526,9 +540,9 @@ def ivfpq_build(ds, index_dir: str, n_centroids: int = 16, m: int = 16,
     if residual:
         sn = _normalize(np.asarray(sample, dtype=np.float64))
         res = sn - cents[np.argmax(sn @ cents.T, axis=1)]
-        cbs = _pq_train_raw(res, m=m, ks=ks, iters=iters)
+        cbs = _pq_train_raw(res, m=m, ks=ks, iters=iters, seed=seed)
     else:
-        cbs = pq_train(sample, m=m, ks=ks, iters=iters)
+        cbs = pq_train(sample, m=m, ks=ks, iters=iters, seed=seed)
     cref, bref = ray.put(cents), ray.put(cbs)
 
     def assign_encode(b: pa.Table) -> pa.Table:
@@ -687,46 +701,11 @@ def ivfpq_query(index_dir: str, query_ids, query_matrix, k: int = 10,
     if not rerank_l or rerank_ds is None:
         return _final_topk(partials, k), frac
 
-    import pyarrow.compute as pc
     shortlist = _final_topk(partials, max(rerank_l, k)).to_pandas()
     if shortlist.empty:
         return empty, frac
-    allowed = {(int(r.query_id), int(r.vec_id))
-               for r in shortlist.itertuples()}
-    cand_ref = ray.put(np.unique(shortlist["vec_id"].to_numpy()))
-    qref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
-                    "mat": qn})
-
-    def exact_scores(b: pa.Table) -> pa.Table:
-        cdn = ray.get(cand_ref)
-        keep = pc.is_in(b[id_col], value_set=pa.array(cdn))
-        b = b.filter(keep)
-        if b.num_rows == 0:
-            return pa.table({"query_id": pa.array([], type=pa.int64()),
-                             "vec_id": pa.array([], type=pa.int64()),
-                             "score": pa.array([], type=pa.float64())})
-        p = ray.get(qref)
-        v = _normalize(list_column_to_matrix(b[vec_col]))
-        sims = v @ p["mat"].T
-        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        nq = sims.shape[1]
-        return pa.table({
-            "query_id": pa.array(np.repeat(p["qids"], ids.size)),
-            "vec_id": pa.array(np.tile(ids, nq)),
-            "score": pa.array(sims.T.reshape(-1), type=pa.float64())})
-
-    scored = rerank_ds.map_batches(exact_scores,
-                                   batch_format="pyarrow").to_pandas()
-    mask = [(int(a), int(b_)) in allowed
-            for a, b_ in zip(scored["query_id"], scored["vec_id"])]
-    scored = scored[mask].sort_values(
-        ["query_id", "score", "vec_id"], ascending=[True, False, True])
-    scored = scored.groupby("query_id", sort=True).head(k) \
-        .reset_index(drop=True)
-    scored["rank"] = scored.groupby("query_id").cumcount() + 1
-    return pa.Table.from_pandas(
-        scored[["query_id", "vec_id", "rank", "score"]],
-        preserve_index=False), frac
+    return _exact_rerank(rerank_ds, shortlist, query_ids, qn, k,
+                         vec_col=vec_col, id_col=id_col), frac
 
 
 def opq_rotation(sample: np.ndarray, m: int, seed: int = 7) -> np.ndarray:
@@ -747,7 +726,15 @@ def opq_rotation(sample: np.ndarray, m: int, seed: int = 7) -> np.ndarray:
     w, v = np.linalg.eigh(cov)            # ascending eigenvalues
     order = np.argsort(w)[::-1]
     w, v = w[order], v[:, order]
-    # greedy balanced allocation of eigen-directions to subspaces
+    # greedy balanced allocation of eigen-directions to subspaces.
+    # SCALE-INVARIANT logs (centered on the mean log-eigenvalue): on
+    # normalized vectors every eigenvalue is < 1, so raw logs are all
+    # negative and the argmin greedy would keep refilling the same
+    # subspace — the permutation degenerated to the identity
+    # (review-found no-op). Centered, a large eigenvalue RAISES its
+    # subspace's score and the next large one goes elsewhere.
+    lw = np.log(np.maximum(w, 1e-12))
+    lw = lw - lw.mean()
     logs = np.zeros(m)
     slots = np.zeros(m, dtype=np.int64)
     assign = np.empty(d, dtype=np.int64)
@@ -755,7 +742,7 @@ def opq_rotation(sample: np.ndarray, m: int, seed: int = 7) -> np.ndarray:
         open_ = np.flatnonzero(slots < dsub)
         j = open_[np.argmin(logs[open_])]
         assign[i] = j
-        logs[j] += np.log(max(w[i], 1e-12))
+        logs[j] += lw[i]
         slots[j] += 1
     # column order: subspace 0's directions first, then subspace 1's, ...
     perm = np.concatenate([np.flatnonzero(assign == j) for j in range(m)])

@@ -985,7 +985,12 @@ def fuzzy_pairs(ds, id_col: str, name_col: str, k: int = 1,
         bounds = np.r_[starts, len(codes)]
         ids = g[id_col].to_numpy(zero_copy_only=False)
         names = g[name_col].to_pylist()
-        out_a, out_b, na, nb = [], [], [], []
+        # small buckets emit UNVERIFIED candidate index pairs (the global
+        # dedup-then-verify-once path); buckets above _VERIFY_INLINE rows
+        # verify in place instead — a capped hot bucket would otherwise
+        # materialize O(cap²) candidate rows (review-found blowup)
+        _VERIFY_INLINE = 64
+        ii, jj = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s < 2:
                 continue
@@ -994,27 +999,40 @@ def fuzzy_pairs(ds, id_col: str, name_col: str, k: int = 1,
                     "fuzzy_pairs: bucket capped %d -> %d",
                     e - s, max_bucket)
                 e = s + max_bucket
+            inline = (e - s) > _VERIFY_INLINE
             for i in range(s, e):
                 for j in range(i + 1, e):
                     if ids[i] == ids[j]:
                         continue
-                    if ids[i] < ids[j]:
-                        out_a.append(ids[i]); out_b.append(ids[j])
-                        na.append(names[i]); nb.append(names[j])
-                    else:
-                        out_a.append(ids[j]); out_b.append(ids[i])
-                        na.append(names[j]); nb.append(names[i])
-        if not out_a:
+                    if inline and not _lev_le(names[i], names[j], k):
+                        continue
+                    ii.append(i)
+                    jj.append(j)
+        if not ii:
             return _EMPTY
-        t = pa.table({"id_a": pa.array(out_a, type=pa.int64()),
-                      "id_b": pa.array(out_b, type=pa.int64()),
+        ia = np.asarray(ii)
+        ja = np.asarray(jj)
+        a_ids, b_ids = ids[ia], ids[ja]
+        swap = a_ids > b_ids
+        a_ids, b_ids = np.where(swap, b_ids, a_ids), \
+            np.where(swap, a_ids, b_ids)
+        na = [names[x] for x in np.where(swap, ja, ia)]
+        nb = [names[x] for x in np.where(swap, ia, ja)]
+        t = pa.table({"id_a": pa.array(a_ids, type=pa.int64()),
+                      "id_b": pa.array(b_ids, type=pa.int64()),
                       "name_a": pa.array(na, type=pa.string()),
                       "name_b": pa.array(nb, type=pa.string())})
-        # block-local dedup: cross-sig duplicates inside one bucket part
-        # (exact 2-col unique — a packed key could collide for huge ids)
-        pairkey = np.stack([t["id_a"].to_numpy(zero_copy_only=False),
-                            t["id_b"].to_numpy(zero_copy_only=False)], 1)
-        first = np.unique(pairkey, axis=0, return_index=True)[1]
+        # block-local dedup keeps each (ids, NAMES) combination once — an
+        # id may carry several names and each combination must verify
+        # independently (review-found: pair-only dedup dropped true pairs)
+        import pyarrow.compute as _pc
+        key = _pc.binary_join_element_wise(
+            _pc.cast(t["id_a"], pa.string()),
+            _pc.cast(t["id_b"], pa.string()),
+            t["name_a"], t["name_b"], "\x00")
+        enc = key.combine_chunks().dictionary_encode()
+        first = np.unique(enc.indices.to_numpy(zero_copy_only=False),
+                          return_index=True)[1]
         return t.take(pa.array(np.sort(first)))
 
     cand = ds.map_batches(sigs, batch_format="pyarrow") \
@@ -1033,18 +1051,28 @@ def fuzzy_pairs(ds, id_col: str, name_col: str, k: int = 1,
                           "id_b": pa.array([], type=pa.int64())})
         if g.num_rows == 0:
             return empty
+        # dedup on the FULL (ids, names) tuple — every distinct name
+        # combination of a pair verifies independently; the pair emits
+        # if ANY combination is within distance k (review-found)
+        key = pc.binary_join_element_wise(
+            pc.cast(g["id_a"], pa.string()),
+            pc.cast(g["id_b"], pa.string()),
+            g["name_a"], g["name_b"], "\x00")
+        enc = key.combine_chunks().dictionary_encode()
+        first = np.unique(enc.indices.to_numpy(zero_copy_only=False),
+                          return_index=True)[1]
         a = g["id_a"].to_numpy(zero_copy_only=False)
         c = g["id_b"].to_numpy(zero_copy_only=False)
-        first = np.unique(np.stack([a, c], 1), axis=0,
-                          return_index=True)[1]
         na = g["name_a"].to_pylist()
         nb = g["name_b"].to_pylist()
-        keep = [i for i in first if _lev_le(na[i], nb[i], k)]
-        if not keep:
+        good = [i for i in first if _lev_le(na[i], nb[i], k)]
+        if not good:
             return empty
-        sel = pa.array(np.sort(np.asarray(keep)))
-        return pa.table({"id_a": pc.take(g["id_a"], sel),
-                         "id_b": pc.take(g["id_b"], sel)})
+        ga = np.asarray([a[i] for i in good])
+        gc = np.asarray([c[i] for i in good])
+        u = np.unique(np.stack([ga, gc], 1), axis=0)
+        return pa.table({"id_a": pa.array(u[:, 0], type=pa.int64()),
+                         "id_b": pa.array(u[:, 1], type=pa.int64())})
 
     return cand.map_batches(add_pair_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(verify_part, batch_format="pyarrow")
