@@ -1207,6 +1207,42 @@ def _q_priority_order_counts(sf_dir: str):
     return priority_order_counts(sf_dir)
 
 
+_CONC_W = 30 * 60_000_000  # 30-minute windows (µs)
+
+
+def _q_concurrent_events(sf_dir: str):
+    """BIG-BIG interval overlap join (bucket-replication, neither side
+    broadcast): pairs of same-type events whose 30-minute windows
+    overlap; exactly-once emission in the overlap's first bucket."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from timezonemap_ray.stages.join import interval_overlap_join
+
+    def windows():
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type", "ts"])
+
+        def mk(b):
+            lo = _pc.cast(b["ts"], pa.int64())
+            return pa.table({"event_id": b["event_id"],
+                             "event_type": b["event_type"],
+                             "lo": lo, "hi": _pc.add(lo, _CONC_W)})
+
+        return ds.map_batches(mk, batch_format="pyarrow")
+
+    out = interval_overlap_join(windows(), windows(), "event_type",
+                                "lo", "hi", "event_id", "event_id",
+                                bucket_width=_CONC_W)
+
+    def ordered(b):
+        keep = _pc.less(b["id_l"], b["id_r"])
+        b = b.filter(keep)
+        return pa.table({"id_a": b["id_l"], "id_b": b["id_r"]})
+
+    return out.map_batches(ordered, batch_format="pyarrow")
+
+
 def _q_forecast_revenue_delta(sf_dir: str):
     """TPC-H Q6 flavor: one streaming predicate scan + int-exact fold,
     zero shuffle."""
@@ -1483,6 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": _q_events_asof_orders,
         "customers_per_nation": _q_customers_per_nation,
         "value_range_buckets": _q_value_range_buckets,
+        "concurrent_events": _q_concurrent_events,
         "streaming_windows": _q_streaming_windows,
         "distinct_users": _q_distinct_users,
         "distinct_users_per_type": _q_distinct_users_per_type,
@@ -2181,6 +2218,13 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1998-06-01'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY rev_dm DESC, o_orderdate, l_orderkey LIMIT 10""",
+        "concurrent_events": """
+            SELECT a.event_id AS id_a, b.event_id AS id_b
+            FROM events a JOIN events b
+              ON a.event_type = b.event_type
+             AND a.event_id < b.event_id
+             AND a.ts < b.ts + INTERVAL 30 MINUTE
+             AND b.ts < a.ts + INTERVAL 30 MINUTE""",
         "forecast_revenue_delta": """
             SELECT CAST(sum(CAST(round(l_extendedprice * l_discount
                                        * 10000.0) AS BIGINT)) AS BIGINT)

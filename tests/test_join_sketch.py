@@ -242,3 +242,44 @@ def test_cms_one_sided_and_tight(ray_session):
     # determinism
     cms2 = cms_build(ds, "user_id", depth=4, width=4096)
     assert (cms == cms2).all()
+
+
+def test_interval_overlap_join_exactly_once(ray_session):
+    """Bucket-replication interval join: exact pair set vs brute force,
+    exactly-once across buckets (long intervals spanning many buckets),
+    touching intervals do NOT match (half-open semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from timezonemap_ray.stages.join import interval_overlap_join
+    rng = np.random.default_rng(21)
+    n = 300
+    keys = rng.integers(0, 3, n)
+    lo = rng.integers(0, 1000, n).astype(np.int64)
+    span = rng.integers(1, 80, n).astype(np.int64)  # up to 8 buckets @ W=10
+    tbl = pa.table({"rid": pa.array(np.arange(n), type=pa.int64()),
+                    "k": pa.array([f"k{int(x)}" for x in keys]),
+                    "lo": pa.array(lo),
+                    "hi": pa.array(lo + span)})
+    left = rd.from_arrow(tbl).repartition(4)
+    right = rd.from_arrow(tbl).repartition(3)
+    out = interval_overlap_join(left, right, "k", "lo", "hi",
+                                "rid", "rid", bucket_width=10).to_pandas()
+    got = sorted(map(tuple, out[["id_l", "id_r"]].to_numpy()))
+    # brute force including self-pairs and both orders
+    want = sorted(
+        (int(i), int(j))
+        for i in range(n) for j in range(n)
+        if keys[i] == keys[j] and lo[i] < lo[j] + span[j]
+        and lo[j] < lo[i] + span[i])
+    assert got == want                        # exact AND exactly-once
+    # touching intervals [0,10) and [10,20) never pair
+    t2 = pa.table({"rid": pa.array([0, 1], type=pa.int64()),
+                   "k": pa.array(["x", "x"]),
+                   "lo": pa.array([0, 10], type=pa.int64()),
+                   "hi": pa.array([10, 20], type=pa.int64())})
+    o2 = interval_overlap_join(rd.from_arrow(t2), rd.from_arrow(t2),
+                               "k", "lo", "hi", "rid", "rid",
+                               bucket_width=4).to_pandas()
+    assert set(map(tuple, o2[["id_l", "id_r"]].to_numpy())) == {(0, 0),
+                                                                (1, 1)}

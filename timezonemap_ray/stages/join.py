@@ -408,3 +408,117 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
 
     return both.map_batches(add_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(merge_part, batch_format="pandas")
+
+
+def interval_overlap_join(left, right, key_col: str, lo_col: str,
+                          hi_col: str, left_id: str, right_id: str,
+                          bucket_width: int, n_parts: int = 64,
+                          max_run: int = 4096):
+    """BIG-BIG interval overlap join: all (left, right) pairs with equal
+    ``key_col`` whose half-open [lo, hi) int64 intervals intersect —
+    neither side broadcasts (the existing ``range_join`` ships its
+    interval side via ``ray.put``; this one scales when BOTH sides are
+    large).
+
+    Technique (standard interval binning / replication join): every row
+    replicates to each ``bucket_width`` bucket its interval overlaps;
+    one coarse hash shuffle on (key, bucket) co-locates candidates;
+    within each (key, bucket) run the overlap test is vectorized; a pair
+    is emitted ONLY in the bucket containing ``max(lo_l, lo_r)`` — the
+    overlap's first bucket — so cross-bucket duplicates never exist and
+    no global dedup pass is needed (exactly-once by construction).
+
+    Cost: replication factor = avg interval span / bucket_width + 1;
+    pick ``bucket_width`` near the median span. Runs above ``max_run``
+    rows are capped with a log line (hot-key/hot-window contract)."""
+    import logging
+
+    import pyarrow.compute as pc
+
+    from .select import _hash_part_of
+    from ..stages.dedup import _splitmix64  # deterministic bucket salt
+
+    def replicate(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b[left_id if side == 0 else right_id] \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            lo = b[lo_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            hi = b[hi_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            first = lo // bucket_width
+            last = (np.maximum(hi, lo + 1) - 1) // bucket_width
+            counts = (last - first + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(ids)), counts)
+            offs = np.arange(int(counts.sum())) - np.repeat(
+                np.cumsum(counts) - counts, counts)
+            bucket = first[idx] + offs
+            keys = b[key_col]
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            return pa.table({
+                "key": pc.take(keys, pa.array(idx)),
+                "bucket": pa.array(bucket),
+                "rid": pa.array(ids[idx]),
+                "lo": pa.array(lo[idx]),
+                "hi": pa.array(hi[idx]),
+                "side": pa.array(np.full(len(idx), side, dtype=np.int8)),
+            })
+        return fn
+
+    both = left.map_batches(replicate(0), batch_format="pyarrow") \
+        .union(right.map_batches(replicate(1), batch_format="pyarrow"))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        kp = _hash_part_of(b["key"], 1 << 20).astype(np.uint64)
+        bk = b["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (_splitmix64(kp * np.uint64(0x9E3779B9) ^ bk)
+                % np.uint64(n_parts)).astype(np.int64)
+        return b.append_column("_part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_l": pa.array([], type=pa.int64()),
+                          "id_r": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("key", "ascending"), ("bucket", "ascending"),
+            ("side", "ascending"), ("rid", "ascending")])
+        g = g.take(idx)
+        keys = g["key"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = g["bucket"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, (keys[1:] != keys[:-1])
+                                      | (bk[1:] != bk[:-1])])
+        bounds = np.r_[starts, len(keys)]
+        rid = g["rid"].to_numpy(zero_copy_only=False)
+        lo = g["lo"].to_numpy(zero_copy_only=False)
+        hi = g["hi"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        out_l, out_r = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s > max_run:
+                logging.getLogger(__name__).warning(
+                    "interval_overlap_join: run capped %d -> %d",
+                    e - s, max_run)
+                e = s + max_run
+            sl = slice(s, e)
+            ls = np.flatnonzero(side[sl] == 0) + s
+            rs = np.flatnonzero(side[sl] == 1) + s
+            if ls.size == 0 or rs.size == 0:
+                continue
+            b_val = bk[s]
+            for li in ls:
+                ov = (lo[li] < hi[rs]) & (lo[rs] < hi[li])
+                # exactly-once: emit only in the overlap's FIRST bucket
+                rep = (np.maximum(lo[li], lo[rs]) // bucket_width) == b_val
+                hit = rs[ov & rep]
+                if hit.size:
+                    out_l.extend([rid[li]] * hit.size)
+                    out_r.extend(rid[hit].tolist())
+        if not out_l:
+            return empty
+        return pa.table({"id_l": pa.array(out_l, type=pa.int64()),
+                         "id_r": pa.array(out_r, type=pa.int64())})
+
+    return both.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
