@@ -1272,6 +1272,26 @@ def _q_value_quantiles_sketch(sf_dir: str):
     return quantile_sketch(ds, "value", [0.01, 0.25, 0.5, 0.75, 0.99])
 
 
+def _q_events_type_share(sf_dir: str):
+    """Per-type event share: combiner count groupby + ONE float division
+    of exact ints per row (bit-equal to SQL)."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+    total = ds.count()
+    agg = ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+    def share(b):
+        sh = _pc.divide(_pc.cast(b["n"], pa.float64()),
+                        pa.scalar(float(total), pa.float64()))
+        return b.append_column("share", sh)
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
 def _q_events_zscore(sf_dir: str):
     """Group-wise z-score normalization without a window shuffle:
     exact cents-scaled moments per event_type broadcast via ray.put,
@@ -1509,6 +1529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue_delta": _q_forecast_revenue_delta,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_stats_per_type": _q_events_stats_per_type,
+        "events_type_share": _q_events_type_share,
         "events_zscore": _q_events_zscore,
         "events_ohlc_per_user": _q_events_ohlc_per_user,
         "events_quartile_counts": _q_events_quartile_counts,
@@ -2270,6 +2291,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON c_custkey = o_custkey
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY p.rev_dm DESC, o_custkey LIMIT 20""",
+        "events_type_share": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   count(*)::DOUBLE
+                       / (SELECT count(*)::DOUBLE FROM events) AS share
+            FROM events GROUP BY event_type""",
         "events_zscore": """
             WITH c AS (SELECT event_type,
                               CAST(round(value * 100.0) AS BIGINT) AS v
