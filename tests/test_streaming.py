@@ -101,6 +101,118 @@ def test_crash_replay_exactly_once(ray_session):
     pd.testing.assert_frame_equal(combined, expected)
 
 
+def test_worker_fed_equals_batch_groupby(ray_session):
+    """Worker-fed topology (blocks → feeder tasks → shard actors) agrees
+    with the batch groupby; NO raw event batch is held by the driver —
+    every feeder pid is a worker process, never the driver's."""
+    import os
+
+    import ray.data as rd
+    from timezonemap_ray.pipelines.streaming import (
+        run_windowed_stream_worker_fed)
+    tbl = _events()
+    ds = rd.from_arrow(tbl).repartition(8)
+    windows, stats = run_windowed_stream_worker_fed(
+        ds, window_s=3600, lateness_s=600, num_shards=4, drain_every=3)
+    assert stats["dropped_late"] == 0
+    assert stats["n_events"] == tbl.num_rows
+    # the driver never feeds: all block→shard transfers happen off-driver
+    assert stats["feeder_pids"] and os.getpid() not in stats["feeder_pids"]
+
+    got = windows.to_pandas().sort_values(["window_start_us", "key"]) \
+        .reset_index(drop=True)
+    pdf = tbl.to_pandas()
+    us = pdf["ts"].astype("int64")
+    pdf["window_start_us"] = (us // (3600 * 1_000_000)) * (3600 * 1_000_000)
+    exp = pdf.groupby(["window_start_us", "user_id"]).agg(
+        n_events=("value", "size"), sum_value=("value", "sum")).reset_index() \
+        .rename(columns={"user_id": "key"}) \
+        .sort_values(["window_start_us", "key"]).reset_index(drop=True)
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert got["sum_value"].to_numpy() == pytest.approx(
+        exp["sum_value"].to_numpy())
+
+
+def test_worker_fed_deterministic_late_drops(ray_session):
+    """A DISORDERED log through the worker-fed topology drops late events
+    deterministically (stamped watermarks depend only on block order and
+    the inflight bound): two runs produce identical windows and stats."""
+    import ray.data as rd
+    from timezonemap_ray.pipelines.streaming import (
+        run_windowed_stream_worker_fed)
+    rng = np.random.default_rng(11)
+    n = 20_000
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 6 * 3600 * 1_000_000, n)  # NOT sorted
+    tbl = pa.table({
+        "user_id": rng.integers(0, 20, n).astype(np.int64),
+        "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+        "value": rng.uniform(0, 10, n),
+    })
+    ds = rd.from_arrow(tbl).repartition(16)
+    runs = [run_windowed_stream_worker_fed(
+        ds, window_s=600, lateness_s=60, num_shards=4,
+        inflight=4, drain_every=3) for _ in range(2)]
+    (w1, s1), (w2, s2) = runs
+    assert s1["dropped_late"] == s2["dropped_late"]
+    assert s1["dropped_late"] > 0  # the disorder actually exercises lateness
+    pd.testing.assert_frame_equal(w1.to_pandas(), w2.to_pandas())
+    # conservation: every event is either windowed or dropped-late
+    assert int(w1.to_pandas()["n_events"].sum()) + s1["dropped_late"] == n
+
+
+def test_worker_fed_crash_replay_exactly_once(ray_session):
+    """fail_after on the worker-fed path: durably drained output + replay
+    from the drained watermark equals the no-crash run exactly."""
+    import ray.data as rd
+    from timezonemap_ray.pipelines.streaming import (
+        run_windowed_stream_worker_fed)
+    tbl = _events()
+    ds = rd.from_arrow(tbl).repartition(16)
+    kw = dict(window_s=1800, lateness_s=300, num_shards=4,
+              inflight=2, drain_every=2)
+    full, _ = run_windowed_stream_worker_fed(ds, **kw)
+    pre, s_pre = run_windowed_stream_worker_fed(ds, fail_after=10, **kw)
+    wms = s_pre["drained_watermarks"]
+    assert s_pre["crashed"] and len(wms) == 4
+    assert 0 < pre.num_rows < full.num_rows
+    post, s_post = run_windowed_stream_worker_fed(
+        ds, resume_watermarks=wms, **kw)
+    assert s_post["replay_skipped"] > 0
+    combined = pa.concat_tables([pre, post]).to_pandas() \
+        .sort_values(["window_start_us", "key"]).reset_index(drop=True)
+    expected = full.to_pandas() \
+        .sort_values(["window_start_us", "key"]).reset_index(drop=True)
+    assert not combined.duplicated(["window_start_us", "key"]).any()
+    pd.testing.assert_frame_equal(combined, expected)
+
+
+def test_worker_fed_shard_side_writes(ray_session, tmp_path):
+    """With out_dir the SHARDS write their drained windows as parquet —
+    the driver sees only row counts; the files reproduce the in-memory
+    result exactly."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from timezonemap_ray.pipelines.streaming import (
+        run_windowed_stream_worker_fed)
+    tbl = _events()
+    ds = rd.from_arrow(tbl).repartition(8)
+    kw = dict(window_s=3600, lateness_s=600, num_shards=4, drain_every=3)
+    mem, _ = run_windowed_stream_worker_fed(ds, **kw)
+    out = str(tmp_path / "windows")
+    _, stats = run_windowed_stream_worker_fed(ds, out_dir=out, **kw)
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert files
+    disk = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas() \
+        .sort_values(["window_start_us", "key"]).reset_index(drop=True)
+    assert stats["drained_rows"] == len(disk)
+    pd.testing.assert_frame_equal(
+        disk, mem.to_pandas().sort_values(["window_start_us", "key"])
+        .reset_index(drop=True))
+
+
 def test_sharded_stream_equals_batch_groupby(ray_session):
     """2+ window shard actors (key-partitioned pool) agree with the batch
     groupby and with the single-actor stream."""

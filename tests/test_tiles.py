@@ -26,6 +26,29 @@ def test_tile_assignments_match_point_lookup(engine):
     assert pdf["matched"].all()
 
 
+def test_distributed_merge_equals_inmemory(engine):
+    """The distributed double gaps-and-islands (coarse iy / x-extent
+    partitions, grid never on the driver) emits EXACTLY the in-memory
+    merge's box rows."""
+    region = (30.0, -130.0, 50.0, -60.0)
+    cs = 1.0
+    ds = tiles.tile_assignments(engine, region=region, cell_size=cs)
+    dist = tiles.tiles_to_boxes_distributed(
+        ds.select_columns(["cell_id", "zone_id"]), cs, n_parts=7) \
+        .to_pandas().sort_values(
+            ["zone_id", "min_lng", "min_lat"]).reset_index(drop=True)
+    pdf = ds.to_pandas()
+    zone_vals = pdf["zone_id"].astype("object").where(
+        pdf["zone_id"].notna(), None)
+    mem = tiles.tiles_to_boxes(pdf["cell_id"].to_numpy(), zone_vals.tolist(),
+                               cs).to_pandas().sort_values(
+        ["zone_id", "min_lng", "min_lat"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        dist[sorted(dist.columns)], mem[sorted(mem.columns)],
+        check_dtype=False)
+
+
 def test_boxes_reconstruct_raster(engine):
     region = (30.0, -130.0, 50.0, -60.0)
     cs = 1.0

@@ -202,13 +202,14 @@ class TimeZoneEngine:
                              salt_threshold=salt_threshold)
 
     def boundary_distance(self, ds, lat_col="lat", lng_col="lng",
-                          zone_col="zone_id", concurrency=None, batch_size=8192):
+                          zone_col="zone_id", concurrency=None,
+                          batch_size=8192, metric="geodesic_m"):
         from .stages.joiner import BoundaryDistance
         return ds.map_batches(
             BoundaryDistance,
             fn_constructor_kwargs=dict(index_ref=self.broadcast(),
                                        lat_col=lat_col, lng_col=lng_col,
-                                       zone_col=zone_col),
+                                       zone_col=zone_col, metric=metric),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency or self._default_concurrency(),

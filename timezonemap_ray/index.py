@@ -604,14 +604,21 @@ def lookup_linear_scan(idx: ZoneIndex, lats, lngs, want_all: bool = False):
     return out
 
 
-def distance_from_boundary(idx: ZoneIndex, zone_id: str, lats, lngs) -> np.ndarray:
-    """WGS84 geodesic meters from points to the named zone's boundary.
+def distance_from_boundary(idx: ZoneIndex, zone_id: str, lats, lngs,
+                           metric: str = "geodesic_m") -> np.ndarray:
+    """Distance from points to the named zone's boundary.
 
     Reference ``TimeZone.getDistanceFromBoundary`` (`TimeZone.kt:41-47`):
     requires the point inside the zone (inclusive) — here out-of-zone points
     get NaN instead of an exception (vectorized, never throws per-row).
-    Distance = geodesic meters to the planar-nearest boundary coordinate
-    (matching Esri getNearestCoordinate + geodesicDistanceOnWGS84).
+
+    ``metric="geodesic_m"`` (default): geodesic meters to the planar-nearest
+    boundary coordinate (matching Esri getNearestCoordinate +
+    geodesicDistanceOnWGS84). ``metric="planar_d2"``: SQUARED planar degree
+    distance to the same nearest coordinate — closed-form (+,*,min only), so
+    a DuckDB oracle reproduces the exact float64 bits (the driver-checkable
+    twin of the geodesic query; same candidate scan, same nearest-point
+    kernel, no transcendental functions).
     """
     lats = np.asarray(lats, dtype=np.float64)
     lngs = np.asarray(lngs, dtype=np.float64)
@@ -635,5 +642,10 @@ def distance_from_boundary(idx: ZoneIndex, zone_id: str, lats, lngs) -> np.ndarr
             continue
         nx, ny = geom.nearest_on_boundary(lngs[sel], lats[sel], idx.xs[rec_i],
                                           idx.ys[rec_i], idx.ring_starts[rec_i])
-        out[sel] = geom.geodesic_distance_m(lats[sel], lngs[sel], ny, nx)
+        if metric == "planar_d2":
+            ex = nx - lngs[sel]
+            ey = ny - lats[sel]
+            out[sel] = ex * ex + ey * ey
+        else:
+            out[sel] = geom.geodesic_distance_m(lats[sel], lngs[sel], ny, nx)
     return out

@@ -162,6 +162,71 @@ SELECT zone_id,
 FROM boxes"""
 
 
+def conformance_zone_edges() -> list[tuple[str, float, float, float, float, float]]:
+    """[(zone_id, x1, y1, dx, dy, seg2)] for every ring edge of every
+    conformance zone — the EXACT edge enumeration ``geom.all_edges`` feeds
+    ``geom.nearest_on_boundary`` (implied ring closure, all rings), with
+    dx/dy/seg2 precomputed in float64 (the same IEEE subtract/multiply/add
+    the engine performs), so SQL point-to-segment distances reproduce the
+    engine's float64 bits exactly."""
+    import numpy as np
+
+    from . import geom
+    from .zonetable import table_to_records
+    out = []
+    for r in table_to_records(worlds.conformance_table()):
+        x1, y1, x2, y2 = geom.all_edges(r["xs"], r["ys"], r["ring_start"])
+        dx = np.asarray(x2, dtype=np.float64) - np.asarray(x1, dtype=np.float64)
+        dy = np.asarray(y2, dtype=np.float64) - np.asarray(y1, dtype=np.float64)
+        seg2 = dx * dx + dy * dy
+        for i in range(len(x1)):
+            out.append((r["zone_id"], float(x1[i]), float(y1[i]),
+                        float(dx[i]), float(dy[i]), float(seg2[i])))
+    return out
+
+
+def sql_tz_boundary_d2() -> str:
+    """Oracle for the planar SQUARED boundary distance (degrees²) of each
+    point to its top-1 zone's boundary — the driver-checkable twin of the
+    geodesic ``tz_distance_boundary`` (reference ``TimeZone.kt:41-47``).
+
+    Same candidate scan and the same nearest-point kernel as the geodesic
+    query, but the metric is closed-form (sub/mul/add/div/clamp/min only —
+    no transcendental functions), so DuckDB reproduces the engine's float64
+    bits: both sides compute, per edge,
+    ``t = clamp(((lng-x1)*dx + (lat-y1)*dy)/seg2, 0, 1)``,
+    ``(cx,cy) = (x1,y1) + t*(dx,dy)``, ``d2 = (cx-lng)² + (cy-lat)²``, and
+    take the exact MIN over the zone's edges."""
+    edge_rows = ",\n    ".join(
+        f"('{z.replace(chr(39), chr(39)*2)}', {_sql_f(x1)}, {_sql_f(y1)}, "
+        f"{_sql_f(dx)}, {_sql_f(dy)}, {_sql_f(s2)})"
+        for z, x1, y1, dx, dy, s2 in conformance_zone_edges())
+    return f"""WITH {geo_points_cte()},
+{zones_join_cte()},
+ranked AS (
+  SELECT doc_id, span_idx, lat, lng, zone_id,
+         row_number() OVER (PARTITION BY doc_id, span_idx
+                            ORDER BY area_rank) AS rn
+  FROM zone_match),
+top1 AS (SELECT * FROM ranked WHERE rn = 1),
+edges(zone_id, x1, y1, dx, dy, seg2) AS (VALUES
+    {edge_rows}),
+cand AS (
+  SELECT p.doc_id, p.span_idx, p.zone_id,
+         ((e.x1 + tt.t * e.dx) - p.lng) * ((e.x1 + tt.t * e.dx) - p.lng)
+         + ((e.y1 + tt.t * e.dy) - p.lat) * ((e.y1 + tt.t * e.dy) - p.lat)
+             AS d2
+  FROM top1 p JOIN edges e ON e.zone_id = p.zone_id,
+       LATERAL (SELECT least(greatest(
+                    ((p.lng - e.x1) * e.dx + (p.lat - e.y1) * e.dy) / e.seg2,
+                    0.0), 1.0) AS t) tt),
+agg AS (
+  SELECT doc_id, span_idx, zone_id, min(d2) AS d2
+  FROM cand GROUP BY doc_id, span_idx, zone_id)
+SELECT p.doc_id, p.span_idx, a.zone_id, a.d2
+FROM pts p LEFT JOIN agg a USING (doc_id, span_idx)"""
+
+
 def sql_geo_span_extract() -> str:
     return f"WITH {geo_points_cte()} SELECT doc_id, span_idx, lat, lng FROM pts"
 

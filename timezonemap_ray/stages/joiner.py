@@ -133,26 +133,44 @@ def make_join_fn(index_ref, lat_col="lat", lng_col="lng", want_all=False,
 
 
 class BoundaryDistance:
-    """Actor-pool stage: geodesic meters from each point to its zone's
-    boundary (``distance_m`` column; NaN when outside the zone).
-    Reference semantics: ``TimeZone.kt:41-47``."""
+    """Actor-pool stage: distance from each point to its zone's boundary
+    (``distance_m`` column — or ``d2`` for ``metric="planar_d2"``; NaN when
+    outside the zone). Reference semantics: ``TimeZone.kt:41-47``.
+
+    The zone column is dictionary-encoded once per batch and the per-zone
+    dispatch loops over PRESENT integer codes only (no object-dtype scans,
+    no per-row Python) — the same pattern the join path uses."""
 
     def __init__(self, index_ref=None, index_path=None, region=None,
-                 lat_col="lat", lng_col="lng", zone_col="zone_id"):
+                 lat_col="lat", lng_col="lng", zone_col="zone_id",
+                 metric: str = "geodesic_m", out_col: str | None = None):
         self.idx = resolve_index(index_ref if index_ref is not None else index_path,
                                  region=region)
         self.lat_col, self.lng_col, self.zone_col = lat_col, lng_col, zone_col
+        self.metric = metric
+        self.out_col = out_col or ("d2" if metric == "planar_d2"
+                                   else "distance_m")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         lats = batch[self.lat_col].to_numpy(zero_copy_only=False)
         lngs = batch[self.lng_col].to_numpy(zero_copy_only=False)
-        zones = batch[self.zone_col].to_pylist()
+        zcol = batch[self.zone_col].combine_chunks()
+        if isinstance(zcol, pa.ChunkedArray):
+            zcol = zcol.chunk(0) if zcol.num_chunks else pa.array(
+                [], type=zcol.type)
+        if not pa.types.is_dictionary(zcol.type):
+            zcol = pc.dictionary_encode(zcol)
+        codes = pc.fill_null(zcol.indices, -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        zone_names = zcol.dictionary.to_pylist()
         out = np.full(len(lats), np.nan)
-        zarr = np.asarray(zones, dtype=object)
-        for z in set(zones):
-            if z is None:
+        for code in np.unique(codes):
+            if code < 0:
                 continue
-            sel = np.nonzero(zarr == z)[0]
+            sel = np.nonzero(codes == code)[0]
             out[sel] = index_mod.distance_from_boundary(
-                self.idx, z, lats[sel], lngs[sel])
-        return batch.append_column("distance_m", pa.array(out, type=pa.float64()))
+                self.idx, zone_names[code], lats[sel], lngs[sel],
+                metric=self.metric)
+        return batch.append_column(self.out_col,
+                                   pa.array(out, type=pa.float64()))
