@@ -373,17 +373,20 @@ def _q_merged_dup_spans(sf_dir: str):
 
 
 def _q_duplicated_spans_exact(sf_dir: str):
-    """UNALIGNED exact-substring duplication: stride=1 hashes every
-    window position, so any ≥ window-token duplicate is detected at any
-    offset (the Lee-et-al. fidelity mode; suffix arrays would compute
-    the same set cheaper — documented backlog). Digest volume ≈ corpus
-    tokens; only distinct (digest, doc) partials shuffle."""
+    """UNALIGNED exact-substring duplication: stride=1 detects any
+    ≥ window-token duplicate at any offset (the Lee-et-al. fidelity
+    mode), via ROLLING double-hash digests — each token hashes once and
+    each position costs O(1) (inverse-base prefix sums), the
+    sorted-digest-run equivalent of the suffix-array detector; the
+    md5-per-position path paid window× bytes. Same oracle as before;
+    equivalence + hashing-volume bound pytest-asserted
+    (tests/test_text_dedup.py)."""
     import ray.data as rd
-    from timezonemap_ray.stages.dedup import duplicated_spans
-    return duplicated_spans(
+    from timezonemap_ray.stages.dedup import duplicated_spans_rolling
+    return duplicated_spans_rolling(
         rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "text"]),
-        window=20, stride=1)
+        window=20)
 
 
 def _q_duplicated_spans(sf_dir: str):

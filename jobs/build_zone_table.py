@@ -4,7 +4,7 @@
 The reference's builder main (`builder/.../Main.kt:144-168`) as a job::
 
     python jobs/build_zone_table.py <geojson-or-zip> <map-version> <out.parquet>
-    python jobs/build_zone_table.py --world conformance|grid <map-version> <out.parquet>
+    python jobs/build_zone_table.py --world conformance|grid|big <map-version> <out.parquet>
 
 Driver-side pure python (the real dataset is ~450 features; no cluster
 needed — SURVEY.md §3.1).
@@ -28,6 +28,7 @@ def main(argv=None):
         from timezonemap_ray.zonetable import write_zone_table
         world, version, out = args[1], args[2], args[3]
         table = (worlds.grid_world_table(jagged=True) if world == "grid"
+                 else worlds.big_world_table() if world == "big"
                  else worlds.conformance_table())
         write_zone_table(table, out, version)
     else:

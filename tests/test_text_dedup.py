@@ -635,6 +635,71 @@ def test_duplicated_spans_stride1_catches_unaligned(ray_session):
     assert 2 not in set(exact["doc_id"])
 
 
+def test_rolling_spans_equal_md5_stride1(ray_session):
+    """duplicated_spans_rolling (token-hash + O(1)/position rolling
+    double-hash) emits EXACTLY duplicated_spans(stride=1)'s rows —
+    planted duplicates at odd offsets, short docs, a full-doc duplicate,
+    and a null text row."""
+    import ray.data as rd
+    rng = np.random.default_rng(4)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = [" ".join(rng.choice(vocab, int(rng.integers(0, 120))))
+            for _ in range(120)]
+    shared = " ".join(rng.choice(vocab, 35))
+    docs[3] = docs[3] + " " + shared
+    docs[77] = "xx yy " + shared + " zz"     # unaligned offset
+    docs[50] = docs[60]                      # full-doc duplicate
+    docs.append(None)
+    tbl = pa.table({"doc_id": pa.array([f"d{i}" for i in range(len(docs))]),
+                    "text": pa.array(docs)})
+    a = dedup.duplicated_spans(rd.from_arrow(tbl).repartition(5),
+                               window=20, stride=1).to_pandas()
+    b = dedup.duplicated_spans_rolling(rd.from_arrow(tbl).repartition(5),
+                                       window=20).to_pandas()
+
+    def key(df):
+        return sorted(map(tuple,
+                          df[["doc_id", "chunk_idx", "n_tokens"]]
+                          .values.tolist()))
+
+    assert key(a) == key(b) and len(b) > 0
+
+
+def test_rolling_spans_hashing_volume(monkeypatch):
+    """The digest-volume bound (VERDICT #8): the rolling detector performs
+    at most ONE content hash per distinct token — never one per window
+    position over window-length strings (the md5-path blowup)."""
+    calls = {"n": 0}
+    real = text.hash_u64
+
+    def counting(s):
+        calls["n"] += 1
+        return real(s)
+
+    monkeypatch.setattr(text, "hash_u64", counting)
+    rng = np.random.default_rng(1)
+    vocab = [f"t{i}" for i in range(50)]
+    docs = [" ".join(rng.choice(vocab, 200)) for _ in range(20)]
+    tbl = pa.table({"doc_id": pa.array(range(20), type=pa.int64()),
+                    "text": pa.array(docs)})
+    doc_of, cidx, ln, h1, h2 = dedup._rolling_window_digests(tbl, 20, "text")
+    n_tokens = 20 * 200
+    n_positions = doc_of.size
+    assert n_positions == 20 * (200 - 20 + 1)
+    # ≤ one hash per DISTINCT token (50 here) — ≪ tokens ≪ positions×window
+    assert calls["n"] <= 50
+    assert calls["n"] < n_tokens
+    # digests really distinguish content: identical windows collide,
+    # different windows don't (within this corpus)
+    import collections
+    seen = collections.defaultdict(set)
+    toks = [d.split() for d in docs]
+    for w in range(n_positions):
+        d = int(doc_of[w]); i = int(cidx[w])
+        seen[(int(h1[w]), int(h2[w]))].add(" ".join(toks[d][i:i + 20]))
+    assert all(len(v) == 1 for v in seen.values())
+
+
 def test_fuzzy_pairs_k2_matches_bruteforce(ray_session):
     import itertools
     import numpy as np

@@ -614,11 +614,30 @@ def rect_intersects_polygon(min_x, min_y, max_x, max_y, xs, ys, ring_start) -> b
     return bool(points_in_polygon(cx, cy, xs, ys, ring_start)[0])
 
 
+def _proper_cross(ax, ay, bx, by, cx, cy, dx, dy) -> np.ndarray:
+    """Elementwise: do segments (a,b) and (c,d) PROPERLY cross (strict
+    orientation flips on both sides — touching at a shared vertex or an
+    endpoint-on-edge does not count)?"""
+    def orient(px, py, qx, qy, rx, ry):
+        return np.sign((qx - px) * (ry - py) - (qy - py) * (rx - px))
+
+    o1 = orient(ax, ay, bx, by, cx, cy)
+    o2 = orient(ax, ay, bx, by, dx, dy)
+    o3 = orient(cx, cy, dx, dy, ax, ay)
+    o4 = orient(cx, cy, dx, dy, bx, by)
+    return (o1 * o2 < 0) & (o3 * o4 < 0)
+
+
 def ring_self_intersects(xs: np.ndarray, ys: np.ndarray) -> bool:
     """True iff any two NON-ADJACENT edges of the (implicitly closed) ring
     properly cross — the condition the reference repairs with Esri
-    ``OperatorSimplify`` (`builder/Main.kt:44-60`, M3). Vectorized O(n²)
-    orientation test; build-time only (rings are a few hundred vertices).
+    ``OperatorSimplify`` (`builder/Main.kt:44-60`, M3).
+
+    Sweep-prefiltered: edges sort by x-interval start and only x-overlapping
+    pairs reach the orientation test (near-linear on simple-ish rings —
+    real boundary-builder rings run to 10⁵ vertices, where the dense O(n²)
+    matrix is 10¹⁰ cells). Degenerate rings whose edges mostly share
+    x-range fall back to the dense path, capped at the old cost.
 
     Proper crossings only: edges touching at a shared vertex are not
     flagged (those are valid in OGC-simple rings)."""
@@ -628,20 +647,34 @@ def ring_self_intersects(xs: np.ndarray, ys: np.ndarray) -> bool:
     if n < 4:
         return False  # a (deduped) triangle cannot self-intersect
     x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
-
-    def orient(ax, ay, bx, by, cx, cy):
-        return np.sign((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
-
-    o1 = orient(xs[:, None], ys[:, None], x2[:, None], y2[:, None],
-                xs[None, :], ys[None, :])
-    o2 = orient(xs[:, None], ys[:, None], x2[:, None], y2[:, None],
-                x2[None, :], y2[None, :])
-    o3 = orient(xs[None, :], ys[None, :], x2[None, :], y2[None, :],
-                xs[:, None], ys[:, None])
-    o4 = orient(xs[None, :], ys[None, :], x2[None, :], y2[None, :],
-                x2[:, None], y2[:, None])
-    proper = (o1 * o2 < 0) & (o3 * o4 < 0)
-    idx = np.arange(n)
-    gap = np.abs(idx[:, None] - idx[None, :])
-    adjacent = (gap <= 1) | (gap == n - 1)
-    return bool((proper & ~adjacent).any())
+    exmin, exmax = np.minimum(xs, x2), np.maximum(xs, x2)
+    eymin, eymax = np.minimum(ys, y2), np.maximum(ys, y2)
+    order = np.argsort(exmin, kind="stable")
+    sxmin, sxmax = exmin[order], exmax[order]
+    # candidate pairs (i, j) in sorted position, i < j < hi[i]:
+    # sxmin[j] ≤ sxmax[i] ⇔ x-intervals overlap (sorted ⇒ one-sided test)
+    hi = np.searchsorted(sxmin, sxmax, side="right")
+    counts = np.maximum(hi - np.arange(n) - 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return False
+    if total > max(65536, 64 * n):
+        # pathological x-sharing — dense pairwise, same cost as the old path
+        ii, jj = np.triu_indices(n, k=1)
+    else:
+        starts = np.cumsum(counts) - counts
+        ii = np.repeat(np.arange(n), counts)
+        jj = (np.arange(total) - np.repeat(starts, counts)
+              + np.repeat(np.arange(n) + 1, counts))
+        ii, jj = order[ii], order[jj]
+    gap = np.abs(ii - jj)
+    keep = (gap > 1) & (gap != n - 1)
+    # bbox prefilter (x is already guaranteed for sweep pairs; the dense
+    # fallback needs both axes)
+    keep &= (eymin[ii] <= eymax[jj]) & (eymin[jj] <= eymax[ii])
+    keep &= (exmin[ii] <= exmax[jj]) & (exmin[jj] <= exmax[ii])
+    if not keep.any():
+        return False
+    a, b = ii[keep], jj[keep]
+    return bool(_proper_cross(xs[a], ys[a], x2[a], y2[a],
+                              xs[b], ys[b], x2[b], y2[b]).any())

@@ -159,8 +159,15 @@ def build_index(zone_table, region: tuple = WORLD,
         idx.edge_groups = _build_edge_groups(idx)
         n_edges = sum(e[0].size for e in idx.edges)
         avg = max(1, n_edges // max(1, len(idx)))
-        idx.small_sel = int(np.clip(SMALL_SEL_EDGE_BUDGET // avg, 64,
-                                    SMALL_SEL))
+        # dense geometry (≥ DENSE_EDGES edges/rec): small_sel=0 sends EVERY
+        # candidate set down the per-record broadcast path (sel.size ≥ 0) —
+        # the round-3 big-world sweep (10⁴ recs × 200 edges, PERF.md)
+        # measured it 1.2× over any positive threshold (heavy edge arrays
+        # amortize the per-record dispatch; the gathered kernel's padded
+        # edge tensors pay 2× memory traffic at this density), and the
+        # medium world (1625 recs × 40 edges) is flat within ±4%
+        idx.small_sel = 0 if avg >= DENSE_EDGES else int(
+            np.clip(SMALL_SEL_EDGE_BUDGET // avg, 64, SMALL_SEL))
     return idx
 
 
@@ -182,6 +189,14 @@ SMALL_SEL = 256        # fallback per-record point count threshold
 # the rule only LOWERS the threshold for dense geometry (1.35-1.8×
 # measured) and never raises it past the parallel-tested default.
 SMALL_SEL_EDGE_BUDGET = 15_000
+# Round-3 big-world re-sweep (10⁴ records × ~200 edges/rec — realistic
+# 2020d density): the knee formula's dense end was wrong — small_sel=0
+# (all candidate sets down the per-record broadcast path) measured
+# 196-204k pts/s vs 162-170k for ANY positive threshold (interleaved A/B,
+# min-of-4); at ~40 edges/rec all settings are flat within ±4%. Above
+# this density the gathered kernel's padded edge tensors dominate memory
+# traffic and never win.
+DENSE_EDGES = 128
 
 
 def _build_edge_groups(idx: ZoneIndex) -> list:

@@ -833,6 +833,159 @@ def duplicated_spans(ds, window: int = 50, stride: int = 25,
     return flagged.select_columns([id_col, "chunk_idx", "n_tokens"])
 
 
+# stride=1 rolling-digest detector ------------------------------------------
+
+_ROLL_B1 = np.uint64(0x9E3779B97F4A7C15 | 1)   # odd ⇒ invertible mod 2⁶⁴
+_ROLL_B2 = np.uint64(0xC2B2AE3D27D4EB4F | 1)
+_ROLL_B1_INV = np.uint64(pow(int(_ROLL_B1), -1, 1 << 64))
+_ROLL_B2_INV = np.uint64(pow(int(_ROLL_B2), -1, 1 << 64))
+_ROLL_SALT = np.uint64(0xA5A5A5A55A5A5A5A)
+
+
+def _pow_table(base: np.uint64, n: int) -> np.ndarray:
+    t = np.empty(n + 1, dtype=np.uint64)
+    t[0] = 1
+    if n:
+        with np.errstate(over="ignore"):
+            t[1:] = np.multiply.accumulate(
+                np.full(n, base, dtype=np.uint64))
+    return t
+
+
+def _rolling_window_digests(b: pa.Table, window: int, text_col: str):
+    """(doc_row, chunk_idx, n_tokens, h1, h2) numpy columns for every
+    stride-1 window of the block (chunk_documents index semantics:
+    nt ≤ window ⇒ one short window; else nt-window+1 full windows).
+    Each DISTINCT token hashes once (blake2b); each position costs O(1)
+    via inverse-base prefix sums in wrapping uint64 arithmetic."""
+    from .terms import _flat_tokens
+    from . import text as _text
+
+    flat, parent = _flat_tokens(b, text_col)
+    n_rows = b.num_rows
+    nt = np.bincount(parent, minlength=n_rows).astype(np.int64)
+    if len(flat) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, z.astype(np.uint64), z.astype(np.uint64)
+    enc = flat.dictionary_encode()
+    dh = np.fromiter((_text.hash_u64(t) for t in enc.dictionary.to_pylist()),
+                     dtype=np.uint64, count=len(enc.dictionary))
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    t1 = _splitmix64(dh)[codes]
+    t2 = _splitmix64(dh ^ _ROLL_SALT)[codes]
+    doc_start = np.r_[0, np.cumsum(nt)]
+    p = (np.arange(len(flat), dtype=np.int64)
+         - np.repeat(doc_start[:-1], nt))     # token position in doc
+    maxlen = int(nt.max())
+    pw1, pw2 = _pow_table(_ROLL_B1, maxlen), _pow_table(_ROLL_B2, maxlen)
+    pi1, pi2 = _pow_table(_ROLL_B1_INV, maxlen), \
+        _pow_table(_ROLL_B2_INV, maxlen)
+    with np.errstate(over="ignore"):
+        T1 = np.r_[np.uint64(0), np.add.accumulate(t1 * pi1[p])]
+        T2 = np.r_[np.uint64(0), np.add.accumulate(t2 * pi2[p])]
+    n_chunks = np.where(nt > 0, np.maximum(nt - window, 0) + 1, 0)
+    doc_of = np.repeat(np.arange(n_rows), n_chunks)
+    first = np.r_[0, np.cumsum(n_chunks)][:-1]
+    cidx = np.arange(doc_of.size, dtype=np.int64) - first[doc_of]
+    g = doc_start[doc_of] + cidx                 # global window start
+    ln = np.minimum(window, nt[doc_of])          # short only when 1 win
+    with np.errstate(over="ignore"):
+        h1 = (T1[g + ln] - T1[g]) * pw1[cidx + ln - 1]
+        h2 = (T2[g + ln] - T2[g]) * pw2[cidx + ln - 1]
+        h2 ^= _splitmix64(ln.astype(np.uint64))  # length-mixed
+    return doc_of, cidx, ln, h1, h2
+
+
+def duplicated_spans_rolling(ds, window: int = 20,
+                             text_col: str = "text",
+                             id_col: str = "doc_id"):
+    """Stride=1 exact-substring duplication via ROLLING double-hash window
+    digests — the sorted-digest-run equivalent of the Lee et al. 2022
+    suffix-array detector, and the crawl-scale replacement for
+    ``duplicated_spans(stride=1)`` (VERDICT r2 #8):
+
+    - each DISTINCT token hashes once per block (blake2b), never window-
+      joined strings — hashing work ≈ 1× corpus tokens where the md5 path
+      pays window× bytes per position;
+    - per-position digests are O(1) each: two independent polynomial
+      hashes in wrapping uint64 arithmetic, sliding via inverse-base
+      prefix sums (B odd ⇒ invertible mod 2⁶⁴), window length mixed in;
+    - digest equality ⟺ token-sequence equality up to 2⁻¹²⁸ double-hash
+      collisions — the same collision argument the md5 path documents
+      (tokens contain no whitespace, so token-sequence equality ⟺
+      normalized window-text equality).
+
+    Output is IDENTICAL to ``duplicated_spans(window, stride=1)``:
+    (id_col, chunk_idx, n_tokens) for every window position whose text
+    occurs in ≥ 2 distinct documents (asserted in tests/test_text_dedup).
+    Scale shape unchanged: raw windows never shuffle — one distinct
+    (digest, doc) row per block reaches the groupby; flagged digests
+    broadcast back as a (prefiltered) key set.
+    """
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    def win_digests(b: pa.Table):
+        return _rolling_window_digests(b, window, text_col)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        # distinct (digest, doc) per block — windows derived in-call from
+        # whole documents, so a doc never straddles partials (the exact-
+        # distinct invariant duplicated_spans documents)
+        doc_of, _, _, h1, h2 = win_digests(b)
+        if doc_of.size == 0:
+            return pa.table({"_h1": pa.array([], type=pa.int64()),
+                             "_h2": pa.array([], type=pa.int64()),
+                             "nd": pa.array([], type=pa.int64())})
+        order = np.lexsort((doc_of, h2.view(np.int64), h1.view(np.int64)))
+        a, c, d = h1[order], h2[order], doc_of[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (c[1:] != c[:-1])
+                     | (d[1:] != d[:-1])]
+        return pa.table({
+            "_h1": pa.array(a[keep].view(np.int64)),
+            "_h2": pa.array(c[keep].view(np.int64)),
+            "nd": pa.array(np.ones(int(keep.sum()), dtype=np.int64))})
+
+    counts = ds.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["_h1", "_h2"]).aggregate(Sum("nd", alias_name="nd"))
+    dup = counts.filter(expr="nd >= 2")
+    tabs = [t for t in (ray.get(r) for r in dup.to_arrow_refs())
+            if t.num_rows]
+    if not tabs:
+        def empty_out(b: pa.Table) -> pa.Table:
+            return pa.table({id_col: b[id_col].slice(0, 0),
+                             "chunk_idx": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64())})
+
+        return ds.limit(1).map_batches(empty_out, batch_format="pyarrow")
+    dupt = pa.concat_tables(tabs)
+    dup_h1 = dupt["_h1"].to_numpy(zero_copy_only=False).view(np.uint64)
+    dup_h2 = dupt["_h2"].to_numpy(zero_copy_only=False).view(np.uint64)
+    pair_set = set(zip(dup_h1.tolist(), dup_h2.tolist()))
+    ref = ray.put((np.unique(dup_h1), pair_set))
+
+    def flag(b: pa.Table) -> pa.Table:
+        doc_of, cidx, ln, h1, h2 = win_digests(b)
+        h1_set, pairs = ray.get(ref)
+        cand = np.flatnonzero(np.isin(h1, h1_set))   # vectorized prefilter
+        if cand.size:
+            # exact 128-bit membership only on the (few) h1 survivors
+            keep = np.array([(int(h1[k]), int(h2[k])) in pairs
+                             for k in cand], dtype=bool)
+            rows = cand[keep]
+        else:
+            rows = cand
+        import pyarrow.compute as pc
+        return pa.table({
+            id_col: pc.take(b[id_col], pa.array(doc_of[rows])),
+            "chunk_idx": pa.array(cidx[rows]),
+            "n_tokens": pa.array(ln[rows]),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Edit-distance fuzzy-duplicate join (entity resolution, Levenshtein ≤ 1)
 # ---------------------------------------------------------------------------

@@ -163,11 +163,13 @@ def _jagged_ring(la_min, ln_min, la_max, ln_max, rng, pts_per_side=10):
 
 def grid_world_zones(n: int = 12, seed: int = 7,
                      lat0=-60.0, lat1=70.0, lng0=-170.0, lng1=170.0,
-                     jagged: bool = False) -> list[ZoneRecord]:
-    """Jittered n×n grid of zones (rect, or ~40-vertex jagged polygons with
-    ``jagged=True``), every 4th with a hole, plus ocean background bands so
-    every point on the planet matches something. Deterministic (seeded);
-    used for scale tests and the bench harness."""
+                     jagged: bool = False,
+                     pts_per_side: int = 10) -> list[ZoneRecord]:
+    """Jittered n×n grid of zones (rect, or jagged polygons of
+    ``4·pts_per_side`` vertices with ``jagged=True``), every 4th with a
+    hole, plus ocean background bands so every point on the planet matches
+    something. Deterministic (seeded); used for scale tests and the bench
+    harness."""
     rng = np.random.default_rng(seed)
     dla = (lat1 - lat0) / n
     dln = (lng1 - lng0) / n
@@ -180,7 +182,8 @@ def grid_world_zones(n: int = 12, seed: int = 7,
             ln_min = lng0 + j * dln + rng.uniform(0, 0.2 * dln)
             ln_max = lng0 + (j + 1) * dln - rng.uniform(0, 0.2 * dln)
             if jagged:
-                rings = [_jagged_ring(la_min, ln_min, la_max, ln_max, rng)]
+                rings = [_jagged_ring(la_min, ln_min, la_max, ln_max, rng,
+                                      pts_per_side=pts_per_side)]
             else:
                 rings = rect_rings(la_min, ln_min, la_max, ln_max)
             if k % 4 == 0:
@@ -199,3 +202,53 @@ def grid_world_zones(n: int = 12, seed: int = 7,
 
 def grid_world_table(n: int = 12, seed: int = 7, jagged: bool = False):
     return zones_to_table(grid_world_zones(n=n, seed=seed, jagged=jagged))
+
+
+def _star_ring(la_min, ln_min, la_max, ln_max, rng, n_pts=200):
+    """Star-shaped ring of ``n_pts`` vertices inside the cell: radius
+    perturbed per monotone angle — ALWAYS simple (no self-intersections),
+    unlike dense sawtooth rectangles whose corner perturbations cross.
+    Matches real boundary polygons (simple rings, irregular but dense)."""
+    cy = 0.5 * (la_min + la_max)
+    cx = 0.5 * (ln_min + ln_max)
+    ry = 0.5 * (la_max - la_min)
+    rx = 0.5 * (ln_max - ln_min)
+    theta = np.linspace(0.0, 2.0 * np.pi, n_pts, endpoint=False)
+    r = 0.75 + 0.25 * rng.uniform(0, 1, n_pts)
+    return cy + ry * r * np.sin(theta), cx + rx * r * np.cos(theta)
+
+
+def big_world_zones(n: int = 100, seed: int = 13,
+                    edges_per_rec: int = 200,
+                    lat0=-60.0, lat1=70.0, lng0=-170.0,
+                    lng1=170.0) -> list[ZoneRecord]:
+    """Real-data-scale rehearsal world: n² (default 10⁴) star-polygon
+    records of ``edges_per_rec`` (default 200) edges each, every 4th with
+    a hole — the vertex density of real timezone-boundary-builder polygons
+    (reference corpus: ~450 features, but 2020d oceans-variant rings run
+    to 10⁵ vertices; this world stresses the same per-record edge volume
+    and the 10⁴-record dispatch regime ahead of the real-data day)."""
+    rng = np.random.default_rng(seed)
+    dla = (lat1 - lat0) / n
+    dln = (lng1 - lng0) / n
+    zones: list[ZoneRecord] = []
+    for i in range(n):
+        for j in range(n):
+            la_min, la_max = lat0 + i * dla, lat0 + (i + 1) * dla
+            ln_min, ln_max = lng0 + j * dln, lng0 + (j + 1) * dln
+            rings = [_star_ring(la_min, ln_min, la_max, ln_max, rng,
+                                n_pts=edges_per_rec)]
+            if (i * n + j) % 4 == 0:  # hole in the middle third
+                hla, hln = dla / 3.0, dln / 3.0
+                rings.append((np.array([la_min + 2 * hla, la_min + hla,
+                                        la_min + hla, la_min + 2 * hla]),
+                              np.array([ln_min + hln, ln_min + hln,
+                                        ln_min + 2 * hln, ln_min + 2 * hln])))
+            zones.append(make_zone(f"Big/Z{i:03d}_{j:03d}", rings))
+    zones.extend(ocean_band_zones(min_lat=-90.0, max_lat=90.0))
+    return zones
+
+
+def big_world_table(n: int = 100, seed: int = 13, edges_per_rec: int = 200):
+    return zones_to_table(big_world_zones(n=n, seed=seed,
+                                          edges_per_rec=edges_per_rec))
