@@ -1242,6 +1242,21 @@ def _q_fuzzy_customer_pairs_k2(sf_dir: str):
     return fuzzy_pairs(ds, "c_custkey", "c_name", k=2)
 
 
+def _q_fuzzy_customer_pairs_k3(sf_dir: str):
+    """Entity-resolution fuzzy join at edit distance 3 — past the
+    deletion-neighborhood wall (C(len,3) sigs/row), so blocking switches
+    to q-gram PREFIX filtering (Ed-Join/AllPairs public method): each row
+    indexes its q·k+1 globally-rarest bigrams; the prefix-filter theorem
+    guarantees every true pair shares one (exact, no recall loss), then
+    vectorized hamming-fast-path + banded-DP verify. Brute-force
+    exactness pytest-asserted (tests/test_text_dedup.py)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import fuzzy_pairs_qgram
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    return fuzzy_pairs_qgram(ds, "c_custkey", "c_name", k=3)
+
+
 def _q_docs_mixture(sf_dir: str):
     """Weighted dataset-mixture composition: each source kept at its own
     deterministic hash-sample rate (the training-mix step). Stateless
@@ -1583,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
         "fuzzy_customer_pairs_k2": _q_fuzzy_customer_pairs_k2,
+        "fuzzy_customer_pairs_k3": _q_fuzzy_customer_pairs_k3,
         "duplicated_spans": _q_duplicated_spans,
         "duplicated_spans_exact": _q_duplicated_spans_exact,
         "merged_dup_spans": _q_merged_dup_spans,
@@ -2176,6 +2192,11 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
              AND levenshtein(a.c_name, b.c_name) <= 2""",
+        "fuzzy_customer_pairs_k3": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND levenshtein(a.c_name, b.c_name) <= 3""",
         "fuzzy_customer_pairs": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
             FROM customer a JOIN customer b

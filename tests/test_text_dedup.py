@@ -635,6 +635,66 @@ def test_duplicated_spans_stride1_catches_unaligned(ray_session):
     assert 2 not in set(exact["doc_id"])
 
 
+def test_fuzzy_pairs_qgram_k3_matches_bruteforce(ray_session):
+    """q-gram prefix-filter blocking (Ed-Join shape) at k=3 is EXACT vs
+    brute-force banded Levenshtein — planted 3-edit variants, short
+    strings below the overlap bound, empties, duplicates."""
+    import itertools
+    import string
+
+    import ray.data as rd
+    rng = np.random.default_rng(0)
+    names = ["alpha", "alpXYZ", "alXha", "alp", "alphaXY", "beta", "bXtYZ",
+             "ab", "ba", "", "x", "xyz", "axc", "cxa", "alpha", "gamma",
+             "gXmYa", "qq", "delta-one", "delta0ne!"]
+    for i in range(80):
+        base = "".join(rng.choice(list(string.ascii_lowercase), 12))
+        names.append(base)
+        if i % 5 == 0:
+            v = list(base)
+            for _ in range(3):
+                op = rng.integers(0, 3)
+                p = int(rng.integers(0, len(v)))
+                if op == 0 and len(v) > 1:
+                    v.pop(p)
+                elif op == 1:
+                    v.insert(p, "Z")
+                else:
+                    v[p] = "Q"
+            names.append("".join(v))
+    tbl = pa.table({"id": pa.array(range(len(names)), type=pa.int64()),
+                    "name": pa.array(names)})
+    got = dedup.fuzzy_pairs_qgram(rd.from_arrow(tbl).repartition(4),
+                                  "id", "name", k=3).to_pandas()
+    gp = sorted(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+
+    def lev(a, b):
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev = d.copy()
+            d[0] = i
+            for j, cb in enumerate(b, 1):
+                d[j] = min(prev[j] + 1, d[j - 1] + 1,
+                           prev[j - 1] + (ca != cb))
+        return d[len(b)]
+
+    want = sorted((i, j) for i, j in
+                  itertools.combinations(range(len(names)), 2)
+                  if lev(names[i], names[j]) <= 3)
+    assert gp == want
+
+
+def test_verify_pairs_hamming_fastpath():
+    """_verify_pairs: equal-length hamming ≤ k accepts without DP; the
+    shift case (hamming > k but lev ≤ k) still verifies via DP; unicode
+    names are safe."""
+    na = ["abcdef", "abcdef", "héllo!", "abc"]
+    nb = ["abQdQf", "bcdefa", "héllQ!", "abcdefg"]
+    ok = dedup._verify_pairs(na, nb, 2)
+    #  subs=2 ✓ | shift lev=2, hamming=6 ✓ | unicode sub=1 ✓ | lendiff=4 ✗
+    assert ok.tolist() == [True, True, True, False]
+
+
 def test_rolling_spans_equal_md5_stride1(ray_session):
     """duplicated_spans_rolling (token-hash + O(1)/position rolling
     double-hash) emits EXACTLY duplicated_spans(stride=1)'s rows —

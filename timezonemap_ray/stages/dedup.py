@@ -1076,8 +1076,13 @@ def fuzzy_pairs(ds, id_col: str, name_col: str, k: int = 1,
 
     from .select import _hash_part_of
 
-    if k < 1 or k > 2:
-        raise ValueError("fuzzy_pairs supports k in {1, 2}")
+    if k < 1:
+        raise ValueError("k must be ≥ 1")
+    if k > 2:
+        # deletion-neighborhood volume is C(len, k) rows/input — the k ≥ 3
+        # wall; route to the q-gram prefix-filter blocking (same verify)
+        return fuzzy_pairs_qgram(ds, id_col, name_col, k=k,
+                                 n_parts=n_parts, max_bucket=max_bucket)
 
     def sigs(b: pa.Table) -> pa.Table:
         names = b[name_col]
@@ -1111,6 +1116,59 @@ def fuzzy_pairs(ds, id_col: str, name_col: str, k: int = 1,
                           return_index=True)[1]
         return out.take(pa.array(np.sort(first)))
 
+    return _pairs_from_sigs(ds.map_batches(sigs, batch_format="pyarrow"),
+                            id_col, name_col, k, n_parts, max_bucket)
+
+
+def _verify_pairs(names_a: list, names_b: list, k: int) -> np.ndarray:
+    """Vectorized exact lev ≤ k verification for a batch of name pairs.
+
+    Fast path: equal-length pairs with hamming ≤ k are within k by
+    substitutions alone — one padded byte-matrix compare settles the bulk
+    (all of it, for fixed-width keys like ``Customer#NNNNNNNNN``). Only
+    unequal-length pairs and equal-length pairs with hamming > k (which
+    may still be within k via insert+delete shifts) run the banded DP."""
+    n = len(names_a)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    la = np.fromiter((len(s) for s in names_a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in names_b), dtype=np.int64, count=n)
+    plausible = np.abs(la - lb) <= k
+    eq = plausible & (la == lb)
+    if eq.any():
+        idx = np.flatnonzero(eq)
+        width = int(la[idx].max()) + 1
+        # UCS4 fixed-width view: unicode-safe, one uint32 per char
+        A = np.array([names_a[i] for i in idx], dtype=f"U{width}") \
+            .view(np.uint32).reshape(idx.size, width)
+        B = np.array([names_b[i] for i in idx], dtype=f"U{width}") \
+            .view(np.uint32).reshape(idx.size, width)
+        ham = (A != B).sum(axis=1)
+        out[idx[ham <= k]] = True
+        slow = idx[ham > k]
+    else:
+        slow = np.empty(0, dtype=np.int64)
+    uneq = np.flatnonzero(plausible & (la != lb))
+    for i in np.concatenate([slow, uneq]):
+        out[i] = _lev_le(names_a[i], names_b[i], k)
+    return out
+
+
+def _pairs_from_sigs(sig_ds, id_col: str, name_col: str, k: int,
+                     n_parts: int, max_bucket: int):
+    """Shared candidate→verify phase of the fuzzy joins: bucket rows by
+    ``sig`` (coarse hash partitions), emit candidate pairs per bucket
+    (inline-verifying oversized buckets), dedup each (ids, names)
+    combination globally, then vectorized-verify each once
+    (:func:`_verify_pairs`). Exact given a COMPLETE blocking: any true
+    pair shares ≥ 1 sig value."""
+    import logging
+
+    import pyarrow.compute as pc
+
+    from .select import _hash_part_of
+
     def add_part(b: pa.Table) -> pa.Table:
         return b.append_column(
             "_part", pa.array(_hash_part_of(b["sig"], n_parts)))
@@ -1143,6 +1201,7 @@ def fuzzy_pairs(ds, id_col: str, name_col: str, k: int = 1,
         # verify in place instead — a capped hot bucket would otherwise
         # materialize O(cap²) candidate rows (review-found blowup)
         _VERIFY_INLINE = 64
+        _PAIR_CHUNK = 1 << 21
         ii, jj = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s < 2:
@@ -1152,19 +1211,29 @@ def fuzzy_pairs(ds, id_col: str, name_col: str, k: int = 1,
                     "fuzzy_pairs: bucket capped %d -> %d",
                     e - s, max_bucket)
                 e = s + max_bucket
-            inline = (e - s) > _VERIFY_INLINE
-            for i in range(s, e):
-                for j in range(i + 1, e):
-                    if ids[i] == ids[j]:
-                        continue
-                    if inline and not _lev_le(names[i], names[j], k):
-                        continue
-                    ii.append(i)
-                    jj.append(j)
+            m = e - s
+            ti, tj = np.triu_indices(m, 1)
+            gi, gj = ti + s, tj + s
+            mask = ids[gi] != ids[gj]
+            gi, gj = gi[mask], gj[mask]
+            if m > _VERIFY_INLINE and gi.size:
+                # hot bucket: verify in place (vectorized hamming fast
+                # path + DP residue), chunked to bound pair-list memory
+                for c0 in range(0, gi.size, _PAIR_CHUNK):
+                    ci, cj = gi[c0:c0 + _PAIR_CHUNK], gj[c0:c0 + _PAIR_CHUNK]
+                    ok = _verify_pairs([names[x] for x in ci],
+                                       [names[x] for x in cj], k)
+                    ii.append(ci[ok])
+                    jj.append(cj[ok])
+            else:
+                ii.append(gi)
+                jj.append(gj)
         if not ii:
             return _EMPTY
-        ia = np.asarray(ii)
-        ja = np.asarray(jj)
+        ia = np.concatenate(ii)
+        ja = np.concatenate(jj)
+        if ia.size == 0:
+            return _EMPTY
         a_ids, b_ids = ids[ia], ids[ja]
         swap = a_ids > b_ids
         a_ids, b_ids = np.where(swap, b_ids, a_ids), \
@@ -1188,8 +1257,7 @@ def fuzzy_pairs(ds, id_col: str, name_col: str, k: int = 1,
                           return_index=True)[1]
         return t.take(pa.array(np.sort(first)))
 
-    cand = ds.map_batches(sigs, batch_format="pyarrow") \
-        .map_batches(add_part, batch_format="pyarrow") \
+    cand = sig_ds.map_batches(add_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
     def add_pair_part(b: pa.Table) -> pa.Table:
@@ -1218,17 +1286,148 @@ def fuzzy_pairs(ds, id_col: str, name_col: str, k: int = 1,
         c = g["id_b"].to_numpy(zero_copy_only=False)
         na = g["name_a"].to_pylist()
         nb = g["name_b"].to_pylist()
-        good = [i for i in first if _lev_le(na[i], nb[i], k)]
-        if not good:
+        sel = np.sort(first)
+        ok = _verify_pairs([na[i] for i in sel], [nb[i] for i in sel], k)
+        good = sel[ok]
+        if good.size == 0:
             return empty
-        ga = np.asarray([a[i] for i in good])
-        gc = np.asarray([c[i] for i in good])
+        ga = a[good]
+        gc = c[good]
         u = np.unique(np.stack([ga, gc], 1), axis=0)
         return pa.table({"id_a": pa.array(u[:, 0], type=pa.int64()),
                          "id_b": pa.array(u[:, 1], type=pa.int64())})
 
     return cand.map_batches(add_pair_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(verify_part, batch_format="pyarrow")
+
+_SHORT_SIG = "\x00SHORT"
+
+
+def fuzzy_pairs_qgram(ds, id_col: str, name_col: str, k: int = 3,
+                      q: int = 2, n_parts: int = 64,
+                      max_bucket: int = 4096):
+    """Entity-resolution fuzzy join for ARBITRARY k via q-gram PREFIX
+    filtering (the Ed-Join / AllPairs public method: Xiao-Wang-Lin 2008,
+    Bayardo 2007) — the k ≥ 3 blocking where the deletion neighborhood's
+    len^k signature volume is the documented wall (VERDICT r2 #9).
+
+    Exactness argument: k edits destroy ≤ q·k distinct q-grams, so a true
+    pair's distinct-gram overlap is ≥ max(|Dₐ|,|D_b|) − q·k; by the prefix
+    -filter theorem under a GLOBAL (frequency, gram) order, prefixes of
+    size q·k + 1 per side must then intersect — every true pair shares a
+    prefix gram and reaches the banded-DP verifier (exact; no recall
+    loss). Rows with ≤ q·k distinct grams (the only case the bound is
+    vacuous) route to one all-pairs short bucket. Rare-first prefix order
+    keeps hot grams (common bigrams) out of buckets.
+
+    Scale shape: one (gram, n) partial groupby for the global order (gram
+    vocab ≈ alphabet^q — tiny, broadcast once); signature volume is
+    q·k + 1 rows per input row (vs C(len, k) for deletion blocking —
+    816× smaller at len 18, k 3); then the shared coarse-bucket →
+    dedup-candidates → verify-once pipeline of :func:`fuzzy_pairs`.
+    """
+    from ray.data.aggregate import Sum
+
+    import ray
+    import pyarrow.compute as pc
+
+    prefix_n = q * k + 1
+
+    def gram_rows(b: pa.Table):
+        names = b[name_col]
+        if isinstance(names, pa.ChunkedArray):
+            names = names.combine_chunks()
+        lens = pc.utf8_length(names).to_numpy(zero_copy_only=False)
+        maxlen = int(lens.max()) if len(lens) else 0
+        outs = []
+        row_idx = np.arange(b.num_rows, dtype=np.int64)
+        for p0 in range(max(0, maxlen - q + 1)):
+            g = pc.utf8_slice_codeunits(names, p0, p0 + q)
+            valid = lens >= p0 + q
+            t = pa.table({"_row": pa.array(row_idx), "gram": g})
+            outs.append(t.filter(pa.array(valid)))
+        if not outs:
+            return pa.table({"_row": pa.array([], type=pa.int64()),
+                             "gram": pa.array([], type=pa.string())})
+        cat = pa.concat_tables(outs)
+        # distinct (row, gram)
+        key = pc.binary_join_element_wise(
+            pc.cast(cat["_row"], pa.string()), cat["gram"], "\x00")
+        enc = key.combine_chunks().dictionary_encode()
+        first = np.unique(enc.indices.to_numpy(zero_copy_only=False),
+                          return_index=True)[1]
+        return cat.take(pa.array(np.sort(first)))
+
+    # pass 1: global gram frequencies (partial per block, tiny groupby)
+    def freq_partial(b: pa.Table) -> pa.Table:
+        g = gram_rows(b)
+        if g.num_rows == 0:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        enc = g["gram"].combine_chunks().dictionary_encode()
+        counts = np.bincount(
+            enc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"gram": enc.dictionary,
+                         "n": pa.array(counts)})
+
+    freq = ds.map_batches(freq_partial, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("n", alias_name="n")).to_pandas()
+    # global rare-first total order: rank by (count, gram)
+    freq = freq.sort_values(["n", "gram"]).reset_index(drop=True)
+    vocab = freq["gram"].to_numpy()               # freq-rank order
+    order_of = np.argsort(vocab, kind="stable")   # gram-sorted → rank map
+    vocab_sorted = vocab[order_of]
+    rank_sorted = order_of.astype(np.int64)       # freq rank of sorted gram
+    ref = ray.put((vocab_sorted, rank_sorted))
+
+    def sigs(b: pa.Table) -> pa.Table:
+        vs, rs = ray.get(ref)
+        g = gram_rows(b)
+        names = b[name_col]
+        ids = b[id_col]
+        if g.num_rows == 0:
+            return pa.table({"sig": pa.array([], type=pa.string()),
+                             id_col: ids.slice(0, 0),
+                             name_col: (names.combine_chunks()
+                                        if isinstance(names, pa.ChunkedArray)
+                                        else names).slice(0, 0)})
+        row = g["_row"].to_numpy(zero_copy_only=False)
+        grams = g["gram"].to_pylist()
+        pos = np.searchsorted(vs, grams)
+        rank = rs[pos]
+        # per-row rare-first head of size prefix_n (vectorized segmented)
+        order = np.lexsort((rank, row))
+        r_o, rank_o = row[order], rank[order]
+        seg_first = np.r_[True, r_o[1:] != r_o[:-1]]
+        first_slot = np.flatnonzero(seg_first)
+        seg_id = np.cumsum(seg_first) - 1
+        pos_in_seg = np.arange(r_o.size) - first_slot[seg_id]
+        keep = pos_in_seg < prefix_n
+        sel = order[keep]
+        sig = pc.take(g["gram"], pa.array(sel))
+        out_row = row[sel]
+        out = pa.table({
+            "sig": sig,
+            id_col: pc.take(ids, pa.array(out_row)),
+            name_col: pc.take(names, pa.array(out_row)),
+        })
+        # short rows (≤ q·k distinct grams, incl. zero-gram rows): the
+        # overlap bound is vacuous — ONE all-pairs bucket catches
+        # short-short pairs (long-short pairs still share a prefix gram)
+        n_grams = np.bincount(row, minlength=b.num_rows)
+        short = np.flatnonzero(n_grams <= q * k)
+        if short.size:
+            out = pa.concat_tables([out, pa.table({
+                "sig": pa.array([_SHORT_SIG] * short.size),
+                id_col: pc.take(ids, pa.array(short)),
+                name_col: pc.take(names, pa.array(short)),
+            })])
+        return out
+
+    return _pairs_from_sigs(ds.map_batches(sigs, batch_format="pyarrow"),
+                            id_col, name_col, k, n_parts, max_bucket)
+
 
 def remove_duplicated_spans(ds, window: int = 20, stride: int = 10,
                             text_col: str = "text"):
