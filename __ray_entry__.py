@@ -518,6 +518,47 @@ def _q_pca_project(sf_dir: str):
     return out[["vec_id", "p1", "p2"]]
 
 
+def _q_ann_pq_fullrerank(sf_dir: str):
+    """PQ ANN at FULL re-rank (shortlist = corpus): the ADC scan orders
+    candidates but the exact re-rank then scores every vector — the
+    result must equal brute force exactly, so the compressed-codes
+    pipeline (codebook train, encode, ADC gather, shortlist merge,
+    re-rank join) carries the brute SQL oracle. The production-parameter
+    configuration (bounded shortlist) stays in ann_pq_topk,
+    recall-bounded by pytest."""
+    import ray.data as rd
+    from timezonemap_ray.stages.ann import pq_topk
+    ids, mat = _ann_queries(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = pq_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                  ids, mat, k=10, m=16, ks=256, rerank_l=ds.count())
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+def _q_ann_ivfpq_fullprobe(sf_dir: str):
+    """IVF-PQ at FULL probe + FULL re-rank: every partition's codes scan
+    and every shortlist vector re-ranks exactly ⇒ ≡ brute force — the
+    derived invariant that oracle-checks the physically-partitioned
+    codes index end-to-end (build, partition write, probe read, ADC,
+    re-rank). Pruned configuration stays in ann_ivfpq_topk
+    (bytes-read ∝ nprobe pytest-asserted)."""
+    import tempfile
+
+    import ray.data as rd
+    from timezonemap_ray.stages.ann import ivfpq_build, ivfpq_query
+    ids, mat = _ann_queries(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n = ds.count()
+    with tempfile.TemporaryDirectory(prefix="ivfpq_full_") as d:
+        ivfpq_build(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), d,
+                    n_centroids=8, m=16, ks=256)
+        out, _frac = ivfpq_query(
+            d, ids, mat, k=10, nprobe=8,
+            rerank_ds=rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+            rerank_l=n)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 def _q_embedding_moments_int(sf_dir: str):
     """Distributed EXACT scatter-matrix accumulation over the embedding
     column — the oracle-checked twin of the moment-partial stage PCA runs
@@ -1607,6 +1648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (exact / full-probe members)
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_fullrerank_topk": _q_ann_pq_fullrerank,
+        "ann_ivfpq_fullprobe_topk": _q_ann_ivfpq_fullprobe,
         "embedding_moments_int": _q_embedding_moments_int,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
         "heavy_hitter_users": _q_heavy_hitter_users,
@@ -1683,6 +1726,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": _q_cms_user_counts,
         "value_quantiles_sketch": _q_value_quantiles_sketch,
     }
+
+
+_ANN_BRUTE_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings
+               WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                ORDER BY vec_id LIMIT 5)),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(e.embedding, q.qv) AS score
+        FROM embeddings e CROSS JOIN q)
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rank
+    FROM scored QUALIFY rank <= 10"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2091,34 +2149,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, min(label) AS cluster_id,
                    (min(label) <> id) AS is_duplicate
             FROM comp GROUP BY id""",
-        "ann_brute_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-                       FROM embeddings
-                       WHERE vec_id IN (SELECT vec_id FROM embeddings
-                                        ORDER BY vec_id LIMIT 5)),
-            scored AS (
-                SELECT q.query_id, e.vec_id,
-                       list_cosine_similarity(e.embedding, q.qv) AS score
-                FROM embeddings e CROSS JOIN q)
-            SELECT query_id, vec_id,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY score DESC, vec_id) AS rank
-            FROM scored QUALIFY rank <= 10""",
-        # IVF at nprobe = n_centroids scans every partition: the derived
-        # invariant is exact equality with brute force — same oracle
-        "ann_ivf_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-                       FROM embeddings
-                       WHERE vec_id IN (SELECT vec_id FROM embeddings
-                                        ORDER BY vec_id LIMIT 5)),
-            scored AS (
-                SELECT q.query_id, e.vec_id,
-                       list_cosine_similarity(e.embedding, q.qv) AS score
-                FROM embeddings e CROSS JOIN q)
-            SELECT query_id, vec_id,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY score DESC, vec_id) AS rank
-            FROM scored QUALIFY rank <= 10""",
+        "ann_brute_topk": _ANN_BRUTE_SQL,
+        # full-parameter configurations scan/re-rank EVERYTHING, so each
+        # must equal brute force exactly — all four share one oracle:
+        # IVF at nprobe = n_centroids; PQ at shortlist = corpus; IVF-PQ
+        # at full probe + full re-rank
+        "ann_ivf_topk": _ANN_BRUTE_SQL,
+        "ann_pq_fullrerank_topk": _ANN_BRUTE_SQL,
+        "ann_ivfpq_fullprobe_topk": _ANN_BRUTE_SQL,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity) * 100.0) AS BIGINT) AS sum_qty_c,
