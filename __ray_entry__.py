@@ -76,6 +76,61 @@ def _q_geo_span_extract(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_spans_passthrough(sf_dir: str):
+    """Span-SEQUENCE equality — the input_hint per-row invariant
+    ``(kind, text, media_ref, order)``: every span of every interleaved
+    document, with its list position AND its offset field, checked
+    against a SQL twin that rebuilds the exact sequence (text span 0,
+    geo spans 1..n_geo with bit-exact coordinates, media span last with
+    its media_ref). Order is encoded in the ``pos`` column, so the
+    order-insensitive driver hash still verifies sequence order."""
+    from timezonemap_ray.sources.docgen import span_documents
+
+    ds = span_documents(sf_dir)
+
+    def flatten(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(spans) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.r_[0, np.cumsum(lens)][:-1]
+        pos = np.arange(len(flat), dtype=np.int64) - starts[parent]
+        kind = flat.field("kind")
+        text = flat.field("text")
+        is_geo = pc.equal(kind, "geo")
+        geo_rows = np.flatnonzero(
+            is_geo.to_numpy(zero_copy_only=False))
+        lat = np.full(len(flat), np.nan)
+        lng = np.full(len(flat), np.nan)
+        if geo_rows.size:
+            gt = pc.take(text, pa.array(geo_rows))
+            parts = pc.split_pattern(gt, ",")
+            lat[geo_rows] = pc.cast(pc.list_element(parts, 0),
+                                    pa.float64()).to_numpy()
+            lng[geo_rows] = pc.cast(pc.list_element(parts, 1),
+                                    pa.float64()).to_numpy()
+        return pa.table({
+            "doc_id": pc.take(b["doc_id"], pa.array(parent)),
+            "pos": pa.array(pos),
+            "kind": kind,
+            "stext": pc.if_else(pc.equal(kind, "text"), text, ""),
+            "media_ref": flat.field("media_ref"),
+            "soffset": pc.cast(flat.field("offset"), pa.int64()),
+            "lat": pc.if_else(pc.is_nan(pa.array(lat)),
+                              pa.scalar(None, type=pa.float64()),
+                              pa.array(lat)),
+            "lng": pc.if_else(pc.is_nan(pa.array(lng)),
+                              pa.scalar(None, type=pa.float64()),
+                              pa.array(lng)),
+        })
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
 def _q_tz_lookup_top1(sf_dir: str):
     from timezonemap_ray.pipelines.flagship import flagship
     ds = flagship(sf_dir, _engine())
@@ -1610,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end, each with its invariant pytest named in its docstring.
     return {
         # geo engine (reference parity pipelines)
+        "spans_passthrough": _q_spans_passthrough,
         "geo_span_extract": _q_geo_span_extract,
         "tz_lookup_top1": _q_tz_lookup_top1,
         "tz_lookup_all": _q_tz_lookup_all,
@@ -1752,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "geo_span_extract": oracle.sql_geo_span_extract(),
+        "spans_passthrough": oracle.sql_spans_passthrough(),
         "tz_boundary_d2": oracle.sql_tz_boundary_d2(),
         "embedding_moments_int": """
             WITH m AS (

@@ -227,6 +227,40 @@ SELECT p.doc_id, p.span_idx, a.zone_id, a.d2
 FROM pts p LEFT JOIN agg a USING (doc_id, span_idx)"""
 
 
+def sql_spans_passthrough() -> str:
+    """Oracle for the FULL span-sequence invariant (input_hint:
+    ``(kind, text, media_ref, order)`` per row): rebuild every document's
+    exact span sequence — text span at pos 0 carrying the document text,
+    geo spans 1..n_geo with the generator's bit-exact float64 coordinates
+    (``sources/docgen.py`` int64 arithmetic), the media span last with its
+    ``media://blob/<id>`` ref — and both the list position and the
+    ``offset`` field."""
+    lat, lng = geo_point_sql_expr("g.j")
+    return f"""WITH n AS (
+  SELECT doc_id, text, CAST(doc_id % 3 + 1 AS BIGINT) AS n_geo
+  FROM documents),
+t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS BIGINT) AS pos,
+         'text' AS kind, text AS stext, '' AS media_ref,
+         CAST(0 AS BIGINT) AS soffset,
+         CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lng
+  FROM n),
+g AS (
+  SELECT CAST(n.doc_id AS VARCHAR) AS doc_id,
+         CAST(1 + g.j AS BIGINT) AS pos, 'geo' AS kind, '' AS stext,
+         '' AS media_ref, CAST(1 + g.j AS BIGINT) AS soffset,
+         {lat} AS lat, {lng} AS lng
+  FROM n, LATERAL (SELECT unnest(generate_series(0, n.n_geo - 1)) AS j) g),
+m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(n_geo + 1 AS BIGINT) AS pos, 'media' AS kind, '' AS stext,
+         'media://blob/' || CAST(doc_id AS VARCHAR) AS media_ref,
+         CAST(n_geo + 1 AS BIGINT) AS soffset,
+         CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lng
+  FROM n)
+SELECT * FROM t UNION ALL SELECT * FROM g UNION ALL SELECT * FROM m"""
+
+
 def sql_geo_span_extract() -> str:
     return f"WITH {geo_points_cte()} SELECT doc_id, span_idx, lat, lng FROM pts"
 
