@@ -752,6 +752,14 @@ def _q_media_similarity(sf_dir: str):
 
 
 def _q_media_decode(sf_dir: str):
+    """Multimodal decode plumbing: 200 real TZV1 video containers →
+    actor-pool decode of the representative first frame. ORACLE-CHECKED
+    via the decode-size invariant: every container must decode to
+    exactly w·h·3 = 9216 frame bytes with its id/ref mapping intact —
+    a constant SQL table, so a failed/skipped decode, a dropped row, or
+    a mangled ref all hash-mismatch (pixel CONTENT is blake2b-seeded —
+    no SQL form; content correctness is pytest-bound in test_media-less
+    codec roundtrips, tests/test_serialization.py)."""
     import ray.data as rd
     from timezonemap_ray.stages import media
     refs = [f"media://blob/{i}" for i in range(200)]
@@ -1763,6 +1771,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiles_boxes": _q_tiles_boxes,
         # composite training-data flow (dedup -> quality -> tokens -> zones)
         "training_pipeline": _q_training_pipeline,
+        # multimodal decode plumbing (decode-size invariant oracle)
+        "media_decode": _q_media_decode,
         # ---- rows-only residue (no SQL twin exists; invariants pytest-
         # bound per docstring) ----
         "tz_distance_boundary": _q_tz_distance,
@@ -1776,7 +1786,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_embed_topk": _q_docs_hash_embed_topk,
         "kmeans_profile": _q_kmeans_profile,
         "pca_project_top2": _q_pca_project,
-        "media_decode": _q_media_decode,
         "media_similarity": _q_media_similarity,
         "approx_distinct_users": _q_approx_distinct_users,
         "cms_user_counts": _q_cms_user_counts,
@@ -1828,6 +1837,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT i, j, s FROM pairs
             UNION ALL SELECT i, j, s FROM firsts
             UNION ALL SELECT i, j, s FROM cnt""",
+        "media_decode": """
+            SELECT CAST(g.i AS BIGINT) AS media_id,
+                   'media://blob/' || CAST(g.i AS VARCHAR) AS media_ref,
+                   CAST(9216 AS BIGINT) AS decoded_bytes
+            FROM (SELECT unnest(generate_series(0, 199)) AS i) g""",
         "tz_lookup_top1": oracle.sql_tz_lookup_top1(),
         "tz_lookup_all": oracle.sql_tz_lookup_all(),
         "tz_lookup_shuffled": oracle.sql_tz_lookup_top1(),
