@@ -187,6 +187,29 @@ def test_worker_fed_crash_replay_exactly_once(ray_session):
     pd.testing.assert_frame_equal(combined, expected)
 
 
+def test_worker_fed_feed_retry_idempotent(ray_session):
+    """A feeder task Ray retries after partial delivery must not
+    double-accumulate: the same (batch, feed_key) applied twice counts
+    once; a different key counts again."""
+    from timezonemap_ray.pipelines.streaming import StreamingWindower
+    base = 1_700_000_000_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1], type=pa.int64()),
+        "ts": pa.array([base, base + 1_000_000],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0]),
+    })
+    shard = StreamingWindower.remote(3600, 600)
+    import ray as _ray
+    _ray.get(shard.feed_stamped.remote(t, -(1 << 62), feed_key=7))
+    _ray.get(shard.feed_stamped.remote(t, -(1 << 62), feed_key=7))  # retry
+    _ray.get(shard.feed_stamped.remote(t, -(1 << 62), feed_key=8))
+    windows, _ = _ray.get(shard.flush.remote())
+    w = windows.to_pandas()
+    assert w["n_events"].sum() == 4          # 2 feeds, not 3
+    assert w["sum_value"].sum() == pytest.approx(6.0)
+
+
 def test_worker_fed_shard_side_writes(ray_session, tmp_path):
     """With out_dir the SHARDS write their drained windows as parquet —
     the driver sees only row counts; the files reproduce the in-memory

@@ -67,6 +67,7 @@ class StreamingWindower:
         # sequence must replay identically) but never re-accumulate/re-emit
         self.resume_wm_us = resume_watermark_us
         self.replay_skipped = 0
+        self._applied_keys: set = set()  # worker-fed retry dedup
 
     def feed(self, batch: pa.Table) -> int:
         ts = batch[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -138,7 +139,16 @@ class StreamingWindower:
     # feeds apply in nondeterministic arrival order (accumulation is
     # commutative; the late test depends only on the stamp).
 
-    def feed_stamped(self, batch: pa.Table, wm_us: int) -> int:
+    def feed_stamped(self, batch: pa.Table, wm_us: int,
+                     feed_key=None) -> int:
+        # idempotence under task retry: a feeder that died after delivering
+        # to SOME shards is re-executed whole by Ray — without dedup its
+        # events would double-accumulate. Each (block ordinal) feeds a
+        # shard at most once; the key set is O(blocks) ints.
+        if feed_key is not None:
+            if feed_key in self._applied_keys:
+                return 0
+            self._applied_keys.add(feed_key)
         ts = batch[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         keys = batch[self.key_col].to_numpy(zero_copy_only=False)
         vals = batch[self.val_col].to_numpy(zero_copy_only=False)
@@ -296,11 +306,13 @@ def run_windowed_stream(ds, window_s: int = 3600, lateness_s: int = 600,
 
 @ray.remote
 def _feed_block(block, wm_us: int, shards, num_shards: int,
-                key_col: str, ts_col: str):
+                key_col: str, ts_col: str, ordinal: int):
     """Worker-side feeder: partition one block by key hash and push the
     sub-tables to the shard actors with the stamped watermark. Raw event
     bytes flow object store → this worker → shard actors; the driver sees
-    only the returned (n_rows, max_ts, pid) ack."""
+    only the returned (n_rows, max_ts, pid) ack. The block ordinal rides
+    along as the shard-side dedup key, so a retried feeder (Ray re-runs a
+    task that died mid-delivery) never double-accumulates."""
     import os
     t = pa.table(block) if not isinstance(block, pa.Table) else block
     if t.num_rows == 0:
@@ -309,12 +321,14 @@ def _feed_block(block, wm_us: int, shards, num_shards: int,
                       dtype=np.int64)
     acks = []
     if num_shards == 1:
-        acks.append(shards[0].feed_stamped.remote(t, wm_us))
+        acks.append(shards[0].feed_stamped.remote(t, wm_us,
+                                                  feed_key=ordinal))
     else:
         shard_of = keys % num_shards
         for s in np.unique(shard_of):
             sub = t.filter(pa.array(shard_of == s))
-            acks.append(shards[int(s)].feed_stamped.remote(sub, wm_us))
+            acks.append(shards[int(s)].feed_stamped.remote(
+                sub, wm_us, feed_key=ordinal))
     ray.get(acks)  # applied before the ack — the ack IS the durability edge
     max_ts = int(pa.compute.max(t[ts_col].cast(pa.int64())).as_py())
     return t.num_rows, max_ts, os.getpid()
@@ -415,7 +429,8 @@ def run_windowed_stream_worker_fed(
                     ack_oldest()
                 stamp = w_cur
                 ref = _feed_block.remote(block_ref, stamp, shards,
-                                         num_shards, key_col, ts_col)
+                                         num_shards, key_col, ts_col,
+                                         n_launched)
                 pending.append((n_launched, stamp, ref))
                 n_launched += 1
                 if n_launched % drain_every == 0:
