@@ -261,6 +261,53 @@ def _q_tz_distance(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def _q_tz_lookup_fallback(sf_dir: str):
+    """kNN fallback lookup (north_star: coastal/territorial-water points
+    map to the NEAREST zone) — ORACLE-CHECKED: the gap world keeps all
+    zones in one cover cell (ring-candidate heuristic ≡ global argmin)
+    and the planar-d2 metric lets DuckDB reproduce the nearest-zone
+    argmin bit-for-bit from generated edge literals. Contained points
+    resolve normally (fallback=false); every uncovered point in the box
+    gets its planar-nearest zone (fallback=true)."""
+    import ray
+    import ray.data as rd  # noqa: F401
+
+    from timezonemap_ray import worlds
+    from timezonemap_ray.api import TimeZoneEngine
+    from timezonemap_ray.oracle import FALLBACK_BOX
+    from timezonemap_ray.pipelines.flagship import geo_points
+    from timezonemap_ray.stages.joiner import ZoneJoiner
+
+    eng = TimeZoneEngine.for_everywhere(worlds.gap_world_table())
+    b = FALLBACK_BOX
+
+    def box(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["lat"], b[0]),
+                    pc.less_equal(t["lat"], b[2])),
+            pc.and_(pc.greater_equal(t["lng"], b[1]),
+                    pc.less_equal(t["lng"], b[3])))
+        return t.filter(keep)
+
+    ds = geo_points(sf_dir).map_batches(box, batch_format="pyarrow") \
+        .map_batches(
+            ZoneJoiner,
+            fn_constructor_kwargs=dict(index_ref=eng.broadcast(),
+                                       fallback=True,
+                                       fallback_metric="planar_d2"),
+            batch_format="pyarrow", concurrency=(1, 4))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "span_idx": pc.cast(t["span_idx"], pa.int64()),
+            "zone_id": pc.cast(t["zone_id"], pa.string()),
+            "fallback": t["fallback"],
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _q_tz_boundary_d2(sf_dir: str):
     """Planar SQUARED boundary distance to each point's top-1 zone — the
     ORACLE-CHECKED twin of tz_distance_boundary: same candidate scan, same
@@ -1680,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tz_lookup_shuffled": _q_tz_lookup_shuffled,
         "tz_lookup_checkpointed": _q_tz_lookup_checkpointed,
         "tz_lookup_lazy": _q_tz_lookup_lazy,
+        "tz_lookup_fallback": _q_tz_lookup_fallback,
         "tz_boundary_d2": _q_tz_boundary_d2,
         # text analysis
         "token_count": _q_token_count,
@@ -1818,6 +1866,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "geo_span_extract": oracle.sql_geo_span_extract(),
         "spans_passthrough": oracle.sql_spans_passthrough(),
+        "tz_lookup_fallback": oracle.sql_tz_lookup_fallback(),
         "tz_boundary_d2": oracle.sql_tz_boundary_d2(),
         "embedding_moments_int": """
             WITH m AS (

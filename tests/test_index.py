@@ -203,3 +203,42 @@ def test_fallback_matches_brute_nearest():
             if d < best_d:
                 best, best_d = idx.zone_ids[i], d
         assert res["zone_id"][k] == best, (lats[k], lngs[k])
+
+
+def test_fallback_ring_candidates_equal_global_argmin():
+    """kNN fallback on the gap world (all zones share ONE cell cover ⇒
+    complete candidate sets): the ring-searched nearest zone equals the
+    brute-force global argmin, in both metrics; ties break to the
+    smaller area rank."""
+    import numpy as np
+
+    from timezonemap_ray import geom
+    from timezonemap_ray.index import lookup_batch
+
+    idx = build_index(worlds.gap_world_table())
+    rng = np.random.default_rng(3)
+    lats = rng.uniform(-24.0, 29.0, 400)
+    lngs = rng.uniform(-24.0, 29.0, 400)
+    for metric in ("planar_d2", "geodesic_m"):
+        res = lookup_batch(idx, lats, lngs, fallback=True,
+                           fallback_metric=metric)
+        assert res["matched"].all()
+        # brute global argmin over every zone's boundary
+        best_d = np.full(lats.size, np.inf)
+        best = np.full(lats.size, -1, dtype=np.int64)
+        for rec_i in range(len(idx.zone_ids)):
+            nx, ny = geom.nearest_on_boundary(
+                lngs, lats, idx.xs[rec_i], idx.ys[rec_i],
+                idx.ring_starts[rec_i])
+            if metric == "planar_d2":
+                d = (nx - lngs) ** 2 + (ny - lats) ** 2
+            else:
+                d = geom.geodesic_distance_m(lats, lngs, ny, nx)
+            take = d < best_d
+            best_d = np.where(take, d, best_d)
+            best = np.where(take, rec_i, best)
+        names = np.asarray(idx.zone_ids, dtype=object)
+        fb_rows = np.flatnonzero(res["fallback"])
+        assert fb_rows.size > 300
+        got = np.asarray(res["zone_id"], dtype=object)[fb_rows]
+        assert (got == names[best[fb_rows]]).all()

@@ -301,7 +301,8 @@ def _build_cover(idx: ZoneIndex, refine: bool) -> dict:
 # ---------------------------------------------------------------------------
 
 def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
-                 fallback: bool = False, hybrid: bool | None = None):
+                 fallback: bool = False, hybrid: bool | None = None,
+                 fallback_metric: str = "geodesic_m"):
     """Batched point → zone join.
 
     Returns dict of numpy/object arrays:
@@ -403,7 +404,8 @@ def lookup_batch(idx: ZoneIndex, lats, lngs, want_all: bool = False,
     if fallback:
         miss = np.nonzero(in_region & ~matched)[0]
         if miss.size:
-            fz = _nearest_zone_fallback(idx, lats[miss], lngs[miss], cell[miss])
+            fz = _nearest_zone_fallback(idx, lats[miss], lngs[miss],
+                                        cell[miss], metric=fallback_metric)
             name_to_i = {z: i for i, z in enumerate(idx.zone_ids)}
             for k, r in enumerate(miss):
                 if fz[k] is not None:
@@ -553,13 +555,23 @@ def _assemble_all_zones(idx, m, hit_rows, hit_recs):
     return out
 
 
-def _nearest_zone_fallback(idx: ZoneIndex, lats, lngs, cell, max_radius: int = 8):
+def _nearest_zone_fallback(idx: ZoneIndex, lats, lngs, cell,
+                           max_radius: int = 8,
+                           metric: str = "geodesic_m"):
     """kNN fallback (north_star extension): nearest zone by geodesic
     boundary distance, searching candidates in expanding cell rings.
 
     Vectorized per CELL: all unmatched points in one cell share the same
     candidate pool (rings up to one past the first non-empty ring), so each
     candidate's nearest-boundary pass runs over the whole point group.
+
+    ``metric="planar_d2"``: squared planar degree distance instead of
+    geodesic meters — closed-form, so a DuckDB oracle can reproduce the
+    argmin bit-for-bit (the ring-candidate stop rule is a heuristic, so
+    the oracle world must keep every zone in one cover cell — complete
+    candidate sets ⇒ ring argmin ≡ global argmin; see
+    ``worlds.gap_world_table`` / ``oracle.sql_tz_lookup_fallback``).
+    Ties break to the smallest record index (= area rank) in both metrics.
     """
     lats = np.asarray(lats, dtype=np.float64)
     lngs = np.asarray(lngs, dtype=np.float64)
@@ -585,7 +597,12 @@ def _nearest_zone_fallback(idx: ZoneIndex, lats, lngs, cell, max_radius: int = 8
             nx, ny = geom.nearest_on_boundary(
                 plngs, plats, idx.xs[rec_i], idx.ys[rec_i],
                 idx.ring_starts[rec_i])
-            d = geom.geodesic_distance_m(plats, plngs, ny, nx)
+            if metric == "planar_d2":
+                ex = nx - plngs
+                ey = ny - plats
+                d = ex * ex + ey * ey
+            else:
+                d = geom.geodesic_distance_m(plats, plngs, ny, nx)
             better = d < best_d
             best_d = np.where(better, d, best_d)
             best_z = np.where(better, rec_i, best_z)

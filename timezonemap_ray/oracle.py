@@ -39,11 +39,13 @@ def geo_points_cte() -> str:
 )"""
 
 
-def conformance_zone_predicates() -> list[tuple[str, int, str]]:
+def conformance_zone_predicates(table=None) -> list[tuple[str, int, str]]:
     """[(zone_id, area_rank, sql_boolean_expr_over(lat,lng))] for every zone
-    in the conformance world, area-ascending."""
+    in the given rectangle-zone world (default: conformance),
+    area-ascending."""
     from .zonetable import table_to_records
-    table = worlds.conformance_table()
+    if table is None:
+        table = worlds.conformance_table()
     recs = table_to_records(table)
     out = []
     for r in recs:
@@ -77,12 +79,13 @@ def conformance_zone_predicates() -> list[tuple[str, int, str]]:
     return out
 
 
-def zones_join_cte(key_cols=("doc_id", "span_idx"), src="pts") -> str:
+def zones_join_cte(key_cols=("doc_id", "span_idx"), src="pts",
+                   table=None) -> str:
     """CTE ``zone_match(<keys>, lat, lng, zone_id, area_rank)``: every
     (point, containing zone) pair, for any point CTE with the given keys."""
     keys = ", ".join(key_cols)
     selects = []
-    for zid, rank, expr in conformance_zone_predicates():
+    for zid, rank, expr in conformance_zone_predicates(table):
         zlit = zid.replace("'", "''")
         selects.append(
             f"SELECT {keys}, lat, lng, '{zlit}' AS zone_id, "
@@ -162,26 +165,30 @@ SELECT zone_id,
 FROM boxes"""
 
 
-def conformance_zone_edges() -> list[tuple[str, float, float, float, float, float]]:
-    """[(zone_id, x1, y1, dx, dy, seg2)] for every ring edge of every
-    conformance zone — the EXACT edge enumeration ``geom.all_edges`` feeds
-    ``geom.nearest_on_boundary`` (implied ring closure, all rings), with
-    dx/dy/seg2 precomputed in float64 (the same IEEE subtract/multiply/add
-    the engine performs), so SQL point-to-segment distances reproduce the
-    engine's float64 bits exactly."""
+def conformance_zone_edges(table=None) -> list:
+    """[(zone_id, area_rank, x1, y1, dx, dy, seg2)] for every ring edge of
+    every zone in the given world (default: conformance) — the EXACT edge
+    enumeration ``geom.all_edges`` feeds ``geom.nearest_on_boundary``
+    (implied ring closure, all rings), with dx/dy/seg2 precomputed in
+    float64 (the same IEEE subtract/multiply/add the engine performs), so
+    SQL point-to-segment distances reproduce the engine's float64 bits
+    exactly."""
     import numpy as np
 
     from . import geom
     from .zonetable import table_to_records
+    if table is None:
+        table = worlds.conformance_table()
     out = []
-    for r in table_to_records(worlds.conformance_table()):
+    for r in table_to_records(table):
         x1, y1, x2, y2 = geom.all_edges(r["xs"], r["ys"], r["ring_start"])
         dx = np.asarray(x2, dtype=np.float64) - np.asarray(x1, dtype=np.float64)
         dy = np.asarray(y2, dtype=np.float64) - np.asarray(y1, dtype=np.float64)
         seg2 = dx * dx + dy * dy
         for i in range(len(x1)):
-            out.append((r["zone_id"], float(x1[i]), float(y1[i]),
-                        float(dx[i]), float(dy[i]), float(seg2[i])))
+            out.append((r["zone_id"], int(r["area_rank"]), float(x1[i]),
+                        float(y1[i]), float(dx[i]), float(dy[i]),
+                        float(seg2[i])))
     return out
 
 
@@ -200,7 +207,7 @@ def sql_tz_boundary_d2() -> str:
     edge_rows = ",\n    ".join(
         f"('{z.replace(chr(39), chr(39)*2)}', {_sql_f(x1)}, {_sql_f(y1)}, "
         f"{_sql_f(dx)}, {_sql_f(dy)}, {_sql_f(s2)})"
-        for z, x1, y1, dx, dy, s2 in conformance_zone_edges())
+        for z, _rank, x1, y1, dx, dy, s2 in conformance_zone_edges())
     return f"""WITH {geo_points_cte()},
 {zones_join_cte()},
 ranked AS (
@@ -259,6 +266,66 @@ m AS (
          CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lng
   FROM n)
 SELECT * FROM t UNION ALL SELECT * FROM g UNION ALL SELECT * FROM m"""
+
+
+FALLBACK_BOX = (-25.0, -25.0, 30.0, 30.0)  # keeps every point ≤ 6 cell rings
+#                                            from the gap world's cover cell
+
+
+def sql_tz_lookup_fallback() -> str:
+    """Oracle for the kNN-fallback lookup (north_star: 'kNN fallback to
+    the nearest zone polygon') over the GAP world: contained points get
+    their smallest-area zone; uncovered points get the zone with the
+    minimum squared planar boundary distance (exact MIN over generated
+    edge literals — same bit-exact kernel mirror as sql_tz_boundary_d2),
+    ties to the smaller area_rank exactly like the engine's
+    rank-ascending strict-< scan. The gap world keeps all zones in ONE
+    cover cell and the point box within the ring-search radius, so the
+    engine's ring-candidate heuristic is provably the global argmin."""
+    table = worlds.gap_world_table()
+    b = FALLBACK_BOX
+    box = (f"lat BETWEEN {_sql_f(b[0])} AND {_sql_f(b[2])} "
+           f"AND lng BETWEEN {_sql_f(b[1])} AND {_sql_f(b[3])}")
+    edge_rows = ",\n    ".join(
+        f"('{z.replace(chr(39), chr(39)*2)}', {rank}, {_sql_f(x1)}, "
+        f"{_sql_f(y1)}, {_sql_f(dx)}, {_sql_f(dy)}, {_sql_f(s2)})"
+        for z, rank, x1, y1, dx, dy, s2 in conformance_zone_edges(table))
+    return f"""WITH {geo_points_cte()},
+boxed AS (SELECT * FROM pts WHERE {box}),
+{zones_join_cte(src="boxed", table=table)},
+ranked AS (
+  SELECT doc_id, span_idx, zone_id,
+         row_number() OVER (PARTITION BY doc_id, span_idx
+                            ORDER BY area_rank) AS rn
+  FROM zone_match),
+contained AS (SELECT doc_id, span_idx, zone_id FROM ranked WHERE rn = 1),
+edges(zone_id, area_rank, x1, y1, dx, dy, seg2) AS (VALUES
+    {edge_rows}),
+unmatched AS (
+  SELECT p.* FROM boxed p
+  LEFT JOIN contained c USING (doc_id, span_idx)
+  WHERE c.zone_id IS NULL),
+cand AS (
+  SELECT p.doc_id, p.span_idx, e.zone_id, e.area_rank,
+         ((e.x1 + tt.t * e.dx) - p.lng) * ((e.x1 + tt.t * e.dx) - p.lng)
+         + ((e.y1 + tt.t * e.dy) - p.lat) * ((e.y1 + tt.t * e.dy) - p.lat)
+             AS d2
+  FROM unmatched p CROSS JOIN edges e,
+       LATERAL (SELECT least(greatest(
+                    ((p.lng - e.x1) * e.dx + (p.lat - e.y1) * e.dy) / e.seg2,
+                    0.0), 1.0) AS t) tt),
+zd AS (
+  SELECT doc_id, span_idx, zone_id, area_rank, min(d2) AS d2
+  FROM cand GROUP BY doc_id, span_idx, zone_id, area_rank),
+nearest AS (
+  SELECT doc_id, span_idx, zone_id,
+         row_number() OVER (PARTITION BY doc_id, span_idx
+                            ORDER BY d2 ASC, area_rank ASC) AS rn
+  FROM zd)
+SELECT doc_id, span_idx, zone_id, FALSE AS fallback FROM contained
+UNION ALL
+SELECT doc_id, span_idx, zone_id, TRUE AS fallback
+FROM nearest WHERE rn = 1"""
 
 
 def sql_geo_span_extract() -> str:

@@ -52,7 +52,8 @@ class ZoneJoiner:
 
     def __init__(self, index_ref=None, index_path=None, region=None,
                  cell_size=None, lat_col: str = "lat", lng_col: str = "lng",
-                 want_all: bool = False, fallback: bool = False):
+                 want_all: bool = False, fallback: bool = False,
+                 fallback_metric: str = "geodesic_m"):
         # once-per-actor setup: the expensive part (broadcast fetch / index
         # build) never runs per batch
         self.idx = resolve_index(
@@ -62,13 +63,15 @@ class ZoneJoiner:
         self.lng_col = lng_col
         self.want_all = want_all
         self.fallback = fallback
+        self.fallback_metric = fallback_metric
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lats = batch[self.lat_col].to_numpy(zero_copy_only=False)
         lngs = batch[self.lng_col].to_numpy(zero_copy_only=False)
         res = index_mod.lookup_batch(self.idx, lats, lngs,
                                      want_all=self.want_all,
-                                     fallback=self.fallback)
+                                     fallback=self.fallback,
+                                     fallback_metric=self.fallback_metric)
         # dictionary-encode zone ids from the integer indices — no per-row
         # python string objects in the hot path; stays dictionary-typed
         # through parquet/pandas (cast to plain string at the edges if a

@@ -249,6 +249,26 @@ def big_world_zones(n: int = 100, seed: int = 13,
     return zones
 
 
+def gap_world_zones() -> list[ZoneRecord]:
+    """Fallback-oracle world: three nested rectangles of distinct areas
+    whose envelopes all span the SAME 3×3 block of 5° grid cells
+    (lat/lng ∈ (0, 15)), and NO ocean background. Most of the planet is
+    uncovered, so the kNN fallback fires; points inside resolve normally
+    (smallest-area wins — the nesting exercises the rank logic). Because
+    every zone's cell cover is IDENTICAL, any candidate ring that hits
+    one zone holds ALL of them — the ring-stop heuristic is provably the
+    global argmin, which is what makes the fallback SQL-checkable."""
+    return [
+        rect_zone("Gap/Inner", 2.0, 2.0, 13.0, 11.0),
+        rect_zone("Gap/Mid", 1.0, 1.0, 14.0, 12.0),
+        rect_zone("Gap/Outer", 0.5, 0.5, 14.5, 14.5),
+    ]
+
+
+def gap_world_table():
+    return zones_to_table(gap_world_zones())
+
+
 def big_world_table(n: int = 100, seed: int = 13, edges_per_rec: int = 200):
     return zones_to_table(big_world_zones(n=n, seed=seed,
                                           edges_per_rec=edges_per_rec))
