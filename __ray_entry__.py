@@ -661,6 +661,23 @@ def _q_ann_ivfpq_fullprobe(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def _q_ann_opq_fullrerank(sf_dir: str):
+    """Parametric-OPQ PQ ANN at FULL re-rank: the learned rotation is
+    orthogonal (distance-preserving) and the exact re-rank scores every
+    vector, so the result must equal brute force — oracle-checks the
+    rotate → encode → ADC → re-rank plumbing end-to-end. The
+    production-shortlist configuration stays in ann_opq_topk
+    (anisotropic-recall gain pytest-bounded)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.ann import pq_topk_rotated
+    ids, mat = _ann_queries(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = pq_topk_rotated(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                          ids, mat, k=10, m=16, ks=256,
+                          rerank_l=ds.count())
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 def _q_embedding_moments_int(sf_dir: str):
     """Distributed EXACT scatter-matrix accumulation over the embedding
     column — the oracle-checked twin of the moment-partial stage PCA runs
@@ -925,8 +942,13 @@ def _q_distinct_users(sf_dir: str):
 def _q_cms_user_counts(sf_dir: str):
     """Count-min sketch per-user event counts: sparse cell partials →
     combiner groupby → fixed-size dense fold; estimates for the exact
-    top-20 users emitted next to the sketch value. Rows-only
-    (approximate, one-sided; ε-bound pytest-checked)."""
+    top-20 users emitted next to the sketch value. ORACLE-CHECKED (round
+    3): the sketch is a deterministic function, and DuckDB rebuilds it
+    bit-for-bit — the splitmix64 row hashes run in HUGEINT arithmetic
+    (split 64×64 wrapping multiplies), the same cell counts accumulate,
+    and min-over-rows gives the identical estimate
+    (stages/sketch.cms_user_counts_sql). The ε-bound stays
+    pytest-checked."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -957,6 +979,24 @@ def _q_cms_user_counts(sf_dir: str):
         "n_true": pc.cast(top["n_true"], pa.int64()),
         "n_est": pa.array(est.astype(np.int64)),
     })
+
+
+def _q_hll_registers(sf_dir: str):
+    """HLL sketch REGISTERS (the distributed part of approx-distinct),
+    oracle-checked bit-for-bit: DuckDB recomputes the splitmix64 hash in
+    HUGEINT arithmetic, the bucket split, and the exact integer
+    leading-zero rank, then max per bucket
+    (stages/sketch.hll_registers_sql). The float estimator over these
+    verified registers stays a driver-local formula (pytest-bound via
+    approx_distinct_users)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.sketch import hll_merged_registers
+    regs = hll_merged_registers(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        "user_id", p=12)
+    nz = np.flatnonzero(regs)
+    return pa.table({"idx": pa.array(nz.astype(np.int64)),
+                     "reg": pa.array(regs[nz].astype(np.int64))})
 
 
 def _q_approx_distinct_users(sf_dir: str):
@@ -1762,6 +1802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_fullrerank_topk": _q_ann_pq_fullrerank,
         "ann_ivfpq_fullprobe_topk": _q_ann_ivfpq_fullprobe,
+        "ann_opq_fullrerank_topk": _q_ann_opq_fullrerank,
         "embedding_moments_int": _q_embedding_moments_int,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
         "heavy_hitter_users": _q_heavy_hitter_users,
@@ -1821,6 +1862,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_pipeline": _q_training_pipeline,
         # multimodal decode plumbing (decode-size invariant oracle)
         "media_decode": _q_media_decode,
+        # sketches with full SQL twins (DuckDB rebuilds the sketch)
+        "cms_user_counts": _q_cms_user_counts,
+        "hll_registers": _q_hll_registers,
         # ---- rows-only residue (no SQL twin exists; invariants pytest-
         # bound per docstring) ----
         "tz_distance_boundary": _q_tz_distance,
@@ -1836,7 +1880,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project_top2": _q_pca_project,
         "media_similarity": _q_media_similarity,
         "approx_distinct_users": _q_approx_distinct_users,
-        "cms_user_counts": _q_cms_user_counts,
         "value_quantiles_sketch": _q_value_quantiles_sketch,
     }
 
@@ -1886,6 +1929,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT i, j, s FROM pairs
             UNION ALL SELECT i, j, s FROM firsts
             UNION ALL SELECT i, j, s FROM cnt""",
+        "cms_user_counts": __import__(
+            "timezonemap_ray.stages.sketch",
+            fromlist=["cms_user_counts_sql"]).cms_user_counts_sql(),
+        "hll_registers": __import__(
+            "timezonemap_ray.stages.sketch",
+            fromlist=["hll_registers_sql"]).hll_registers_sql(),
         "media_decode": """
             SELECT CAST(g.i AS BIGINT) AS media_id,
                    'media://blob/' || CAST(g.i AS VARCHAR) AS media_ref,
@@ -2277,6 +2326,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ANN_BRUTE_SQL,
         "ann_pq_fullrerank_topk": _ANN_BRUTE_SQL,
         "ann_ivfpq_fullprobe_topk": _ANN_BRUTE_SQL,
+        "ann_opq_fullrerank_topk": _ANN_BRUTE_SQL,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity) * 100.0) AS BIGINT) AS sum_qty_c,

@@ -197,6 +197,15 @@ def run_bench(num_cpus: int) -> dict:
     events_rolling(SF_DIR, window=5).count()
     timings["events_rolling"] = time.perf_counter() - t0
 
+    # stride=1 exact-substring duplication via rolling double-hash digests
+    # (token-hash once, O(1)/position — the suffix-array-equivalent path)
+    from timezonemap_ray.stages.dedup import duplicated_spans_rolling
+    t0 = time.perf_counter()
+    duplicated_spans_rolling(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"]), window=20).count()
+    timings["dup_spans_rolling"] = time.perf_counter() - t0
+
     return {
         "metric": "timezone-lookup join throughput (points/sec) + headline pipeline wall times",
         "value": round(timings["flagship_docs_join"], 3),

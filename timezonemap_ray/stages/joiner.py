@@ -119,6 +119,7 @@ class LazyZoneJoiner(ZoneJoiner):
             cell_size=cell_size or 5.0, max_cached=max_cached)
         self.lat_col, self.lng_col = lat_col, lng_col
         self.want_all, self.fallback = want_all, fallback
+        self.fallback_metric = "geodesic_m"
 
 
 def make_join_fn(index_ref, lat_col="lat", lng_col="lng", want_all=False,
@@ -131,6 +132,7 @@ def make_join_fn(index_ref, lat_col="lat", lng_col="lng", want_all=False,
         joiner.idx = resolve_index(index_ref)
         joiner.lat_col, joiner.lng_col = lat_col, lng_col
         joiner.want_all, joiner.fallback = want_all, fallback
+        joiner.fallback_metric = "geodesic_m"
         return joiner(batch)
     return join
 

@@ -65,12 +65,10 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def approx_distinct(ds, column: str, p: int = 12) -> float:
-    """Approximate COUNT(DISTINCT column) over a Dataset.
-
-    Per-block register folds run distributed; block sketches stream back as
-    2^p-byte rows and merge on the driver by elementwise max.
-    """
+def hll_merged_registers(ds, column: str, p: int = 12) -> np.ndarray:
+    """Distributed HLL register fold: per-block registers stream back as
+    2^p-byte rows and merge on the driver by elementwise max (the
+    driver fold is O(2^p), data-size-independent)."""
     def fold(b: pa.Table) -> pa.Table:
         v = b[column].to_numpy(zero_copy_only=False)
         if v.dtype == object:
@@ -85,7 +83,43 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
         for blob in batch["regs"]:
             merged = np.maximum(merged,
                                 np.frombuffer(blob.as_py(), dtype=np.uint8))
-    return hll_estimate(merged)
+    return merged
+
+
+def approx_distinct(ds, column: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT column) over a Dataset."""
+    return hll_estimate(hll_merged_registers(ds, column, p=p))
+
+
+def hll_registers_sql(table: str = "events", key: str = "user_id",
+                      p: int = 12) -> str:
+    """Full SQL TWIN of the HLL register fold: DuckDB computes the same
+    splitmix64(key + golden) hash in HUGEINT arithmetic, the same bucket
+    (top p bits) and rank (leading zeros of the shifted remainder + 1,
+    via an exact integer CASE chain — no float log2), then max per
+    bucket. Verifies the DISTRIBUTED part of the sketch bit-for-bit; the
+    driver-local float estimator stays pytest-bound."""
+    golden = 0x9E3779B97F4A7C15
+    chain = _smix_sql_chain("sv.v")
+    # exact integer leading-zero count of the (64-p)-bit remainder
+    branches = "\n             ".join(
+        f"WHEN rest >= CAST('{1 << (63 - b)}' AS HUGEINT) THEN {b}"
+        for b in range(64 - p))
+    return f"""WITH ev AS (SELECT {key} FROM {table} WHERE {key} IS NOT NULL),
+hashed AS (
+  SELECT se.h
+  FROM ev e,
+       LATERAL (SELECT (CAST(e.{key} AS HUGEINT)
+                        + CAST('{golden}' AS HUGEINT))
+                       % CAST('{1 << 64}' AS HUGEINT) AS v) sv{chain}),
+ranked AS (
+  SELECT CAST(h >> {64 - p} AS BIGINT) AS idx,
+         (CASE {branches}
+             ELSE {64 - p} END) + 1 AS rank
+  FROM (SELECT h, (h * {1 << p}) % CAST('{1 << 64}' AS HUGEINT) AS rest
+        FROM hashed))
+SELECT idx, CAST(max(rank) AS BIGINT) AS reg
+FROM ranked GROUP BY idx"""
 
 
 def _mg_prune(terms: pa.Array, counts: np.ndarray, k: int):
@@ -346,6 +380,64 @@ def _cms_cols(keys: np.ndarray, depth: int, width: int) -> np.ndarray:
     return np.stack([
         (_splitmix64(k ^ _CMS_SEEDS[d]) % np.uint64(width)).astype(np.int64)
         for d in range(depth)])
+
+
+_SMIX_C1 = 0xBF58476D1CE4E5B9
+_SMIX_C2 = 0x94D049BB133111EB
+_M32 = 1 << 32
+_M64 = 1 << 64
+
+
+def _smix_sql_chain(v_expr: str) -> str:
+    """LATERAL chain computing splitmix64(``v_expr``) in DuckDB HUGEINT
+    arithmetic — the EXACT hash ``text._splitmix64`` computes: the 64×64
+    wrapping multiplies split as (hi·b mod 2³²)·2³² + lo·b (all
+    intermediates < 2⁹⁶ < HUGEINT max). Yields a relation alias ``se``
+    with column ``h``."""
+    def mul64(x, c):
+        return (f"(((({x} >> 32) * CAST('{c}' AS HUGEINT)) % {_M32}) "
+                f"* {_M32} + ({x} % {_M32}) * CAST('{c}' AS HUGEINT)) "
+                f"% CAST('{_M64}' AS HUGEINT)")
+
+    return f""",
+       LATERAL (SELECT xor({v_expr}, {v_expr} >> 30) AS x0) sa,
+       LATERAL (SELECT {mul64('sa.x0', _SMIX_C1)} AS x1) sb,
+       LATERAL (SELECT xor(sb.x1, sb.x1 >> 27) AS x2) sc,
+       LATERAL (SELECT {mul64('sc.x2', _SMIX_C2)} AS x3) sd,
+       LATERAL (SELECT xor(sd.x3, sd.x3 >> 31) AS h) se"""
+
+
+def cms_user_counts_sql(table: str = "events", key: str = "user_id",
+                        depth: int = 4, width: int = 4096,
+                        topn: int = 20) -> str:
+    """Full SQL TWIN of the count-min sketch query: DuckDB rebuilds the
+    identical sketch — same splitmix64 row hashes (seeds inlined), same
+    cell counts, same min-over-rows estimate — so ``cms_user_counts``
+    (exact top-N true counts + their CMS estimates) is oracle-checked
+    bit-for-bit rather than rows-only. The sketch stops being
+    'approximate-hence-uncheckable': the ESTIMATOR itself is the
+    deterministic function being verified."""
+    seed_rows = ", ".join(
+        f"({d}, CAST('{int(_CMS_SEEDS[d])}' AS HUGEINT))"
+        for d in range(depth))
+    chain_ev = _smix_sql_chain("sv.v")
+    return f"""WITH seeds(d, seed) AS (VALUES {seed_rows}),
+ev AS (SELECT {key} FROM {table} WHERE {key} IS NOT NULL),
+hashed AS (
+  SELECT s.d, se.h
+  FROM ev e CROSS JOIN seeds s,
+       LATERAL (SELECT xor(CAST(e.{key} AS HUGEINT), s.seed) AS v) sv{chain_ev}),
+cells AS (SELECT d, h % {width} AS cell, count(*) AS n
+          FROM hashed GROUP BY 1, 2),
+top AS (SELECT {key}, count(*)::BIGINT AS n_true FROM ev GROUP BY {key}
+        ORDER BY n_true DESC, {key} LIMIT {topn}),
+th AS (
+  SELECT s.d, t.{key}, t.n_true, se.h
+  FROM top t CROSS JOIN seeds s,
+       LATERAL (SELECT xor(CAST(t.{key} AS HUGEINT), s.seed) AS v) sv{chain_ev})
+SELECT th.{key}, th.n_true, CAST(min(c.n) AS BIGINT) AS n_est
+FROM th JOIN cells c ON c.d = th.d AND c.cell = th.h % {width}
+GROUP BY th.{key}, th.n_true"""
 
 
 def cms_build(ds, column: str, depth: int = 4, width: int = 4096):
