@@ -1000,13 +1000,20 @@ def _q_hll_registers(sf_dir: str):
 
 
 def _q_approx_distinct_users(sf_dir: str):
-    """HLL sketch distinct estimate (approximate → rows-only check; accuracy
-    asserted in tests/test_join_sketch.py)."""
+    """HLL sketch distinct estimate — ORACLE-CHECKED bit-for-bit (round
+    3): the register fold is already verified (`hll_registers` ★), and
+    the estimator runs in order-independent arithmetic (integer harmonic
+    sum, fixed float parenthesization — `sketch.hll_estimate_exact`), so
+    DuckDB reproduces the exact float64 estimate including the
+    small-range ln branch (`sketch.hll_estimate_sql`). Accuracy is
+    additionally asserted in tests/test_join_sketch.py."""
     import ray.data as rd
-    from timezonemap_ray.stages.sketch import approx_distinct
+    from timezonemap_ray.stages.sketch import (hll_estimate_exact,
+                                               hll_merged_registers)
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    est = approx_distinct(ds, "user_id", p=12)
-    return pa.table({"approx_n_users": pa.array([est], type=pa.float64())})
+    est, zeros = hll_estimate_exact(hll_merged_registers(ds, "user_id", p=12))
+    return pa.table({"approx_n_users": pa.array([est], type=pa.float64()),
+                     "zero_registers": pa.array([zeros], type=pa.int64())})
 
 
 def _q_events_sessionize(sf_dir: str):
@@ -1448,6 +1455,29 @@ def _q_fuzzy_customer_pairs_k3(sf_dir: str):
     return fuzzy_pairs_qgram(ds, "c_custkey", "c_name", k=3)
 
 
+def _q_dedup_components(sf_dir: str):
+    """Distributed connected components (iterative min-label propagation:
+    hash-join labels→edges + groupby-min per round, O(diameter) rounds —
+    `stages/dedup.clusters_from_pairs_ds`, normally the >2M-pair route of
+    `cluster_assign`) over the lev-1 fuzzy-pair graph on customer names.
+    ORACLE-CHECKED (round 3): DuckDB recomputes the same components by
+    recursive-CTE reachability (cluster_id = min reachable custkey) over
+    the same levenshtein≤1 edge set, putting the distributed
+    transitive-closure machinery itself behind the driver gate (it was
+    previously only pytest-equivalence-tested against driver
+    union-find)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import (clusters_from_pairs_ds,
+                                              fuzzy_pairs_lev1)
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    pairs = fuzzy_pairs_lev1(ds, "c_custkey", "c_name") \
+        .map_batches(lambda b: pa.table({"a": b["id_a"], "b": b["id_b"]}),
+                     batch_format="pyarrow")
+    ids = ds.select_columns(["c_custkey"])
+    return clusters_from_pairs_ds(ids, pairs, id_col="c_custkey")
+
+
 def _q_docs_mixture(sf_dir: str):
     """Weighted dataset-mixture composition: each source kept at its own
     deterministic hash-sample rate (the training-mix step). Stateless
@@ -1792,6 +1822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
         "fuzzy_customer_pairs_k2": _q_fuzzy_customer_pairs_k2,
         "fuzzy_customer_pairs_k3": _q_fuzzy_customer_pairs_k3,
+        "dedup_components": _q_dedup_components,
         "duplicated_spans": _q_duplicated_spans,
         "duplicated_spans_exact": _q_duplicated_spans_exact,
         "merged_dup_spans": _q_merged_dup_spans,
@@ -1865,6 +1896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches with full SQL twins (DuckDB rebuilds the sketch)
         "cms_user_counts": _q_cms_user_counts,
         "hll_registers": _q_hll_registers,
+        "approx_distinct_users": _q_approx_distinct_users,
         # ---- rows-only residue (no SQL twin exists; invariants pytest-
         # bound per docstring) ----
         "tz_distance_boundary": _q_tz_distance,
@@ -1879,7 +1911,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_profile": _q_kmeans_profile,
         "pca_project_top2": _q_pca_project,
         "media_similarity": _q_media_similarity,
-        "approx_distinct_users": _q_approx_distinct_users,
         "value_quantiles_sketch": _q_value_quantiles_sketch,
     }
 
@@ -1935,6 +1966,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": __import__(
             "timezonemap_ray.stages.sketch",
             fromlist=["hll_registers_sql"]).hll_registers_sql(),
+        "approx_distinct_users": __import__(
+            "timezonemap_ray.stages.sketch",
+            fromlist=["hll_estimate_sql"]).hll_estimate_sql(
+                out_col="approx_n_users"),
         "media_decode": """
             SELECT CAST(g.i AS BIGINT) AS media_id,
                    'media://blob/' || CAST(g.i AS VARCHAR) AS media_ref,
@@ -2410,6 +2445,20 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
              AND levenshtein(a.c_name, b.c_name) <= 1""",
+        "dedup_components": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.c_custkey AS u, b.c_custkey AS v
+                FROM customer a JOIN customer b
+                  ON a.c_custkey < b.c_custkey
+                 AND levenshtein(a.c_name, b.c_name) <= 1),
+            edges AS (SELECT u, v FROM pairs
+                      UNION ALL SELECT v, u FROM pairs),
+            reach(u, v) AS (
+                SELECT c_custkey, c_custkey FROM customer
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+            SELECT u AS c_custkey, min(v) AS cluster_id
+            FROM reach GROUP BY u""",
         "docs_mixture": (
             "SELECT doc_id, source, n_chars FROM documents WHERE "
             + __import__("timezonemap_ray.stages.corpus",

@@ -87,6 +87,36 @@ def test_hll_merge_equals_single():
     assert np.array_equal(whole, merged)  # sketches are mergeable
 
 
+def test_hll_estimate_exact_matches_float_both_branches():
+    """The order-independent estimator (SQL-twin arithmetic) agrees with
+    the float reference estimator to relative float noise on BOTH the
+    small-range (ln) branch and the raw harmonic branch."""
+    small = sketch.hll_register_block(np.arange(100, dtype=np.int64))
+    big = sketch.hll_register_block(np.arange(200_000, dtype=np.int64))
+    for regs in (small, big):
+        exact, zeros = sketch.hll_estimate_exact(regs)
+        assert exact == pytest.approx(sketch.hll_estimate(regs), rel=1e-12)
+        assert zeros == int((regs == 0).sum())
+    # big world takes the raw branch (few zero registers)
+    assert (big == 0).sum() < 0.1 * big.size
+
+
+def test_hll_estimate_sql_bit_parity_both_branches(tmp_path):
+    """DuckDB's hll_estimate_sql reproduces hll_estimate_exact's float64
+    bits on both estimator branches."""
+    import struct
+
+    import duckdb
+    for n, name in ((150, "small"), (300_000, "big")):
+        keys = np.arange(n, dtype=np.int64)
+        regs = sketch.hll_register_block(keys, p=12)
+        est, _ = sketch.hll_estimate_exact(regs)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(range(%d)) AS k" % n)
+        got = con.execute(sketch.hll_estimate_sql("t", "k", p=12)).fetchone()[0]
+        assert struct.pack("d", est) == struct.pack("d", got), name
+
+
 def test_bloom_semi_join_exact_modes(ray_session):
     """bloom_semi_join: exact result (all three modes agree with the naive
     IN-set answer) on int keys with nulls on both sides; prefilter alone

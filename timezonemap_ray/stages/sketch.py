@@ -91,6 +91,54 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     return hll_estimate(hll_merged_registers(ds, column, p=p))
 
 
+def hll_estimate_exact(regs: np.ndarray) -> tuple[float, int]:
+    """HLL estimator with ORDER-INDEPENDENT arithmetic so a SQL twin can
+    reproduce the exact float64 bits: the harmonic sum runs in arbitrary-
+    precision integers (each 2^-reg term scaled by 2^63 is an exact int;
+    the sum never rounds), then ONE int→float conversion and a fixed
+    parenthesization of the remaining float ops. Returns (estimate,
+    zero_register_count). Same formula as :func:`hll_estimate` — the two
+    agree to float noise; this one is bit-reproducible."""
+    import math
+    m = regs.size
+    counts = np.bincount(regs.astype(np.int64), minlength=64)
+    zeros = int(counts[0])
+    s_tot = sum(int(c) << (63 - r) for r, c in enumerate(counts.tolist()) if c)
+    mf = float(m)
+    raw = (((0.7213 / (1.0 + 1.079 / mf)) * mf) * mf) \
+        * (9223372036854775808.0 / float(s_tot))
+    if raw <= 2.5 * mf and zeros:
+        return mf * math.log(mf / zeros), zeros
+    return raw, zeros
+
+
+def hll_estimate_sql(table: str = "events", key: str = "user_id",
+                     p: int = 12, out_col: str = "approx_n") -> str:
+    """Full SQL TWIN of :func:`hll_estimate_exact` over the verified
+    register fold: the harmonic sum accumulates 2^(63-reg) terms in
+    HUGEINT (exact — order-independent), and the float tail uses the
+    identical parenthesization, so DuckDB reproduces the estimate
+    bit-for-bit including the small-range ln branch."""
+    m = 1 << p
+    mf = f"{float(m):.1f}"
+    return f"""WITH regs AS ({hll_registers_sql(table, key, p=p)}),
+agg AS (SELECT count(*) AS nz,
+               sum(CAST(1 AS HUGEINT) << CAST(63 - reg AS INTEGER)) AS s_nz
+        FROM regs),
+st AS (SELECT ({m} - nz) AS zeros,
+              CAST(s_nz AS HUGEINT)
+              + ({m} - nz) * CAST('9223372036854775808' AS HUGEINT) AS s_tot
+       FROM agg),
+est AS (SELECT zeros,
+               (((0.7213 / (1.0 + 1.079 / {mf})) * {mf}) * {mf})
+                * (9223372036854775808.0 / CAST(s_tot AS DOUBLE)) AS raw
+        FROM st)
+SELECT CASE WHEN raw <= 2.5 * {mf} AND zeros > 0
+            THEN {mf} * ln({mf} / zeros) ELSE raw END AS {out_col},
+       CAST(zeros AS BIGINT) AS zero_registers
+FROM est"""
+
+
 def hll_registers_sql(table: str = "events", key: str = "user_id",
                       p: int = 12) -> str:
     """Full SQL TWIN of the HLL register fold: DuckDB computes the same
