@@ -1478,6 +1478,34 @@ def _q_dedup_components(sf_dir: str):
     return clusters_from_pairs_ds(ids, pairs, id_col="c_custkey")
 
 
+_SUPP_NODE_OFF = 10_000_000  # supplier node ids live above the part key space
+
+
+def _q_pagerank_partsupp(sf_dir: str):
+    """Link-graph ranking (crawl-prioritization shape): 3-iteration
+    PageRank over the part↔supplier bipartite graph from lineitem, in
+    EXACT integer arithmetic (`stages/graph.pagerank_int`: scaled int64
+    ranks, per-edge floor division before the associative sum) so the
+    unrolled SQL twin reproduces every iteration bit-for-bit. Per
+    iteration: one hash join (edges ⋈ ranks, same key both sides) + one
+    groupby-sum of (dst, contribution) int pairs — no broadcast, no
+    driver state; rank state is a node-sized Dataset."""
+    import ray.data as rd
+    from timezonemap_ray.stages.graph import pagerank_int
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            + _SUPP_NODE_OFF
+        return pa.table({"src": pa.array(np.concatenate([p, s])),
+                         "dst": pa.array(np.concatenate([s, p]))})
+
+    edges = li.map_batches(both_dirs, batch_format="pyarrow")
+    return pagerank_int(edges, iters=3)
+
+
 def _q_docs_mixture(sf_dir: str):
     """Weighted dataset-mixture composition: each source kept at its own
     deterministic hash-sample rate (the training-mix step). Stateless
@@ -1823,6 +1851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_customer_pairs_k2": _q_fuzzy_customer_pairs_k2,
         "fuzzy_customer_pairs_k3": _q_fuzzy_customer_pairs_k3,
         "dedup_components": _q_dedup_components,
+        "pagerank_partsupp": _q_pagerank_partsupp,
         "duplicated_spans": _q_duplicated_spans,
         "duplicated_spans_exact": _q_duplicated_spans_exact,
         "merged_dup_spans": _q_merged_dup_spans,
@@ -2445,6 +2474,16 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
              AND levenshtein(a.c_name, b.c_name) <= 1""",
+        "pagerank_partsupp": __import__(
+            "timezonemap_ray.stages.graph",
+            fromlist=["pagerank_int_sql"]).pagerank_int_sql(f"""
+            SELECT CAST(l_partkey AS BIGINT) AS src,
+                   CAST(l_suppkey + {_SUPP_NODE_OFF} AS BIGINT) AS dst
+            FROM lineitem
+            UNION
+            SELECT CAST(l_suppkey + {_SUPP_NODE_OFF} AS BIGINT),
+                   CAST(l_partkey AS BIGINT)
+            FROM lineitem""", iters=3),
         "dedup_components": """
             WITH RECURSIVE pairs AS (
                 SELECT a.c_custkey AS u, b.c_custkey AS v
