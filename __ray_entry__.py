@@ -1478,6 +1478,19 @@ def _q_dedup_components(sf_dir: str):
     return clusters_from_pairs_ds(ids, pairs, id_col="c_custkey")
 
 
+def _q_repetition_scores(sf_dir: str):
+    """Gopher-style repetition quality filters (top-token fraction,
+    duplicate/top bigram fractions) — exact int counts + IEEE divisions,
+    fully vectorized (`stages/text.repetition_scores`); zero shuffle
+    (embarrassingly parallel over doc blocks). Oracle: DuckDB recomputes
+    the same per-doc gram statistics by unnest + self-join."""
+    import ray.data as rd
+    from timezonemap_ray.stages.text import repetition_scores
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(repetition_scores, batch_format="pyarrow")
+
+
 _SUPP_NODE_OFF = 10_000_000  # supplier node ids live above the part key space
 
 
@@ -1830,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_count": _q_token_count,
         "token_diversity": _q_token_diversity,
+        "repetition_scores": _q_repetition_scores,
         "chunk_documents": _q_chunk_documents,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -2189,6 +2203,40 @@ def oracle_sql() -> dict[str, str]:
                                    ' ') AS chunk_text,
                    (least(ci*40 + 50, nt) - ci*40)::BIGINT AS n_tokens
             FROM idx""",
+        "repetition_scores": r"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS w,
+                           generate_subscripts(toks, 1) AS i
+                    FROM t),
+            tokcnt AS (SELECT doc_id, w, count(*) AS c
+                       FROM tok GROUP BY doc_id, w),
+            tstat AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_tok
+                      FROM tokcnt GROUP BY doc_id),
+            big AS (SELECT a.doc_id, a.w || chr(1) || b.w AS bg
+                    FROM tok a JOIN tok b
+                      ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            bgcnt AS (SELECT doc_id, bg, count(*) AS c
+                      FROM big GROUP BY doc_id, bg),
+            bstat AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bg,
+                             count(*) AS n_dist_bg
+                      FROM bgcnt GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(ts.n_tokens, 0)::BIGINT AS n_tokens,
+                   COALESCE(ts.top_tok, 0)::DOUBLE
+                     / greatest(COALESCE(ts.n_tokens, 0), 1)
+                       AS top_token_frac,
+                   COALESCE(bs.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   (COALESCE(bs.n_bigrams, 0)
+                    - COALESCE(bs.n_dist_bg, 0))::DOUBLE
+                     / greatest(COALESCE(bs.n_bigrams, 0), 1)
+                       AS dup_bigram_frac,
+                   COALESCE(bs.top_bg, 0)::DOUBLE
+                     / greatest(COALESCE(bs.n_bigrams, 0), 1)
+                       AS top_bigram_frac
+            FROM t LEFT JOIN tstat ts USING (doc_id)
+                   LEFT JOIN bstat bs USING (doc_id)""",
         "token_diversity": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,

@@ -310,6 +310,34 @@ def test_token_diversity_edges(ray_session):
     assert out["diversity"].tolist() == [0.0, 0.0, 0.25, 0.75]
 
 
+def test_repetition_scores_edges(ray_session):
+    import ray.data as rd
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                  "text": ["", "solo", "a a a a", "a b a b a", "x y z w"]})
+    out = rd.from_arrow(t) \
+        .map_batches(text.repetition_scores, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_tokens"].tolist() == [0, 1, 4, 5, 4]
+    assert out["top_token_frac"].tolist() == [0.0, 1.0, 1.0, 3 / 5, 0.25]
+    assert out["n_bigrams"].tolist() == [0, 0, 3, 4, 3]
+    # "a a a a": one distinct bigram repeated 3x
+    assert out["dup_bigram_frac"].tolist() == [0.0, 0.0, 2 / 3, 0.5, 0.0]
+    assert out["top_bigram_frac"].tolist() == [0.0, 0.0, 1.0, 0.5, 1 / 3]
+
+
+def test_repetition_scores_batching_independent(ray_session, docs_path):
+    """Per-doc statistics cannot depend on how docs are batched."""
+    import ray.data as rd
+    ds = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    one = ds.map_batches(text.repetition_scores, batch_format="pyarrow",
+                         batch_size=1000).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    many = ds.map_batches(text.repetition_scores, batch_format="pyarrow",
+                          batch_size=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)
+
+
 def test_chunk_documents_matches_sql(ray_session, docs_path, con):
     import ray.data as rd
     out = rd.read_parquet(docs_path, columns=["doc_id", "text"]) \

@@ -179,6 +179,67 @@ def token_diversity(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+def repetition_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals per document → (doc_id,
+    n_tokens, top_token_frac, n_bigrams, dup_bigram_frac,
+    top_bigram_frac), all exact:
+
+    - ``top_token_frac``  = count of the most frequent token / n_tokens
+    - ``dup_bigram_frac`` = (n_bigrams − distinct bigrams) / n_bigrams
+    - ``top_bigram_frac`` = count of the most frequent bigram / n_bigrams
+
+    High values flag boilerplate / template spam (Rae et al., Gopher,
+    §A1.1 repetition filters — public method). Fully vectorized: one
+    token flatten, dictionary codes, np.unique over (doc, gram) keys —
+    the same kernel shape as :func:`token_diversity`; no Python loop
+    over rows or tokens. Fractions are IEEE divisions of exact ints, so
+    the SQL twin reproduces the float64 bits."""
+    toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep).combine_chunks()
+    parent = parent.filter(keep).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n = batch.num_rows
+    n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+    top_tok = np.zeros(n, dtype=np.int64)
+    n_bigrams = np.zeros(n, dtype=np.int64)
+    n_dist_bg = np.zeros(n, dtype=np.int64)
+    top_bg = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(enc.dictionary)
+        # per-(doc, token) counts → per-doc max
+        ukey, cnt = np.unique(parent * v + codes, return_counts=True)
+        np.maximum.at(top_tok, ukey // v, cnt)
+        # consecutive same-doc positions form bigrams
+        adj = parent[:-1] == parent[1:]
+        if adj.any():
+            bp = parent[:-1][adj]
+            pair = codes[:-1][adj] * v + codes[1:][adj]
+            # re-encode pair ids densely so (doc, pair) keys stay small
+            upair, pcodes = np.unique(pair, return_inverse=True)
+            v2 = len(upair)
+            bkey, bcnt = np.unique(bp * v2 + pcodes, return_counts=True)
+            bdoc = bkey // v2
+            n_bigrams = np.bincount(bp, minlength=n).astype(np.int64)
+            n_dist_bg = np.bincount(bdoc, minlength=n).astype(np.int64)
+            np.maximum.at(top_bg, bdoc, bcnt)
+    denom_t = np.maximum(n_tokens, 1).astype(np.float64)
+    denom_b = np.maximum(n_bigrams, 1).astype(np.float64)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(n_tokens, type=pa.int64()),
+        "top_token_frac": pa.array(top_tok / denom_t, type=pa.float64()),
+        "n_bigrams": pa.array(n_bigrams, type=pa.int64()),
+        "dup_bigram_frac": pa.array((n_bigrams - n_dist_bg) / denom_b,
+                                    type=pa.float64()),
+        "top_bigram_frac": pa.array(top_bg / denom_b, type=pa.float64()),
+    })
+
+
 def md5_digest(batch: pa.Table, text_col: str = "text",
                out_col: str = "digest") -> pa.Table:
     """Content digest column (md5 hex — matches DuckDB ``md5(text)``)."""
