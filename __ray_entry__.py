@@ -424,6 +424,25 @@ def _q_dedup_minhash(sf_dir: str):
                                          columns=["doc_id", "text"]))
 
 
+def _q_dedup_minhash_md5(sf_dir: str):
+    """MinHash+LSH near-dup dedup, ORACLE-CHECKED END-TO-END (round 3):
+    token hashing switched to the DuckDB-recomputable md5 mode
+    (`hash_fn="md5"`), so the SQL twin rebuilds the whole pipeline
+    bit-for-bit — NUL-padded \\S+ shingles, splitmix64 positional folds,
+    wrapping-multiply universal-hash signatures, salted band-key folds,
+    signature-agreement verification, recursive-CTE closure
+    (`oracle.minhash_dedup_sql`). Identical Ray topology to the
+    production blake2b query (`dedup_minhash`): two-pass hot-bucket LSH,
+    coarse-partition run slicing, auto-routed transitive closure — the
+    sketch stops being 'approximate-hence-uncheckable'; the approximation
+    IS the deterministic function being verified."""
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import minhash_dedup
+    return minhash_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                         columns=["doc_id", "text"]),
+                         hash_fn="md5")
+
+
 def _q_dedup_simhash(sf_dir: str):
     import ray.data as rd
     from timezonemap_ray.stages.dedup import simhash_dedup
@@ -1865,6 +1884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_customer_pairs_k2": _q_fuzzy_customer_pairs_k2,
         "fuzzy_customer_pairs_k3": _q_fuzzy_customer_pairs_k3,
         "dedup_components": _q_dedup_components,
+        "dedup_minhash_md5": _q_dedup_minhash_md5,
         "pagerank_partsupp": _q_pagerank_partsupp,
         "duplicated_spans": _q_duplicated_spans,
         "duplicated_spans_exact": _q_duplicated_spans_exact,
@@ -2522,6 +2542,9 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
              AND levenshtein(a.c_name, b.c_name) <= 1""",
+        "dedup_minhash_md5": __import__(
+            "timezonemap_ray.oracle",
+            fromlist=["minhash_dedup_sql"]).minhash_dedup_sql(),
         "pagerank_partsupp": __import__(
             "timezonemap_ray.stages.graph",
             fromlist=["pagerank_int_sql"]).pagerank_int_sql(f"""

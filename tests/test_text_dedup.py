@@ -310,6 +310,58 @@ def test_token_diversity_edges(ray_session):
     assert out["diversity"].tolist() == [0.0, 0.0, 0.25, 0.75]
 
 
+def test_minhash_md5_mode_matches_sql_twin(ray_session):
+    """hash_fn="md5" end-to-end bit parity with oracle.minhash_dedup_sql
+    on a corpus with exact dups, a near-dup, short and empty docs."""
+    import ray.data as rd
+
+    from timezonemap_ray.oracle import minhash_dedup_sql
+    docs = pa.table({
+        "doc_id": pa.array(range(8), type=pa.int64()),
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "completely different content here about rivers and mountains",
+            "the quick brown fox jumps over the lazy dog",
+            "short",
+            "",
+            "rivers and mountains flow where content differs here",
+            "the quick brown fox leaps over the lazy dog today",
+        ]})
+    got = dedup.minhash_dedup(rd.from_arrow(docs), hash_fn="md5") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con2 = duckdb.connect()
+    con2.register("documents", docs)
+    want = con2.execute(minhash_dedup_sql() + " ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "cluster_id", "is_duplicate"]]
+        .astype({"cluster_id": "int64"}),
+        want.astype({"cluster_id": "int64"}))
+    # exact dup pair clustered; near-dup (1 token changed) clustered too
+    assert got.loc[3, "cluster_id"] == 0 and bool(got.loc[3, "is_duplicate"])
+    assert got.loc[1, "cluster_id"] == 0
+
+
+def test_minhash_md5_mode_same_recall_as_blake2b(ray_session, docs_path):
+    """The two hash modes are different 64-bit hashes of the same shingle
+    sets — the clustered PAIR SETS they produce on the test corpus agree
+    (hash choice must not change which docs count as near-dups here)."""
+    import ray.data as rd
+    ds = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+
+    def pairset(df):
+        from collections import defaultdict
+        comp = defaultdict(set)
+        for d, c in zip(df["doc_id"], df["cluster_id"]):
+            comp[c].add(d)
+        return {frozenset((a, b)) for s in comp.values()
+                for a in s for b in s if a < b}
+
+    blake = dedup.minhash_dedup(ds).to_pandas()
+    md5m = dedup.minhash_dedup(ds, hash_fn="md5").to_pandas()
+    assert pairset(blake) == pairset(md5m)
+
+
 def test_repetition_scores_edges(ray_session):
     import ray.data as rd
     t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),

@@ -356,3 +356,162 @@ SELECT doc_id, span_idx,
        count(*)::BIGINT AS n_zones
 FROM zone_match
 GROUP BY doc_id, span_idx"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash+LSH dedup SQL twin (md5 token-hash mode)
+# ---------------------------------------------------------------------------
+
+_M32 = 1 << 32
+_M64 = 1 << 64
+_HUGE64 = f"CAST('{_M64}' AS HUGEINT)"
+
+
+def _sql_mul64(x: str, y: str) -> str:
+    """(x*y) mod 2^64 for two HUGEINT expressions in [0, 2^64): split each
+    into 32-bit halves; every intermediate stays < 2^66 ≪ HUGEINT max."""
+    return (f"((({x} % {_M32}) * ({y} % {_M32})"
+            f" + ((({x} % {_M32}) * ({y} >> 32)"
+            f" + ({x} >> 32) * ({y} % {_M32})) % {_M32}) * {_M32})"
+            f" % {_HUGE64})")
+
+
+_SMIX_C1 = 0xBF58476D1CE4E5B9
+_SMIX_C2 = 0x94D049BB133111EB
+
+
+def _sql_smix_chain(v_expr: str, tag: str) -> tuple[str, str]:
+    """LATERAL chain computing splitmix64(``v_expr``) in HUGEINT
+    arithmetic; ``tag`` keeps aliases unique when several chains stack.
+    Returns (joins_fragment, output_expr)."""
+    a, b, c, d, e = (f"s{tag}{k}" for k in "abcde")
+    return (f""",
+  LATERAL (SELECT xor({v_expr}, {v_expr} >> 30) AS x) {a},
+  LATERAL (SELECT {_sql_mul64(f'{a}.x', f"CAST('{_SMIX_C1}' AS HUGEINT)")} AS x) {b},
+  LATERAL (SELECT xor({b}.x, {b}.x >> 27) AS x) {c},
+  LATERAL (SELECT {_sql_mul64(f'{c}.x', f"CAST('{_SMIX_C2}' AS HUGEINT)")} AS x) {d},
+  LATERAL (SELECT xor({d}.x, {d}.x >> 31) AS x) {e}""", f"{e}.x")
+
+
+def _sql_md5_u64(w_expr: str) -> str:
+    """First 16 hex digits of md5(``w_expr``) as a HUGEINT (big-endian
+    positional parse — matches ``text.hash_u64_md5``)."""
+    terms = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(md5({w_expr}), {k + 1}, 1)) - 1 "
+        f"AS HUGEINT) * CAST('{16 ** (15 - k)}' AS HUGEINT)"
+        for k in range(16))
+    return f"({terms})"
+
+
+def minhash_dedup_sql(num_perm: int = 64, bands: int = 16, shingle: int = 3,
+                      threshold: float = 0.5, seed: int = 17,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """Full SQL TWIN of ``stages.dedup.minhash_dedup(hash_fn="md5")`` —
+    DuckDB rebuilds the ENTIRE pipeline bit-for-bit:
+
+    1. tokens = ``\\S+`` split, NUL-padded to ``shingle`` when short;
+    2. token hash = big-endian 16-hex-digit parse of ``md5(token)``
+       (the engine's md5 mode — blake2b has no SQL form, which is the
+       only reason the production default isn't directly checkable);
+    3. shingle hash = positional splitmix64 fold over token-hash
+       windows (LATERAL chains in HUGEINT), deduped per doc;
+    4. signature_p = min over shingles of ``(a_p·h + b_p) mod 2^64 mod
+       (2^61−1)`` with the exact wrapping multiply and the same inlined
+       permutation constants (``_perm_params(seed)``);
+    5. band key = splitmix64 fold of each band's signature rows seeded
+       with ``0x51ED270B ^ band``, masked to 63 bits;
+    6. candidates = doc pairs sharing any band key (band-agnostic, like
+       the engine's run-slicing); verified at ≥ ``ceil(threshold ·
+       num_perm)`` matching signature positions;
+    7. transitive closure by recursive reachability, cluster_id = min
+       reachable id.
+
+    Assumes no LSH bucket exceeds the engine's MAX_BUCKET truncation cap
+    (holds for the test corpora; a truncated bucket would surface as a
+    gate mismatch, not silently).
+    """
+    from .stages.dedup import MERSENNE, _perm_params
+    rpb = num_perm // bands
+    a, b = _perm_params(num_perm, seed)
+    perm_rows = ", ".join(f"({p}, CAST('{int(a[p])}' AS HUGEINT), "
+                          f"CAST('{int(b[p])}' AS HUGEINT))"
+                          for p in range(num_perm))
+    golden = 0x9E3779B97F4A7C15
+    import math
+    c_min = math.ceil(threshold * num_perm)
+
+    # shingle fold: x_0 = golden; x_{j+1} = smix(x_j ^ t_j)
+    fold_joins, prev = "", f"CAST('{golden}' AS HUGEINT)"
+    for j in range(shingle):
+        joins, out = _sql_smix_chain(f"xor({prev}, w.t{j})", f"f{j}")
+        fold_joins += joins
+        prev = out
+    tok_cols = ", ".join(
+        f"t{j}.h AS t{j}" for j in range(shingle))
+    tok_joins = "".join(
+        f"\n  JOIN tokh t{j} ON t{j}.{id_col} = t0.{id_col} "
+        f"AND t{j}.i = t0.i + {j}" for j in range(1, shingle))
+
+    # band-key fold: k_0 = smix(salt ^ band); k_{j+1} = smix(k_j ^ s_j)
+    bsalt = 0x51ED270B
+    bk_joins, bk_prev = _sql_smix_chain(
+        f"xor(CAST({bsalt} AS HUGEINT), CAST(g.band AS HUGEINT))", "k0")
+    for j in range(rpb):
+        joins, out = _sql_smix_chain(f"xor({bk_prev}, g.s{j})", f"k{j + 1}")
+        bk_joins += joins
+        bk_prev = out
+    seg_cols = ", ".join(
+        f"max(CASE WHEN p % {rpb} = {j} THEN sv END) AS s{j}"
+        for j in range(rpb))
+
+    return f"""WITH RECURSIVE
+t AS (SELECT {id_col}, regexp_extract_all({text_col}, '\\S+') AS toks
+      FROM {table}),
+padded AS (SELECT {id_col},
+                  CASE WHEN len(toks) >= {shingle} THEN toks
+                       ELSE list_concat(toks,
+                            list_transform(range({shingle} - len(toks)),
+                                           x -> chr(0)))
+                  END AS toks
+           FROM t),
+tok AS (SELECT {id_col}, unnest(toks) AS w,
+               generate_subscripts(toks, 1) AS i
+        FROM padded),
+tokh AS (SELECT {id_col}, i, {_sql_md5_u64('w')} AS h FROM tok),
+sh AS (
+  SELECT w.{id_col}, {prev} AS h
+  FROM (SELECT t0.{id_col}, t0.h AS t0, {tok_cols.replace('t0.h AS t0, ', '')}
+        FROM tokh t0{tok_joins}) w{fold_joins}),
+sset AS (SELECT DISTINCT {id_col}, h FROM sh),
+perms(p, pa, pb) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT s.{id_col}, p.p,
+         min((({_sql_mul64('p.pa', 's.h')} + p.pb) % {_HUGE64})
+             % CAST('{int(MERSENNE)}' AS HUGEINT)) AS sv
+  FROM sset s CROSS JOIN perms p
+  GROUP BY 1, 2),
+bsig AS (SELECT {id_col}, p // {rpb} AS band, {seg_cols}
+         FROM sig GROUP BY 1, 2),
+bkey AS (
+  SELECT g.{id_col},
+         CAST({bk_prev} % CAST('{1 << 63}' AS HUGEINT) AS BIGINT) AS band_key
+  FROM bsig g{bk_joins}),
+cand AS (SELECT DISTINCT x.{id_col} AS a, y.{id_col} AS b
+         FROM bkey x JOIN bkey y
+           ON x.band_key = y.band_key AND x.{id_col} < y.{id_col}),
+ver AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN sig sa ON sa.{id_col} = c.a
+  JOIN sig sb ON sb.{id_col} = c.b AND sb.p = sa.p
+  GROUP BY c.a, c.b
+  HAVING sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) >= {c_min}),
+edges AS (SELECT a AS u, b AS v FROM ver UNION ALL SELECT b, a FROM ver),
+reach(u, v) AS (
+  SELECT {id_col}, {id_col} FROM {table}
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u AS {id_col}, min(v) AS cluster_id,
+       (min(v) <> u) AS is_duplicate
+FROM reach GROUP BY u"""

@@ -85,13 +85,15 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle: int = 3,
                  text_col: str = "text", seed: int = 17,
-                 emit_sig: bool = True):
+                 emit_sig: bool = True, hash_fn: str = "blake2b"):
         assert num_perm % bands == 0
         self.a, self.b = _perm_params(num_perm, seed)
         self.num_perm, self.bands, self.shingle = num_perm, bands, shingle
         self.rows_per_band = num_perm // bands
         self.text_col = text_col
         self.emit_sig = emit_sig
+        from .text import hash_u64, hash_u64_md5
+        self.hasher = hash_u64_md5 if hash_fn == "md5" else hash_u64
         self.token_cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -104,7 +106,8 @@ class MinHasher:
         for i, t in enumerate(texts):
             sigs[i] = minhash_signature(
                 token_hashes(t or "", self.shingle,
-                             token_cache=self.token_cache),
+                             token_cache=self.token_cache,
+                             hasher=self.hasher),
                 self.a, self.b)
         # vectorized band keys (deterministic across processes): fold each
         # band's signature rows through splitmix64, salted by band index
@@ -233,7 +236,8 @@ def _memoized_stage(cls, **kwargs):
 
 
 def minhash_candidate_pairs_ds(ds, num_perm=64, bands=16, shingle=3,
-                               threshold=0.5, text_col="text"):
+                               threshold=0.5, text_col="text",
+                               hash_fn="blake2b"):
     """documents → LSH → verified-by-signature candidate pairs, as a
     DATASET of (a, b) int64 rows with a < b (always a Dataset — an empty
     one for a duplicate-free corpus; ``minhash_candidate_pairs`` is the
@@ -258,7 +262,7 @@ def minhash_candidate_pairs_ds(ds, num_perm=64, bands=16, shingle=3,
     import ray.data as rd
 
     mk = dict(num_perm=num_perm, bands=bands, shingle=shingle,
-              text_col=text_col)
+              text_col=text_col, hash_fn=hash_fn)
     keys_only = ds.map_batches(
         _memoized_stage(MinHasher, emit_sig=False, **mk),
         batch_format="pyarrow", batch_size=HASH_BATCH)
@@ -463,12 +467,16 @@ def _cluster_output_ds(ds, pairs, id_col: str = "doc_id"):
 
 
 def minhash_dedup(ds, num_perm=64, bands=16, shingle=3, threshold=0.5,
-                  text_col="text"):
+                  text_col="text", hash_fn="blake2b"):
     """→ (doc_id, cluster_id, is_duplicate) for the whole corpus; the
     transitive closure auto-routes driver union-find vs distributed CC by
-    pair volume (``cluster_assign``)."""
+    pair volume (``cluster_assign``). ``hash_fn="md5"`` switches token
+    hashing to the DuckDB-recomputable md5 mode so the WHOLE pipeline
+    (shingle fold → signatures → band keys → agreement verify → closure)
+    is oracle-checkable via :func:`timezonemap_ray.oracle.minhash_dedup_sql`."""
     pairs_ds = minhash_candidate_pairs_ds(ds, num_perm, bands, shingle,
-                                          threshold, text_col)
+                                          threshold, text_col,
+                                          hash_fn=hash_fn)
     return cluster_assign(ds.select_columns(["doc_id"]), pairs_ds)
 
 

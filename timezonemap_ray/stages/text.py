@@ -286,7 +286,8 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def token_hashes(text: str, shingle: int = 3, pad: bool = True,
-                 token_cache: dict | None = None) -> np.ndarray:
+                 token_cache: dict | None = None,
+                 hasher=None) -> np.ndarray:
     """Word-shingle hash set for minhash/jaccard (uint64, deduped).
 
     Each TOKEN is hashed once (blake2b, optionally memoized across calls via
@@ -306,11 +307,12 @@ def token_hashes(text: str, shingle: int = 3, pad: bool = True,
             return np.empty(0, dtype=np.uint64)
         toks = toks + ["\x00"] * (shingle - len(toks))
     cache = token_cache if token_cache is not None else {}
+    hfn = hasher or hash_u64
     th = np.empty(len(toks), dtype=np.uint64)
     for i, t in enumerate(toks):
         h = cache.get(t)
         if h is None:
-            h = hash_u64(t)
+            h = hfn(t)
             cache[t] = h
         th[i] = h
     n = len(toks) - shingle + 1
@@ -323,6 +325,14 @@ def token_hashes(text: str, shingle: int = 3, pad: bool = True,
 def hash_u64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"),
                                           digest_size=8).digest(), "little")
+
+
+def hash_u64_md5(s: str) -> int:
+    """64-bit token hash DuckDB can recompute: the first 16 hex digits of
+    md5, read big-endian (SQL: positional hex parse of ``md5(w)``).
+    Slightly slower than blake2b — used by the oracle-checkable md5 mode
+    of the minhash family; dispersion is equivalent."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
 
 
 def chunk_documents(batch: pa.Table, chunk: int = 50, stride: int = 40,
