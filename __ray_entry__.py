@@ -450,6 +450,20 @@ def _q_dedup_simhash(sf_dir: str):
                                          columns=["doc_id", "text"]))
 
 
+def _q_dedup_simhash_md5(sf_dir: str):
+    """SimHash near-dup dedup, ORACLE-CHECKED END-TO-END (round 3, md5
+    token-hash mode): DuckDB rebuilds the 64-bit simhash (per-bit votes
+    over the DISTINCT shingle-hash set, empty-doc short-circuit), the
+    16-bit band keys, the Hamming≤3 verification (split-BIGINT popcount)
+    and the recursive-CTE closure (`oracle.simhash_dedup_sql`). Identical
+    Ray topology to the production blake2b query (`dedup_simhash`)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import simhash_dedup
+    return simhash_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                         columns=["doc_id", "text"]),
+                         hash_fn="md5")
+
+
 def _q_dedup_ngram(sf_dir: str):
     import ray.data as rd
     from timezonemap_ray.stages.dedup import ngram_jaccard_dedup
@@ -1885,6 +1899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_customer_pairs_k3": _q_fuzzy_customer_pairs_k3,
         "dedup_components": _q_dedup_components,
         "dedup_minhash_md5": _q_dedup_minhash_md5,
+        "dedup_simhash_md5": _q_dedup_simhash_md5,
         "pagerank_partsupp": _q_pagerank_partsupp,
         "duplicated_spans": _q_duplicated_spans,
         "duplicated_spans_exact": _q_duplicated_spans_exact,
@@ -2545,6 +2560,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_md5": __import__(
             "timezonemap_ray.oracle",
             fromlist=["minhash_dedup_sql"]).minhash_dedup_sql(),
+        "dedup_simhash_md5": __import__(
+            "timezonemap_ray.oracle",
+            fromlist=["simhash_dedup_sql"]).simhash_dedup_sql(),
         "pagerank_partsupp": __import__(
             "timezonemap_ray.stages.graph",
             fromlist=["pagerank_int_sql"]).pagerank_int_sql(f"""

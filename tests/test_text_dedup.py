@@ -362,6 +362,34 @@ def test_minhash_md5_mode_same_recall_as_blake2b(ray_session, docs_path):
     assert pairset(blake) == pairset(md5m)
 
 
+def test_simhash_md5_mode_matches_sql_twin(ray_session):
+    """hash_fn="md5" simhash dedup bit parity with oracle.simhash_dedup_sql
+    (exact dups cluster; empty doc short-circuits to simhash 0)."""
+    import ray.data as rd
+
+    from timezonemap_ray.oracle import simhash_dedup_sql
+    docs = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": [
+            "the quick brown fox jumps over the lazy dog and runs home",
+            "completely different content here about rivers and mountains",
+            "the quick brown fox jumps over the lazy dog and runs home",
+            "tiny",
+            "",
+            "the quick brown fox jumps over the lazy dog and runs house",
+        ]})
+    got = dedup.simhash_dedup(rd.from_arrow(docs), hash_fn="md5") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con2 = duckdb.connect()
+    con2.register("documents", docs)
+    want = con2.execute(simhash_dedup_sql() + " ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "cluster_id", "is_duplicate"]]
+        .astype({"cluster_id": "int64"}),
+        want.astype({"cluster_id": "int64"}))
+    assert got.loc[2, "cluster_id"] == 0
+
+
 def test_repetition_scores_edges(ray_session):
     import ray.data as rd
     t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),

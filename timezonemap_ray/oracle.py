@@ -403,6 +403,56 @@ def _sql_md5_u64(w_expr: str) -> str:
     return f"({terms})"
 
 
+def _sset_ctes(table: str, id_col: str, text_col: str, shingle: int) -> str:
+    """Shared CTE block producing ``sset({id_col}, h)`` — the per-doc
+    DISTINCT word-shingle hash set in md5 token-hash mode: ``\\S+``
+    tokens NUL-padded to ``shingle`` when short, token hash = big-endian
+    16-hex-digit parse of ``md5(token)``, shingle hash = positional
+    splitmix64 fold over token-hash windows (LATERAL chains in
+    HUGEINT). Mirrors ``text.token_hashes(hasher=hash_u64_md5)``."""
+    golden = 0x9E3779B97F4A7C15
+    fold_joins, prev = "", f"CAST('{golden}' AS HUGEINT)"
+    for j in range(shingle):
+        joins, out = _sql_smix_chain(f"xor({prev}, w.t{j})", f"f{j}")
+        fold_joins += joins
+        prev = out
+    tok_cols = ", ".join(f"t{j}.h AS t{j}" for j in range(shingle))
+    tok_joins = "".join(
+        f"\n  JOIN tokh t{j} ON t{j}.{id_col} = t0.{id_col} "
+        f"AND t{j}.i = t0.i + {j}" for j in range(1, shingle))
+    return f"""t AS (SELECT {id_col}, regexp_extract_all({text_col}, '\\S+') AS toks
+      FROM {table}),
+padded AS (SELECT {id_col},
+                  CASE WHEN len(toks) >= {shingle} THEN toks
+                       ELSE list_concat(toks,
+                            list_transform(range({shingle} - len(toks)),
+                                           x -> chr(0)))
+                  END AS toks
+           FROM t),
+tok AS (SELECT {id_col}, unnest(toks) AS w,
+               generate_subscripts(toks, 1) AS i
+        FROM padded),
+tokh AS (SELECT {id_col}, i, {_sql_md5_u64('w')} AS h FROM tok),
+sh AS (
+  SELECT w.{id_col}, {prev} AS h
+  FROM (SELECT t0.{id_col}, {tok_cols}
+        FROM tokh t0{tok_joins}) w{fold_joins}),
+sset AS (SELECT DISTINCT {id_col}, h FROM sh)"""
+
+
+def _closure_sql(table: str, id_col: str) -> str:
+    """Recursive-reachability transitive closure over CTE ``ver(a, b)``
+    → (id, cluster_id = min reachable id, is_duplicate)."""
+    return f"""edges AS (SELECT a AS u, b AS v FROM ver UNION ALL SELECT b, a FROM ver),
+reach(u, v) AS (
+  SELECT {id_col}, {id_col} FROM {table}
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u AS {id_col}, min(v) AS cluster_id,
+       (min(v) <> u) AS is_duplicate
+FROM reach GROUP BY u"""
+
+
 def minhash_dedup_sql(num_perm: int = 64, bands: int = 16, shingle: int = 3,
                       threshold: float = 0.5, seed: int = 17,
                       table: str = "documents", id_col: str = "doc_id",
@@ -437,21 +487,8 @@ def minhash_dedup_sql(num_perm: int = 64, bands: int = 16, shingle: int = 3,
     perm_rows = ", ".join(f"({p}, CAST('{int(a[p])}' AS HUGEINT), "
                           f"CAST('{int(b[p])}' AS HUGEINT))"
                           for p in range(num_perm))
-    golden = 0x9E3779B97F4A7C15
     import math
     c_min = math.ceil(threshold * num_perm)
-
-    # shingle fold: x_0 = golden; x_{j+1} = smix(x_j ^ t_j)
-    fold_joins, prev = "", f"CAST('{golden}' AS HUGEINT)"
-    for j in range(shingle):
-        joins, out = _sql_smix_chain(f"xor({prev}, w.t{j})", f"f{j}")
-        fold_joins += joins
-        prev = out
-    tok_cols = ", ".join(
-        f"t{j}.h AS t{j}" for j in range(shingle))
-    tok_joins = "".join(
-        f"\n  JOIN tokh t{j} ON t{j}.{id_col} = t0.{id_col} "
-        f"AND t{j}.i = t0.i + {j}" for j in range(1, shingle))
 
     # band-key fold: k_0 = smix(salt ^ band); k_{j+1} = smix(k_j ^ s_j)
     bsalt = 0x51ED270B
@@ -466,24 +503,7 @@ def minhash_dedup_sql(num_perm: int = 64, bands: int = 16, shingle: int = 3,
         for j in range(rpb))
 
     return f"""WITH RECURSIVE
-t AS (SELECT {id_col}, regexp_extract_all({text_col}, '\\S+') AS toks
-      FROM {table}),
-padded AS (SELECT {id_col},
-                  CASE WHEN len(toks) >= {shingle} THEN toks
-                       ELSE list_concat(toks,
-                            list_transform(range({shingle} - len(toks)),
-                                           x -> chr(0)))
-                  END AS toks
-           FROM t),
-tok AS (SELECT {id_col}, unnest(toks) AS w,
-               generate_subscripts(toks, 1) AS i
-        FROM padded),
-tokh AS (SELECT {id_col}, i, {_sql_md5_u64('w')} AS h FROM tok),
-sh AS (
-  SELECT w.{id_col}, {prev} AS h
-  FROM (SELECT t0.{id_col}, t0.h AS t0, {tok_cols.replace('t0.h AS t0, ', '')}
-        FROM tokh t0{tok_joins}) w{fold_joins}),
-sset AS (SELECT DISTINCT {id_col}, h FROM sh),
+{_sset_ctes(table, id_col, text_col, shingle)},
 perms(p, pa, pb) AS (VALUES {perm_rows}),
 sig AS (
   SELECT s.{id_col}, p.p,
@@ -507,11 +527,56 @@ ver AS (
   JOIN sig sb ON sb.{id_col} = c.b AND sb.p = sa.p
   GROUP BY c.a, c.b
   HAVING sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) >= {c_min}),
-edges AS (SELECT a AS u, b AS v FROM ver UNION ALL SELECT b, a FROM ver),
-reach(u, v) AS (
-  SELECT {id_col}, {id_col} FROM {table}
-  UNION
-  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-SELECT u AS {id_col}, min(v) AS cluster_id,
-       (min(v) <> u) AS is_duplicate
-FROM reach GROUP BY u"""
+{_closure_sql(table, id_col)}"""
+
+
+def simhash_dedup_sql(max_hamming: int = 3, shingle: int = 3,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """Full SQL TWIN of ``stages.dedup.simhash_dedup(hash_fn="md5")``:
+
+    - shingle hash sets as in :func:`_sset_ctes` (md5 token mode);
+    - 64-bit SimHash: per bit j, vote = Σ over DISTINCT shingles of
+      (2·bit_j − 1); bit set iff vote > 0; docs with NO tokens
+      short-circuit to simhash 0 (the engine's early return);
+    - band keys = ``(band << 16) | sh[16·band : 16·band+16]`` over 4
+      bands; candidates share a band key; verified at Hamming ≤
+      ``max_hamming`` via split-BIGINT popcount of the xor;
+    - recursive-CTE transitive closure.
+    """
+    return f"""WITH RECURSIVE
+{_sset_ctes(table, id_col, text_col, shingle)},
+js(j) AS (SELECT unnest(range(64))),
+votes AS (
+  SELECT {id_col}, j,
+         sum(CASE WHEN (h >> CAST(j AS INTEGER)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM sset CROSS JOIN js GROUP BY 1, 2),
+shash0 AS (
+  SELECT {id_col},
+         sum(CASE WHEN v > 0
+                  THEN CAST(1 AS HUGEINT) << CAST(j AS INTEGER)
+                  ELSE CAST(0 AS HUGEINT) END) AS sh
+  FROM votes GROUP BY 1),
+shash AS (
+  SELECT t.{id_col},
+         CASE WHEN len(t.toks) = 0 THEN CAST(0 AS HUGEINT)
+              ELSE s.sh END AS sh
+  FROM t LEFT JOIN shash0 s USING ({id_col})),
+bandix(band) AS (SELECT unnest(range(4))),
+bkey AS (
+  SELECT {id_col},
+         band * 65536
+         + CAST((sh >> CAST(16 * band AS INTEGER)) % 65536 AS BIGINT)
+             AS band_key,
+         sh
+  FROM shash CROSS JOIN bandix),
+cand AS (SELECT DISTINCT x.{id_col} AS a, y.{id_col} AS b,
+                x.sh AS sha, y.sh AS shb
+         FROM bkey x JOIN bkey y
+           ON x.band_key = y.band_key AND x.{id_col} < y.{id_col}),
+ver AS (
+  SELECT a, b FROM cand
+  WHERE bit_count(CAST(xor(sha, shb) % {_M32} AS BIGINT))
+        + bit_count(CAST(xor(sha, shb) >> 32 AS BIGINT)) <= {max_hamming}),
+{_closure_sql(table, id_col)}"""

@@ -484,7 +484,7 @@ def minhash_dedup(ds, num_perm=64, bands=16, shingle=3, threshold=0.5,
 # simhash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: str, shingle: int = 3) -> int:
+def simhash64(text: str, shingle: int = 3, hasher=None) -> int:
     """64-bit SimHash over word-shingle hashes (vectorized bit counting).
 
     Shingles, not unigrams: unigram SimHash collapses on small
@@ -494,7 +494,7 @@ def simhash64(text: str, shingle: int = 3) -> int:
     """
     if not text.split():
         return 0
-    hs = token_hashes(text, shingle)
+    hs = token_hashes(text, shingle, hasher=hasher)
     if hs.size == 0:
         return 0
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
@@ -507,15 +507,17 @@ def simhash64(text: str, shingle: int = 3) -> int:
 class SimHasher:
     """doc → 4 band rows of the 64-bit simhash (16 bits per band)."""
 
-    def __init__(self, text_col: str = "text"):
+    def __init__(self, text_col: str = "text", hash_fn: str = "blake2b"):
         self.text_col = text_col
+        from .text import hash_u64, hash_u64_md5
+        self.hasher = hash_u64_md5 if hash_fn == "md5" else hash_u64
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         texts = batch[self.text_col].to_pylist()
         out_doc, out_band, out_key, out_sim = [], [], [], []
         for d, t in zip(doc_ids, texts):
-            sh = simhash64(t or "")
+            sh = simhash64(t or "", hasher=self.hasher)
             for band in range(4):
                 out_doc.append(d)
                 out_band.append(band)
@@ -529,13 +531,15 @@ class SimHasher:
         })
 
 
-def simhash_dedup(ds, max_hamming: int = 3, text_col: str = "text"):
+def simhash_dedup(ds, max_hamming: int = 3, text_col: str = "text",
+                  hash_fn: str = "blake2b"):
     """→ (doc_id, cluster_id, is_duplicate); near-dup iff Hamming ≤ k.
     Banding guarantees recall for k ≤ 3 (4 bands, pigeonhole). Bucket pair
     extraction runs through ``_runs_map_groups`` (coarse partitions, runs
-    sliced vectorized) — never one Python dispatch per tiny bucket."""
+    sliced vectorized) — never one Python dispatch per tiny bucket.
+    ``hash_fn="md5"`` → oracle-checkable via ``oracle.simhash_dedup_sql``."""
     band_rows = ds.map_batches(
-        _memoized_stage(SimHasher, text_col=text_col),
+        _memoized_stage(SimHasher, text_col=text_col, hash_fn=hash_fn),
         batch_format="pyarrow", batch_size=HASH_BATCH)
 
     def pairs_of_group(g: pa.Table) -> pa.Table:
