@@ -1552,6 +1552,29 @@ def _q_pagerank_partsupp(sf_dir: str):
     return pagerank_int(edges, iters=3)
 
 
+def _q_triangles_coorder(sf_dir: str):
+    """Per-node triangle counts over the co-ordered-parts graph (parts
+    linked when they share an order): the degree-oriented wedge-join
+    recipe (`stages/graph.triangle_counts` — Suri & Vassilvitskii
+    WWW'11), exact integer output. The SQL twin deliberately uses a
+    DIFFERENT plan (canonical 3-way self-join) — the count is a graph
+    invariant, so plan-independence strengthens the check."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from timezonemap_ray.stages.graph import triangle_counts
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pairs = li.join(li, join_type="inner", num_partitions=16,
+                    on=("l_orderkey",), right_suffix="_r")
+
+    def fwd(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["l_partkey"], b["l_partkey_r"])
+        t = b.filter(keep)
+        return pa.table({"src": t["l_partkey"], "dst": t["l_partkey_r"]})
+
+    return triangle_counts(pairs.map_batches(fwd, batch_format="pyarrow"))
+
+
 def _q_docs_mixture(sf_dir: str):
     """Weighted dataset-mixture composition: each source kept at its own
     deterministic hash-sample rate (the training-mix step). Stateless
@@ -1901,6 +1924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_md5": _q_dedup_minhash_md5,
         "dedup_simhash_md5": _q_dedup_simhash_md5,
         "pagerank_partsupp": _q_pagerank_partsupp,
+        "triangles_coorder": _q_triangles_coorder,
         "duplicated_spans": _q_duplicated_spans,
         "duplicated_spans_exact": _q_duplicated_spans_exact,
         "merged_dup_spans": _q_merged_dup_spans,
@@ -2573,6 +2597,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(l_suppkey + {_SUPP_NODE_OFF} AS BIGINT),
                    CAST(l_partkey AS BIGINT)
             FROM lineitem""", iters=3),
+        "triangles_coorder": __import__(
+            "timezonemap_ray.stages.graph",
+            fromlist=["triangle_counts_sql"]).triangle_counts_sql("""
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey"""),
         "dedup_components": """
             WITH RECURSIVE pairs AS (
                 SELECT a.c_custkey AS u, b.c_custkey AS v

@@ -83,3 +83,61 @@ def test_pagerank_mass_bounds(ray_session):
     total = int(got["rank_int"].sum())
     assert total <= n * scale
     assert total >= n * scale - 3 * (len(e) + n) * 100
+
+
+def _naive_triangles(edges):
+    ce = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in ce:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {n: 0 for n in adj}
+    for a, b in ce:
+        for c in adj[a] & adj[b]:
+            if a < b < c:
+                ...
+    # direct: for each canonical triple x<y<z with all three edges
+    nodes = sorted(adj)
+    for x, y in ce:
+        common = adj[x] & adj[y]
+        for z in common:
+            if z > y:
+                counts[x] += 1
+                counts[y] += 1
+                counts[z] += 1
+    return counts
+
+
+def test_triangle_counts_matches_naive_and_sql(ray_session):
+    import ray.data as rd
+
+    from timezonemap_ray.stages.graph import (triangle_counts,
+                                              triangle_counts_sql)
+    rng = np.random.default_rng(5)
+    e = rng.integers(0, 30, size=(200, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    want = _naive_triangles([(int(a), int(b)) for a, b in e])
+    tbl = pa.table({"src": pa.array(e[:, 0], type=pa.int64()),
+                    "dst": pa.array(e[:, 1], type=pa.int64())})
+    for parts in (1, 5):
+        got = triangle_counts(rd.from_arrow(tbl).repartition(parts)) \
+            .to_pandas()
+        got_map = dict(zip(got["node_id"], got["n_triangles"]))
+        assert got_map == want, parts
+    con = duckdb.connect()
+    con.register("edge_tbl", tbl)
+    sql = triangle_counts_sql("SELECT src, dst FROM edge_tbl")
+    want_sql = dict(con.execute(sql).fetchall())
+    assert got_map == want_sql
+
+
+def test_triangle_counts_no_triangles(ray_session):
+    """A path graph has zero triangles — every node reports 0."""
+    import ray.data as rd
+
+    from timezonemap_ray.stages.graph import triangle_counts
+    tbl = pa.table({"src": pa.array([0, 1, 2, 3], type=pa.int64()),
+                    "dst": pa.array([1, 2, 3, 4], type=pa.int64())})
+    got = triangle_counts(rd.from_arrow(tbl)).to_pandas()
+    assert sorted(got["node_id"].tolist()) == [0, 1, 2, 3, 4]
+    assert got["n_triangles"].tolist() == [0] * 5

@@ -156,3 +156,163 @@ r{i + 1} AS (
     parts.append(f"""
 SELECT id AS node_id, r AS rank_int FROM r{iters}""")
     return "".join(parts)
+
+
+def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                    num_partitions: int = 16):
+    """Per-node triangle counts over an undirected simple graph, exact.
+
+    Degree-oriented wedge join (the standard distributed recipe —
+    Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11, public method): orient each edge from the
+    lower-(degree, id) endpoint to the higher, so every out-degree is
+    bounded by ~√(2m) on any graph and the wedge self-join cannot blow up
+    on hubs; close wedges with one more hash join against the oriented
+    edge set. Each triangle is generated exactly once (its unique
+    orientation-minimal apex), then credits all three corners.
+
+    Shuffle profile: degree groupby + two hash joins, all on node keys;
+    wedge volume is Σ outdeg² ≤ m^1.5. Returns (node_id, n_triangles)
+    for EVERY node of the edge set (zeros included) — an exact integer
+    graph invariant, independent of partitioning and orientation.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _drop_empty_blocks
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": pa.array(np.minimum(s, d)),
+                         "b": pa.array(np.maximum(s, d))})
+
+    edges = _drop_empty_blocks(
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"]).materialize())
+
+    def halves(col, out):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({out: t[col]})
+        return f
+
+    incid = edges.map_batches(halves("a", "id"), batch_format="pyarrow") \
+        .union(edges.map_batches(halves("b", "id"), batch_format="pyarrow"))
+    deg = _drop_empty_blocks(
+        incid.groupby("id").aggregate(Count(alias_name="deg")).materialize())
+
+    # orientation key: (deg, id) packed into one int64 (id < 2^31 assumed
+    # for the packed form; at larger id spaces switch to a struct sort key)
+    def rank_of(b: pa.Table) -> pa.Table:
+        d = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"id": b["id"], "rk": pa.array((d << 31) + i)})
+
+    rank = deg.map_batches(rank_of, batch_format="pyarrow").materialize()
+
+    with_ra = _drop_empty_blocks(
+        edges.join(rank, join_type="inner", num_partitions=num_partitions,
+                   on=("a",), right_on=("id",)).materialize())
+
+    def swap_cols(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b["a"], "b": b["b"], "ra": b["rk"]})
+
+    with_ra = with_ra.map_batches(swap_cols, batch_format="pyarrow")
+    both = _drop_empty_blocks(
+        with_ra.join(rank, join_type="inner", num_partitions=num_partitions,
+                     on=("b",), right_on=("id",)).materialize())
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ra = b["ra"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rb = b["rk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo_first = ra < rb
+        return pa.table({
+            "u": pa.array(np.where(lo_first, a, bb)),
+            "v": pa.array(np.where(lo_first, bb, a)),
+            "rv": pa.array(np.where(lo_first, rb, ra))})
+
+    o = _drop_empty_blocks(
+        both.map_batches(orient, batch_format="pyarrow").materialize())
+
+    # wedges at u: ordered out-neighbor pairs (v, w) with rank(v) < rank(w)
+    wedges = o.join(o, join_type="inner", num_partitions=num_partitions,
+                    on=("u",), right_on=("u",), right_suffix="_r")
+
+    def wedge_pairs(b: pa.Table) -> pa.Table:
+        rv = b["rv"].to_numpy(zero_copy_only=False)
+        rw = b["rv_r"].to_numpy(zero_copy_only=False)
+        keep = rv < rw
+        return pa.table({"u": b["u"].filter(pa.array(keep)),
+                         "v": b["v"].filter(pa.array(keep)),
+                         "w": b["v_r"].filter(pa.array(keep))})
+
+    wedges = _drop_empty_blocks(
+        wedges.map_batches(wedge_pairs, batch_format="pyarrow").materialize())
+
+    def vw_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"v": b["u"], "w": b["v"],
+                         "_e": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    def zeros(b: pa.Table) -> pa.Table:
+        return pa.table({"id": b["id"],
+                         "t": pa.array(np.zeros(b.num_rows, dtype=np.int64))})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node_id": b["id"], "n_triangles": b["t"]})
+
+    # triangle-free graphs leave wedges/tris with ZERO blocks after the
+    # empty-block drop — joining a schema-less dataset aborts, so route
+    # those straight to the all-zeros answer
+    tris = None
+    if wedges.count() > 0:
+        closing = o.map_batches(vw_edges, batch_format="pyarrow")
+        tris = _drop_empty_blocks(
+            wedges.join(closing, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("v", "w"), right_on=("v", "w")).materialize())
+        if tris.count() == 0:
+            tris = None
+    if tris is None:
+        return deg.map_batches(zeros, batch_format="pyarrow") \
+            .map_batches(rename, batch_format="pyarrow")
+
+    def corners(b: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([b["u"].combine_chunks(),
+                                b["v"].combine_chunks(),
+                                b["w"].combine_chunks()])
+        return pa.table({"id": ids,
+                         "t": pa.array(np.ones(len(ids), dtype=np.int64))})
+
+    counts = tris.map_batches(corners, batch_format="pyarrow") \
+        .union(deg.map_batches(zeros, batch_format="pyarrow")) \
+        .groupby("id").aggregate(Sum("t", alias_name="t"))
+
+    return _drop_empty_blocks(counts.materialize()) \
+        .map_batches(rename, batch_format="pyarrow")
+
+
+def triangle_counts_sql(edges_sql: str) -> str:
+    """SQL TWIN of :func:`triangle_counts`: canonical a<b edges, one
+    3-way self-join generating each triangle once (x<y<z), per-node
+    credit by unnest; zeros via the node list. A deliberately DIFFERENT
+    plan than the engine's degree-oriented wedge join — the count is a
+    graph invariant, so plan-independence strengthens the check."""
+    return f"""WITH raw AS ({edges_sql}),
+ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM raw WHERE src <> dst),
+nodes AS (SELECT a AS id FROM ce UNION SELECT b FROM ce),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM ce e1
+        JOIN ce e2 ON e2.a = e1.b
+        JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+corner AS (SELECT x AS id FROM tri
+           UNION ALL SELECT y FROM tri
+           UNION ALL SELECT z FROM tri)
+SELECT n.id AS node_id,
+       CAST(COALESCE(c.t, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN (SELECT id, count(*) AS t
+                        FROM corner GROUP BY id) c ON c.id = n.id"""
