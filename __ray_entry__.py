@@ -1552,6 +1552,23 @@ def _q_pagerank_partsupp(sf_dir: str):
     return pagerank_int(edges, iters=3)
 
 
+def _q_kmeans_int_assign(sf_dir: str):
+    """Lloyd's k-means in EXACT integer arithmetic
+    (`stages/cluster.kmeans_int`): floor(x·10⁴) quantization, integer
+    squared distances, (d2, cid)-argmin, floor-division centroid updates,
+    deterministic k-smallest-ids init — every iterate is an associative
+    int64 fold, so partitioning cannot change it and the unrolled SQL
+    twin reproduces the final assignment bit-for-bit. Same distributed
+    shape as the production float `kmeans_fit` (broadcast centroids, one
+    partial-sums pass per iteration, O(k·d) driver fold); that float
+    variant stays rows-only (`kmeans_profile`)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.cluster import kmeans_int
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return kmeans_int(ds, k=4, iters=2)
+
+
 def _q_triangles_coorder(sf_dir: str):
     """Per-node triangle counts over the co-ordered-parts graph (parts
     linked when they share an order): the degree-oriented wedge-join
@@ -1925,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_md5": _q_dedup_simhash_md5,
         "pagerank_partsupp": _q_pagerank_partsupp,
         "triangles_coorder": _q_triangles_coorder,
+        "kmeans_int_assign": _q_kmeans_int_assign,
         "duplicated_spans": _q_duplicated_spans,
         "duplicated_spans_exact": _q_duplicated_spans_exact,
         "merged_dup_spans": _q_merged_dup_spans,
@@ -2597,6 +2615,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(l_suppkey + {_SUPP_NODE_OFF} AS BIGINT),
                    CAST(l_partkey AS BIGINT)
             FROM lineitem""", iters=3),
+        "kmeans_int_assign": __import__(
+            "timezonemap_ray.stages.cluster",
+            fromlist=["kmeans_int_sql"]).kmeans_int_sql(k=4, iters=2),
         "triangles_coorder": __import__(
             "timezonemap_ray.stages.graph",
             fromlist=["triangle_counts_sql"]).triangle_counts_sql("""

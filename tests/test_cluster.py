@@ -141,3 +141,61 @@ def test_kmeans_tolerates_empty_blocks(ray_session):
     out = pa.concat_tables([b for b in kmeans_assign(ds, cents)
                             .iter_batches(batch_format="pyarrow")])
     assert out.num_rows == t.num_rows
+
+
+def test_kmeans_int_matches_sql_twin_and_partitioning(ray_session):
+    """Integer-exact Lloyd's: SQL-twin bit parity on synthetic separable
+    clusters + partition independence + empty-cluster carryover."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from timezonemap_ray.stages.cluster import kmeans_int, kmeans_int_sql
+    rng = np.random.default_rng(2)
+    centers = np.array([[0.0, 0.0, 0.0], [5.0, 5.0, 5.0], [-5.0, 5.0, 0.0]])
+    pts = np.concatenate([c + 0.3 * rng.standard_normal((40, 3))
+                          for c in centers])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(pts)), type=pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in pts],
+                              type=pa.list_(pa.float32()))})
+    for parts in (1, 6):
+        got = kmeans_int(rd.from_arrow(tbl).repartition(parts),
+                         k=3, iters=3).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        want = con.execute(kmeans_int_sql(k=3, iters=3)
+                           + " ORDER BY vec_id").df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    # well-separated data: membership recovers the generator blocks
+    assert got["cluster"][:40].nunique() == 1
+    assert got["cluster"][40:80].nunique() == 1
+    assert got["cluster"][80:].nunique() == 1
+    assert got["cluster"].nunique() == 3
+
+
+def test_kmeans_int_empty_cluster_carryover(ray_session):
+    """A far-away init centroid that captures nothing keeps its previous
+    coordinates (engine) == COALESCE carryover (SQL)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from timezonemap_ray.stages.cluster import kmeans_int, kmeans_int_sql
+    # ids 0,1 near origin; id 2 is an outlier captured by nobody after
+    # the first update pulls centroid 2 toward... construct: k=3 over 3
+    # coincident groups where one init vector is a duplicate of another,
+    # leaving its cluster empty from iteration 1 on
+    vecs = [[0.0, 0.0], [0.0, 0.0], [9.0, 9.0],
+            [0.1, 0.1], [9.1, 9.1], [8.9, 9.0]]
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(6), type=pa.int64()),
+        "embedding": pa.array([np.asarray(v, dtype=np.float32)
+                               for v in vecs], type=pa.list_(pa.float32()))})
+    got = kmeans_int(rd.from_arrow(tbl), k=3, iters=2).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    want = con.execute(kmeans_int_sql(k=3, iters=2) + " ORDER BY vec_id").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)

@@ -200,3 +200,155 @@ def kmeans_cluster_profile(ds, k: int, vec_col: str = "embedding",
         "rank": pa.array(np.arange(t.num_rows, dtype=np.int64)),
         "n": pa.compute.cast(t["n"], pa.int64()),
         "mean_dist2": pa.compute.cast(t["mean_dist2"], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# integer-exact Lloyd's (SQL-twin mode)
+# ---------------------------------------------------------------------------
+
+def _quant_matrix(col, scale: int) -> np.ndarray:
+    """float vectors → int64 matrix: floor(float64(x) · scale), the exact
+    quantization the SQL twin reproduces (float32 widens exactly; one
+    IEEE multiply; floor)."""
+    m = list_column_to_matrix(col, dtype=np.float64)
+    return np.floor(m * float(scale)).astype(np.int64)
+
+
+def kmeans_int(ds, k: int = 4, iters: int = 2, vec_col: str = "embedding",
+               id_col: str = "vec_id", scale: int = 10_000):
+    """Lloyd's k-means in EXACT integer arithmetic — the bit-reproducible
+    twin of :func:`kmeans_fit` (same distributed shape: broadcast
+    centroids, one partial-sums pass per iteration, O(k·d) driver fold):
+
+    - vectors quantize to int64 as ``floor(x·scale)``;
+    - assignment = argmin of integer squared distance, ties → lowest
+      centroid id;
+    - centroid update = per-dimension FLOOR division of the integer
+      member sum by the member count (empty clusters keep their
+      previous centroid);
+    - init = the quantized vectors of the ``k`` smallest ids (cid in
+      that order) — deterministic, no RNG.
+
+    Because every partial is an int64 sum, block order / partitioning
+    cannot change any iterate, and an unrolled SQL twin
+    (:func:`kmeans_int_sql`) reproduces assignments bit-for-bit.
+    Returns a Dataset of (``id_col``, cluster, d2_int) assigned against
+    the FINAL centroids.
+    """
+    vecs = ds.select_columns([id_col, vec_col]).materialize()
+    init_rows = vecs.sort(id_col).limit(k).take(k)
+    cents = np.stack([
+        np.floor(np.asarray(r[vec_col], dtype=np.float64)
+                 * float(scale)).astype(np.int64)
+        for r in init_rows])
+    d = cents.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partials(b: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            x = _quant_matrix(b[vec_col], scale)
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            kk = c.shape[0]
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            sums = np.zeros((kk, x.shape[1]), dtype=np.int64)
+            for j in range(x.shape[1]):
+                # float64 weights are exact here: |x|·block_rows ≪ 2^53
+                sums[:, j] = np.bincount(
+                    a, weights=x[:, j].astype(np.float64),
+                    minlength=kk).astype(np.int64)
+            return pa.table({
+                "cid": pa.array(np.arange(kk, dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "sums": pa.array(list(sums), type=pa.list_(pa.int64())),
+            })
+
+        tot_cnt = np.zeros(cents.shape[0], dtype=np.int64)
+        tot_sum = np.zeros_like(cents)
+        for batch in vecs.map_batches(partials, batch_format="pyarrow") \
+                         .iter_batches(batch_format="pyarrow"):
+            cid = batch["cid"].to_numpy(zero_copy_only=False)
+            # np.add.at, not fancy-index +=: one driver batch concatenates
+            # MANY blocks' partials, so cids repeat — += keeps only the
+            # last occurrence per cid
+            np.add.at(tot_cnt, cid,
+                      batch["cnt"].to_numpy(zero_copy_only=False))
+            sm = batch["sums"].combine_chunks()
+            # .flatten(), not .values: sliced list arrays keep the FULL
+            # child buffer under .values and would misalign the reshape
+            np.add.at(tot_sum, cid,
+                      sm.flatten().to_numpy(zero_copy_only=False)
+                      .reshape(len(cid), d))
+        nonempty = tot_cnt > 0
+        new_c = cents.copy()
+        new_c[nonempty] = np.floor_divide(tot_sum[nonempty],
+                                          tot_cnt[nonempty, None])
+        cents = new_c
+
+    ref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = _quant_matrix(b[vec_col], scale)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        return pa.table({
+            id_col: b[id_col],
+            "cluster": pa.array(a.astype(np.int64)),
+            "d2_int": pa.array(d2[np.arange(len(a)), a].astype(np.int64)),
+        })
+
+    return vecs.map_batches(assign, batch_format="pyarrow")
+
+
+def _sql_floordiv(s: str, n: str) -> str:
+    """Exact FLOOR division for SQL (DuckDB ``//`` truncates toward zero
+    on negatives; numpy floors): subtract the canonical non-negative
+    remainder first, so truncation equals floor."""
+    return f"(({s}) - ((({s}) % ({n})) + ({n})) % ({n})) // ({n})"
+
+
+def kmeans_int_sql(k: int = 4, iters: int = 2, scale: int = 10_000,
+                   table: str = "embeddings", id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> str:
+    """SQL TWIN of :func:`kmeans_int`: the same Lloyd's iterations
+    unrolled as chained CTEs — integer quantization, integer squared
+    distances, (d2, cid)-ordered argmin, floor-division centroid updates
+    with empty-cluster carryover — reproducing the final assignment
+    bit-for-bit."""
+    parts = [f"""WITH vq AS (
+  SELECT {id_col} AS vid, d,
+         CAST(floor(CAST(x AS DOUBLE) * {float(scale)!r}) AS BIGINT) AS x
+  FROM (SELECT {id_col}, unnest({vec_col}) AS x,
+               generate_subscripts({vec_col}, 1) AS d
+        FROM {table})),
+ids AS (SELECT {id_col} AS vid FROM {table} ORDER BY 1 LIMIT {k}),
+c0 AS (SELECT r.cid, v.d, v.x
+       FROM (SELECT vid, row_number() OVER (ORDER BY vid) - 1 AS cid
+             FROM ids) r
+       JOIN vq v ON v.vid = r.vid)"""]
+    for i in range(iters):
+        parts.append(f""",
+d{i} AS (SELECT v.vid, c.cid,
+                sum((v.x - c.x) * (v.x - c.x)) AS d2
+         FROM vq v JOIN c{i} c ON c.d = v.d GROUP BY 1, 2),
+a{i} AS (SELECT vid, cid FROM (
+           SELECT vid, cid,
+                  row_number() OVER (PARTITION BY vid
+                                     ORDER BY d2, cid) AS rn
+           FROM d{i}) WHERE rn = 1),
+n{i} AS (SELECT a.cid, v.d,
+                CAST({_sql_floordiv('sum(v.x)', 'count(*)')} AS BIGINT) AS x
+         FROM a{i} a JOIN vq v ON v.vid = a.vid GROUP BY 1, 2),
+c{i + 1} AS (SELECT c.cid, c.d, COALESCE(n.x, c.x) AS x
+             FROM c{i} c LEFT JOIN n{i} n ON n.cid = c.cid AND n.d = c.d)""")
+    parts.append(f""",
+df AS (SELECT v.vid, c.cid, sum((v.x - c.x) * (v.x - c.x)) AS d2
+       FROM vq v JOIN c{iters} c ON c.d = v.d GROUP BY 1, 2)
+SELECT vid AS {id_col}, cid AS cluster, CAST(d2 AS BIGINT) AS d2_int
+FROM (SELECT vid, cid, d2,
+             row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+      FROM df) WHERE rn = 1""")
+    return "".join(parts)
