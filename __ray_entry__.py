@@ -794,6 +794,29 @@ def _q_ann_opq(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def _q_docs_hash_embed_mips_topk(sf_dir: str):
+    """Hashing-trick retrieval, ORACLE-CHECKED (round 3): integer count
+    vectors (`text.feature_hash_counts`, md5 token-hash mode) + EXACT
+    maximum-inner-product top-k (`ann.mips_topk_int` — int64 dots are
+    associative, so ranking is partition-independent and bit-exact). The
+    SQL twin rebuilds the token→bucket/sign hashing in HUGEINT and ranks
+    the same (dot DESC, vec_id) order over ALL candidate pairs. The float
+    cosine composite stays rows-only (`docs_hash_embed_topk`)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.ann import mips_topk_int
+    from timezonemap_ray.stages.text import feature_hash_counts
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    counts = ds.map_batches(
+        lambda b: feature_hash_counts(b, dim=256, hash_fn="md5"),
+        batch_format="pyarrow").materialize()
+    probes = counts.sort("doc_id").limit(3).take(3)
+    qids = np.array([r["doc_id"] for r in probes], dtype=np.int64)
+    qmat = np.array([r["counts"] for r in probes], dtype=np.int64)
+    return mips_topk_int(counts, qids, qmat, k=10,
+                         vec_col="counts", id_col="doc_id")
+
+
 def _q_docs_hash_embed_topk(sf_dir: str):
     """Text→vector bridge composite: feature-hashing (hashing-trick)
     doc vectors derived in-stream, then exact cosine top-k of 3 probe
@@ -1943,6 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_partsupp": _q_pagerank_partsupp,
         "triangles_coorder": _q_triangles_coorder,
         "kmeans_int_assign": _q_kmeans_int_assign,
+        "docs_hash_embed_mips_topk": _q_docs_hash_embed_mips_topk,
         "duplicated_spans": _q_duplicated_spans,
         "duplicated_spans_exact": _q_duplicated_spans_exact,
         "merged_dup_spans": _q_merged_dup_spans,
@@ -2618,6 +2642,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_int_assign": __import__(
             "timezonemap_ray.stages.cluster",
             fromlist=["kmeans_int_sql"]).kmeans_int_sql(k=4, iters=2),
+        "docs_hash_embed_mips_topk": __import__(
+            "timezonemap_ray.oracle",
+            fromlist=["hash_embed_mips_sql"]).hash_embed_mips_sql(),
         "triangles_coorder": __import__(
             "timezonemap_ray.stages.graph",
             fromlist=["triangle_counts_sql"]).triangle_counts_sql("""

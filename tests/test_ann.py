@@ -461,3 +461,39 @@ def test_opq_rotation_improves_anisotropic(ray_session):
     xr = ann._normalize(x) @ r
     var = xr.var(axis=0).reshape(8, 4).sum(axis=1)
     assert var.max() / var.min() < 2.0
+
+
+def test_mips_topk_int_partition_independent(ray_session):
+    """Integer MIPS top-k cannot change under repartitioning, and the
+    (dot desc, id asc) order matches a numpy reference."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timezonemap_ray.stages.ann import mips_topk_int
+    rng = np.random.default_rng(9)
+    n, d = 200, 16
+    x = rng.integers(-5, 6, size=(n, d)).astype(np.int64)
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "counts": pa.FixedSizeListArray.from_arrays(
+            pa.array(x.reshape(-1)), d)})
+    qids = np.array([3, 7], dtype=np.int64)
+    qmat = x[[3, 7]]
+    ref_out = None
+    for parts in (1, 8):
+        out = mips_topk_int(rd.from_arrow(tbl).repartition(parts),
+                            qids, qmat, k=5).to_pandas()
+        if ref_out is None:
+            ref_out = out
+        else:
+            pd.testing.assert_frame_equal(ref_out, out)
+    # numpy reference
+    for qi, qid in enumerate(qids):
+        dots = x @ qmat[qi]
+        order = np.lexsort((np.arange(n), -dots))[:5]
+        sub = ref_out[ref_out["query_id"] == qid]
+        assert sub["vec_id"].tolist() == order.tolist()
+        assert sub["dot"].tolist() == dots[order].tolist()
+    # self top-1
+    assert ref_out[ref_out["query_id"] == 3].iloc[0]["vec_id"] in (3,) or \
+        ref_out[ref_out["query_id"] == 3].iloc[0]["dot"] >= int(x[3] @ x[3])

@@ -580,3 +580,42 @@ ver AS (
   WHERE bit_count(CAST(xor(sha, shb) % {_M32} AS BIGINT))
         + bit_count(CAST(xor(sha, shb) >> 32 AS BIGINT)) <= {max_hamming}),
 {_closure_sql(table, id_col)}"""
+
+
+def hash_embed_mips_sql(dim: int = 256, k: int = 10, n_probes: int = 3,
+                        table: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """SQL TWIN of the hashing-trick MIPS composite
+    (``text.feature_hash_counts(hash_fn="md5")`` →
+    ``ann.mips_topk_int``): per-occurrence token hashing (md5 →
+    splitmix64 in HUGEINT), bucket ``h % dim``, sign bit 63, integer
+    count vectors; exact integer dots over ALL (probe, candidate) pairs
+    (missing bucket overlap ⇒ dot 0); rank by (dot DESC, id)."""
+    chain = _sql_smix_chain("t.h0", "m")[0]
+    sign_cut = 1 << 63
+    return f"""WITH tok AS (
+  SELECT {id_col}, unnest(regexp_extract_all({text_col}, '\\S+')) AS w
+  FROM {table}),
+th AS (SELECT {id_col}, {_sql_md5_u64('w')} AS h0 FROM tok),
+hh AS (SELECT t.{id_col}, sme.x AS h FROM th t{chain}),
+cnt AS (SELECT {id_col}, CAST(h % {dim} AS BIGINT) AS bucket,
+               sum(CASE WHEN h >= CAST('{sign_cut}' AS HUGEINT)
+                        THEN -1 ELSE 1 END) AS c
+        FROM hh GROUP BY 1, 2),
+probes AS (SELECT {id_col} FROM {table} ORDER BY 1 LIMIT {n_probes}),
+dots AS (SELECT c1.{id_col} AS query_id, c2.{id_col} AS vec_id,
+                sum(c1.c * c2.c) AS dot
+         FROM cnt c1 JOIN probes p ON p.{id_col} = c1.{id_col}
+         JOIN cnt c2 ON c2.bucket = c1.bucket
+         GROUP BY 1, 2),
+alld AS (SELECT p.{id_col} AS query_id, d.{id_col} AS vec_id
+         FROM probes p CROSS JOIN {table} d),
+scored AS (SELECT a.query_id, a.vec_id,
+                  CAST(COALESCE(t.dot, 0) AS BIGINT) AS dot
+           FROM alld a LEFT JOIN dots t
+             ON t.query_id = a.query_id AND t.vec_id = a.vec_id)
+SELECT query_id, vec_id, CAST(rn AS BIGINT) AS rank, dot
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= {k}"""

@@ -75,6 +75,50 @@ def _final_topk(partials, k: int) -> pa.Table:
                                 preserve_index=False)
 
 
+def mips_topk_int(ds, query_ids, query_matrix_int, k: int = 10,
+                  vec_col="counts", id_col="doc_id"):
+    """EXACT maximum-inner-product top-k over INTEGER vectors: block-local
+    int64 matmul against the broadcast query matrix, block top-k by
+    (dot desc, id asc), driver merge of ≤ nq·k rows per block. Integer
+    dots are associative sums — partitioning cannot change the ranking,
+    so the result is bit-reproducible (and SQL-checkable when the vectors
+    are; cosine MIPS over floats is not, which is why this variant
+    exists). Same task-pool shape as :func:`brute_topk`."""
+    import pandas as pd
+
+    from ..vecs import list_column_to_matrix
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qmat = np.asarray(query_matrix_int, dtype=np.int64)
+    ref = ray.put({"ids": qids, "m": qmat})
+
+    def block(b: pa.Table) -> pa.Table:
+        p = ray.get(ref)
+        x = list_column_to_matrix(b[vec_col], dtype=np.int64)
+        dots = x @ p["m"].T  # (n, nq) int64
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = min(k, len(ids))
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(p["ids"])):
+            col = dots[:, qi]
+            # top-k by (dot desc, id asc): lexsort on (-dot, id)
+            sel = np.lexsort((ids, -col))[:kk]
+            out_q.append(np.full(kk, p["ids"][qi], dtype=np.int64))
+            out_v.append(ids[sel])
+            out_d.append(col[sel])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "dot": pa.array(np.concatenate(out_d))})
+
+    pdf = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    pdf = pdf.sort_values(["query_id", "dot", "vec_id"],
+                          ascending=[True, False, True])
+    pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        pdf[["query_id", "vec_id", "rank", "dot"]], preserve_index=False)
+
+
 def brute_topk(ds, query_ids, query_matrix, k: int = 10,
                vec_col="embedding", id_col="vec_id", concurrency=None):
     """Exact cosine top-k of every query against the whole Dataset.

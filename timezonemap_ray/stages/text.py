@@ -558,6 +558,40 @@ def mask_sql_pred(doc_col: str, idx: str, rate_bp: int) -> str:
             f" % {m} * {SAMPLE_MULT}) % {m}) % {SAMPLE_SPACE} < {rate_bp}")
 
 
+def feature_hash_counts(batch: pa.Table, dim: int = 256,
+                        text_col: str = "text",
+                        out_col: str = "counts",
+                        hash_fn: str = "blake2b") -> pa.Table:
+    """Hashing-trick document vectors as RAW SIGNED INTEGER COUNTS (no
+    normalization): token hash → splitmix64 → bucket ``h % dim``, sign
+    bit 63, ±1 per OCCURRENCE. The integer form exists for exactness:
+    inner products of int64 count vectors are associative integer sums, so
+    a MIPS top-k over them is bit-reproducible and SQL-checkable
+    (``hash_fn="md5"`` makes the token hash DuckDB-recomputable; see
+    ``oracle_sql['docs_hash_embed_mips_topk']``). The float cosine
+    production path is :func:`feature_hash_vectors`."""
+    from .terms import _flat_tokens
+
+    hfn = hash_u64_md5 if hash_fn == "md5" else hash_u64
+    flat, parent = _flat_tokens(batch, text_col)
+    n_rows = batch.num_rows
+    out = np.zeros((n_rows, dim), dtype=np.int64)
+    if len(flat):
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_hashes = np.fromiter(
+            (hfn(tok) for tok in enc.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(enc.dictionary))
+        hh = _splitmix64(dict_hashes)
+        buckets = (hh % np.uint64(dim)).astype(np.int64)
+        signs = np.where((hh >> np.uint64(63)).astype(bool), -1, 1) \
+            .astype(np.int64)
+        np.add.at(out, (parent, buckets[codes]), signs[codes])
+    flat_vals = pa.array(out.reshape(-1))
+    emb = pa.FixedSizeListArray.from_arrays(flat_vals, dim)
+    return pa.table({"doc_id": batch["doc_id"], out_col: emb})
+
+
 def feature_hash_vectors(batch: pa.Table, dim: int = 256,
                          text_col: str = "text",
                          out_col: str = "embedding") -> pa.Table:
