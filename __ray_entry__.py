@@ -585,6 +585,24 @@ def _q_dedup_embedding(sf_dir: str):
                            dim=dim, threshold=0.95)
 
 
+def _q_dedup_embedding_int(sf_dir: str):
+    """Embedding near-dup dedup, ORACLE-CHECKED (round 3): integer
+    variant of the hyperplane-LSH pipeline
+    (`stages/dedup.embedding_dedup_int`) — floor(x·10⁴) quantization,
+    ±1 integer hyperplanes (sign-bit buckets, no float dispersion), the
+    EXACT rational cosine predicate den·dot² ≥ num·‖a‖²·‖b‖² in
+    arbitrary precision, recursive-closure twin
+    (`oracle.embedding_dedup_int_sql`). The float production path stays
+    rows-only (`dedup_embedding`); pair-set agreement pytest-checked."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import embedding_dedup_int
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet").column(
+        "embedding")[0].as_py())
+    return embedding_dedup_int(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), dim=dim)
+
+
 def _ann_queries(sf_dir: str):
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
@@ -1963,6 +1981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": _q_dedup_components,
         "dedup_minhash_md5": _q_dedup_minhash_md5,
         "dedup_simhash_md5": _q_dedup_simhash_md5,
+        "dedup_embedding_int": _q_dedup_embedding_int,
         "pagerank_partsupp": _q_pagerank_partsupp,
         "triangles_coorder": _q_triangles_coorder,
         "kmeans_int_assign": _q_kmeans_int_assign,
@@ -2629,6 +2648,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_md5": __import__(
             "timezonemap_ray.oracle",
             fromlist=["simhash_dedup_sql"]).simhash_dedup_sql(),
+        "dedup_embedding_int": __import__(
+            "timezonemap_ray.oracle",
+            fromlist=["embedding_dedup_int_sql"]).embedding_dedup_int_sql(),
         "pagerank_partsupp": __import__(
             "timezonemap_ray.stages.graph",
             fromlist=["pagerank_int_sql"]).pagerank_int_sql(f"""

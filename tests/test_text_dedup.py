@@ -390,6 +390,58 @@ def test_simhash_md5_mode_matches_sql_twin(ray_session):
     assert got.loc[2, "cluster_id"] == 0
 
 
+def test_embedding_dedup_int_matches_sql_twin(ray_session):
+    """Integer-exact embedding dedup: SQL bit parity on vectors with
+    injected near-dups (cos > 0.95), a borderline pair, and negatives."""
+    import duckdb
+    import ray.data as rd
+
+    from timezonemap_ray.oracle import embedding_dedup_int_sql
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((10, 16))
+    vecs = list(base)
+    vecs.append(base[0] + 0.01 * rng.standard_normal(16))  # near-dup of 0
+    vecs.append(base[3] + 0.01 * rng.standard_normal(16))  # near-dup of 3
+    vecs.append(-base[5])                                  # anti-parallel
+    m = np.stack(vecs).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(m)), type=pa.int64()),
+        "embedding": pa.array([r for r in m], type=pa.list_(pa.float32()))})
+    got = dedup.embedding_dedup_int(rd.from_arrow(tbl), dim=16) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    con2 = duckdb.connect()
+    con2.register("embeddings", tbl)
+    want = con2.execute(embedding_dedup_int_sql(dim=16)
+                        + " ORDER BY vec_id").df()
+    pd.testing.assert_frame_equal(
+        got[["vec_id", "cluster_id", "is_duplicate"]]
+        .astype({"cluster_id": "int64"}),
+        want.astype({"cluster_id": "int64"}))
+    assert got.loc[10, "cluster_id"] == 0 and bool(got.loc[10, "is_duplicate"])
+    assert got.loc[11, "cluster_id"] == 3
+    assert not bool(got.loc[12, "is_duplicate"])  # anti-parallel ≠ near-dup
+
+
+def test_embedding_dedup_int_agrees_with_float_path(ray_session):
+    """The integer variant finds the same near-dup pair set as the float
+    production path on well-separated synthetic data."""
+    import ray.data as rd
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal((20, 16))
+    vecs = list(base) + [base[i] + 0.005 * rng.standard_normal(16)
+                         for i in (1, 7)]
+    m = np.stack(vecs).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(m)), type=pa.int64()),
+        "embedding": pa.array([r for r in m], type=pa.list_(pa.float32()))})
+    fl = dedup.embedding_dedup(rd.from_arrow(tbl), dim=16,
+                               threshold=0.95).to_pandas()
+    it = dedup.embedding_dedup_int(rd.from_arrow(tbl), dim=16).to_pandas()
+    fl = fl.sort_values("vec_id").reset_index(drop=True)
+    it = it.sort_values("vec_id").reset_index(drop=True)
+    assert fl["cluster_id"].tolist() == it["cluster_id"].tolist()
+
+
 def test_repetition_scores_edges(ray_session):
     import ray.data as rd
     t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),

@@ -619,3 +619,52 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY dot DESC, vec_id) AS rn
       FROM scored)
 WHERE rn <= {k}"""
+
+
+def embedding_dedup_int_sql(dim: int = 64, threshold_num: int = 361,
+                            threshold_den: int = 400, n_bits: int = 12,
+                            scale: int = 10_000, seed: int = 23,
+                            table: str = "embeddings",
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> str:
+    """SQL TWIN of ``stages.dedup.embedding_dedup_int``: the same ±1
+    hyperplanes inlined as literals, integer quantization, sign-bit
+    buckets (dot > 0), the exact rational cosine predicate in HUGEINT,
+    recursive-CTE closure."""
+    from .stages.dedup import _int_planes
+    planes = _int_planes(dim, n_bits, seed)
+    rows = ", ".join(
+        f"({d}, {p}, {int(planes[d, p])})"
+        for d in range(dim) for p in range(n_bits))
+    return f"""WITH RECURSIVE
+vq AS (SELECT {id_col} AS vid, d,
+              CAST(floor(CAST(x AS DOUBLE) * {float(scale)!r}) AS BIGINT)
+                  AS x
+       FROM (SELECT {id_col}, unnest({vec_col}) AS x,
+                    generate_subscripts({vec_col}, 1) - 1 AS d
+             FROM {table})),
+planes(d, p, w) AS (VALUES {rows}),
+na AS (SELECT vid, sum(x * x) AS na FROM vq GROUP BY 1),
+pd AS (SELECT v.vid, p.p, sum(v.x * p.w) AS s
+       FROM vq v JOIN planes p ON p.d = v.d GROUP BY 1, 2),
+bucket AS (SELECT vid,
+                  CAST(sum(CASE WHEN s > 0
+                                THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER)
+                                ELSE 0 END) AS BIGINT) AS b
+           FROM pd GROUP BY 1),
+cand AS (SELECT x.vid AS a, y.vid AS b
+         FROM bucket x JOIN bucket y ON x.b = y.b AND x.vid < y.vid),
+dots AS (SELECT c.a, c.b, sum(va.x * vb.x) AS dot
+         FROM cand c
+         JOIN vq va ON va.vid = c.a
+         JOIN vq vb ON vb.vid = c.b AND vb.d = va.d
+         GROUP BY 1, 2),
+ver AS (SELECT d.a, d.b
+        FROM dots d
+        JOIN na xa ON xa.vid = d.a
+        JOIN na xb ON xb.vid = d.b
+        WHERE d.dot > 0
+          AND {threshold_den} * CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT)
+              >= {threshold_num} * CAST(xa.na AS HUGEINT)
+                 * CAST(xb.na AS HUGEINT)),
+{_closure_sql(table, id_col)}"""

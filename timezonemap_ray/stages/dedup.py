@@ -772,6 +772,85 @@ def embedding_dedup(ds, dim: int, threshold: float = 0.95, n_bits: int = 12,
                           id_col=id_col)
 
 
+def _int_planes(dim: int, n_bits: int, seed: int = 23) -> np.ndarray:
+    """±1 hyperplanes from a seeded rng — (dim, n_bits) int64; shared by
+    :func:`embedding_dedup_int` and its SQL twin (which inlines the same
+    values as literals)."""
+    rng = np.random.default_rng(seed)
+    return rng.choice(np.array([-1, 1], dtype=np.int64),
+                      size=(dim, n_bits))
+
+
+def embedding_dedup_int(ds, dim: int, threshold_num: int = 361,
+                        threshold_den: int = 400, n_bits: int = 12,
+                        scale: int = 10_000, seed: int = 23,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Embedding near-dup dedup in EXACT integer arithmetic — the
+    bit-reproducible twin of :func:`embedding_dedup`:
+
+    - vectors quantize to ``floor(x·scale)`` int64;
+    - LSH buckets = sign bits (dot > 0) of integer dots against ±1
+      hyperplanes (:func:`_int_planes` — no float dispersion);
+    - in-bucket verification is the EXACT rational predicate
+      ``cos ≥ √(num/den)`` ⟺ ``dot > 0 ∧ den·dot² ≥ num·‖a‖²·‖b‖²``,
+      evaluated in arbitrary-precision Python ints (dot² exceeds int64);
+      defaults num/den = 361/400 ⟺ threshold 0.95;
+    - transitive closure via ``cluster_assign``.
+
+    Partitioning cannot change any step, so the SQL twin
+    (``oracle.embedding_dedup_int_sql``) reproduces the output
+    bit-for-bit.
+    """
+    planes = _int_planes(dim, n_bits, seed)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        m = list_column_to_matrix(b[vec_col], dtype=np.float64)
+        x = np.floor(m * float(scale)).astype(np.int64)
+        signs = (x @ planes) > 0
+        keys = (signs.astype(np.uint64)
+                << np.arange(n_bits, dtype=np.uint64)[None, :]) \
+            .sum(axis=1, dtype=np.uint64)
+        vec_out = pa.FixedSizeListArray.from_arrays(
+            pa.array(x.ravel()), x.shape[1])
+        return pa.table({
+            "vec_id": b[id_col],
+            "bucket": pa.array(keys.astype(np.int64), type=pa.int64()),
+            "vec": vec_out,
+        })
+
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow",
+                             batch_size=HASH_BATCH)
+
+    def pairs_of_group(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n > MAX_BUCKET:
+            import logging
+            logging.getLogger(__name__).warning(
+                "LSH bucket truncated: %d rows > MAX_BUCKET=%d", n, MAX_BUCKET)
+            g = g.slice(0, MAX_BUCKET)
+            n = MAX_BUCKET
+        ids = g["vec_id"].to_pylist()
+        v = list_column_to_matrix(g["vec"], dtype=np.int64)
+        na = (v * v).sum(axis=1)
+        dots = v @ v.T
+        out_a, out_b = [], []
+        ii, jj = np.nonzero(np.triu(dots > 0, k=1))
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            d = int(dots[i, j])
+            # arbitrary-precision: den·dot² vs num·na·nb overflow int64
+            if threshold_den * d * d >= \
+                    threshold_num * int(na[i]) * int(na[j]):
+                out_a.append(min(ids[i], ids[j]))
+                out_b.append(max(ids[i], ids[j]))
+        return pa.table({"a": pa.array(out_a, type=pa.int64()),
+                         "b": pa.array(out_b, type=pa.int64())})
+
+    pairs_ds = _runs_map_groups(buckets, "bucket", pairs_of_group)
+    return cluster_assign(ds.select_columns([id_col]), pairs_ds,
+                          id_col=id_col)
+
+
 def duplicated_spans(ds, window: int = 50, stride: int = 25,
                      text_col: str = "text", id_col: str = "doc_id"):
     """Cross-document EXACT substring duplication (the Lee et al. 2022
