@@ -377,6 +377,27 @@ def _q_pack_chunks(sf_dir: str):
                          "pack_pos"])
 
 
+def _q_pack_chunks_docwise(sf_dir: str):
+    """DOC-WISE next-fit packing, ORACLE-CHECKED (round 3): chunks fill
+    256-token bins in chunk order without crossing document boundaries
+    (the long-context policy when attention must not mix documents) —
+    a per-doc sequential recurrence, deterministic under any
+    partitioning that keeps a doc's chunks together, reproduced by a
+    bounded recursive CTE. The cross-doc block-local FFD packer stays
+    rows-only (`pack_chunks` — bin assignment depends on block
+    composition by design; fill-bound invariants pytest-checked)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.text import (chunk_documents,
+                                             pack_chunks_docwise)
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(lambda b: pack_chunks_docwise(
+            chunk_documents(b, chunk=50, stride=40), capacity=256),
+            batch_format="pyarrow") \
+        .select_columns(["doc_id", "chunk_idx", "n_tokens", "pack_id",
+                         "pack_pos"])
+
+
 def _q_quality(sf_dir: str):
     import ray.data as rd
     from timezonemap_ray.stages.text import quality_score
@@ -1959,6 +1980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_diversity": _q_token_diversity,
         "repetition_scores": _q_repetition_scores,
         "chunk_documents": _q_chunk_documents,
+        "pack_chunks_docwise": _q_pack_chunks_docwise,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint_md5": _q_fingerprint,
@@ -2323,6 +2345,37 @@ def oracle_sql() -> dict[str, str]:
                                    ' ') AS chunk_text,
                    (least(ci*40 + 50, nt) - ci*40)::BIGINT AS n_tokens
             FROM idx""",
+        "pack_chunks_docwise": r"""
+            WITH RECURSIVE
+            t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                  FROM documents),
+            n AS (SELECT doc_id, toks, len(toks) AS nt FROM t
+                  WHERE len(toks) > 0),
+            idx AS (SELECT doc_id, nt,
+                           unnest(generate_series(0,
+                             CASE WHEN nt <= 50 THEN 0
+                                  ELSE CAST(ceil((nt - 50) / 40.0) AS BIGINT)
+                             END)) AS ci
+                    FROM n),
+            ch AS (SELECT doc_id, ci AS chunk_idx,
+                          (least(ci*40 + 50, nt) - ci*40)::BIGINT AS n_tokens
+                   FROM idx),
+            rec(doc_id, chunk_idx, n_tokens, pack_id, pack_pos, fill) AS (
+              SELECT doc_id, chunk_idx, n_tokens,
+                     CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tokens
+              FROM ch WHERE chunk_idx = 0
+              UNION ALL
+              SELECT c.doc_id, c.chunk_idx, c.n_tokens,
+                     CASE WHEN r.fill + c.n_tokens <= 256
+                          THEN r.pack_id ELSE r.pack_id + 1 END,
+                     CASE WHEN r.fill + c.n_tokens <= 256
+                          THEN r.pack_pos + 1 ELSE CAST(0 AS BIGINT) END,
+                     CASE WHEN r.fill + c.n_tokens <= 256
+                          THEN r.fill + c.n_tokens ELSE c.n_tokens END
+              FROM rec r JOIN ch c
+                ON c.doc_id = r.doc_id AND c.chunk_idx = r.chunk_idx + 1)
+            SELECT doc_id, chunk_idx, n_tokens, pack_id, pack_pos
+            FROM rec""",
         "repetition_scores": r"""
             WITH t AS (SELECT doc_id,
                               regexp_extract_all(text, '\S+') AS toks

@@ -442,6 +442,21 @@ def test_embedding_dedup_int_agrees_with_float_path(ray_session):
     assert fl["cluster_id"].tolist() == it["cluster_id"].tolist()
 
 
+def test_pack_chunks_docwise_recurrence():
+    """Next-fit per doc: closed-form cases incl. oversized chunk and doc
+    boundary resets."""
+    t = pa.table({
+        "doc_id": pa.array([1, 1, 1, 1, 2, 2, 3], type=pa.int64()),
+        "chunk_idx": pa.array([0, 1, 2, 3, 0, 1, 0], type=pa.int64()),
+        "n_tokens": pa.array([100, 100, 100, 50, 300, 10, 256],
+                             type=pa.int64()),
+    })
+    out = text.pack_chunks_docwise(t, capacity=256).to_pandas()
+    # doc 1: 100+100 fits (200), +100 exceeds → new bin; 100+50 fits
+    assert out["pack_id"].tolist() == [0, 0, 1, 1, 0, 1, 0]
+    assert out["pack_pos"].tolist() == [0, 1, 0, 1, 0, 0, 0]
+
+
 def test_repetition_scores_edges(ray_session):
     import ray.data as rd
     t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),

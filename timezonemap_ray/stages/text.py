@@ -393,6 +393,47 @@ def chunk_documents(batch: pa.Table, chunk: int = 50, stride: int = 40,
         "n_tokens": pa.array((ends - starts).astype(np.int64))})
 
 
+def pack_chunks_docwise(batch: pa.Table, capacity: int = 256,
+                        len_col: str = "n_tokens",
+                        id_col: str = "doc_id") -> pa.Table:
+    """DOC-WISE next-fit packing: each document's chunks (in chunk order)
+    fill ``capacity``-token bins without crossing document boundaries —
+    the packing policy long-context pipelines use when attention must not
+    mix documents. Adds (pack_id, pack_pos), both PER DOCUMENT.
+
+    Unlike the block-local FFD of :func:`pack_sequences`, this is a pure
+    per-row-group sequential recurrence — deterministic for ANY
+    partitioning that keeps a doc's chunks together (chunking emits them
+    that way), so a recursive-CTE SQL twin reproduces it bit-for-bit
+    (``oracle_sql['pack_chunks_docwise']``). An oversized chunk occupies
+    a singleton bin. O(chunks) single pass."""
+    n = batch.num_rows
+    if n == 0:
+        return batch.append_column("pack_id",
+                                   pa.array([], type=pa.int64())) \
+                    .append_column("pack_pos",
+                                   pa.array([], type=pa.int64()))
+    lens = batch[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    pack_id = np.empty(n, dtype=np.int64)
+    pack_pos = np.empty(n, dtype=np.int64)
+    cur_doc, cur_pack, cur_pos, fill = None, 0, 0, 0
+    for i in range(n):
+        if ids[i] != cur_doc:
+            cur_doc, cur_pack, cur_pos, fill = ids[i], 0, 0, int(lens[i])
+        elif fill + lens[i] <= capacity:
+            fill += int(lens[i])
+            cur_pos += 1
+        else:
+            cur_pack += 1
+            cur_pos = 0
+            fill = int(lens[i])
+        pack_id[i] = cur_pack
+        pack_pos[i] = cur_pos
+    return batch.append_column("pack_id", pa.array(pack_id)) \
+                .append_column("pack_pos", pa.array(pack_pos))
+
+
 def pack_sequences(batch: pa.Table, capacity: int = 512,
                    len_col: str = "n_tokens") -> pa.Table:
     """Sample packing: first-fit-decreasing bin packing of chunks into
