@@ -43,10 +43,12 @@ def test_pagerank_matches_naive_and_is_partition_independent(ray_session):
     tbl = pa.table({"src": pa.array(e[:, 0], type=pa.int64()),
                     "dst": pa.array(e[:, 1], type=pa.int64())})
     for parts in (1, 7):
-        got = pagerank_int(rd.from_arrow(tbl).repartition(parts),
-                           iters=3).to_pandas()
-        got_map = dict(zip(got["node_id"], got["rank_int"]))
-        assert got_map == want, parts
+        for bmax in (5_000_000, 0):  # broadcast plan AND join plan
+            got = pagerank_int(rd.from_arrow(tbl).repartition(parts),
+                               iters=3,
+                               broadcast_nodes_max=bmax).to_pandas()
+            got_map = dict(zip(got["node_id"], got["rank_int"]))
+            assert got_map == want, (parts, bmax)
 
 
 def test_pagerank_sql_twin_bit_parity(ray_session):
@@ -120,10 +122,11 @@ def test_triangle_counts_matches_naive_and_sql(ray_session):
     tbl = pa.table({"src": pa.array(e[:, 0], type=pa.int64()),
                     "dst": pa.array(e[:, 1], type=pa.int64())})
     for parts in (1, 5):
-        got = triangle_counts(rd.from_arrow(tbl).repartition(parts)) \
-            .to_pandas()
-        got_map = dict(zip(got["node_id"], got["n_triangles"]))
-        assert got_map == want, parts
+        for bmax in (5_000_000, 0):  # broadcast plan AND join plan
+            got = triangle_counts(rd.from_arrow(tbl).repartition(parts),
+                                  broadcast_edges_max=bmax).to_pandas()
+            got_map = dict(zip(got["node_id"], got["n_triangles"]))
+            assert got_map == want, (parts, bmax)
     con = duckdb.connect()
     con.register("edge_tbl", tbl)
     sql = triangle_counts_sql("SELECT src, dst FROM edge_tbl")
@@ -138,6 +141,8 @@ def test_triangle_counts_no_triangles(ray_session):
     from timezonemap_ray.stages.graph import triangle_counts
     tbl = pa.table({"src": pa.array([0, 1, 2, 3], type=pa.int64()),
                     "dst": pa.array([1, 2, 3, 4], type=pa.int64())})
-    got = triangle_counts(rd.from_arrow(tbl)).to_pandas()
-    assert sorted(got["node_id"].tolist()) == [0, 1, 2, 3, 4]
-    assert got["n_triangles"].tolist() == [0] * 5
+    for bmax in (5_000_000, 0):
+        got = triangle_counts(rd.from_arrow(tbl),
+                              broadcast_edges_max=bmax).to_pandas()
+        assert sorted(got["node_id"].tolist()) == [0, 1, 2, 3, 4]
+        assert sorted(got["n_triangles"].tolist()) == [0] * 5

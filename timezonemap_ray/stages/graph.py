@@ -28,23 +28,58 @@ import numpy as np
 import pyarrow as pa
 
 
-def _distinct_edges(edges_ds, src_col: str, dst_col: str):
-    """DISTINCT (src, dst) via one groupby (dedup shuffles key pairs
-    only, never payloads)."""
-    from ray.data.aggregate import Count
+def _distinct_edges(edges_ds, src_col: str, dst_col: str,
+                    n_parts: int = 64):
+    """DISTINCT (src, dst) via coarse hash partitions + vectorized
+    per-partition dedup. A ``groupby([src, dst])`` aggregate pays Ray's
+    per-key dispatch on millions of mostly-singleton keys (measured 11 s
+    for 1.2M pairs at sf0.1 — the same pathology ``dedup._coarse_groupby``
+    exists for); partitioning by hash(src) co-locates every copy of a
+    pair, so one lexsort+mask per partition dedups it (0.9 s)."""
+    from .dedup import _coarse_groupby
 
     def pick(b: pa.Table) -> pa.Table:
         return pa.table({"src": b[src_col], "dst": b[dst_col]})
 
-    return (edges_ds.map_batches(pick, batch_format="pyarrow")
-            .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
-            .select_columns(["src", "dst"]))
+    def uniq(g: pa.Table) -> pa.Table:
+        s = g["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = g["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+        return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
+
+    return _coarse_groupby(edges_ds.map_batches(pick,
+                                                batch_format="pyarrow"),
+                           "src", uniq, n_parts=n_parts)
+
+
+def _distinct_ids(ds, cols, n_parts: int = 64):
+    """DISTINCT union of int id columns → Dataset of (id), via the same
+    coarse-partition vectorized dedup as :func:`_distinct_edges`."""
+    from .dedup import _coarse_groupby
+
+    def halves(b: pa.Table) -> pa.Table:
+        arrs = [b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in cols]
+        return pa.table({"id": pa.array(np.concatenate(arrs))})
+
+    def uniq(g: pa.Table) -> pa.Table:
+        return pa.table({"id": pa.array(np.unique(
+            g["id"].to_numpy(zero_copy_only=False)))})
+
+    return _coarse_groupby(ds.map_batches(halves, batch_format="pyarrow"),
+                           "id", uniq, n_parts=n_parts)
+
+
+BROADCAST_NODES_MAX = 5_000_000  # rank-state broadcast cutover
 
 
 def pagerank_int(edges_ds, src_col: str = "src", dst_col: str = "dst",
                  iters: int = 3, damping_num: int = 85,
                  damping_den: int = 100, scale: int = 1_000_000,
-                 num_partitions: int = 16):
+                 num_partitions: int = 16,
+                 broadcast_nodes_max: int = BROADCAST_NODES_MAX):
     """Fixed-iteration PageRank in exact integer arithmetic.
 
     r_0(v) = ``scale`` for every node (nodes = distinct src ∪ dst of the
@@ -56,6 +91,15 @@ def pagerank_int(edges_ds, src_col: str = "src", dst_col: str = "dst",
     All terms are int64; the inner sum is associative so block order /
     partitioning cannot change the result. Returns a Dataset of
     (node_id, rank_int) after ``iters`` iterations.
+
+    Two physical plans, identical output (the zscore dual-path pattern):
+    node tables ≤ ``broadcast_nodes_max`` BROADCAST the (rank, outdeg)
+    state via ``ray.put`` and each iteration is ONE map-only pass over
+    edges emitting a dense node-indexed int64 partial per block, folded
+    O(n_nodes) on the driver — no join, no shuffle (the kmeans-partials
+    shape). Larger graphs fall back to the per-iteration hash join +
+    groupby-sum plan (rank state stays a Dataset; nothing node-sized on
+    the driver).
     """
     from ray.data.aggregate import Sum
 
@@ -64,26 +108,23 @@ def pagerank_int(edges_ds, src_col: str = "src", dst_col: str = "dst",
     edges = _drop_empty_blocks(
         _distinct_edges(edges_ds, src_col, dst_col).materialize())
 
-    # static per-edge out-degree: (src, dst, d)
     from ray.data.aggregate import Count
+    nodes = _drop_empty_blocks(
+        _distinct_ids(edges, ["src", "dst"]).materialize())
+
+    base = (scale * (damping_den - damping_num)) // damping_den
+
+    n_nodes = nodes.count()
+    if n_nodes <= broadcast_nodes_max:
+        return _pagerank_int_broadcast(edges, nodes, n_nodes, iters,
+                                       damping_num, damping_den, scale, base)
+
+    # static per-edge out-degree: (src, dst, d)
     deg = edges.groupby("src").aggregate(Count(alias_name="d"))
     edges_deg = _drop_empty_blocks(
         edges.join(deg, join_type="inner",
                    num_partitions=num_partitions,
                    on=("src",)).materialize())
-
-    def node_half(col):
-        def f(b: pa.Table) -> pa.Table:
-            return pa.table({"id": b[col]})
-        return f
-
-    nodes = _drop_empty_blocks(
-        edges.map_batches(node_half("src"), batch_format="pyarrow")
-        .union(edges.map_batches(node_half("dst"), batch_format="pyarrow"))
-        .groupby("id").aggregate(Count(alias_name="_n"))
-        .select_columns(["id"]).materialize())
-
-    base = (scale * (damping_den - damping_num)) // damping_den
 
     def init(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -129,6 +170,67 @@ def pagerank_int(edges_ds, src_col: str = "src", dst_col: str = "dst",
     return ranks.map_batches(rename, batch_format="pyarrow")
 
 
+def _pagerank_int_broadcast(edges, nodes, n_nodes: int, iters: int,
+                            damping_num: int, damping_den: int,
+                            scale: int, base: int):
+    """Broadcast-state plan: sorted node ids define a dense index; each
+    iteration maps edges once against the broadcast (rank // outdeg)
+    vector and folds dense int64 per-block partials on the driver
+    (associative — same result as the join plan)."""
+    import ray
+
+    ids = np.sort(np.concatenate(
+        [b["id"].to_numpy(zero_copy_only=False)
+         for b in nodes.iter_batches(batch_format="pyarrow")]
+        or [np.empty(0, dtype=np.int64)]).astype(np.int64))
+    idx_ref = ray.put(ids)
+
+    # static out-degrees, one map-only pass
+    def deg_partial(b: pa.Table) -> pa.Table:
+        lookup = ray.get(idx_ref)
+        s = np.searchsorted(lookup, b["src"]
+                            .to_numpy(zero_copy_only=False).astype(np.int64))
+        out = np.zeros(len(lookup), dtype=np.int64)
+        np.add.at(out, s, 1)
+        return pa.table({"v": pa.array([out.tobytes()], type=pa.binary())})
+
+    outdeg = np.zeros(n_nodes, dtype=np.int64)
+    for b in edges.map_batches(deg_partial, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        for blob in b["v"]:
+            outdeg += np.frombuffer(blob.as_py(), dtype=np.int64)
+
+    ranks = np.full(n_nodes, scale, dtype=np.int64)
+    for _ in range(iters):
+        safe_deg = np.maximum(outdeg, 1)  # every node has outdeg ≥ 1 here
+        contrib_ref = ray.put(ranks // safe_deg)
+
+        def msum_partial(b: pa.Table) -> pa.Table:
+            lookup = ray.get(idx_ref)
+            cv = ray.get(contrib_ref)
+            s = np.searchsorted(lookup, b["src"]
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64))
+            t = np.searchsorted(lookup, b["dst"]
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64))
+            out = np.zeros(len(lookup), dtype=np.int64)
+            np.add.at(out, t, cv[s])
+            return pa.table({"v": pa.array([out.tobytes()],
+                                           type=pa.binary())})
+
+        m = np.zeros(n_nodes, dtype=np.int64)
+        for b in edges.map_batches(msum_partial, batch_format="pyarrow") \
+                      .iter_batches(batch_format="pyarrow"):
+            for blob in b["v"]:
+                m += np.frombuffer(blob.as_py(), dtype=np.int64)
+        ranks = base + (damping_num * m) // damping_den
+
+    import ray.data as rd
+    return rd.from_arrow(pa.table({"node_id": pa.array(ids),
+                                   "rank_int": pa.array(ranks)}))
+
+
 def pagerank_int_sql(edges_sql: str, iters: int = 3, damping_num: int = 85,
                      damping_den: int = 100, scale: int = 1_000_000) -> str:
     """SQL TWIN of :func:`pagerank_int`: the same iterations unrolled as
@@ -158,8 +260,82 @@ SELECT id AS node_id, r AS rank_int FROM r{iters}""")
     return "".join(parts)
 
 
+BROADCAST_EDGES_MAX = 5_000_000  # oriented-edge-set broadcast cutover
+
+
+def _triangle_counts_broadcast(edges, num_partitions: int):
+    """Broadcast plan: degrees fold dense on the driver; the oriented
+    edge set broadcasts as ONE sorted packed-int64 array ((u<<32)|v —
+    ids < 2^31, same packing bound as the join plan's rank key); wedge
+    enumeration + closure probe run distributed over apex blocks with
+    vectorized searchsorted membership — zero joins, zero shuffles after
+    the initial edge dedup. Output identical to the join plan."""
+    import ray
+    import ray.data as rd
+
+    # node ids + degrees via dense driver fold (map-only)
+    parts = []
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        parts.append(np.stack([
+            b["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["b"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+    ab = (np.concatenate(parts, axis=1) if parts
+          else np.empty((2, 0), dtype=np.int64))
+    ids = np.unique(ab)
+    deg = np.zeros(len(ids), dtype=np.int64)
+    np.add.at(deg, np.searchsorted(ids, ab[0]), 1)
+    np.add.at(deg, np.searchsorted(ids, ab[1]), 1)
+
+    # orient low-(deg, id) → high, pack, sort
+    rk = (deg << 31) + ids
+    ra = rk[np.searchsorted(ids, ab[0])]
+    rb = rk[np.searchsorted(ids, ab[1])]
+    lo = ra < rb
+    u = np.where(lo, ab[0], ab[1])
+    v = np.where(lo, ab[1], ab[0])
+    packed = np.sort((u << 32) | v)
+    adj_ref = ray.put({"ids": ids, "rk": rk, "packed": packed})
+
+    apex = rd.from_arrow(pa.table({"u": np.unique(u)})) \
+        .repartition(num_partitions)
+
+    def count_block(b: pa.Table) -> pa.Table:
+        st = ray.get(adj_ref)
+        ids_l, rk_l, pk = st["ids"], st["rk"], st["packed"]
+        counts = np.zeros(len(ids_l), dtype=np.int64)
+        for uu in b["u"].to_numpy(zero_copy_only=False).astype(np.int64):
+            lo_i = np.searchsorted(pk, uu << 32)
+            hi_i = np.searchsorted(pk, (uu + 1) << 32)
+            nb = pk[lo_i:hi_i] & 0xFFFFFFFF
+            if len(nb) < 2:
+                continue
+            # order out-neighbors by rank so each wedge enumerates once
+            nb = nb[np.argsort(rk_l[np.searchsorted(ids_l, nb)],
+                               kind="stable")]
+            ii, jj = np.triu_indices(len(nb), k=1)
+            probe = (nb[ii] << 32) | nb[jj]
+            pos = np.searchsorted(pk, probe)
+            hit = (pos < len(pk)) & (pk[np.minimum(pos, len(pk) - 1)]
+                                     == probe)
+            if hit.any():
+                counts[np.searchsorted(ids_l, uu)] += int(hit.sum())
+                np.add.at(counts, np.searchsorted(ids_l, nb[ii][hit]), 1)
+                np.add.at(counts, np.searchsorted(ids_l, nb[jj][hit]), 1)
+        return pa.table({"v": pa.array([counts.tobytes()],
+                                       type=pa.binary())})
+
+    total = np.zeros(len(ids), dtype=np.int64)
+    for b in apex.map_batches(count_block, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        for blob in b["v"]:
+            total += np.frombuffer(blob.as_py(), dtype=np.int64)
+    return rd.from_arrow(pa.table({"node_id": pa.array(ids),
+                                   "n_triangles": pa.array(total)}))
+
+
 def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
-                    num_partitions: int = 16):
+                    num_partitions: int = 16,
+                    broadcast_edges_max: int = BROADCAST_EDGES_MAX):
     """Per-node triangle counts over an undirected simple graph, exact.
 
     Degree-oriented wedge join (the standard distributed recipe —
@@ -188,10 +364,17 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
         return pa.table({"a": pa.array(np.minimum(s, d)),
                          "b": pa.array(np.maximum(s, d))})
 
+    canon_ds = edges_ds.map_batches(canon, batch_format="pyarrow")
+
+    def rename_ab(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b["src"], "b": b["dst"]})
+
     edges = _drop_empty_blocks(
-        edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
-        .select_columns(["a", "b"]).materialize())
+        _distinct_edges(canon_ds, "a", "b")
+        .map_batches(rename_ab, batch_format="pyarrow").materialize())
+
+    if edges.count() <= broadcast_edges_max:
+        return _triangle_counts_broadcast(edges, num_partitions)
 
     def halves(col, out):
         def f(t: pa.Table) -> pa.Table:
