@@ -278,7 +278,12 @@ def test_distributed_cc_raises_on_nonconvergence(ray_session):
         "a": pa.array(range(n - 1), type=pa.int64()),
         "b": pa.array(range(1, n), type=pa.int64())}))
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.clusters_from_pairs_ds(ids, pairs, max_iters=3)
+        dedup.clusters_from_pairs_ds(ids, pairs, max_iters=3,
+                                     shortcut=False)
+    # with pointer shortcutting the same budget covers 2^3 hops → converges
+    out = dedup.clusters_from_pairs_ds(ids, pairs, max_iters=3,
+                                       shortcut=True).to_pandas()
+    assert set(out["cluster_id"]) == {0}
 
 
 def test_token_diversity_matches_sql(ray_session, docs_path, con):

@@ -350,15 +350,20 @@ def _drop_empty_blocks(mat_ds):
 
 
 def clusters_from_pairs_ds(ids_ds, pairs_ds, id_col: str = "doc_id",
-                           max_iters: int = 64, num_partitions: int = 16):
+                           max_iters: int = 64, num_partitions: int = 16,
+                           shortcut: bool = True):
     """Distributed connected components for pair volumes beyond driver RAM:
     iterative min-label propagation (hash-join labels to edges, then
-    ``groupby(id).min(label)``) until fixpoint. Converges in O(component
-    diameter) rounds; each round is one shuffle join + one shuffle
-    aggregate over (id, label) pairs only — never documents.
+    ``groupby(id).min(label)``) until fixpoint, with POINTER SHORTCUTTING
+    (``shortcut=True``): after each edge round, labels join themselves
+    (``label → label-of-label``), doubling the hop distance covered per
+    round — O(log diameter) rounds instead of O(diameter), the classic
+    Shiloach-Vishkin/hash-to-min recipe. Each round is 1-2 shuffle joins
+    + one shuffle aggregate over (id, label) pairs only — never documents.
 
     Returns a Dataset of (``id_col``, cluster_id) with cluster_id = the
-    smallest id in the component (identical to ``clusters_from_pairs``)."""
+    smallest id in the component (identical to ``clusters_from_pairs`` —
+    shortcutting only accelerates convergence to the same fixpoint)."""
     from ray.data.aggregate import Min
 
     def sym(b: pa.Table) -> pa.Table:
@@ -393,6 +398,16 @@ def clusters_from_pairs_ds(ids_ds, pairs_ds, id_col: str = "doc_id",
             labels = _drop_empty_blocks(
                 labels.union(prop).groupby("id").aggregate(
                     Min("label", alias_name="label")).materialize())
+            if shortcut:
+                # label ← label(label): doubles covered hops per round
+                jl = labels.join(labels, join_type="inner",
+                                 num_partitions=num_partitions,
+                                 on=("label",), right_on=("id",),
+                                 right_suffix="_r")
+                labels = _drop_empty_blocks(jl.map_batches(
+                    lambda b: pa.table({"id": b["id"],
+                                        "label": b["label_r"]}),
+                    batch_format="pyarrow").materialize())
             # label sums are strictly decreasing until fixpoint
             s = labels.sum("label")
             if s == prev_sum:
