@@ -206,6 +206,22 @@ def run_bench(num_cpus: int) -> dict:
                         columns=["doc_id", "text"]), window=20).count()
     timings["dup_spans_rolling"] = time.perf_counter() - t0
 
+    # integer-exact graph ops (broadcast plans at this scale; join-plan
+    # fallbacks above 5M nodes/edges)
+    import __ray_entry__ as _entry
+    t0 = time.perf_counter()
+    _entry.queries()["pagerank_partsupp"](SF_DIR).count()
+    timings["pagerank_partsupp"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _entry.queries()["triangles_coorder"](SF_DIR).count()
+    timings["triangles_coorder"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _entry.queries()["kmeans_int_assign"](SF_DIR).count()
+    timings["kmeans_int_assign"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _entry.queries()["dedup_minhash_md5"](SF_DIR).count()
+    timings["dedup_minhash_md5"] = time.perf_counter() - t0
+
     return {
         "metric": "timezone-lookup join throughput (points/sec) + headline pipeline wall times",
         "value": round(timings["flagship_docs_join"], 3),
