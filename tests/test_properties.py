@@ -312,3 +312,56 @@ def test_events_rolling_property(ray_session, tmp_path_factory, seed,
         ORDER BY event_id""").df()
     pd.testing.assert_frame_equal(got, want, check_exact=True,
                                   check_dtype=False)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(
+    st.sampled_from(["a", "bb", "ccc", "a", "dd"]), min_size=0, max_size=12),
+    min_size=1, max_size=8))
+def test_repetition_scores_property(docs):
+    """repetition_scores matches a per-doc pure-Python reference on random
+    small-vocab token lists (the adversarial case for gram counting)."""
+    import pyarrow as pa
+
+    from timezonemap_ray.stages.text import repetition_scores
+    texts = [" ".join(toks) for toks in docs]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = repetition_scores(t).to_pandas()
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        assert out.loc[i, "n_tokens"] == n
+        if n:
+            from collections import Counter
+            top = max(Counter(toks).values())
+            assert out.loc[i, "top_token_frac"] == top / n
+        bigs = list(zip(toks, toks[1:]))
+        assert out.loc[i, "n_bigrams"] == len(bigs)
+        if bigs:
+            from collections import Counter
+            c = Counter(bigs)
+            assert out.loc[i, "dup_bigram_frac"] == \
+                (len(bigs) - len(c)) / len(bigs)
+            assert out.loc[i, "top_bigram_frac"] == max(c.values()) / len(bigs)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)),
+                min_size=1, max_size=60))
+def test_pagerank_int_property(ray_session, edge_list):
+    """pagerank_int's integer recurrence matches a dict-based reference on
+    random digraphs (every node given an out-edge to avoid dangling)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tests.test_graph import _naive_pagerank_int
+    from timezonemap_ray.stages.graph import pagerank_int
+    edges = [(u, v) for u, v in edge_list if u != v]
+    nodes = {x for e in edges for x in e} | {0, 1}
+    edges += [(n, (n + 1) % 15) for n in nodes if (n + 1) % 15 != n]
+    want = _naive_pagerank_int(edges, iters=2)
+    tbl = pa.table({
+        "src": pa.array([u for u, _ in edges], type=pa.int64()),
+        "dst": pa.array([v for _, v in edges], type=pa.int64())})
+    got = pagerank_int(rd.from_arrow(tbl), iters=2).to_pandas()
+    assert dict(zip(got["node_id"], got["rank_int"])) == want

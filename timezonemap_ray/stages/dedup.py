@@ -375,6 +375,10 @@ def clusters_from_pairs_ds(ids_ds, pairs_ds, id_col: str = "doc_id",
 
     edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
     n_edges = edges.count()
+    # shuffle-partition count tracks data volume: 16 hash partitions (and
+    # their aggregator actors) are pure overhead for a few thousand label
+    # rows, while big graphs keep the full width
+    num_partitions = max(2, min(num_partitions, n_edges // 50_000 + 2))
 
     def init_labels(b: pa.Table) -> pa.Table:
         return pa.table({"id": b[id_col], "label": b[id_col]})
