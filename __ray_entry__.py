@@ -1573,6 +1573,24 @@ def _q_dedup_components(sf_dir: str):
     return clusters_from_pairs_ds(ids, pairs, id_col="c_custkey")
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge learning (tokenizer training): learning
+    runs over the (word, count) VOCABULARY table (pass 0 = the
+    oracle-checked `term_counts` partial aggregate — tokens never
+    shuffle); each merge is one map-only pass emitting (pair, weighted
+    count) partials with a bounded driver argmax fold
+    (`stages/bpe.bpe_learn`). Rows-only: applying K merges is an
+    iterative rewrite SQL cannot express; exactness vs a pure-Python
+    reference and partitioning-independence are pytest-bound
+    (tests/test_bpe.py)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.bpe import bpe_learn
+    from timezonemap_ray.stages.terms import term_counts
+    vocab = term_counts(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                        columns=["doc_id", "text"]))
+    return bpe_learn(vocab, n_merges=12)
+
+
 def _q_repetition_scores(sf_dir: str):
     """Gopher-style repetition quality filters (top-token fraction,
     duplicate/top bigram fractions) — exact int counts + IEEE divisions,
@@ -2097,6 +2115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project_top2": _q_pca_project,
         "media_similarity": _q_media_similarity,
         "value_quantiles_sketch": _q_value_quantiles_sketch,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
