@@ -1573,6 +1573,19 @@ def _q_dedup_components(sf_dir: str):
     return clusters_from_pairs_ds(ids, pairs, id_col="c_custkey")
 
 
+def _q_docs_quality_sample(sf_dir: str):
+    """Quality-proportional curation sampling (keep probability ≈ the
+    quality score, decided by the deterministic id hash —
+    `select.quality_weighted_sample`): composes the bit-exact
+    `quality_score` kernel with the `sample_hash` predicate, so the
+    whole op is SQL-reproducible, RNG-free, and retry/resume-stable."""
+    import ray.data as rd
+    from timezonemap_ray.stages.select import quality_weighted_sample
+    return quality_weighted_sample(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]))
+
+
 def _q_bpe_merges(sf_dir: str):
     """Distributed BPE merge learning (tokenizer training): learning
     runs over the (word, count) VOCABULARY table (pass 0 = the
@@ -1997,6 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "token_diversity": _q_token_diversity,
         "repetition_scores": _q_repetition_scores,
+        "docs_quality_sample": _q_docs_quality_sample,
         "chunk_documents": _q_chunk_documents,
         "pack_chunks_docwise": _q_pack_chunks_docwise,
         "quality_score": _q_quality,
@@ -2451,6 +2465,26 @@ def oracle_sql() -> dict[str, str]:
                    + CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
                      / greatest(length(text), 1) AS quality
             FROM documents""",
+        "docs_quality_sample": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(text)::BIGINT AS n_chars,
+                     len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+                     len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT
+                         AS punct_count,
+                     len(regexp_extract_all(text,
+                         '\b(the|a|of|and|in|to|is)\b'))::BIGINT AS stop_count,
+                     CAST(len(regexp_extract_all(text,
+                          '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE)
+                       / greatest(len(regexp_extract_all(text, '\S+')), 1)
+                     + CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+                            AS DOUBLE)
+                       / greatest(length(text), 1) AS quality
+              FROM documents)
+            SELECT * FROM q
+            WHERE ((((doc_id * 2654435761) % 1000000007) + 1000000007)
+                   % 1000000007) % 10000
+                  < CAST(floor(quality * 10000.0) AS BIGINT)""",
         "fingerprint_md5": "SELECT doc_id, md5(text) AS digest FROM documents",
         # Horner's rule over the utf-8 bytes, mod 2^64 — exactly the engine's
         # FNV-base polynomial rolling hash (text.rolling_fingerprint). The

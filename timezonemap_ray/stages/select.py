@@ -732,3 +732,25 @@ def winsorize(ds, column: str, lo_q: float = 0.05, hi_q: float = 0.95,
             name, pa.array(c, type=pa.float64(), mask=~valid))
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def quality_weighted_sample(ds, text_col: str = "text"):
+    """Quality-proportional curation sampling: keep each document with
+    probability ≈ its quality score (``text.quality_score``; scores ≥ 1
+    always kept), decided by the SAME deterministic id hash as
+    ``sample_hash`` — keep iff ``hash_bp(doc_id) < floor(quality ·
+    10000)``. Composes two already-oracle-checked pieces, so the whole
+    op is SQL-reproducible, RNG-free, and stable under retries/resumes
+    (the property that matters when a 100 TB curation job restarts)."""
+    from .text import quality_score
+
+    def keep(b: pa.Table) -> pa.Table:
+        q = quality_score(b, text_col=text_col)
+        v = q["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)) \
+            % np.int64(SAMPLE_SPACE)
+        p = np.floor(q["quality"].to_numpy(zero_copy_only=False)
+                     * float(SAMPLE_SPACE)).astype(np.int64)
+        return q.filter(pa.array(h < p))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
