@@ -1032,8 +1032,6 @@ def duplicated_spans_rolling(ds, window: int = 20,
     (digest, doc) row per block reaches the groupby; flagged digests
     broadcast back as a (prefiltered) key set.
     """
-    from ray.data.aggregate import Sum
-
     import ray
 
     def win_digests(b: pa.Table):
@@ -1057,10 +1055,29 @@ def duplicated_spans_rolling(ds, window: int = 20,
             "_h2": pa.array(c[keep].view(np.int64)),
             "nd": pa.array(np.ones(int(keep.sum()), dtype=np.int64))})
 
-    counts = ds.map_batches(pair_partial, batch_format="pyarrow") \
-        .groupby(["_h1", "_h2"]).aggregate(Sum("nd", alias_name="nd"))
-    dup = counts.filter(expr="nd >= 2")
-    tabs = [t for t in (ray.get(r) for r in dup.to_arrow_refs())
+    # count distinct docs per digest via coarse hash partitions +
+    # vectorized run counting: a groupby([_h1,_h2]) aggregate pays Ray's
+    # per-key dispatch on ~1 key/row (mostly-unique digests — the same
+    # pathology _coarse_groupby exists for)
+    def dup_of_part(g: pa.Table) -> pa.Table:
+        h1 = g["_h1"].to_numpy(zero_copy_only=False)
+        h2 = g["_h2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1))
+        a, c = h1[order], h2[order]
+        new = np.r_[True, (a[1:] != a[:-1]) | (c[1:] != c[:-1])]
+        gid = np.cumsum(new) - 1
+        # rows are distinct (digest, doc) per block and docs never
+        # straddle blocks ⇒ run length = distinct-doc count
+        cnt = np.bincount(gid)
+        firsts = np.flatnonzero(new)
+        sel = firsts[cnt >= 2]
+        return pa.table({"_h1": pa.array(a[sel]), "_h2": pa.array(c[sel])})
+
+    dup = _coarse_groupby(ds.map_batches(pair_partial,
+                                         batch_format="pyarrow"),
+                          "_h1", dup_of_part)
+    tabs = [t.select(["_h1", "_h2"])
+            for t in (ray.get(r) for r in dup.to_arrow_refs())
             if t.num_rows]
     if not tabs:
         def empty_out(b: pa.Table) -> pa.Table:
