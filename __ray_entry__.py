@@ -1450,7 +1450,7 @@ def _q_events_quartile_counts(sf_dir: str):
     out = ds.map_batches(bucket, batch_format="pyarrow") \
         .groupby("bucket").count()
     t = pa.concat_tables(
-        [bb for bb in out.iter_batches(batch_format="pyarrow")])
+        [bb for bb in out.iter_batches(batch_size=None, batch_format="pyarrow")])
     return pa.table({
         "bucket": t["bucket"],
         "n": pc.cast(t["count()"], pa.int64())})
@@ -1669,20 +1669,11 @@ def _q_triangles_coorder(sf_dir: str):
     WWW'11), exact integer output. The SQL twin deliberately uses a
     DIFFERENT plan (canonical 3-way self-join) — the count is a graph
     invariant, so plan-independence strengthens the check."""
-    import pyarrow.compute as pc
     import ray.data as rd
-    from timezonemap_ray.stages.graph import triangle_counts
+    from timezonemap_ray.stages.graph import cooccur_edges, triangle_counts
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey"])
-    pairs = li.join(li, join_type="inner", num_partitions=16,
-                    on=("l_orderkey",), right_suffix="_r")
-
-    def fwd(b: pa.Table) -> pa.Table:
-        keep = pc.less(b["l_partkey"], b["l_partkey_r"])
-        t = b.filter(keep)
-        return pa.table({"src": t["l_partkey"], "dst": t["l_partkey_r"]})
-
-    return triangle_counts(pairs.map_batches(fwd, batch_format="pyarrow"))
+    return triangle_counts(cooccur_edges(li, "l_orderkey", "l_partkey"))
 
 
 def _q_docs_mixture(sf_dir: str):

@@ -298,7 +298,7 @@ def customer_returns_topk(sf_dir: str, limit: int = 20):
 
     partials = [t for t in per_cust.map_batches(
         local_topk, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow") if t.num_rows > 0]
+            batch_size=None, batch_format="pyarrow") if t.num_rows > 0]
     if not partials:
         partials = [pa.table({"o_custkey": pa.array([], type=pa.int64()),
                               "rev_dm": pa.array([], type=pa.int64())})]
@@ -528,7 +528,7 @@ def shipping_priority_topk(sf_dir: str, segment: str = "BUILDING",
 
     parts = [t for t in per_order.map_batches(
         local_topk, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow") if t.num_rows > 0]
+            batch_size=None, batch_format="pyarrow") if t.num_rows > 0]
     if not parts:
         return pa.table({
             "l_orderkey": pa.array([], type=pa.int64()),

@@ -438,7 +438,7 @@ def zscore_by_group(ds, group_col: str, value_col: str,
         return joined.map_batches(apply_joined, batch_format="pyarrow")
 
     st = pa.concat_tables(
-        stats.iter_batches(batch_format="pyarrow")).combine_chunks()
+        stats.iter_batches(batch_size=None, batch_format="pyarrow")).combine_chunks()
     sref = ray.put(st)
 
     def apply(b: pa.Table) -> pa.Table:

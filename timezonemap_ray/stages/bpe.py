@@ -90,7 +90,7 @@ def bpe_learn(vocab_ds, n_merges: int = 8, word_col: str = "term",
 
         total: dict = {}
         for b in vocab_ds.map_batches(partial, batch_format="pyarrow") \
-                         .iter_batches(batch_format="pyarrow"):
+                         .iter_batches(batch_size=None, batch_format="pyarrow"):
             for l, r, n in zip(b["l"].to_pylist(), b["r"].to_pylist(),
                                b["n"].to_pylist()):
                 k = (l, r)

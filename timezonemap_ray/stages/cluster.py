@@ -128,7 +128,7 @@ def kmeans_fit(ds, k: int, vec_col: str = "embedding", iters: int = 20,
         tot_sum = np.zeros((k, d), dtype=np.float64)
         tot_sse = 0.0
         for t in staged.map_batches(partial, batch_format="pyarrow") \
-                .iter_batches(batch_format="pyarrow"):
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
             if t.num_rows == 0:
                 continue
             cids = t["cid"].to_numpy(zero_copy_only=False)
@@ -192,7 +192,7 @@ def kmeans_cluster_profile(ds, k: int, vec_col: str = "embedding",
         .aggregate(Count(alias_name="n"), Mean("dist2",
                                                alias_name="mean_dist2"))
     t = pa.concat_tables(
-        [b for b in prof.iter_batches(batch_format="pyarrow")])
+        [b for b in prof.iter_batches(batch_size=None, batch_format="pyarrow")])
     idx = pa.compute.sort_indices(
         t, sort_keys=[("n", "descending"), ("cluster_id", "ascending")])
     t = t.take(idx)
@@ -268,7 +268,7 @@ def kmeans_int(ds, k: int = 4, iters: int = 2, vec_col: str = "embedding",
         tot_cnt = np.zeros(cents.shape[0], dtype=np.int64)
         tot_sum = np.zeros_like(cents)
         for batch in vecs.map_batches(partials, batch_format="pyarrow") \
-                         .iter_batches(batch_format="pyarrow"):
+                         .iter_batches(batch_size=None, batch_format="pyarrow"):
             cid = batch["cid"].to_numpy(zero_copy_only=False)
             # np.add.at, not fancy-index +=: one driver batch concatenates
             # MANY blocks' partials, so cids repeat — += keeps only the

@@ -99,7 +99,7 @@ def split_counts(ds, id_col: str, group_col: str,
         return pa.table(out)
 
     parts = [b for b in ds.map_batches(partial, batch_format="pyarrow")
-                          .iter_batches(batch_format="pyarrow") if b.num_rows]
+                          .iter_batches(batch_size=None, batch_format="pyarrow") if b.num_rows]
     t = pa.concat_tables(parts)
     aggs = [("n_rows", "sum")]
     if sum_col is not None:
@@ -170,7 +170,7 @@ def collect_benchmark_shingles(bench_ds, shingle: int = 8,
         })
 
     parts = [b for b in bench_ds.map_batches(explode, batch_format="pyarrow")
-                                .iter_batches(batch_format="pyarrow")
+                                .iter_batches(batch_size=None, batch_format="pyarrow")
              if b.num_rows]
     if not parts:
         return np.empty(0, dtype=np.uint64), frozenset()

@@ -74,6 +74,36 @@ def _distinct_ids(ds, cols, n_parts: int = 64):
 
 BROADCAST_NODES_MAX = 5_000_000  # rank-state broadcast cutover
 
+# Max dense int64 partials a broadcast-plan fold should ingest per pass:
+# each edge block emits one n_nodes-sized blob, so many small blocks make
+# the driver fold ingest n_blocks × 8·n_nodes bytes per iteration.
+# Coalesce the edge Dataset to at most this many blocks first.
+BROADCAST_FOLD_BLOCKS_MAX = 64
+
+
+def _validate_packable_ids(ids: np.ndarray, where: str) -> None:
+    """The packed sort/edge keys ((deg<<31)+id, (u<<32)|v) require
+    0 <= id < 2^31; out-of-range ids would silently corrupt counts, so
+    fail loudly instead (ADVICE r3: graph.py id-packing bound)."""
+    if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= 1 << 31):
+        raise ValueError(
+            f"{where}: node ids must satisfy 0 <= id < 2**31 for the "
+            f"packed int64 keys (got min={int(ids.min())}, "
+            f"max={int(ids.max())}); remap ids first")
+
+
+def _coalesce_blocks(ds, max_blocks: int = BROADCAST_FOLD_BLOCKS_MAX):
+    """Repartition a materialized Dataset down to ``max_blocks`` if it has
+    more, so broadcast-plan passes emit a bounded number of dense
+    partials per fold (ADVICE r3: block count excluded from cutover)."""
+    try:
+        n = ds.num_blocks()
+    except Exception:
+        return ds
+    if n is not None and n > max_blocks:
+        return ds.repartition(max_blocks).materialize()
+    return ds
+
 
 def pagerank_int(edges_ds, src_col: str = "src", dst_col: str = "dst",
                  iters: int = 3, damping_num: int = 85,
@@ -176,12 +206,15 @@ def _pagerank_int_broadcast(edges, nodes, n_nodes: int, iters: int,
     """Broadcast-state plan: sorted node ids define a dense index; each
     iteration maps edges once against the broadcast (rank // outdeg)
     vector and folds dense int64 per-block partials on the driver
-    (associative — same result as the join plan)."""
+    (associative — same result as the join plan). Edge blocks are
+    coalesced first so each fold ingests at most
+    ``BROADCAST_FOLD_BLOCKS_MAX`` dense partials per iteration."""
     import ray
 
+    edges = _coalesce_blocks(edges)
     ids = np.sort(np.concatenate(
         [b["id"].to_numpy(zero_copy_only=False)
-         for b in nodes.iter_batches(batch_format="pyarrow")]
+         for b in nodes.iter_batches(batch_size=None, batch_format="pyarrow")]
         or [np.empty(0, dtype=np.int64)]).astype(np.int64))
     idx_ref = ray.put(ids)
 
@@ -196,7 +229,7 @@ def _pagerank_int_broadcast(edges, nodes, n_nodes: int, iters: int,
 
     outdeg = np.zeros(n_nodes, dtype=np.int64)
     for b in edges.map_batches(deg_partial, batch_format="pyarrow") \
-                  .iter_batches(batch_format="pyarrow"):
+                  .iter_batches(batch_size=None, batch_format="pyarrow"):
         for blob in b["v"]:
             outdeg += np.frombuffer(blob.as_py(), dtype=np.int64)
 
@@ -221,7 +254,7 @@ def _pagerank_int_broadcast(edges, nodes, n_nodes: int, iters: int,
 
         m = np.zeros(n_nodes, dtype=np.int64)
         for b in edges.map_batches(msum_partial, batch_format="pyarrow") \
-                      .iter_batches(batch_format="pyarrow"):
+                      .iter_batches(batch_size=None, batch_format="pyarrow"):
             for blob in b["v"]:
                 m += np.frombuffer(blob.as_py(), dtype=np.int64)
         ranks = base + (damping_num * m) // damping_den
@@ -262,25 +295,65 @@ SELECT id AS node_id, r AS rank_int FROM r{iters}""")
 
 BROADCAST_EDGES_MAX = 5_000_000  # oriented-edge-set broadcast cutover
 
+# Max wedge pairs materialized at once inside a count_block chunk. Small
+# on purpose: the chunk's ~6 int64 intermediates (~3 MB at 64k pairs) stay
+# cache-resident, which beats both the per-apex Python loop (interpreter
+# overhead × n_apexes) and one huge vectorized pass (DRAM-bandwidth bound:
+# 4M-pair chunks measured 1.9× slower than 64k on a 32-cpu box).
+WEDGE_PAIR_BUDGET = 65_536
+
+
+def _segmented_pairs(seg_len: np.ndarray):
+    """All local index pairs (i, j) with i < j for each segment of a
+    concatenated array, fully vectorized. Given segment lengths ``n_k``,
+    returns (pair_i, pair_j, pair_seg) flat arrays of length
+    Σ C(n_k, 2): local i, local j, and owning segment index."""
+    n = seg_len.astype(np.int64)
+    rows_per_seg = np.maximum(n - 1, 0)  # one row per 'i' value
+    n_rows = int(rows_per_seg.sum())
+    if n_rows == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    row_seg = np.repeat(np.arange(len(n), dtype=np.int64), rows_per_seg)
+    row_start = np.cumsum(rows_per_seg) - rows_per_seg
+    local_i = np.arange(n_rows, dtype=np.int64) - row_start[row_seg]
+    row_len = n[row_seg] - 1 - local_i  # j ranges i+1 .. n_k-1
+    total = int(row_len.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    pair_row = np.repeat(np.arange(n_rows, dtype=np.int64), row_len)
+    pr_start = np.cumsum(row_len) - row_len
+    offset = np.arange(total, dtype=np.int64) - pr_start[pair_row]
+    pair_i = local_i[pair_row]
+    pair_j = pair_i + 1 + offset
+    return pair_i, pair_j, row_seg[pair_row]
+
 
 def _triangle_counts_broadcast(edges, num_partitions: int):
-    """Broadcast plan: degrees fold dense on the driver; the oriented
-    edge set broadcasts as ONE sorted packed-int64 array ((u<<32)|v —
-    ids < 2^31, same packing bound as the join plan's rank key); wedge
-    enumeration + closure probe run distributed over apex blocks with
-    vectorized searchsorted membership — zero joins, zero shuffles after
-    the initial edge dedup. Output identical to the join plan."""
+    """Broadcast plan over canonical (a < b) pairs, duplicates allowed:
+    the driver fold that computes degrees also DEDUPS (``np.unique`` on
+    the packed pair) — no distributed-dedup shuffle on this path at all.
+    The oriented edge set broadcasts as ONE sorted packed-int64 array
+    ((u<<32)|v — ids < 2^31, validated, same packing bound as the join
+    plan's rank key); wedge enumeration + closure probe run distributed
+    over apex blocks with segmented vectorized searchsorted membership
+    (no per-apex Python loop) — zero joins, zero shuffles. Output
+    identical to the join plan."""
     import ray
     import ray.data as rd
 
-    # node ids + degrees via dense driver fold (map-only)
+    # fold pairs to the driver, dedup packed, derive ids + degrees
     parts = []
-    for b in edges.iter_batches(batch_format="pyarrow"):
+    for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
         parts.append(np.stack([
             b["a"].to_numpy(zero_copy_only=False).astype(np.int64),
             b["b"].to_numpy(zero_copy_only=False).astype(np.int64)]))
-    ab = (np.concatenate(parts, axis=1) if parts
-          else np.empty((2, 0), dtype=np.int64))
+    raw = (np.concatenate(parts, axis=1) if parts
+           else np.empty((2, 0), dtype=np.int64))
+    _validate_packable_ids(raw.reshape(-1), "triangle_counts")
+    pairs_u = np.unique((raw[0] << 32) | raw[1])
+    ab = np.stack([pairs_u >> 32, pairs_u & 0xFFFFFFFF])
     ids = np.unique(ab)
     deg = np.zeros(len(ids), dtype=np.int64)
     np.add.at(deg, np.searchsorted(ids, ab[0]), 1)
@@ -303,30 +376,57 @@ def _triangle_counts_broadcast(edges, num_partitions: int):
         st = ray.get(adj_ref)
         ids_l, rk_l, pk = st["ids"], st["rk"], st["packed"]
         counts = np.zeros(len(ids_l), dtype=np.int64)
-        for uu in b["u"].to_numpy(zero_copy_only=False).astype(np.int64):
-            lo_i = np.searchsorted(pk, uu << 32)
-            hi_i = np.searchsorted(pk, (uu + 1) << 32)
-            nb = pk[lo_i:hi_i] & 0xFFFFFFFF
-            if len(nb) < 2:
-                continue
-            # order out-neighbors by rank so each wedge enumerates once
-            nb = nb[np.argsort(rk_l[np.searchsorted(ids_l, nb)],
-                               kind="stable")]
-            ii, jj = np.triu_indices(len(nb), k=1)
-            probe = (nb[ii] << 32) | nb[jj]
+        us = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo_i = np.searchsorted(pk, us << 32)
+        hi_i = np.searchsorted(pk, (us + 1) << 32)
+        seg_len = hi_i - lo_i
+        keep = seg_len >= 2
+        us, lo_i, seg_len = us[keep], lo_i[keep], seg_len[keep]
+        if not len(us):
+            return pa.table({"v": pa.array([counts.tobytes()],
+                                           type=pa.binary())})
+        # gather this block's concatenated out-neighbor segments ONCE and
+        # rank-sort within each segment (ranks are distinct: (deg<<31)+id
+        # with unique ids), so every position pair i<j is already oriented
+        # low-rank → high-rank — matching `pk` with no per-pair swap
+        total = int(seg_len.sum())
+        seg_start = np.cumsum(seg_len) - seg_len
+        owner = np.repeat(np.arange(len(seg_len), dtype=np.int64), seg_len)
+        nb_idx = (np.arange(total, dtype=np.int64) - seg_start[owner]
+                  + lo_i[owner])
+        nb_all = pk[nb_idx] & 0xFFFFFFFF
+        nb_rank = rk_l[np.searchsorted(ids_l, nb_all)]
+        nb_srt = nb_all[np.lexsort((nb_rank, owner))]
+        nb_pos = np.searchsorted(ids_l, nb_srt)  # credit index per neighbor
+        apex_pos = np.searchsorted(ids_l, us)
+        # chunk apexes so per-chunk pair intermediates stay cache-sized
+        n_pairs = seg_len * (seg_len - 1) // 2
+        cum = np.cumsum(n_pairs)
+        start = 0
+        while start < len(us):
+            done = cum[start - 1] if start else 0
+            stop = max(int(np.searchsorted(
+                cum, done + WEDGE_PAIR_BUDGET)) + 1, start + 1)
+            sl = slice(start, stop)
+            pi, pj, ps = _segmented_pairs(seg_len[sl])
+            base = seg_start[sl][ps]
+            gi = base + pi
+            gj = base + pj
+            probe = (nb_srt[gi] << 32) | nb_srt[gj]
             pos = np.searchsorted(pk, probe)
             hit = (pos < len(pk)) & (pk[np.minimum(pos, len(pk) - 1)]
                                      == probe)
             if hit.any():
-                counts[np.searchsorted(ids_l, uu)] += int(hit.sum())
-                np.add.at(counts, np.searchsorted(ids_l, nb[ii][hit]), 1)
-                np.add.at(counts, np.searchsorted(ids_l, nb[jj][hit]), 1)
+                np.add.at(counts, apex_pos[sl][ps[hit]], 1)
+                np.add.at(counts, nb_pos[gi[hit]], 1)
+                np.add.at(counts, nb_pos[gj[hit]], 1)
+            start = stop
         return pa.table({"v": pa.array([counts.tobytes()],
                                        type=pa.binary())})
 
     total = np.zeros(len(ids), dtype=np.int64)
     for b in apex.map_batches(count_block, batch_format="pyarrow") \
-                 .iter_batches(batch_format="pyarrow"):
+                 .iter_batches(batch_size=None, batch_format="pyarrow"):
         for blob in b["v"]:
             total += np.frombuffer(blob.as_py(), dtype=np.int64)
     return rd.from_arrow(pa.table({"node_id": pa.array(ids),
@@ -364,7 +464,15 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
         return pa.table({"a": pa.array(np.minimum(s, d)),
                          "b": pa.array(np.maximum(s, d))})
 
-    canon_ds = edges_ds.map_batches(canon, batch_format="pyarrow")
+    canon_ds = _drop_empty_blocks(
+        edges_ds.map_batches(canon, batch_format="pyarrow").materialize())
+
+    # cutover on the RAW canonical pair count — a conservative upper bound
+    # on the distinct edge count, so the broadcast plan (which dedups in
+    # its own driver fold, no shuffle) is never chosen on a graph the
+    # deduped cutover would reject
+    if canon_ds.count() <= broadcast_edges_max:
+        return _triangle_counts_broadcast(canon_ds, num_partitions)
 
     def rename_ab(b: pa.Table) -> pa.Table:
         return pa.table({"a": b["src"], "b": b["dst"]})
@@ -372,9 +480,6 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
     edges = _drop_empty_blocks(
         _distinct_edges(canon_ds, "a", "b")
         .map_batches(rename_ab, batch_format="pyarrow").materialize())
-
-    if edges.count() <= broadcast_edges_max:
-        return _triangle_counts_broadcast(edges, num_partitions)
 
     def halves(col, out):
         def f(t: pa.Table) -> pa.Table:
@@ -391,6 +496,7 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
     def rank_of(b: pa.Table) -> pa.Table:
         d = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
         i = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _validate_packable_ids(i, "triangle_counts")
         return pa.table({"id": b["id"], "rk": pa.array((d << 31) + i)})
 
     rank = deg.map_batches(rank_of, batch_format="pyarrow").materialize()
@@ -476,6 +582,67 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
     return _drop_empty_blocks(counts.materialize()) \
         .map_batches(rename, batch_format="pyarrow")
+
+
+def cooccur_edges(ds, group_col: str, item_col: str, n_parts: int = 64):
+    """Canonical co-occurrence edges: all item pairs (a < b) sharing a
+    group (parts per order, tokens per doc, pages per session) — the
+    standard edge-builder feeding :func:`triangle_counts` /
+    :func:`pagerank_int`.
+
+    ONE coarse hash shuffle on ``group_col`` co-locates each group, then
+    a single vectorized pass per partition: lexsort (group, item), dedup
+    (group, item) rows, segment per group, and enumerate position pairs
+    with :func:`_segmented_pairs` (items sorted within a group, so pairs
+    come out canonical a < b with no per-pair compare). Replaces the
+    generic ``ds.join(ds, on=group)`` + filter plan — no join machinery,
+    no oriented+reversed duplicate rows through the object store; pair
+    volume is Σ C(group_size, 2), identical to the join's post-filter
+    output. Pairs are deduped within a partition; the SAME pair from
+    groups in different partitions can still repeat, so feed the result
+    through ``_distinct_edges`` (``triangle_counts`` does this anyway)
+    when a simple graph is required.
+    """
+
+    def pick(b: pa.Table) -> pa.Table:
+        return pa.table({"g": b[group_col], "i": b[item_col]})
+
+    def per_part(g: pa.Table) -> pa.Table:
+        k = g["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = g["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((it, k))
+        k, it = k[order], it[order]
+        keep = np.r_[True, (k[1:] != k[:-1]) | (it[1:] != it[:-1])]
+        k, it = k[keep], it[keep]
+        bounds = np.flatnonzero(np.r_[True, k[1:] != k[:-1], True])
+        seg_len = np.diff(bounds)
+        outs_a, outs_b = [], []
+        # chunk groups so pair intermediates stay cache-sized (one giant
+        # group — a hub order/document — cannot blow the partition heap)
+        n_pairs = seg_len * (seg_len - 1) // 2
+        cum = np.cumsum(n_pairs)
+        start = 0
+        while start < len(seg_len):
+            done = cum[start - 1] if start else 0
+            stop = max(int(np.searchsorted(
+                cum, done + WEDGE_PAIR_BUDGET)) + 1, start + 1)
+            sl = slice(start, stop)
+            pi, pj, ps = _segmented_pairs(seg_len[sl])
+            base = bounds[:-1][sl][ps]
+            a, b2 = it[base + pi], it[base + pj]
+            o2 = np.lexsort((b2, a))
+            a, b2 = a[o2], b2[o2]
+            k2 = np.r_[True, (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])]
+            outs_a.append(a[k2])
+            outs_b.append(b2[k2])
+            start = stop
+        a = np.concatenate(outs_a) if outs_a else np.empty(0, np.int64)
+        b2 = np.concatenate(outs_b) if outs_b else np.empty(0, np.int64)
+        return pa.table({"src": pa.array(a), "dst": pa.array(b2)})
+
+    from .dedup import _coarse_groupby
+    return _coarse_groupby(ds.map_batches(pick, batch_format="pyarrow"),
+                           "g", per_part, n_parts=n_parts)
 
 
 def triangle_counts_sql(edges_sql: str) -> str:

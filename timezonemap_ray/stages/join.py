@@ -116,7 +116,7 @@ def build_bloom(keys_ds, keys_col: str, n_bits: int = 1 << 23,
 
     merged = np.zeros(n_words, dtype=np.uint64)
     for batch in keys_ds.map_batches(fold, batch_format="pyarrow") \
-                        .iter_batches(batch_format="pyarrow"):
+                        .iter_batches(batch_size=None, batch_format="pyarrow"):
         for blob in batch["bits"]:
             merged |= np.frombuffer(blob.as_py(), dtype=np.uint64)
     return merged

@@ -41,7 +41,7 @@ def pca_fit(ds, vec_col: str = "embedding", k: int | None = None):
     import pyarrow.compute as pc
     for t in ds.map_batches(_moment_partial(vec_col),
                             batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
         if t.num_rows == 0:
             continue
         # flatten+reshape, no per-row Python: a 768-dim partial is ~590k

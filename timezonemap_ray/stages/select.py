@@ -241,7 +241,7 @@ def _pull_distinct_range(ds, column, lo, hi) -> np.ndarray:
 
     parts = [r["v"].to_numpy(zero_copy_only=False)
              for r in ds.map_batches(keep, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow")]
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
     return np.unique(np.concatenate(parts)) if parts else np.empty(0)
 
 
@@ -291,7 +291,7 @@ def _pull_range(ds, column, lo, hi) -> np.ndarray:
     parts = [r["v"].to_numpy(zero_copy_only=False)
              for r in ds.map_batches(
                  keep, batch_format="pyarrow").iter_batches(
-                     batch_format="pyarrow")]
+                     batch_size=None, batch_format="pyarrow")]
     return np.concatenate(parts) if parts else np.empty(0)
 
 
@@ -383,7 +383,7 @@ def sample_bottom_k(ds, id_col: str, k: int) -> pa.Table:
         return t.take(pa.array(sel))
 
     parts = [b for b in ds.map_batches(bottom, batch_format="pyarrow")
-                          .iter_batches(batch_format="pyarrow")
+                          .iter_batches(batch_size=None, batch_format="pyarrow")
              if b.num_rows]
     if not parts:
         return ds.schema().base_schema.empty_table()

@@ -79,7 +79,7 @@ def hll_merged_registers(ds, column: str, p: int = 12) -> np.ndarray:
 
     merged = np.zeros(1 << p, dtype=np.uint8)
     for batch in ds.map_batches(fold, batch_format="pyarrow") \
-                   .iter_batches(batch_format="pyarrow"):
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
         for blob in batch["regs"]:
             merged = np.maximum(merged,
                                 np.frombuffer(blob.as_py(), dtype=np.uint8))
@@ -237,7 +237,7 @@ def _heavy_hitters_core(ds, extract, key_name: str, key_type,
     acc: dict = {}
     total_n = 0
     for t in ds.map_batches(mg_partial, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
         total_n += int(pc.sum(t["block_n"]).as_py() or 0)
         cs = t["c"].to_numpy(zero_copy_only=False)
         for key, c in zip(t[key_name].to_pylist(), cs):
@@ -275,7 +275,7 @@ def _heavy_hitters_core(ds, extract, key_name: str, key_type,
 
     ex = pa.concat_tables(
         [t for t in ds.map_batches(exact_partial, batch_format="pyarrow")
-         .iter_batches(batch_format="pyarrow")]
+         .iter_batches(batch_size=None, batch_format="pyarrow")]
         + [_empty_out]).combine_chunks()
     tot = ex.group_by(key_name).aggregate([("n", "sum")])
     tot = tot.filter(pc.greater_equal(tot["n_sum"], thresh))
@@ -391,7 +391,7 @@ def quantile_sketch(ds, column: str, qs, k: int = 2048, n_parts: int = 32):
 
     lvl2 = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("_part").map_groups(per_part, batch_format="pyarrow")
-    parts = [t for t in lvl2.iter_batches(batch_format="pyarrow")]
+    parts = [t for t in lvl2.iter_batches(batch_size=None, batch_format="pyarrow")]
     merged = pa.concat_tables(parts) if parts else pa.table(
         {"value": pa.array([], type=pa.float64()),
          "weight": pa.array([], type=pa.float64())})

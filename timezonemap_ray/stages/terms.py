@@ -96,7 +96,7 @@ def top_terms(ds, k: int = 100, text_col: str = "text") -> pa.Table:
         return b.take(idx)
 
     parts = [t for t in agg.map_batches(local_topk, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow")]
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
     merged = pa.concat_tables(parts) if parts else pa.table(
         {"term": pa.array([], type=pa.string()),
          "n": pa.array([], type=pa.int64())})
@@ -190,7 +190,7 @@ def distinctive_terms(ds, id_col: str = "doc_id", text_col: str = "text",
         # pc.index_in + take per batch — no all-to-all shuffle at all
         # (measured 5.2 s shuffle join → sub-second at sf0.1/32 cpus).
         vt = pa.concat_tables(
-            df.iter_batches(batch_format="pyarrow")).combine_chunks()
+            df.iter_batches(batch_size=None, batch_format="pyarrow")).combine_chunks()
         vref = ray.put(vt)
 
         def attach_df(b: pa.Table) -> pa.Table:
