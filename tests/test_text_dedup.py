@@ -238,6 +238,26 @@ def test_cluster_assign_routes_agree(ray_session):
     assert small["cluster_id"].iloc[0] == 0
 
 
+def test_cluster_output_vectorized_matches_dict_path(ray_session):
+    """_cluster_output_ds's searchsorted lookup == the reference dict path
+    on mixed paired/unpaired/non-contiguous ids (incl. ids BETWEEN and
+    BEYOND the paired keys, which exercise the searchsorted edge clamps)."""
+    import pyarrow as pa
+    import ray.data as rd
+    pairs = {(10, 70), (70, 400), (55, 56)}
+    all_ids = [3, 10, 11, 55, 56, 57, 70, 399, 400, 401, 10 ** 12]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(all_ids,
+                                                    type=pa.int64())}))
+    got = dedup._cluster_output_ds(ds, pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    mapping = dedup.clusters_from_pairs(
+        sorted({d for p in pairs for d in p}), pairs)
+    for _, row in got.iterrows():
+        want = mapping.get(row["doc_id"], row["doc_id"])
+        assert row["cluster_id"] == want
+        assert row["is_duplicate"] == (want != row["doc_id"])
+
+
 def test_ngram_df_cap(ray_session):
     """df_cap drops stop-shingle groups: cap=1 kills all pairs; a generous
     cap reproduces the exact result."""

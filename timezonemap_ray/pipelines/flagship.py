@@ -95,27 +95,74 @@ def cell_histogram(ds, cell_size: float, lat_col="lat", lng_col="lng",
 def shuffled_join(ds, engine, lat_col="lat", lng_col="lng", want_all=False,
                   fallback=False, salt_threshold: int = 250_000,
                   sample_fraction: float = 0.05,
-                  salt_counts: dict | None = None):
-    """groupby(cell) co-partitioned join. Hot cells (estimated count >
-    threshold) are salted over ``ceil(count/threshold)`` shuffle keys.
+                  salt_counts: dict | None = None,
+                  stage_dir: str | None = None):
+    """groupby(cell) co-partitioned join. Hot cells (count > threshold)
+    are salted over ``ceil(count/threshold)`` shuffle keys.
 
     Pass precomputed ``salt_counts`` (cached hotspot priors) to skip the
-    sampling pre-pass — one fewer scan of the input when skew is known.
-    Without priors the input is consumed TWICE (histogram + shuffle), so it
-    is materialized once into the object store (spills under pressure)
-    rather than re-executing the upstream pipeline per consumer; at 100 TB
-    prefer cached priors or the checkpoint module's staged-parquet pass."""
+    skew pre-pass — one fewer scan of the input when skew is known.
+    Without priors the upstream pipeline runs ONCE: a single pass assigns
+    ``cell_id`` and stages the keyed rows as partitioned parquet (workers
+    write — no object-store or driver copy of the full point side); the
+    EXACT cell histogram then reads back only the staged ``cell_id``
+    column (column-pruned, ~1% of the bytes) and folds per-block
+    ``np.unique`` counts — bounded by occupied cells, not rows. The
+    shuffle re-reads the staged files. ``stage_dir`` defaults to a fresh
+    /tmp dir; it must outlive consumption of the returned Dataset.
+    ``sample_fraction`` is kept for API compatibility (the staged
+    histogram is exact, so nothing samples)."""
     if salt_counts is None:
-        ds = ds.materialize()
-        hist = cell_histogram(ds, engine.index.cell_size, lat_col, lng_col,
-                              sample_fraction=sample_fraction)
-        salt_counts = {c: int(np.ceil(n / salt_threshold))
-                       for c, n in hist.items() if n > salt_threshold}
+        import tempfile
 
-    keyed = ds.map_batches(
-        make_cell_assigner(engine.index.cell_size, salt_counts,
-                           lat_col=lat_col, lng_col=lng_col),
-        batch_format="pyarrow")
+        import ray.data as rd
+        stage = stage_dir or tempfile.mkdtemp(prefix="shuffled_join_stage_",
+                                              dir="/tmp")
+        ds.map_batches(
+            make_cell_assigner(engine.index.cell_size, {},
+                               lat_col=lat_col, lng_col=lng_col),
+            batch_format="pyarrow") \
+            .drop_columns(["shuffle_key"]).write_parquet(stage)
+
+        def cell_counts(b: pa.Table) -> pa.Table:
+            u, n = np.unique(
+                b["cell_id"].to_numpy(zero_copy_only=False),
+                return_counts=True)
+            return pa.table({"cell_id": pa.array(u), "n": pa.array(n)})
+
+        cs, ns = [], []
+        for t in rd.read_parquet(stage, columns=["cell_id"]) \
+                   .map_batches(cell_counts, batch_format="pyarrow") \
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
+            cs.append(t["cell_id"].to_numpy(zero_copy_only=False))
+            ns.append(t["n"].to_numpy(zero_copy_only=False))
+        if cs:
+            u, inv = np.unique(np.concatenate(cs), return_inverse=True)
+            tot = np.zeros(len(u), dtype=np.int64)
+            np.add.at(tot, inv, np.concatenate(ns))
+            salt_counts = {int(c): int(np.ceil(x / salt_threshold))
+                           for c, x in zip(u, tot) if x > salt_threshold}
+        else:
+            salt_counts = {}
+
+        def add_key(batch: pa.Table) -> pa.Table:
+            lats = batch[lat_col].to_numpy(zero_copy_only=False)
+            lngs = batch[lng_col].to_numpy(zero_copy_only=False)
+            cell = batch["cell_id"].to_numpy(zero_copy_only=False)
+            row_hash = (np.abs((lats * 1e6).astype(np.int64) * 31
+                               + (lngs * 1e6).astype(np.int64))) \
+                .astype(np.int64)
+            key = cells.salted_keys(cell, salt_counts, row_hash, 1024)
+            return batch.append_column("shuffle_key",
+                                       pa.array(key, type=pa.int64()))
+
+        keyed = rd.read_parquet(stage).map_batches(
+            add_key, batch_format="pyarrow")
+    else:
+        keyed = ds.map_batches(
+            make_cell_assigner(engine.index.cell_size, salt_counts,
+                               lat_col=lat_col, lng_col=lng_col),
+            batch_format="pyarrow")
 
     index_ref = engine.broadcast()
 

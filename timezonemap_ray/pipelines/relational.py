@@ -46,11 +46,14 @@ def top_revenue_orders(sf_dir: str, limit: int = 20):
     Deterministic: ordered by (o_totalprice DESC, o_orderkey).
 
     Scale shape: block-local top-k inside ``map_batches`` (each block emits
-    ≤ limit rows), then one tiny driver merge of ≤ limit × n_blocks rows —
-    no global sort shuffle of the fact table for a top-20. The customer
-    name joins AFTER the top-k, against ``limit`` rows only."""
+    ≤ limit rows), tree-reduced via ``collapse_partials`` so the driver
+    merge reads ≤ limit × TOPK_FANIN rows — flat in block count, no global
+    sort shuffle of the fact table for a top-20. The customer name joins
+    AFTER the top-k, against ``limit`` rows only."""
     import ray.data as rd
     import pyarrow.parquet as pq
+
+    from ..stages.ann import collapse_partials
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_custkey", "o_totalprice"])
@@ -61,7 +64,8 @@ def top_revenue_orders(sf_dir: str, limit: int = 20):
                           ("o_orderkey", "ascending")])[:limit]
         return b.take(idx)
 
-    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+    partials = collapse_partials(
+        ds.map_batches(local_topk, batch_format="pyarrow"), local_topk)
     merged = pa.Table.from_pandas(partials.to_pandas(), preserve_index=False)
     idx = pc.sort_indices(
         merged, sort_keys=[("o_totalprice", "descending"),

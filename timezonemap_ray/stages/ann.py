@@ -62,17 +62,62 @@ class BlockTopK:
         })
 
 
-def _final_topk(partials, k: int) -> pa.Table:
-    """Merge block-local candidates → global top-k per query (ties broken by
-    vec_id ascending — deterministic)."""
+TOPK_FANIN = 32  # max partial blocks the driver merge may read
+
+
+def _block_topk(k: int, score_col: str):
+    """Per-block (query_id, score desc, vec_id asc) top-k combine —
+    the tree-reduce round between map-side partials and the driver
+    merge. Fully vectorized: one lexsort + segmented cumcount."""
+
+    def f(b: pa.Table) -> pa.Table:
+        q = b["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b[score_col].to_numpy(zero_copy_only=False)
+        v = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, -s, q))
+        qs = q[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        seg_len = np.diff(np.r_[starts, len(qs)])
+        cc = np.arange(len(qs)) - np.repeat(starts, seg_len)
+        sel = order[cc < k]
+        return pa.table({"query_id": pa.array(q[sel]),
+                         "vec_id": pa.array(v[sel]),
+                         score_col: pa.array(s[sel])})
+
+    return f
+
+
+def collapse_partials(partials, combine_fn, fanin: int = TOPK_FANIN):
+    """Tree-reduce per-block partials: repartition + combine rounds until
+    ≤ ``fanin`` blocks remain, so the driver merge reads
+    O(rows_per_block · fanin) — flat in block count — instead of
+    O(rows_per_block · n_blocks), which grows linearly with input size at
+    a fixed block size (the 100 TB driver-merge bound)."""
+    mat = partials.materialize()
+    while True:
+        n = mat.num_blocks()
+        if n is None or n <= fanin:
+            return mat
+        mat = mat.repartition(max(fanin, n // fanin)).map_batches(
+            combine_fn, batch_size=None,
+            batch_format="pyarrow").materialize()
+
+
+def _final_topk(partials, k: int, score_col: str = "score") -> pa.Table:
+    """Merge block-local candidates → global top-k per query (ties broken
+    by vec_id ascending — deterministic). Partials collapse through
+    :func:`collapse_partials` first, so the driver merge input is bounded
+    by nq·k·TOPK_FANIN regardless of how many blocks scanned."""
     import pandas as pd
+    partials = collapse_partials(partials, _block_topk(k, score_col))
     pdf = partials.to_pandas()
-    pdf = pdf.sort_values(["query_id", "score", "vec_id"],
+    pdf = pdf.sort_values(["query_id", score_col, "vec_id"],
                           ascending=[True, False, True])
     pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
-    return pa.Table.from_pandas(pdf[["query_id", "vec_id", "rank", "score"]],
-                                preserve_index=False)
+    return pa.Table.from_pandas(
+        pdf[["query_id", "vec_id", "rank", score_col]],
+        preserve_index=False)
 
 
 def mips_topk_int(ds, query_ids, query_matrix_int, k: int = 10,
@@ -84,8 +129,6 @@ def mips_topk_int(ds, query_ids, query_matrix_int, k: int = 10,
     so the result is bit-reproducible (and SQL-checkable when the vectors
     are; cosine MIPS over floats is not, which is why this variant
     exists). Same task-pool shape as :func:`brute_topk`."""
-    import pandas as pd
-
     from ..vecs import list_column_to_matrix
     qids = np.asarray(query_ids, dtype=np.int64)
     qmat = np.asarray(query_matrix_int, dtype=np.int64)
@@ -110,13 +153,8 @@ def mips_topk_int(ds, query_ids, query_matrix_int, k: int = 10,
             "vec_id": pa.array(np.concatenate(out_v)),
             "dot": pa.array(np.concatenate(out_d))})
 
-    pdf = ds.map_batches(block, batch_format="pyarrow").to_pandas()
-    pdf = pdf.sort_values(["query_id", "dot", "vec_id"],
-                          ascending=[True, False, True])
-    pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
-    return pa.Table.from_pandas(
-        pdf[["query_id", "vec_id", "rank", "dot"]], preserve_index=False)
+    return _final_topk(ds.map_batches(block, batch_format="pyarrow"), k,
+                       score_col="dot")
 
 
 def brute_topk(ds, query_ids, query_matrix, k: int = 10,

@@ -464,22 +464,29 @@ def cluster_assign(ds, pairs_ds, id_col: str = "doc_id",
 
 def _cluster_output_ds(ds, pairs, id_col: str = "doc_id"):
     """Distributed cluster assignment: only PAIRED ids hit the driver's
-    union-find; the (id → cluster) mapping for those is broadcast and every
-    row gets cluster = mapping.get(id, id) in map_batches. Unpaired docs
-    never leave the workers."""
+    union-find; their (sorted ids, cluster ids) arrays are broadcast and
+    every row resolves cluster = lookup-or-self via one vectorized
+    ``np.searchsorted`` per batch — no per-row Python on the hot path.
+    Unpaired docs never leave the workers."""
     import ray as _ray
     paired = sorted({d for p in pairs for d in p})
     mapping = clusters_from_pairs(paired, pairs)
-    ref = _ray.put(mapping)
+    keys = np.asarray(paired, dtype=np.int64)
+    vals = np.asarray([mapping[i] for i in paired], dtype=np.int64)
+    ref = _ray.put((keys, vals))
 
     def assign(b: pa.Table) -> pa.Table:
-        mp = _ray.get(ref)
-        ids = b[id_col].to_pylist()
-        cl = [mp.get(i, i) for i in ids]
+        ks, vs = _ray.get(ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = ids.copy()
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, ids), len(ks) - 1)
+            hit = ks[pos] == ids
+            cl[hit] = vs[pos[hit]]
         return pa.table({
             id_col: b[id_col],
-            "cluster_id": pa.array(cl, type=pa.int64()),
-            "is_duplicate": pa.array([c != i for c, i in zip(cl, ids)]),
+            "cluster_id": pa.array(cl),
+            "is_duplicate": pa.array(cl != ids),
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")

@@ -327,9 +327,15 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
               value_cols: list):
     """As-of join: for each left row, the latest right row of the same key
     with ``right_on <= on``; appended ``value_cols`` are null when no right
-    row precedes. Both sides shuffle once on the key."""
-    import pandas as pd
+    row precedes. Both sides shuffle once on the key.
 
+    Arrow-native group merge: within each coarse hash partition the match
+    is one vectorized ``np.searchsorted`` over (key-code, time-rank)
+    packed int64 keys — the same per-partition sorted-probe shape as the
+    events_rolling / window_funcs partitions; no pandas conversion, so
+    value columns keep their exact Arrow types (no null-upcast to
+    float64). Ties on (key, time) match the LAST right row in partition
+    order, the ``pd.merge_asof`` convention this replaced."""
     left_schema = left.schema()
     left_cols = [c for c in left_schema.names]
     left_types = dict(zip(left_schema.names, left_schema.types))
@@ -365,49 +371,54 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
     right = right.map_batches(tag_right, batch_format="pyarrow")
     both = left.union(right)
 
-    # declared output Arrow types: left columns keep theirs, appended value
-    # columns keep the right side's. pandas null-upcasts int64 → float64 (the
-    # union pads each side with nulls), so every group result is cast back to
-    # the declared schema via pandas nullable ints before returning — the
-    # Arrow conversion then yields the original int64, not double.
-    out_types = dict(left_types)
-    out_types.update({c: right_types[c] for c in value_cols})
+    # coarse partitions, NOT one dispatch per key: the packed searchsorted
+    # below performs the grouped as-of for every key in the partition in
+    # one vectorized call (the `_coarse_groupby` lesson)
+    import pyarrow.compute as pc
 
-    def _restore_dtypes(df: pd.DataFrame) -> pd.DataFrame:
-        for c in df.columns:
-            t = out_types.get(c)
-            if t is None:
-                continue
-            if pa.types.is_integer(t):
-                kind = "UInt" if pa.types.is_unsigned_integer(t) else "Int"
-                df[c] = df[c].astype(f"{kind}{t.bit_width}")
-        return df
-
-    # coarse partitions, NOT one dispatch per key: pandas merge_asof's
-    # ``by=`` argument performs the grouped as-of for every key in the
-    # partition in one vectorized call (the `_coarse_groupby` lesson)
     from .select import _hash_part_of
 
     def add_part(b: pa.Table) -> pa.Table:
         return b.append_column(
             "_part", pa.array(_hash_part_of(b[key], 64)))
 
-    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=["_part"], errors="ignore")
-        l = g[g["_side"] == 0].drop(columns=["_side"] + value_cols,
-                                    errors="ignore")
-        r = g[g["_side"] == 1][[key, on] + value_cols]
-        l = l.sort_values(on, kind="stable")
-        if len(r) == 0:
-            for c in value_cols:
-                l[c] = None
-            return _restore_dtypes(l)
-        r = r.sort_values(on, kind="stable")
-        return _restore_dtypes(
-            pd.merge_asof(l, r, on=on, by=key, direction="backward"))
+    def merge_part(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.table({c: g.column(c)
+                             for c in left_cols + value_cols})
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        lidx = np.flatnonzero(side == 0)
+        ridx = np.flatnonzero(side == 1)
+        # shared key codes across both sides (any key type, incl. strings)
+        codes = g.column(key).chunk(0).dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tv = g.column(on).to_numpy(zero_copy_only=False)
+        if tv.dtype.kind in "Mm":
+            tv = tv.view("i8")
+        # rank-compress times so (key_code, time_rank) packs into one
+        # int64: codes, ranks ≤ n_rows, so code·(n_ranks+1)+rank < n²
+        uniq, rank = np.unique(tv, return_inverse=True)
+        m = np.int64(len(uniq) + 1)
+        pk_r = codes[ridx] * m + rank[ridx]
+        ro = np.argsort(pk_r, kind="stable")  # stable: ties keep row order
+        pk_rs = pk_r[ro]
+        pos = np.searchsorted(pk_rs, codes[lidx] * m + rank[lidx],
+                              side="right") - 1
+        clamped = np.maximum(pos, 0)
+        valid = (pos >= 0) & (pk_rs[clamped] // m == codes[lidx]) \
+            if len(pk_rs) else np.zeros(len(lidx), dtype=bool)
+        match = ridx[ro][clamped] if len(pk_rs) else clamped
+        # emit left rows time-ordered (the merge_asof output convention)
+        lorder = np.argsort(rank[lidx], kind="stable")
+        lsel = pa.array(lidx[lorder])
+        rsel = pa.array(match[lorder], mask=~valid[lorder])  # null → null
+        out = {c: pc.take(g.column(c), lsel) for c in left_cols}
+        out.update({c: pc.take(g.column(c), rsel) for c in value_cols})
+        return pa.table(out)
 
     return both.map_batches(add_part, batch_format="pyarrow") \
-        .groupby("_part").map_groups(merge_part, batch_format="pandas")
+        .groupby("_part").map_groups(merge_part, batch_format="pyarrow")
 
 
 def interval_overlap_join(left, right, key_col: str, lo_col: str,
