@@ -409,7 +409,15 @@ def _sset_ctes(table: str, id_col: str, text_col: str, shingle: int) -> str:
     tokens NUL-padded to ``shingle`` when short, token hash = big-endian
     16-hex-digit parse of ``md5(token)``, shingle hash = positional
     splitmix64 fold over token-hash windows (LATERAL chains in
-    HUGEINT). Mirrors ``text.token_hashes(hasher=hash_u64_md5)``."""
+    HUGEINT). Mirrors ``text.token_hashes(hasher=hash_u64_md5)``.
+
+    EMPTY-DOC EXCEPTION: an empty/whitespace-only doc pads to one
+    all-NUL shingle here, while the engine's ``token_hashes`` returns an
+    EMPTY set (signature = the all-MAX sentinel). Downstream CLUSTER
+    outputs still coincide — all empty docs band-agree on both sides
+    (shared all-NUL digest here, shared sentinel signature there) — but
+    the documented bit-for-bit sset equivalence holds only for docs with
+    ≥ 1 token."""
     golden = 0x9E3779B97F4A7C15
     fold_joins, prev = "", f"CAST('{golden}' AS HUGEINT)"
     for j in range(shingle):
@@ -668,3 +676,46 @@ ver AS (SELECT d.a, d.b
               >= {threshold_num} * CAST(xa.na AS HUGEINT)
                  * CAST(xb.na AS HUGEINT)),
 {_closure_sql(table, id_col)}"""
+
+
+def media_similarity_int_sql(n: int = 150, w: int = 16, h: int = 12,
+                             k: int = 5, n_queries: int = 3) -> str:
+    """SQL TWIN of the ``media_similarity_int`` query: DuckDB recomputes
+    every pixel from the arithmetic rule (splitmix64(mid·2²⁰ + p) mod
+    256 — ``media.arith_pixels``; the splitmix chain runs in HUGEINT via
+    :func:`_sql_smix_chain`), rebuilds the 27-slot integer features
+    (channel = p mod 3; slots 0-23 = 8-bin histograms of v >> 5, slots
+    24-26 = channel pixel sums), and ranks exact integer dots (dot DESC,
+    vec_id ASC) — bit-for-bit against the engine's decode → feature →
+    MIPS path. Self-contained: reads no tables."""
+    from .stages.media import ARITH_MID_STRIDE
+    joins, out = _sql_smix_chain("px0.x", "mpx")
+    npx = w * h * 3
+    return f"""WITH px0 AS (
+  SELECT m.mid, p.p,
+         CAST(m.mid AS HUGEINT) * {ARITH_MID_STRIDE} + p.p AS x
+  FROM range({n}) m(mid), range({npx}) p(p)),
+px AS (SELECT px0.mid, px0.p, {out} % 256 AS v FROM px0{joins}),
+feat AS (
+  SELECT mid, CAST((p % 3) * 8 + (v // 32) AS BIGINT) AS slot,
+         CAST(count(*) AS HUGEINT) AS f
+  FROM px GROUP BY 1, 2
+  UNION ALL
+  SELECT mid, CAST(24 + (p % 3) AS BIGINT) AS slot,
+         CAST(sum(v) AS HUGEINT) AS f
+  FROM px GROUP BY 1, 2),
+dots AS (
+  SELECT q.mid AS query_id, f.mid AS vec_id,
+         CAST(sum(q.f * f.f) AS BIGINT) AS dot
+  FROM (SELECT * FROM feat WHERE mid < {n_queries}) q
+  JOIN feat f ON f.slot = q.slot
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, vec_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, vec_id) AS rank
+  FROM dots)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank, dot
+FROM ranked WHERE rank <= {k}"""

@@ -1027,10 +1027,15 @@ def duplicated_spans_rolling(ds, window: int = 20,
     - per-position digests are O(1) each: two independent polynomial
       hashes in wrapping uint64 arithmetic, sliding via inverse-base
       prefix sums (B odd ⇒ invertible mod 2⁶⁴), window length mixed in;
-    - digest equality ⟺ token-sequence equality up to 2⁻¹²⁸ double-hash
-      collisions — the same collision argument the md5 path documents
-      (tokens contain no whitespace, so token-sequence equality ⟺
-      normalized window-text equality).
+    - digest equality ⟺ token-sequence equality up to double-hash
+      collisions at ~2⁻¹²⁸ on RANDOM inputs. Unlike the md5 path, the two
+      fixed-base polynomial hashes are NOT cryptographic: an adversary
+      who knows the bases can craft corpora whose windows collide (false
+      duplicate flags). If adversarial robustness matters, mix a per-run
+      salt into both bases (or use the md5 mode); for crawl/training
+      dedup the random-input bound is the operative one. (Tokens contain
+      no whitespace, so token-sequence equality ⟺ normalized window-text
+      equality.)
 
     Output is IDENTICAL to ``duplicated_spans(window, stride=1)``:
     (id_col, chunk_idx, n_tokens) for every window position whose text

@@ -122,6 +122,56 @@ class MediaDecoder:
             "decode_error", pa.array(errs, type=pa.string()))
 
 
+ARITH_MID_STRIDE = 1 << 20  # pixel-rule input: mid·STRIDE + flat_pos
+
+
+def arith_pixels(media_id: int, w: int, h: int) -> np.ndarray:
+    """Pixels derivable from the media id by INTEGER arithmetic — so a
+    SQL oracle can recompute them without seeing the payload bytes:
+    v(mid, p) = splitmix64(mid·2²⁰ + p) mod 256 for flat position
+    p = (y·w + x)·3 + c. (The blake2b-seeded :func:`_synth_pixels`
+    generator stays for content-opacity tests.)"""
+    from .text import _splitmix64
+    p = np.arange(w * h * 3, dtype=np.uint64)
+    v = _splitmix64(np.uint64(media_id) * np.uint64(ARITH_MID_STRIDE) + p)
+    return (v & np.uint64(255)).astype(np.uint8).reshape(h, w, 3)
+
+
+def synth_media_table_arith(n: int, w: int = 16, h: int = 12) -> pa.Table:
+    """``n`` REAL PPM payloads whose pixels follow :func:`arith_pixels` —
+    the oracle-checkable twin of :func:`synth_media_table`."""
+    rows = []
+    for i in range(n):
+        payload = codec.encode_ppm(arith_pixels(i, w, h))
+        rows.append({"media_id": i, "media_ref": f"media://arith/{i}",
+                     "kind": "image", "payload": payload,
+                     "width": w, "height": h, "duration_ms": 0})
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def image_int_features(img: np.ndarray) -> np.ndarray:
+    """INTEGER-EXACT image features (27 × int64): per-channel 8-bin
+    histogram counts (bin = v >> 5) then per-channel pixel sums —
+    associative integer folds a SQL oracle reproduces bit-for-bit, unlike
+    the float mean/std of :func:`codec.image_features`."""
+    bins = [np.bincount(img[:, :, c].ravel() >> 5, minlength=8)
+            .astype(np.int64) for c in range(3)]
+    sums = img.astype(np.int64).sum(axis=(0, 1))
+    return np.concatenate(bins + [sums])
+
+
+def media_int_features(batch: pa.Table) -> pa.Table:
+    """payload → REAL decode → integer feature vector (``counts``
+    list<int64>, the :func:`image_int_features` layout). Strict: an
+    undecodable payload raises — the oracle twin must see every row."""
+    feats = [image_int_features(codec.decode_image(p or b""))
+             for p in batch["payload"].to_pylist()]
+    return pa.table({
+        "media_id": batch["media_id"],
+        "counts": pa.array([f.tolist() for f in feats],
+                           type=pa.list_(pa.int64()))})
+
+
 class ImageResizer:
     """REAL nearest-neighbor resize: decode → resample → re-encode PPM.
     Output payload replaces the input; width/height updated."""

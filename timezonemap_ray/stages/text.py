@@ -406,7 +406,15 @@ def pack_chunks_docwise(batch: pa.Table, capacity: int = 256,
     partitioning that keeps a doc's chunks together (chunking emits them
     that way), so a recursive-CTE SQL twin reproduces it bit-for-bit
     (``oracle_sql['pack_chunks_docwise']``). An oversized chunk occupies
-    a singleton bin. O(chunks) single pass."""
+    a singleton bin. O(chunks) single pass.
+
+    SAME-BATCH REQUIREMENT: a document's chunks must all arrive in ONE
+    batch — a doc split across two map_batches blocks restarts pack_id
+    at 0 mid-document with no error. FUSE this with the chunker in a
+    single batch fn (``chunk_documents(b)`` then ``pack_chunks_docwise``
+    on its output, as the driver query does); do NOT apply it standalone
+    over a pre-chunked Dataset whose block boundaries Ray controls. For
+    a shuffled input, co-locate first (``_coarse_groupby`` on id_col)."""
     n = batch.num_rows
     if n == 0:
         return batch.append_column("pack_id",
