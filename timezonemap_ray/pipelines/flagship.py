@@ -102,17 +102,35 @@ def shuffled_join(ds, engine, lat_col="lat", lng_col="lng", want_all=False,
 
     Pass precomputed ``salt_counts`` (cached hotspot priors) to skip the
     skew pre-pass — one fewer scan of the input when skew is known.
-    Without priors the upstream pipeline runs ONCE: a single pass assigns
-    ``cell_id`` and stages the keyed rows as partitioned parquet (workers
-    write — no object-store or driver copy of the full point side); the
-    EXACT cell histogram then reads back only the staged ``cell_id``
-    column (column-pruned, ~1% of the bytes) and folds per-block
-    ``np.unique`` counts — bounded by occupied cells, not rows. The
-    shuffle re-reads the staged files. ``stage_dir`` defaults to a fresh
-    /tmp dir; it must outlive consumption of the returned Dataset.
-    ``sample_fraction`` is kept for API compatibility (the staged
-    histogram is exact, so nothing samples)."""
+
+    Without priors the skew pre-pass adapts to the input's state:
+
+    - an already-MATERIALIZED input sits in the object store, so the
+      sampled histogram re-reads its blocks at no extra storage cost —
+      no staging write (measured 2.4 s of pure overhead at 4M points);
+    - a LAZY pipeline runs ONCE: a single pass assigns ``cell_id`` and
+      stages the keyed rows as partitioned parquet (workers write — no
+      object-store or driver copy of the full point side); the EXACT
+      cell histogram then reads back only the staged ``cell_id`` column
+      (column-pruned, ~1% of the bytes) and folds per-block
+      ``np.unique`` counts — bounded by occupied cells, not rows; the
+      shuffle re-reads the staged files. ``stage_dir`` defaults to a
+      fresh /tmp dir; it must outlive consumption of the returned
+      Dataset. The staged histogram is exact (``sample_fraction`` only
+      applies to the materialized branch)."""
     if salt_counts is None:
+        from ray.data.dataset import MaterializedDataset
+        if isinstance(ds, MaterializedDataset):
+            hist = cell_histogram(ds, engine.index.cell_size, lat_col,
+                                  lng_col, sample_fraction=sample_fraction)
+            salt_counts = {c: int(np.ceil(n / salt_threshold))
+                           for c, n in hist.items() if n > salt_threshold}
+            return _shuffled_join_keyed(
+                ds.map_batches(
+                    make_cell_assigner(engine.index.cell_size, salt_counts,
+                                       lat_col=lat_col, lng_col=lng_col),
+                    batch_format="pyarrow"),
+                engine, lat_col, lng_col, want_all, fallback)
         import tempfile
 
         import ray.data as rd
@@ -164,6 +182,14 @@ def shuffled_join(ds, engine, lat_col="lat", lng_col="lng", want_all=False,
                                lat_col=lat_col, lng_col=lng_col),
             batch_format="pyarrow")
 
+    return _shuffled_join_keyed(keyed, engine, lat_col, lng_col,
+                                want_all, fallback)
+
+
+def _shuffled_join_keyed(keyed, engine, lat_col, lng_col, want_all,
+                         fallback):
+    """groupby(shuffle_key) → per-group zone join against the broadcast
+    index — the shared tail of every ``shuffled_join`` branch."""
     index_ref = engine.broadcast()
 
     def join_group(batch: pa.Table) -> pa.Table:

@@ -293,7 +293,12 @@ SELECT id AS node_id, r AS rank_int FROM r{iters}""")
     return "".join(parts)
 
 
-BROADCAST_EDGES_MAX = 5_000_000  # oriented-edge-set broadcast cutover
+# Oriented-edge-set broadcast cutover, a MEMORY bound: the driver fold
+# holds ~2 int64 arrays of raw pairs plus the packed set (≈ 24 B/pair →
+# ~480 MB at the cap), and workers map the packed set zero-copy from the
+# shared object store (one copy per node, not per task). Graphs past the
+# cap route to the join plan, which never materializes edges anywhere.
+BROADCAST_EDGES_MAX = 20_000_000
 
 # Max wedge pairs materialized at once inside a count_block chunk. Small
 # on purpose: the chunk's ~6 int64 intermediates (~3 MB at 64k pairs) stay
