@@ -2190,14 +2190,23 @@ _ANN_BRUTE_SQL = """
     FROM scored QUALIFY rank <= 10"""
 
 
+_ORACLE_SQL_CACHE: dict | None = None
+
+
 def oracle_sql() -> dict[str, str]:
+    # memoized: generating ~100 SQL strings (incl. the O(shingle²)
+    # LATERAL-chain CTEs) per call is pure waste — queries() consults
+    # this for its rotation and the test suite calls it per test
+    global _ORACLE_SQL_CACHE
+    if _ORACLE_SQL_CACHE is not None:
+        return _ORACLE_SQL_CACHE
     from timezonemap_ray import oracle
     from timezonemap_ray.stages.select import sample_hash_sql_pred
 
     _SAMPLE_PRED_500 = sample_hash_sql_pred("doc_id", 500)
     _SAMPLE_PRED_500_D = sample_hash_sql_pred("d.doc_id", 500)
 
-    return {
+    _ORACLE_SQL_CACHE = {
         "geo_span_extract": oracle.sql_geo_span_extract(),
         "spans_passthrough": oracle.sql_spans_passthrough(),
         "tz_lookup_fallback": oracle.sql_tz_lookup_fallback(),
@@ -3209,3 +3218,4 @@ def oracle_sql() -> dict[str, str]:
         # pack_chunks (iterative greedy bin packing),
         # media_decode / media_similarity (stubbed codec)
     }
+    return _ORACLE_SQL_CACHE

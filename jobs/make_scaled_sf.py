@@ -35,12 +35,17 @@ SHIFT = {
     "supplier": ["s_suppkey"],
 }
 COPY_ONLY = ["region", "nation"]
-# key spaces shared across tables must shift by the SAME stride
+# key spaces shared across tables must shift by the SAME stride.
+# events.user_id joins o_custkey/c_custkey in the driver workloads
+# (events_asof_orders, orders_bloom_anti_events), so it shares the
+# custkey stride — its own max (1/10 of custkey's) would land replica-k
+# events inside replica-0's custkey range and silently cross-match.
 STRIDE_GROUP = {
     "o_custkey": "c_custkey",
     "l_orderkey": "o_orderkey",
     "l_partkey": "p_partkey",
     "l_suppkey": "s_suppkey",
+    "user_id": "c_custkey",
 }
 
 

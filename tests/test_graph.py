@@ -146,3 +146,38 @@ def test_triangle_counts_no_triangles(ray_session):
                               broadcast_edges_max=bmax).to_pandas()
         assert sorted(got["node_id"].tolist()) == [0, 1, 2, 3, 4]
         assert sorted(got["n_triangles"].tolist()) == [0] * 5
+
+
+def test_cooccur_edges_singleton_partitions(ray_session):
+    """Regression (r4 review): a hash partition whose groups are ALL
+    singletons yields zero pairs — the per-partition dedup must not
+    index an empty array with a length-1 mask."""
+    import ray.data as rd
+
+    from timezonemap_ray.stages.graph import cooccur_edges
+    tbl = pa.table({"g": pa.array([0, 0, 1, 2, 3], type=pa.int64()),
+                    "i": pa.array([7, 8, 10, 20, 30], type=pa.int64())})
+    got = cooccur_edges(rd.from_arrow(tbl), "g", "i").to_pandas()
+    assert sorted(map(tuple, got[["src", "dst"]].to_numpy())) == [(7, 8)]
+
+
+def test_cooccur_edges_giant_group_chunked(ray_session):
+    """A single group whose pair count exceeds WEDGE_PAIR_BUDGET is
+    enumerated in bounded i-row slices — same output as the small path."""
+    import itertools
+
+    import ray.data as rd
+
+    from timezonemap_ray.stages import graph
+    old = graph.WEDGE_PAIR_BUDGET
+    graph.WEDGE_PAIR_BUDGET = 16  # force the giant-group path
+    try:
+        items = list(range(12))  # C(12,2)=66 > 16
+        tbl = pa.table({"g": pa.array([5] * 12 + [6, 6], type=pa.int64()),
+                        "i": pa.array(items + [100, 101], type=pa.int64())})
+        got = graph.cooccur_edges(rd.from_arrow(tbl), "g", "i").to_pandas()
+        want = sorted(itertools.combinations(items, 2)) + [(100, 101)]
+        assert sorted(map(tuple, got[["src", "dst"]].to_numpy())) \
+            == sorted(want)
+    finally:
+        graph.WEDGE_PAIR_BUDGET = old

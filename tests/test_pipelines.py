@@ -274,3 +274,21 @@ def test_event_transitions_matches_duckdb(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     # conservation: total transitions = rows - distinct users
     assert got["n"].sum() == n - tbl["user_id"].to_pandas().nunique()
+
+
+def test_shuffled_join_empty_lazy_input(ray_session):
+    """Regression (r4 review): a LAZY zero-row input through the staging
+    branch must yield an empty result, not a read-back crash."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from timezonemap_ray import worlds
+    from timezonemap_ray.api import TimeZoneEngine
+    from timezonemap_ray.pipelines.flagship import shuffled_join
+    eng = TimeZoneEngine.for_everywhere(worlds.conformance_table())
+    empty = rd.from_arrow(pa.table({
+        "lat": pa.array([], type=pa.float64()),
+        "lng": pa.array([], type=pa.float64())}))
+    lazy = empty.map_batches(lambda b: b, batch_format="pyarrow")
+    assert shuffled_join(lazy, eng).count() == 0

@@ -986,3 +986,17 @@ def test_fuzzy_pairs_k2_matches_bruteforce(ray_session):
     want = sorted((i, j) for i, j in itertools.combinations(
         range(len(names)), 2) if lev(names[i], names[j]) <= 2)
     assert list(map(tuple, got[["id_a", "id_b"]].to_numpy())) == want
+
+
+def test_cluster_output_string_ids(ray_session):
+    """Regression (r4 review): non-integer id columns route to the
+    dict-lookup path — same semantics as the int64 searchsorted path."""
+    import pyarrow as pa
+    import ray.data as rd
+    pairs = {("a", "b"), ("b", "x")}
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(
+        ["a", "b", "m", "x", "z"])}))
+    got = dedup._cluster_output_ds(ds, pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["cluster_id"].tolist() == ["a", "a", "m", "a", "z"]
+    assert got["is_duplicate"].tolist() == [False, True, False, True, False]

@@ -52,8 +52,17 @@ def flagship(sf_dir: str, engine, out_dir: str | None = None,
 # Co-partitioned (shuffle) join path
 # ---------------------------------------------------------------------------
 
+MAX_SALT = 1024
+
+
+def _row_hash(lats: np.ndarray, lngs: np.ndarray) -> np.ndarray:
+    """Cheap deterministic per-row hash for salting: quantized coords."""
+    return (np.abs((lats * 1e6).astype(np.int64) * 31
+                   + (lngs * 1e6).astype(np.int64))).astype(np.int64)
+
+
 def make_cell_assigner(cell_size: float, salt_counts: dict | None = None,
-                       lat_col="lat", lng_col="lng", max_salt: int = 1024):
+                       lat_col="lat", lng_col="lng", max_salt: int = MAX_SALT):
     """Stateless batch fn appending ``cell_id`` + salted ``shuffle_key``."""
     salt_counts = salt_counts or {}
 
@@ -61,10 +70,8 @@ def make_cell_assigner(cell_size: float, salt_counts: dict | None = None,
         lats = batch[lat_col].to_numpy(zero_copy_only=False)
         lngs = batch[lng_col].to_numpy(zero_copy_only=False)
         cell = cells.cell_ids(lats, lngs, cell_size)
-        # cheap deterministic per-row hash for salting: quantized coords
-        row_hash = (np.abs((lats * 1e6).astype(np.int64) * 31
-                           + (lngs * 1e6).astype(np.int64))).astype(np.int64)
-        key = cells.salted_keys(cell, salt_counts, row_hash, max_salt)
+        key = cells.salted_keys(cell, salt_counts, _row_hash(lats, lngs),
+                                max_salt)
         batch = batch.append_column("cell_id", pa.array(cell, type=pa.int64()))
         return batch.append_column("shuffle_key", pa.array(key, type=pa.int64()))
 
@@ -142,6 +149,18 @@ def shuffled_join(ds, engine, lat_col="lat", lng_col="lng", want_all=False,
             batch_format="pyarrow") \
             .drop_columns(["shuffle_key"]).write_parquet(stage)
 
+        import os
+        if not os.listdir(stage):
+            # zero-row input: write_parquet emits no files and a read-back
+            # would fail on the missing schema — run the empty input
+            # through the unsalted keyed path (produces an empty result)
+            return _shuffled_join_keyed(
+                ds.map_batches(
+                    make_cell_assigner(engine.index.cell_size, {},
+                                       lat_col=lat_col, lng_col=lng_col),
+                    batch_format="pyarrow"),
+                engine, lat_col, lng_col, want_all, fallback)
+
         def cell_counts(b: pa.Table) -> pa.Table:
             u, n = np.unique(
                 b["cell_id"].to_numpy(zero_copy_only=False),
@@ -164,13 +183,12 @@ def shuffled_join(ds, engine, lat_col="lat", lng_col="lng", want_all=False,
             salt_counts = {}
 
         def add_key(batch: pa.Table) -> pa.Table:
+            # same salting as make_cell_assigner, over the staged cell_id
             lats = batch[lat_col].to_numpy(zero_copy_only=False)
             lngs = batch[lng_col].to_numpy(zero_copy_only=False)
             cell = batch["cell_id"].to_numpy(zero_copy_only=False)
-            row_hash = (np.abs((lats * 1e6).astype(np.int64) * 31
-                               + (lngs * 1e6).astype(np.int64))) \
-                .astype(np.int64)
-            key = cells.salted_keys(cell, salt_counts, row_hash, 1024)
+            key = cells.salted_keys(cell, salt_counts,
+                                    _row_hash(lats, lngs), MAX_SALT)
             return batch.append_column("shuffle_key",
                                        pa.array(key, type=pa.int64()))
 

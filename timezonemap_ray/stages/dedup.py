@@ -467,10 +467,33 @@ def _cluster_output_ds(ds, pairs, id_col: str = "doc_id"):
     union-find; their (sorted ids, cluster ids) arrays are broadcast and
     every row resolves cluster = lookup-or-self via one vectorized
     ``np.searchsorted`` per batch — no per-row Python on the hot path.
-    Unpaired docs never leave the workers."""
+    Non-integer id columns (strings, nullable) route to the dict-lookup
+    fallback instead, same output. Unpaired docs never leave the
+    workers."""
     import ray as _ray
     paired = sorted({d for p in pairs for d in p})
     mapping = clusters_from_pairs(paired, pairs)
+    try:
+        int_ids = pa.types.is_integer(ds.schema().base_schema.field(
+            id_col).type)
+    except Exception:
+        int_ids = False
+    if not int_ids:
+        ref0 = _ray.put(mapping)
+
+        def assign_any(b: pa.Table) -> pa.Table:
+            mp = _ray.get(ref0)
+            ids = b[id_col].to_pylist()
+            cl = [mp.get(i, i) for i in ids]
+            return pa.table({
+                id_col: b[id_col],
+                "cluster_id": pa.array(cl),
+                "is_duplicate": pa.array(
+                    [c != i for c, i in zip(cl, ids)]),
+            })
+
+        return ds.map_batches(assign_any, batch_format="pyarrow")
+
     keys = np.asarray(paired, dtype=np.int64)
     vals = np.asarray([mapping[i] for i in paired], dtype=np.int64)
     ref = _ray.put((keys, vals))

@@ -297,7 +297,9 @@ SELECT id AS node_id, r AS rank_int FROM r{iters}""")
 # holds ~2 int64 arrays of raw pairs plus the packed set (≈ 24 B/pair →
 # ~480 MB at the cap), and workers map the packed set zero-copy from the
 # shared object store (one copy per node, not per task). Graphs past the
-# cap route to the join plan, which never materializes edges anywhere.
+# cap route to the join plan; the raw canonical pairs both plans read are
+# materialized TRANSIENTLY (one upstream execution, spills under
+# pressure) and released once the join plan has its deduped edge set.
 BROADCAST_EDGES_MAX = 20_000_000
 
 # Max wedge pairs materialized at once inside a count_block chunk. Small
@@ -485,6 +487,7 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
     edges = _drop_empty_blocks(
         _distinct_edges(canon_ds, "a", "b")
         .map_batches(rename_ab, batch_format="pyarrow").materialize())
+    canon_ds = None  # release the raw-pair blocks; only deduped edges live on
 
     def halves(col, out):
         def f(t: pa.Table) -> pa.Table:
@@ -603,14 +606,43 @@ def cooccur_edges(ds, group_col: str, item_col: str, n_parts: int = 64):
     generic ``ds.join(ds, on=group)`` + filter plan — no join machinery,
     no oriented+reversed duplicate rows through the object store; pair
     volume is Σ C(group_size, 2), identical to the join's post-filter
-    output. Pairs are deduped within a partition; the SAME pair from
-    groups in different partitions can still repeat, so feed the result
-    through ``_distinct_edges`` (``triangle_counts`` does this anyway)
-    when a simple graph is required.
+    output. Pairs are deduped within each PARTITION (one lexsort+mask at
+    partition end); the SAME pair from groups in different partitions can
+    still repeat, so feed the result through ``_distinct_edges``
+    (``triangle_counts`` does this anyway) when a simple graph is
+    required. A group whose pair count alone exceeds the budget is
+    enumerated in bounded i-row slices, so a hub group cannot blow the
+    partition heap (its total pair VOLUME is still C(n, 2) — cap group
+    sizes upstream if that is unacceptable).
     """
 
     def pick(b: pa.Table) -> pa.Table:
         return pa.table({"g": b[group_col], "i": b[item_col]})
+
+    def emit(outs, a, b2):
+        if len(a):
+            outs[0].append(a)
+            outs[1].append(b2)
+
+    def giant_group(outs, items):
+        # one group with C(n,2) > budget: slice the pair triangle by
+        # i-rows so each materialized piece stays ≤ ~budget pairs
+        n = len(items)
+        i0 = 0
+        while i0 < n - 1:
+            # rows i0..i1-1; row i contributes n-1-i pairs
+            rows = 0
+            i1 = i0
+            while i1 < n - 1 and rows + (n - 1 - i1) <= WEDGE_PAIR_BUDGET:
+                rows += n - 1 - i1
+                i1 += 1
+            i1 = max(i1, i0 + 1)
+            row_len = (n - 1) - np.arange(i0, i1, dtype=np.int64)
+            pr = np.repeat(np.arange(i0, i1, dtype=np.int64), row_len)
+            off = (np.arange(int(row_len.sum()), dtype=np.int64)
+                   - np.repeat(np.cumsum(row_len) - row_len, row_len))
+            emit(outs, items[pr], items[pr + 1 + off])
+            i0 = i1
 
     def per_part(g: pa.Table) -> pa.Table:
         k = g["g"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -621,29 +653,37 @@ def cooccur_edges(ds, group_col: str, item_col: str, n_parts: int = 64):
         k, it = k[keep], it[keep]
         bounds = np.flatnonzero(np.r_[True, k[1:] != k[:-1], True])
         seg_len = np.diff(bounds)
-        outs_a, outs_b = [], []
-        # chunk groups so pair intermediates stay cache-sized (one giant
-        # group — a hub order/document — cannot blow the partition heap)
+        outs = ([], [])
         n_pairs = seg_len * (seg_len - 1) // 2
-        cum = np.cumsum(n_pairs)
+        giant = n_pairs > WEDGE_PAIR_BUDGET
+        for s in np.flatnonzero(giant):
+            giant_group(outs, it[bounds[s]:bounds[s + 1]])
+        seg_len2 = seg_len[~giant]
+        bounds2 = bounds[:-1][~giant]
+        n_pairs2 = n_pairs[~giant]
+        # chunk normal groups so pair intermediates stay cache-sized
+        cum = np.cumsum(n_pairs2)
         start = 0
-        while start < len(seg_len):
+        while start < len(seg_len2):
             done = cum[start - 1] if start else 0
             stop = max(int(np.searchsorted(
                 cum, done + WEDGE_PAIR_BUDGET)) + 1, start + 1)
             sl = slice(start, stop)
-            pi, pj, ps = _segmented_pairs(seg_len[sl])
-            base = bounds[:-1][sl][ps]
-            a, b2 = it[base + pi], it[base + pj]
-            o2 = np.lexsort((b2, a))
-            a, b2 = a[o2], b2[o2]
-            k2 = np.r_[True, (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])]
-            outs_a.append(a[k2])
-            outs_b.append(b2[k2])
+            pi, pj, ps = _segmented_pairs(seg_len2[sl])
+            base = bounds2[sl][ps]
+            emit(outs, it[base + pi], it[base + pj])
             start = stop
-        a = np.concatenate(outs_a) if outs_a else np.empty(0, np.int64)
-        b2 = np.concatenate(outs_b) if outs_b else np.empty(0, np.int64)
-        return pa.table({"src": pa.array(a), "dst": pa.array(b2)})
+        if not outs[0]:
+            e = np.empty(0, np.int64)
+            return pa.table({"src": pa.array(e), "dst": pa.array(e)})
+        # ONE partition-wide dedup (pairs can repeat across chunks and
+        # across groups)
+        a = np.concatenate(outs[0])
+        b2 = np.concatenate(outs[1])
+        o2 = np.lexsort((b2, a))
+        a, b2 = a[o2], b2[o2]
+        k2 = np.r_[True, (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])]
+        return pa.table({"src": pa.array(a[k2]), "dst": pa.array(b2[k2])})
 
     from .dedup import _coarse_groupby
     return _coarse_groupby(ds.map_batches(pick, batch_format="pyarrow"),
