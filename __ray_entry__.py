@@ -1666,7 +1666,12 @@ def _q_pagerank_partsupp(sf_dir: str):
                          "dst": pa.array(np.concatenate([s, p]))})
 
     edges = li.map_batches(both_dirs, batch_format="pyarrow")
-    return pagerank_int(edges, iters=3)
+    # exact raw pair count from parquet metadata (2 directed pairs per
+    # lineitem row) — lets pagerank_int pick its plan without counting
+    import pyarrow.parquet as pq
+    n_raw = 2 * pq.ParquetFile(f"{sf_dir}/lineitem.parquet") \
+        .metadata.num_rows
+    return pagerank_int(edges, iters=3, raw_count_hint=n_raw)
 
 
 def _q_kmeans_int_assign(sf_dir: str):

@@ -43,12 +43,13 @@ def test_pagerank_matches_naive_and_is_partition_independent(ray_session):
     tbl = pa.table({"src": pa.array(e[:, 0], type=pa.int64()),
                     "dst": pa.array(e[:, 1], type=pa.int64())})
     for parts in (1, 7):
-        for bmax in (5_000_000, 0):  # broadcast plan AND join plan
+        # driver plan, broadcast plan, AND join plan — identical output
+        for bmax, dmax in ((5_000_000, 5_000_000), (5_000_000, 0), (0, 0)):
             got = pagerank_int(rd.from_arrow(tbl).repartition(parts),
-                               iters=3,
-                               broadcast_nodes_max=bmax).to_pandas()
+                               iters=3, broadcast_nodes_max=bmax,
+                               driver_edges_max=dmax).to_pandas()
             got_map = dict(zip(got["node_id"], got["rank_int"]))
-            assert got_map == want, (parts, bmax)
+            assert got_map == want, (parts, bmax, dmax)
 
 
 def test_pagerank_sql_twin_bit_parity(ray_session):

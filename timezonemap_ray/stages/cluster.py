@@ -236,11 +236,24 @@ def kmeans_int(ds, k: int = 4, iters: int = 2, vec_col: str = "embedding",
     the FINAL centroids.
     """
     vecs = ds.select_columns([id_col, vec_col]).materialize()
-    init_rows = vecs.sort(id_col).limit(k).take(k)
+
+    # init = the k smallest ids, WITHOUT a global sort shuffle: each block
+    # prunes itself to its local bottom-k (vectorized argsort), the
+    # ≤ k·n_blocks survivors merge on the driver — the sample_bottom_k
+    # shape, keyed by raw id
+    def bottom(t: pa.Table) -> pa.Table:
+        v = t[id_col].to_numpy(zero_copy_only=False)
+        sel = np.argsort(v, kind="stable")[:k]
+        return t.take(pa.array(sel))
+
+    parts = [b for b in vecs.map_batches(bottom, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    init_tbl = bottom(pa.concat_tables(parts))
     cents = np.stack([
-        np.floor(np.asarray(r[vec_col], dtype=np.float64)
+        np.floor(np.asarray(r, dtype=np.float64)
                  * float(scale)).astype(np.int64)
-        for r in init_rows])
+        for r in init_tbl[vec_col].to_pylist()])
     d = cents.shape[1]
 
     for _ in range(iters):

@@ -35,19 +35,28 @@ def _distinct_edges(edges_ds, src_col: str, dst_col: str,
     per-key dispatch on millions of mostly-singleton keys (measured 11 s
     for 1.2M pairs at sf0.1 — the same pathology ``dedup._coarse_groupby``
     exists for); partitioning by hash(src) co-locates every copy of a
-    pair, so one lexsort+mask per partition dedups it (0.9 s)."""
+    pair, so one lexsort+mask per partition dedups it (0.9 s). The SAME
+    lexsort+mask also runs map-side per block (the combiner), so repeated
+    pairs never enter the shuffle — the co-order/partsupp graphs repeat
+    each edge many times (12M raw → ~1.6M distinct at sf1.0)."""
     from .dedup import _coarse_groupby
 
-    def pick(b: pa.Table) -> pa.Table:
-        return pa.table({"src": b[src_col], "dst": b[dst_col]})
-
-    def uniq(g: pa.Table) -> pa.Table:
-        s = g["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = g["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def uniq_arrays(s: np.ndarray, d: np.ndarray) -> pa.Table:
         order = np.lexsort((d, s))
         s, d = s[order], d[order]
-        keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+        keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])] \
+            if len(s) else np.empty(0, dtype=bool)
         return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
+
+    def pick(b: pa.Table) -> pa.Table:
+        return uniq_arrays(
+            b[src_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    def uniq(g: pa.Table) -> pa.Table:
+        return uniq_arrays(
+            g["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["dst"].to_numpy(zero_copy_only=False).astype(np.int64))
 
     return _coarse_groupby(edges_ds.map_batches(pick,
                                                 batch_format="pyarrow"),
@@ -62,7 +71,8 @@ def _distinct_ids(ds, cols, n_parts: int = 64):
     def halves(b: pa.Table) -> pa.Table:
         arrs = [b[c].to_numpy(zero_copy_only=False).astype(np.int64)
                 for c in cols]
-        return pa.table({"id": pa.array(np.concatenate(arrs))})
+        # map-side combiner: dedup within the block before shuffling
+        return pa.table({"id": pa.array(np.unique(np.concatenate(arrs)))})
 
     def uniq(g: pa.Table) -> pa.Table:
         return pa.table({"id": pa.array(np.unique(
@@ -109,7 +119,9 @@ def pagerank_int(edges_ds, src_col: str = "src", dst_col: str = "dst",
                  iters: int = 3, damping_num: int = 85,
                  damping_den: int = 100, scale: int = 1_000_000,
                  num_partitions: int = 16,
-                 broadcast_nodes_max: int = BROADCAST_NODES_MAX):
+                 broadcast_nodes_max: int = BROADCAST_NODES_MAX,
+                 driver_edges_max: int | None = None,
+                 raw_count_hint: int | None = None):
     """Fixed-iteration PageRank in exact integer arithmetic.
 
     r_0(v) = ``scale`` for every node (nodes = distinct src ∪ dst of the
@@ -135,14 +147,37 @@ def pagerank_int(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
     from .dedup import _drop_empty_blocks
 
+    base = (scale * (damping_den - damping_num)) // damping_den
+
+    def pick(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b[src_col], "dst": b[dst_col]})
+
+    # RAW pair sets small enough to fold to the driver (same memory bound
+    # the triangle broadcast plan documents: ≤ ~320 MB of int64 pairs at
+    # the cap) dedup AND iterate there — no distinct-edges shuffle, no
+    # node-set shuffle, zero per-iteration Dataset executions. Output
+    # identical (exact integer arithmetic, associative sums).
+    # ``raw_count_hint`` (an UPPER bound the caller knows, e.g. from
+    # parquet metadata) lets the cutover decide without materializing or
+    # counting the raw pairs at all — the winning path then consumes the
+    # lazy pipeline exactly once.
+    if driver_edges_max is None:
+        driver_edges_max = BROADCAST_EDGES_MAX
+    raw = edges_ds.map_batches(pick, batch_format="pyarrow")
+    if raw_count_hint is None:
+        raw = _drop_empty_blocks(raw.materialize())
+        raw_count_hint = raw.count()
+    if raw_count_hint <= driver_edges_max:
+        return _pagerank_int_driver(raw, iters, damping_num,
+                                    damping_den, scale, base)
+
     edges = _drop_empty_blocks(
-        _distinct_edges(edges_ds, src_col, dst_col).materialize())
+        _distinct_edges(raw, "src", "dst").materialize())
+    raw = None  # release the raw-pair blocks
 
     from ray.data.aggregate import Count
     nodes = _drop_empty_blocks(
         _distinct_ids(edges, ["src", "dst"]).materialize())
-
-    base = (scale * (damping_den - damping_num)) // damping_den
 
     n_nodes = nodes.count()
     if n_nodes <= broadcast_nodes_max:
@@ -198,6 +233,63 @@ def pagerank_int(edges_ds, src_col: str = "src", dst_col: str = "dst",
         return pa.table({"node_id": b["id"], "rank_int": b["r"]})
 
     return ranks.map_batches(rename, batch_format="pyarrow")
+
+
+def _pagerank_int_driver(raw, iters: int, damping_num: int,
+                         damping_den: int, scale: int, base: int):
+    """Driver-exact plan for RAW pair sets ≤ BROADCAST_EDGES_MAX: fold
+    the pairs once, dedup via packed ``np.unique`` (the triangle-fold
+    trick; falls back to a lexsort mask when ids exceed the 2^31 packing
+    bound), derive the node set, and run the integer iterations as
+    ``np.bincount`` folds — bit-identical to the distributed plans
+    (float64 bincount weights are exact: every partial sum is an integer
+    below 2^53, asserted)."""
+    import ray.data as rd
+
+    parts = []
+    for b in raw.iter_batches(batch_size=None, batch_format="pyarrow"):
+        parts.append(np.stack([
+            b["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+    sd = (np.concatenate(parts, axis=1) if parts
+          else np.empty((2, 0), dtype=np.int64))
+    if len(sd[0]) and int(sd.min()) >= 0 and int(sd.max()) < 1 << 31:
+        pairs_u = np.unique((sd[0] << 32) | sd[1])
+        s, d = pairs_u >> 32, pairs_u & 0xFFFFFFFF
+    else:
+        order = np.lexsort((sd[1], sd[0]))
+        s, d = sd[0][order], sd[1][order]
+        keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])] \
+            if len(s) else np.empty(0, dtype=bool)
+        s, d = s[keep], d[keep]
+
+    # s is already sorted (packed-unique order), so its uniques are a
+    # diff mask; only d pays a sort
+    us = s[np.r_[True, s[1:] != s[:-1]]] if len(s) \
+        else np.empty(0, dtype=np.int64)
+    ids = np.union1d(us, np.unique(d))
+    s_idx = np.searchsorted(ids, s)
+    t_idx = np.searchsorted(ids, d)
+    outdeg = np.bincount(s_idx, minlength=len(ids)).astype(np.int64)
+    safe_deg = np.maximum(outdeg, 1)
+    # float64 bincount is exact only while the max possible in-sum
+    # (n_edges·scale) stays below 2^53; exotic scales fall back to the
+    # slower exact int64 scatter-add
+    exact_f64 = len(s) * scale < 1 << 53
+
+    ranks = np.full(len(ids), scale, dtype=np.int64)
+    for _ in range(iters):
+        contrib = ranks // safe_deg
+        if exact_f64:
+            m = np.bincount(t_idx, weights=contrib[s_idx]
+                            .astype(np.float64),
+                            minlength=len(ids)).astype(np.int64)
+        else:
+            m = np.zeros(len(ids), dtype=np.int64)
+            np.add.at(m, t_idx, contrib[s_idx])
+        ranks = base + (damping_num * m) // damping_den
+    return rd.from_arrow(pa.table({"node_id": pa.array(ids),
+                                   "rank_int": pa.array(ranks)}))
 
 
 def _pagerank_int_broadcast(edges, nodes, n_nodes: int, iters: int,
