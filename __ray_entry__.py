@@ -934,6 +934,29 @@ def _q_media_similarity_int(sf_dir: str):
                          vec_col="counts", id_col="media_id")
 
 
+def _q_media_similarity_png(sf_dir: str):
+    """PNG twin of ``media_similarity_int``: the same arithmetic pixel
+    rule, but payloads are REAL PNGs (stdlib-zlib DEFLATE, filter type
+    cycling ``media_id % 5`` so every scanline unfilter — None/Sub/Up/
+    Average/Paeth — sits on the checked path). The engine inflates +
+    unfilters in the actor pool, then integer features → exact integer
+    MIPS top-k. The oracle never sees the payload, so a single wrong
+    reconstructed byte anywhere in the PNG decoder hash-mismatches."""
+    import ray.data as rd
+    from timezonemap_ray.stages import media
+    from timezonemap_ray.stages.ann import mips_topk_int
+    n, w, h = 150, 16, 12
+    ds = rd.from_arrow(media.synth_media_table_arith(n, w, h, fmt="png"))
+    feats = ds.map_batches(media.media_int_features,
+                           batch_format="pyarrow",
+                           batch_size=media.SUGGESTED_BATCH)
+    qids = np.arange(3, dtype=np.int64)
+    qmat = np.stack([media.image_int_features(media.arith_pixels(i, w, h))
+                     for i in range(3)])
+    return mips_topk_int(feats, qids, qmat, k=5,
+                         vec_col="counts", id_col="media_id")
+
+
 def _q_media_decode(sf_dir: str):
     """Multimodal decode plumbing: 200 real TZV1 video containers →
     actor-pool decode of the representative first frame. ORACLE-CHECKED
@@ -2157,6 +2180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         # multimodal similarity, integer-exact twin (pixels SQL-derivable)
         "media_similarity_int": _q_media_similarity_int,
+        # same, through REAL PNG payloads (zlib inflate + all 5 unfilters)
+        "media_similarity_png": _q_media_similarity_png,
         # sketches with full SQL twins (DuckDB rebuilds the sketch)
         "cms_user_counts": _q_cms_user_counts,
         "hll_registers": _q_hll_registers,
@@ -2250,6 +2275,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(9216 AS BIGINT) AS decoded_bytes
             FROM (SELECT unnest(generate_series(0, 199)) AS i) g""",
         "media_similarity_int": oracle.media_similarity_int_sql(),
+        # payload encoding is invisible to the oracle — identical twin
+        "media_similarity_png": oracle.media_similarity_int_sql(),
         "tz_lookup_top1": oracle.sql_tz_lookup_top1(),
         "tz_lookup_all": oracle.sql_tz_lookup_all(),
         "tz_lookup_shuffled": oracle.sql_tz_lookup_top1(),

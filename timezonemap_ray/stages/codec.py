@@ -1,16 +1,20 @@
 """Pure-numpy image / video codecs — REAL byte-level decode without PIL/libav.
 
-The container has no image libraries, but two classic uncompressed formats
-need none: binary PPM (P6) and 24-bit BMP are header + raw pixel bytes, so
-decode/encode/resize are plain numpy. These power the multimodal stages
-(``stages/media.py``) end-to-end on real bytes; compressed formats
-(JPEG/PNG/H.264) remain the documented ``NotImplementedError`` seam where
-PIL/libav would plug in.
+The container has no image libraries, but the formats below need none:
+binary PPM (P6) and 24-bit BMP are header + raw pixel bytes, and PNG only
+needs DEFLATE — which the stdlib ``zlib`` provides — plus the five scanline
+filters, implemented here in numpy. These power the multimodal stages
+(``stages/media.py``) end-to-end on real bytes; the remaining compressed
+formats (JPEG/H.264/MP3) are the documented ``NotImplementedError`` seam
+where PIL / libav would plug in.
 
 Formats:
 - **PPM (P6)**: ``P6\\n<w> <h>\\n255\\n`` + RGB rows, top-down.
 - **BMP (24-bit, BI_RGB)**: 14-byte file header + 40-byte info header +
   BGR rows bottom-up, each padded to 4 bytes.
+- **PNG**: full spec subset — 8-bit gray / RGB / RGBA, all five scanline
+  filters (None/Sub/Up/Average/Paeth), chunk CRC verification, multiple
+  IDAT chunks. Interlace (Adam7), palettes and 16-bit depths raise.
 - **TZV1 video**: a deliberately trivial container for the frame-sample
   stage: ``b"TZV1" + uint32 n_frames + uint32 frame_interval_ms`` then per
   frame ``uint32 byte_length + PPM bytes``. No such container exists in the
@@ -20,6 +24,7 @@ Formats:
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -103,18 +108,172 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# PNG (8-bit gray / RGB / RGBA; filters 0-4; stdlib zlib DEFLATE)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body)))
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (int16 inputs → uint8 choice)."""
+    p = left + up - upleft
+    pa_, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    out = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                   np.where(pb <= pc, up, upleft))
+    return out.astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0,
+               compress_level: int = 6) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes, every row filtered with
+    ``filter_type`` (0-4). Filtering for ENCODE only reads raw pixels, so
+    all five filters vectorize over the whole image at once."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type {filter_type} out of range")
+    rows = np.ascontiguousarray(img).reshape(h, w * 3)
+    if filter_type == 0:
+        filt = rows
+    else:
+        r16 = rows.astype(np.int16)
+        left = np.zeros_like(r16)
+        left[:, 3:] = r16[:, :-3]
+        up = np.zeros_like(r16)
+        up[1:] = r16[:-1]
+        if filter_type == 1:
+            filt = (r16 - left).astype(np.uint8)
+        elif filter_type == 2:
+            filt = (r16 - up).astype(np.uint8)
+        elif filter_type == 3:
+            filt = (r16 - (left + up) // 2).astype(np.uint8)
+        else:  # Paeth
+            upleft = np.zeros_like(r16)
+            upleft[1:, 3:] = r16[:-1, :-3]
+            filt = (r16 - _paeth(left, up, upleft)).astype(np.uint8)
+    scan = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    scan[:, 0] = filter_type
+    scan[:, 1:] = filt
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(scan.tobytes(), compress_level)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB. Supports bit depth 8 with color
+    types 0 (gray, expanded to RGB), 2 (RGB) and 6 (RGBA, alpha dropped);
+    all five scanline filters; multi-IDAT streams; per-chunk CRC checks.
+    Adam7 interlace / palette / 16-bit raise ``NotImplementedError``."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat_parts = 8, None, []
+    while pos + 8 <= len(data):
+        ln, tag = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8:pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", data, pos + 8 + ln)[0]
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat_parts.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat_parts:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, comp, fmeth, interlace = ihdr
+    if comp != 0 or fmeth != 0:
+        raise ValueError("bad PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG — seam")
+    if depth != 8 or ctype not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG depth {depth} / color type {ctype} — only 8-bit "
+            "gray/RGB/RGBA supported")
+    bpp = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat_parts))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes = scan[:, 0]
+    if ftypes.max(initial=0) > 4:
+        raise ValueError("bad PNG filter type")
+    rows = scan[:, 1:].copy()
+    if ftypes.any():  # all-zero filters = already reconstructed
+        rows = _png_unfilter(rows, ftypes, bpp)
+    img = rows.reshape(h, w, bpp)
+    if ctype == 0:
+        img = np.repeat(img, 3, axis=2)
+    elif ctype == 6:
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img)
+
+
+def _png_unfilter(rows: np.ndarray, ftypes: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct filtered scanlines in place ((h, stride) uint8).
+
+    Decode-side reconstruction reads RECONSTRUCTED neighbors, so rows are
+    sequential top-down; within a row, Sub is a per-lane wrapping prefix
+    sum (``np.add.accumulate`` on uint8), Up is one vector add, and
+    Average/Paeth carry a true left-dependency — those loop over pixels
+    with the 1-3 byte lanes vectorized."""
+    h, stride = rows.shape
+    w = stride // bpp
+    for i in range(h):
+        f = int(ftypes[i])
+        if f == 0:
+            continue
+        r = rows[i].reshape(w, bpp)
+        up = (rows[i - 1].reshape(w, bpp) if i else
+              np.zeros((w, bpp), dtype=np.uint8))
+        if f == 1:      # Sub: recon[x] = filt[x] + recon[x-1]  (per lane)
+            np.add.accumulate(r, axis=0, dtype=np.uint8, out=r)
+        elif f == 2:    # Up
+            r += up
+        elif f == 3:    # Average: needs reconstructed left
+            prev = np.zeros(bpp, dtype=np.int16)
+            up16 = up.astype(np.int16)
+            for x in range(w):
+                prev = (r[x] + ((prev + up16[x]) >> 1)).astype(np.uint8)
+                r[x] = prev
+                prev = prev.astype(np.int16)
+        else:           # Paeth
+            prev = np.zeros(bpp, dtype=np.int16)
+            prev_up = np.zeros(bpp, dtype=np.int16)
+            up16 = up.astype(np.int16)
+            for x in range(w):
+                rec = (r[x] + _paeth(prev, up16[x], prev_up)).astype(np.uint8)
+                r[x] = rec
+                prev = rec.astype(np.int16)
+                prev_up = up16[x]
+    return rows
+
+
+# ---------------------------------------------------------------------------
 # dispatch + pixel ops
 # ---------------------------------------------------------------------------
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Sniff the magic and decode. JPEG/PNG are the PIL seam."""
+    """Sniff the magic and decode. JPEG is the remaining PIL seam."""
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
-    if data[:3] == b"\xff\xd8\xff" or data[:8] == b"\x89PNG\r\n\x1a\n":
+    if data[:8] == PNG_SIG:
+        return decode_png(data)
+    if data[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "compressed image decode (JPEG/PNG) requires PIL — seam")
+            "JPEG decode requires PIL/libjpeg — seam")
     raise ValueError("unknown image format")
 
 

@@ -65,8 +65,13 @@ def synth_media_table(media_refs: list, kind: str = "image",
             dur = 1000
         else:
             img = _synth_pixels(ref, w, h)
-            payload = (codec.encode_bmp(img) if fmt == "bmp"
-                       else codec.encode_ppm(img))
+            if fmt == "bmp":
+                payload = codec.encode_bmp(img)
+            elif fmt == "png":
+                # cycle the filter so every PNG filter path gets exercised
+                payload = codec.encode_png(img, filter_type=i % 5)
+            else:
+                payload = codec.encode_ppm(img)
             dur = 0
         rows.append({"media_id": i, "media_ref": ref, "kind": kind,
                      "payload": payload, "width": w, "height": h,
@@ -137,12 +142,18 @@ def arith_pixels(media_id: int, w: int, h: int) -> np.ndarray:
     return (v & np.uint64(255)).astype(np.uint8).reshape(h, w, 3)
 
 
-def synth_media_table_arith(n: int, w: int = 16, h: int = 12) -> pa.Table:
-    """``n`` REAL PPM payloads whose pixels follow :func:`arith_pixels` —
-    the oracle-checkable twin of :func:`synth_media_table`."""
+def synth_media_table_arith(n: int, w: int = 16, h: int = 12,
+                            fmt: str = "ppm") -> pa.Table:
+    """``n`` REAL payloads whose pixels follow :func:`arith_pixels` —
+    the oracle-checkable twin of :func:`synth_media_table`. ``fmt="png"``
+    encodes through DEFLATE with filter type ``media_id % 5``, so an
+    oracle-checked pipeline over this table proves the full PNG decode
+    path (zlib inflate + all five unfilters) bit-for-bit."""
     rows = []
     for i in range(n):
-        payload = codec.encode_ppm(arith_pixels(i, w, h))
+        px = arith_pixels(i, w, h)
+        payload = (codec.encode_png(px, filter_type=i % 5)
+                   if fmt == "png" else codec.encode_ppm(px))
         rows.append({"media_id": i, "media_ref": f"media://arith/{i}",
                      "kind": "image", "payload": payload,
                      "width": w, "height": h, "duration_ms": 0})
