@@ -135,8 +135,8 @@ def test_codec_roundtrips():
     assert (codec.decode_video_frame(vid, 1) == img[::-1]).all()
     r = codec.resize_nearest(img, 10, 8)
     assert r.shape == (8, 10, 3)
-    with pytest.raises(NotImplementedError):
-        codec.decode_image(b"\x89PNG\r\n\x1a\nxxxx")  # PIL seam
+    with pytest.raises(ValueError):
+        codec.decode_image(b"\x89PNG\r\n\x1a\nxxxx")  # real codec: malformed
     with pytest.raises(ValueError):
         codec.decode_image(b"garbage")
 
