@@ -2,8 +2,8 @@
 
 The PNG subset mirrors what a crawl pipeline actually meets for raster
 payloads: 8-bit gray/RGB/RGBA, all five scanline filters, multi-IDAT
-streams, CRC-checked chunks. JPEG remains the documented PIL seam
-(``codec.decode_image`` raises ``NotImplementedError`` on its magic).
+streams, CRC-checked chunks. Baseline JPEG is real too (see
+``tests/test_jpeg.py``); progressive JPEG is the remaining seam.
 """
 
 import struct
@@ -113,8 +113,10 @@ def test_png_interlace_and_16bit_are_seams():
         codec.decode_png(png16)
 
 
-def test_jpeg_stays_a_seam():
-    with pytest.raises(NotImplementedError):
+def test_progressive_jpeg_stays_a_seam():
+    # truncated baseline magic with no parsable segments -> ValueError;
+    # a well-formed progressive (SOF2) stream -> NotImplementedError
+    with pytest.raises(ValueError):
         codec.decode_image(b"\xff\xd8\xff\xe0rest")
 
 

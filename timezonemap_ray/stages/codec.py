@@ -1,12 +1,13 @@
 """Pure-numpy image / video codecs — REAL byte-level decode without PIL/libav.
 
 The container has no image libraries, but the formats below need none:
-binary PPM (P6) and 24-bit BMP are header + raw pixel bytes, and PNG only
+binary PPM (P6) and 24-bit BMP are header + raw pixel bytes, PNG only
 needs DEFLATE — which the stdlib ``zlib`` provides — plus the five scanline
-filters, implemented here in numpy. These power the multimodal stages
+filters, implemented here in numpy, and baseline JPEG is 8x8 DCT + Huffman
+coding (``stages/jpeg.py``). These power the multimodal stages
 (``stages/media.py``) end-to-end on real bytes; the remaining compressed
-formats (JPEG/H.264/MP3) are the documented ``NotImplementedError`` seam
-where PIL / libav would plug in.
+formats (H.264/MP3, progressive JPEG) are the documented
+``NotImplementedError`` seam where libav would plug in.
 
 Formats:
 - **PPM (P6)**: ``P6\\n<w> <h>\\n255\\n`` + RGB rows, top-down.
@@ -15,6 +16,8 @@ Formats:
 - **PNG**: full spec subset — 8-bit gray / RGB / RGBA, all five scanline
   filters (None/Sub/Up/Average/Paeth), chunk CRC verification, multiple
   IDAT chunks. Interlace (Adam7), palettes and 16-bit depths raise.
+- **JPEG**: baseline sequential DCT (``stages/jpeg.py``) — grayscale and
+  YCbCr 4:4:4 / 4:2:2 / 4:2:0, restart markers. Progressive raises.
 - **TZV1 video**: a deliberately trivial container for the frame-sample
   stage: ``b"TZV1" + uint32 n_frames + uint32 frame_interval_ms`` then per
   frame ``uint32 byte_length + PPM bytes``. No such container exists in the
@@ -27,6 +30,9 @@ import struct
 import zlib
 
 import numpy as np
+
+from . import jpeg
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401 — codec namespace
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +270,7 @@ def _png_unfilter(rows: np.ndarray, ftypes: np.ndarray, bpp: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Sniff the magic and decode. JPEG is the remaining PIL seam."""
+    """Sniff the magic and decode (PPM / BMP / PNG / baseline JPEG)."""
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[:2] == b"BM":
@@ -272,8 +278,7 @@ def decode_image(data: bytes) -> np.ndarray:
     if data[:8] == PNG_SIG:
         return decode_png(data)
     if data[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode requires PIL/libjpeg — seam")
+        return jpeg.decode_jpeg(data)
     raise ValueError("unknown image format")
 
 

@@ -1,11 +1,12 @@
 """Multimodal (image/audio/video) stages over opaque ``binary`` payloads.
 
-Round 2: the codec is REAL for the formats pure numpy can handle — binary
-PPM and 24-bit BMP images, and the TZV1 demo video container (see
+The codec layer is REAL byte-level decode — binary PPM, 24-bit BMP, PNG
+(stdlib zlib + numpy filters), baseline JPEG (8x8 DCT + Huffman,
+``stages/jpeg.py``) and the TZV1 demo video container (see
 ``stages/codec.py``). Decode, nearest-neighbor resize, pixel-histogram
-features and per-frame demux all operate on actual bytes; compressed
-formats (JPEG/PNG/H.264) remain the documented ``NotImplementedError``
-seam where PIL / libav would plug in, once per actor in ``__init__``.
+features and per-frame demux all operate on actual bytes; the remaining
+compressed formats (H.264/MP3, progressive JPEG) are the documented
+``NotImplementedError`` seam where libav would plug in.
 
 Each stage is an actor-pool ``map_batches`` class: setup happens once per
 actor; batches stay small (``SUGGESTED_BATCH``) because payload bytes
@@ -70,6 +71,15 @@ def synth_media_table(media_refs: list, kind: str = "image",
             elif fmt == "png":
                 # cycle the filter so every PNG filter path gets exercised
                 payload = codec.encode_png(img, filter_type=i % 5)
+            elif fmt == "jpeg":
+                # cycle subsampling so every JPEG layout gets exercised
+                payload = codec.encode_jpeg(
+                    img, quality=90,
+                    subsample=("4:4:4", "4:2:0", "4:2:2")[i % 3])
+            elif fmt == "mixed":
+                payload = (codec.encode_bmp(img), codec.encode_ppm(img),
+                           codec.encode_png(img, filter_type=i % 5),
+                           codec.encode_jpeg(img, quality=90))[i % 4]
             else:
                 payload = codec.encode_ppm(img)
             dur = 0
