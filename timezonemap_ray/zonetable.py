@@ -92,28 +92,37 @@ def cleanse_ring(lats, lngs):
 def make_zone(zone_id: str, rings) -> ZoneRecord:
     """rings: iterable of (lats, lngs) sequences (ring 0 outer, then holes...).
 
-    M3 note (round 2): the reference force-runs Esri ``OperatorSimplify``
-    (`builder/Main.kt:44-60`), which SPLITS a self-intersecting ring into
-    simple pieces. We keep the ring: even-odd PIP's interior for a
-    crossing ring equals the union of the simplified pieces' interiors
-    (asserted for the bowtie in tests/test_geom.py) AND the area sort key
-    is simplify-consistent too — ``geom.polygon_area_deg2`` routes
-    self-intersecting input through an exact parity scanline, so lobes
-    SUM like Esri's simplified pieces instead of cancelling in the
-    shoelace. Every such ring is still detected and reported so the
-    representation difference stays observable."""
+    M3 (closed in round 4): the reference force-runs Esri
+    ``OperatorSimplify`` (`builder/Main.kt:44-60`), which resolves
+    self-intersecting / mutually-crossing rings into simple pieces.
+    Rounds 2-3 kept dirty rings and made every consumer
+    representation-insensitive (even-odd PIP, parity-scanline area);
+    round 4 normalizes the representation itself:
+    ``geom_simplify.simplify_even_odd`` (planar arrangement + exact
+    parity classification) replaces a non-simple ring set with simple,
+    pairwise non-crossing rings of identical even-odd interior — so the
+    stored geometry matches what the reference builder would serialize.
+    Like the reference (simplify in doubles, store f32), normalized
+    coordinates go through the f32 round-trip afterwards."""
     rec = ZoneRecord(zone_id)
-    for ri, (lats, lngs) in enumerate(rings):
+    for lats, lngs in rings:
         la, ln = cleanse_ring(np.asarray(lats, float), np.asarray(lngs, float))
         if la.size >= 3:
-            if geom.ring_self_intersects(ln, la):
-                import logging
-                logging.getLogger(__name__).warning(
-                    "zone %r ring %d self-intersects; keeping it under "
-                    "even-odd semantics (reference would Esri-simplify — "
-                    "M3; PIP results and area sort key match the "
-                    "simplified form)", zone_id, ri)
             rec.rings.append((la, ln))
+    if rec.rings:
+        from .geom_simplify import polygon_is_simple, simplify_even_odd
+        xs, ys, rs = rec.flat()
+        if not polygon_is_simple(xs, ys, rs):
+            import logging
+            logging.getLogger(__name__).warning(
+                "zone %r: ring set self-intersects or crosses; normalizing "
+                "to simple rings (OperatorSimplify twin, M3)", zone_id)
+            normalized = simplify_even_odd(rec.rings)
+            rec.rings = []
+            for la, ln in normalized:
+                la2, ln2 = cleanse_ring(la, ln)
+                if la2.size >= 3:
+                    rec.rings.append((la2, ln2))
     return rec
 
 
