@@ -2,8 +2,8 @@
 
 The PNG subset mirrors what a crawl pipeline actually meets for raster
 payloads: 8-bit gray/RGB/RGBA, all five scanline filters, multi-IDAT
-streams, CRC-checked chunks. Baseline JPEG is real too (see
-``tests/test_jpeg.py``); progressive JPEG is the remaining seam.
+streams, CRC-checked chunks. Baseline AND progressive JPEG are real
+too (see ``tests/test_jpeg.py``); arithmetic-coded JPEG is the seam.
 """
 
 import struct
@@ -113,9 +113,8 @@ def test_png_interlace_and_16bit_are_seams():
         codec.decode_png(png16)
 
 
-def test_progressive_jpeg_stays_a_seam():
-    # truncated baseline magic with no parsable segments -> ValueError;
-    # a well-formed progressive (SOF2) stream -> NotImplementedError
+def test_truncated_jpeg_rejected():
+    # truncated magic with no parsable frame/scan -> ValueError
     with pytest.raises(ValueError):
         codec.decode_image(b"\xff\xd8\xff\xe0rest")
 

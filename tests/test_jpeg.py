@@ -141,12 +141,58 @@ def test_recompression_near_fixed_point():
     assert np.abs(twice.astype(int) - once.astype(int)).mean() <= 1.0
 
 
-def test_progressive_raises_seam():
+@pytest.mark.parametrize("subsample", ["4:4:4", "4:2:2", "4:2:0"])
+@pytest.mark.parametrize("shape", [(16, 16), (37, 53), (1, 1), (9, 130)])
+def test_progressive_bit_identical_to_baseline(subsample, shape):
+    """The two entropy layouts carry the same quantized coefficients, so
+    decoding must be BIT-identical — the strongest internal-consistency
+    check available without an external decoder."""
+    img = _smooth(*shape)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85,
+                                             subsample=subsample))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(
+        img, quality=85, subsample=subsample))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_gray_and_structure():
+    img = _smooth(24, 40)[:, :, 0]
+    data = jpeg.encode_jpeg_progressive(img, quality=92)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data  # SOF2 only
+    assert data.count(b"\xff\xda") >= 4  # DC first/refine + AC scans
+    assert np.array_equal(jpeg.decode_jpeg(data),
+                          jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=92)))
+
+
+def test_progressive_scan_headers():
+    img = _smooth(16, 16)
+    data = jpeg.encode_jpeg_progressive(img, quality=80, subsample="4:4:4")
+    # collect (ns, Ss, Se, Ah, Al) of each SOS
+    scans = []
+    p = 0
+    while True:
+        p = data.find(b"\xff\xda", p)
+        if p < 0:
+            break
+        seglen = struct.unpack(">H", data[p + 2:p + 4])[0]
+        body = data[p + 4:p + 2 + seglen]
+        ns = body[0]
+        ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+        scans.append((ns, ss, se, ahal >> 4, ahal & 15))
+        p += 2
+    assert scans[0] == (3, 0, 0, 0, 1)    # DC first, interleaved, Al=1
+    assert scans[1] == (3, 0, 0, 1, 0)    # DC refinement
+    assert (1, 1, 5, 0, 1) in scans       # AC band 1..5 first
+    assert (1, 6, 63, 0, 1) in scans      # AC band 6..63 first
+    assert (1, 1, 63, 1, 0) in scans      # AC refinement
+
+
+def test_arithmetic_coding_raises_seam():
     img = _smooth(16, 16)
     data = jpeg.encode_jpeg(img, quality=80)
-    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)  # SOF0 -> SOF2
+    arith = data.replace(b"\xff\xc0", b"\xff\xc9", 1)  # SOF0 -> SOF9
     with pytest.raises(NotImplementedError):
-        jpeg.decode_jpeg(prog)
+        jpeg.decode_jpeg(arith)
 
 
 def test_malformed_raises_valueerror():

@@ -3,11 +3,11 @@
 The container has no image libraries, but the formats below need none:
 binary PPM (P6) and 24-bit BMP are header + raw pixel bytes, PNG only
 needs DEFLATE — which the stdlib ``zlib`` provides — plus the five scanline
-filters, implemented here in numpy, and baseline JPEG is 8x8 DCT + Huffman
-coding (``stages/jpeg.py``). These power the multimodal stages
+filters, implemented here in numpy, and JPEG (baseline + progressive)
+is 8x8 DCT + Huffman coding (``stages/jpeg.py``). These power the multimodal stages
 (``stages/media.py``) end-to-end on real bytes; the remaining compressed
-formats (H.264/MP3, progressive JPEG) are the documented
-``NotImplementedError`` seam where libav would plug in.
+formats (H.264/MP3) are the documented ``NotImplementedError`` seam
+where libav would plug in.
 
 Formats:
 - **PPM (P6)**: ``P6\\n<w> <h>\\n255\\n`` + RGB rows, top-down.
@@ -16,8 +16,9 @@ Formats:
 - **PNG**: full spec subset — 8-bit gray / RGB / RGBA, all five scanline
   filters (None/Sub/Up/Average/Paeth), chunk CRC verification, multiple
   IDAT chunks. Interlace (Adam7), palettes and 16-bit depths raise.
-- **JPEG**: baseline sequential DCT (``stages/jpeg.py``) — grayscale and
-  YCbCr 4:4:4 / 4:2:2 / 4:2:0, restart markers. Progressive raises.
+- **JPEG**: baseline + progressive DCT (``stages/jpeg.py``) — grayscale
+  and YCbCr 4:4:4 / 4:2:2 / 4:2:0, restart markers, spectral selection +
+  successive approximation. Arithmetic coding raises.
 - **TZV1 video**: a deliberately trivial container for the frame-sample
   stage: ``b"TZV1" + uint32 n_frames + uint32 frame_interval_ms`` then per
   frame ``uint32 byte_length + PPM bytes``. No such container exists in the

@@ -8,16 +8,23 @@ conformant encoder in the subset below decode here, and bytes encoded here
 decode in any viewer.
 
 Supported subset (the overwhelmingly common one):
-- **Decode**: baseline sequential DCT (SOF0), 8-bit, 1 component
-  (grayscale) or 3 components (YCbCr), sampling 4:4:4 / 4:2:2 / 4:2:0,
-  multiple DQT/DHT segments, restart markers (DRI / RSTn), APPn/COM
-  skipped.  Progressive (SOF2), arithmetic coding, 12-bit and hierarchical
-  modes raise ``NotImplementedError`` (they are a different entropy layout,
-  not "more of the same").
-- **Encode**: SOF0 grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling,
-  Annex-K quantization tables scaled by the libjpeg quality curve,
-  Annex-K Huffman tables (emitted in DHT, so decode never relies on
-  remembered constants), optional restart interval.
+- **Decode**: baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+  (SOF2: spectral selection + successive approximation, DC/AC first and
+  refinement scans, EOB runs, non-interleaved single-component scans —
+  T.81 G.2), 8-bit, 1 component (grayscale) or 3 components (YCbCr),
+  sampling 4:4:4 / 4:2:2 / 4:2:0, multiple DQT/DHT segments (tables may
+  be redefined between scans), restart markers (DRI / RSTn), APPn/COM
+  skipped.  Arithmetic coding, 12-bit, lossless and hierarchical modes
+  raise ``NotImplementedError``.
+- **Encode**: ``encode_jpeg`` (SOF0 baseline) and
+  ``encode_jpeg_progressive`` (SOF2, a 5-stage scan script with EOB runs
+  capped at one block so the Annex-K tables suffice) — grayscale or
+  YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling, Annex-K quantization
+  tables scaled by the libjpeg quality curve, Annex-K Huffman tables
+  (emitted in DHT, so decode never relies on remembered constants),
+  optional restart interval (baseline).  Progressive and baseline
+  encodings of the same image DECODE BIT-IDENTICALLY (same quantized
+  coefficients through two entropy layouts — pinned in tests).
 
 Performance notes (this runs inside ``map_batches`` actor pools —
 ``stages/media.py``): the DCT / quantization / color transforms are fully
@@ -303,8 +310,10 @@ def _pad_edge(plane, mh, mw):
     return plane
 
 
-def encode_jpeg(img, quality=90, subsample="4:2:0", restart_interval=0):
-    """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JPEG bytes."""
+def _prep_components(img, quality, subsample):
+    """Shared encoder front half: color transform, subsampling, padding,
+    FDCT+quantize. Returns (gray, h, w, comps, zz, grids, mcw, mch,
+    qz_luma, qz_chroma) — comps as (name, h_samp, v_samp, qid)."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
@@ -353,20 +362,51 @@ def encode_jpeg(img, quality=90, subsample="4:2:0", restart_interval=0):
     for name, _, _, qid in comps:
         zz[name] = _fdct_quant(planes[name], qluma if qid == 0 else qchroma)
 
-    # Huffman code tables (symbol -> code/len)
-    dc0 = _canonical_codes(*HUFF_DC_LUMA)
-    ac0 = _canonical_codes(*HUFF_AC_LUMA)
-    dc1 = _canonical_codes(*HUFF_DC_CHROMA)
-    ac1 = _canonical_codes(*HUFF_AC_CHROMA)
-
     mcw = (w + 8 * hmax - 1) // (8 * hmax)
     mch = (h + 8 * vmax - 1) // (8 * vmax)
 
     # per-component block index grids (block raster coords within plane)
     grids = {}
     for name, ch, cv, _ in comps:
-        pb_w = planes[name].shape[1] // 8
-        grids[name] = pb_w
+        grids[name] = planes[name].shape[1] // 8
+
+    return gray, h, w, comps, zz, grids, mcw, mch, qz_luma, qz_chroma
+
+
+def _emit_headers(gray, h, w, comps, qz_luma, qz_chroma, sof_marker):
+    """SOI + APP0 + DQT(s) + SOF + DHT(s) shared by both encoders."""
+    out = [b"\xff\xd8"]  # SOI
+    out.append(b"\xff\xe0" + struct.pack(">H", 16)
+               + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out.append(b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+               + bytes(qz_luma.astype(np.uint8)))
+    if not gray:
+        out.append(b"\xff\xdb" + struct.pack(">H", 67) + b"\x01"
+                   + bytes(qz_chroma.astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (name, ch, cv, qid) in enumerate(comps):
+        sof += struct.pack(">BBB", i + 1, (ch << 4) | cv, qid)
+    out.append(sof_marker + struct.pack(">H", 2 + len(sof)) + sof)
+    hts = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    if not gray:
+        hts += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    for tc_th, (bits, vals) in hts:
+        body = bytes([tc_th]) + bytes(bits[1:17]) + bytes(vals)
+        out.append(b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body)
+    return out
+
+
+def encode_jpeg(img, quality=90, subsample="4:2:0", restart_interval=0):
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JPEG bytes."""
+    (gray, h, w, comps, zz, grids, mcw, mch,
+     qz_luma, qz_chroma) = _prep_components(img, quality, subsample)
+
+    # Huffman code tables (symbol -> code/len)
+    dc0 = _canonical_codes(*HUFF_DC_LUMA)
+    ac0 = _canonical_codes(*HUFF_AC_LUMA)
+    dc1 = _canonical_codes(*HUFF_DC_CHROMA)
+    ac1 = _canonical_codes(*HUFF_AC_CHROMA)
 
     preds = {name: 0 for name, *_ in comps}
     segments = []           # list of packed entropy segments
@@ -392,27 +432,8 @@ def encode_jpeg(img, quality=90, subsample="4:2:0", restart_interval=0):
     segments.append(_pack_bits(codes, lens))
 
     # ---- marker segments ----
-    out = [b"\xff\xd8"]  # SOI
-    out.append(b"\xff\xe0" + struct.pack(">H", 16)
-               + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out.append(b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
-               + bytes(qz_luma.astype(np.uint8)))
-    if not gray:
-        out.append(b"\xff\xdb" + struct.pack(">H", 67) + b"\x01"
-                   + bytes(qz_chroma.astype(np.uint8)))
-    # SOF0
+    out = _emit_headers(gray, h, w, comps, qz_luma, qz_chroma, b"\xff\xc0")
     ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for i, (name, ch, cv, qid) in enumerate(comps):
-        sof += struct.pack(">BBB", i + 1, (ch << 4) | cv, qid)
-    out.append(b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof)
-    # DHT (emit the tables actually used)
-    hts = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
-    if not gray:
-        hts += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
-    for tc_th, (bits, vals) in hts:
-        body = bytes([tc_th]) + bytes(bits[1:17]) + bytes(vals)
-        out.append(b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body)
     if restart_interval:
         out.append(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
     # SOS
@@ -430,15 +451,198 @@ def encode_jpeg(img, quality=90, subsample="4:2:0", restart_interval=0):
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (SOF2) — spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+def _sos_header(scan_comps, stabs, ss, se, ah, al):
+    body = bytes([len(scan_comps)])
+    for cid in scan_comps:
+        body += bytes([cid, stabs[cid]])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
+def encode_jpeg_progressive(img, quality=90, subsample="4:2:0"):
+    """(h, w, 3) RGB / (h, w) gray uint8 -> progressive (SOF2) JPEG bytes.
+
+    Scan script (exercises every progressive decode path):
+      1. DC first, interleaved, Al=1
+      2. DC refinement, Ah=1 -> Al=0
+      3. per component: AC first 1..5, Al=1   (spectral band split)
+      4. per component: AC first 6..63, Al=1
+      5. per component: AC refinement 1..63, Ah=1 -> Al=0
+
+    End-of-band runs are capped at ONE block (plain EOB0) so the
+    Annex-K Huffman tables suffice — larger EOBn symbols are not in
+    Annex K. Decoded output is bit-identical to the baseline encoding
+    of the same image (same quantized coefficients; asserted in
+    tests/test_jpeg.py)."""
+    (gray, h, w, comps, zz, grids, mcw, mch,
+     qz_luma, qz_chroma) = _prep_components(img, quality, subsample)
+    dc0 = _canonical_codes(*HUFF_DC_LUMA)
+    ac0 = _canonical_codes(*HUFF_AC_LUMA)
+    dc1 = _canonical_codes(*HUFF_DC_CHROMA)
+    ac1 = _canonical_codes(*HUFF_AC_CHROMA)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    out = _emit_headers(gray, h, w, comps, qz_luma, qz_chroma, b"\xff\xc2")
+
+    # ---- scan 1: DC first (interleaved), Al=1 -------------------------
+    AL_DC = 1
+    codes, lens = [], []
+    preds = {name: 0 for name, *_ in comps}
+    for my in range(mch):
+        for mx in range(mcw):
+            for name, ch, cv, qid in comps:
+                dct = dc0 if qid == 0 else dc1
+                pb_w = grids[name]
+                for by in range(cv):
+                    for bx in range(ch):
+                        bi = (my * cv + by) * pb_w + (mx * ch + bx)
+                        dc = int(zz[name][bi][0]) >> AL_DC
+                        diff = dc - preds[name]
+                        preds[name] = dc
+                        size = _bitlen(diff)
+                        codes.append(dct[0][size])
+                        lens.append(dct[1][size])
+                        if size:
+                            amp = diff if diff > 0 else diff + (1 << size) - 1
+                            codes.append(amp)
+                            lens.append(size)
+    stabs_dc = {i + 1: ((0 if c[3] == 0 else 1) << 4) | 0
+                for i, c in enumerate(comps)}
+    out.append(_sos_header(list(range(1, len(comps) + 1)), stabs_dc,
+                           0, 0, 0, AL_DC))
+    out.append(_pack_bits(codes, lens))
+
+    # ---- scan 2: DC refinement, Ah=1 Al=0 (one raw bit per block) -----
+    codes, lens = [], []
+    for my in range(mch):
+        for mx in range(mcw):
+            for name, ch, cv, qid in comps:
+                pb_w = grids[name]
+                for by in range(cv):
+                    for bx in range(ch):
+                        bi = (my * cv + by) * pb_w + (mx * ch + bx)
+                        codes.append(int(zz[name][bi][0]) & 1)
+                        lens.append(1)
+    out.append(_sos_header(list(range(1, len(comps) + 1)),
+                           {i + 1: 0 for i in range(len(comps))},
+                           0, 0, 1, 0))
+    out.append(_pack_bits(codes, lens))
+
+    # per-component non-interleaved block order (T.81 ceil dims)
+    def _comp_blocks(ci):
+        name, ch, cv, qid = comps[ci]
+        cw = (w * ch + hmax - 1) // hmax
+        chh = (h * cv + vmax - 1) // vmax
+        bw_s = (cw + 7) // 8
+        bh_s = (chh + 7) // 8
+        pb_w = grids[name]
+        return [by * pb_w + bx for by in range(bh_s) for bx in range(bw_s)]
+
+    AL_AC = 1
+    # ---- scans 3+4: AC first per component, bands 1..5 and 6..63 ------
+    for ss, se in ((1, 5), (6, 63)):
+        for ci, (name, ch, cv, qid) in enumerate(comps):
+            act = ac0 if qid == 0 else ac1
+            codes, lens = [], []
+            for bi in _comp_blocks(ci):
+                blk = zz[name][bi]
+                # point-transformed magnitudes, sign preserved
+                vals = [(int(v) >> AL_AC if v >= 0 else -((-int(v)) >> AL_AC))
+                        for v in blk[ss:se + 1]]
+                nz = [k for k, v in enumerate(vals) if v]
+                run = 0
+                last = -1
+                for k in nz:
+                    run = k - last - 1
+                    last = k
+                    while run >= 16:
+                        codes.append(act[0][0xF0])
+                        lens.append(act[1][0xF0])
+                        run -= 16
+                    v = vals[k]
+                    size = _bitlen(v)
+                    codes.append(act[0][(run << 4) | size])
+                    lens.append(act[1][(run << 4) | size])
+                    amp = v if v > 0 else v + (1 << size) - 1
+                    codes.append(amp)
+                    lens.append(size)
+                if last < se - ss:       # EOB0 (EOBRUN capped at 1 block)
+                    codes.append(act[0][0x00])
+                    lens.append(act[1][0x00])
+            out.append(_sos_header([ci + 1], {ci + 1: qid}, ss, se, 0, AL_AC))
+            out.append(_pack_bits(codes, lens))
+
+    # ---- scan 5: AC refinement per component, Ah=1 Al=0 ----------------
+    for ci, (name, ch, cv, qid) in enumerate(comps):
+        act = ac0 if qid == 0 else ac1
+        codes, lens = [], []
+        for bi in _comp_blocks(ci):
+            blk = zz[name][bi]
+            absv = [abs(int(v)) for v in blk[1:64]]
+            sign = [1 if int(v) > 0 else 0 for v in blk[1:64]]
+            # last NEWLY-significant position gates ZRL emission: trailing
+            # zero runs are absorbed into EOB, never spelled as ZRL
+            eob_idx = max((k for k, t in enumerate(absv) if t == 1),
+                          default=-1)
+            run = 0
+            br_c, br_l = [], []       # buffered correction bits
+            for k in range(63):
+                t = absv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                # flush pending ZRLs at EVERY nonzero position (T.81
+                # G.1.2.3 bit order: ZRL, then the correction bits of the
+                # positions its walk passes — the decoder's skip loop
+                # reads them interleaved in k-order)
+                while run > 15 and k <= eob_idx:
+                    codes.append(act[0][0xF0])
+                    lens.append(act[1][0xF0])
+                    codes.extend(br_c)
+                    lens.extend(br_l)
+                    br_c, br_l = [], []
+                    run -= 16
+                if t > 1:
+                    # previously significant: correction bit, run-transparent
+                    br_c.append(t & 1)
+                    br_l.append(1)
+                    continue
+                # newly significant (|coef| == 1)
+                codes.append(act[0][(run << 4) | 1])
+                lens.append(act[1][(run << 4) | 1])
+                codes.append(sign[k])
+                lens.append(1)
+                codes.extend(br_c)
+                lens.extend(br_l)
+                br_c, br_l = [], []
+                run = 0
+            if run > 0 or br_c:
+                codes.append(act[0][0x00])    # EOB0
+                lens.append(act[1][0x00])
+                codes.extend(br_c)
+                lens.extend(br_l)
+        out.append(_sos_header([ci + 1], {ci + 1: qid}, 1, 63, 1, 0))
+        out.append(_pack_bits(codes, lens))
+
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
 class _BitReader:
-    __slots__ = ("buf", "pos")
+    __slots__ = ("buf", "pos", "limit")
 
     def __init__(self, buf):
         self.buf = buf + b"\x00\x00\x00\x00"
         self.pos = 0
+        self.limit = 8 * len(buf)  # consuming past the real bits = truncation
 
     def peek16(self):
         byte = self.pos >> 3
@@ -453,10 +657,14 @@ class _BitReader:
         off = self.pos & 7
         word = int.from_bytes(self.buf[byte:byte + 4], "big")
         self.pos += n
+        if self.pos > self.limit:
+            raise ValueError("truncated entropy-coded segment")
         return (word >> (32 - off - n)) & ((1 << n) - 1)
 
     def skip(self, n):
         self.pos += n
+        if self.pos > self.limit:
+            raise ValueError("truncated entropy-coded segment")
 
 
 def _extend(bits, size):
@@ -478,7 +686,11 @@ def _destuff(data):
 
 
 def decode_jpeg(data):
-    """Baseline JPEG bytes -> (h, w, 3) RGB or (h, w) grayscale uint8."""
+    """JPEG bytes -> (h, w, 3) RGB or (h, w) grayscale uint8.
+
+    Baseline sequential (SOF0/SOF1) and progressive (SOF2: spectral
+    selection + successive approximation, T.81 G.2) — every scan
+    accumulates into one coefficient store, reconstructed at EOI."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -486,7 +698,8 @@ def decode_jpeg(data):
     luts = {}
     frame = None
     restart = 0
-    scan = None
+    store = None
+    any_scan = False
     n = len(data)
     while pos < n:
         if data[pos] != 0xFF:
@@ -523,7 +736,7 @@ def decode_jpeg(data):
                 vals = list(body[bpos + 17:bpos + 17 + nv])
                 luts[(tc, th)] = _decode_lut(bits, vals)
                 bpos += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progr.
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -532,45 +745,143 @@ def decode_jpeg(data):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcw = (w + 8 * hmax - 1) // (8 * hmax)
+            mch = (h + 8 * vmax - 1) // (8 * vmax)
+            frame = {"h": h, "w": w, "comps": comps,
+                     "hmax": hmax, "vmax": vmax, "mcw": mcw, "mch": mch,
+                     "progressive": marker == 0xC2}
+            store = {c["id"]: np.zeros((mch * c["v"] * mcw * c["h"], 64),
+                                       dtype=np.int32) for c in comps}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/arithmetic/hierarchical)")
+                "non-baseline JPEG (arithmetic/lossless/hierarchical)")
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
+            scan_cids = []
             stabs = {}
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                scan_cids.append(cs)
                 stabs[cs] = (tdta >> 4, tdta & 0x0F)
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             # entropy-coded data runs until the next non-RST marker
-            scan_start = pos
             p = pos
             while p < n - 1:
                 if data[p] == 0xFF and data[p + 1] not in (0x00,) \
                         and not (0xD0 <= data[p + 1] <= 0xD7):
                     break
                 p += 1
-            scan = (scan_start, p, stabs)
+            _decode_scan_into(data[pos:p], frame, store, scan_cids, stabs,
+                              luts, restart, ss, se, ah, al)
+            any_scan = True
             pos = p
         # APPn / COM / others: skipped via seglen
-    if frame is None or scan is None:
+    if frame is None or not any_scan:
         raise ValueError("truncated JPEG (no frame/scan)")
-    return _decode_scan(data, frame, scan, qtabs, luts, restart)
+    return _reconstruct(frame, store, qtabs)
 
 
-def _decode_scan(data, frame, scan, qtabs, luts, restart):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    start, end, stabs = scan
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcw = (w + 8 * hmax - 1) // (8 * hmax)
-    mch = (h + 8 * vmax - 1) // (8 * vmax)
+def _huff(rd, sym_lut, len_lut, what):
+    pk = rd.peek16()
+    s = int(sym_lut[pk])
+    if s < 0:
+        raise ValueError("bad Huffman code (%s)" % what)
+    rd.skip(int(len_lut[pk]))
+    return s
+
+
+def _dc_first(rd, blk, preds, cid, dc_lut, al):
+    s = _huff(rd, dc_lut[0], dc_lut[1], "DC")
+    preds[cid] += _extend(rd.read(s), s)
+    blk[0] = preds[cid] << al
+
+
+def _ac_first(rd, blk, ac_lut, ss, se, al, eobrun):
+    """AC first scan (also the baseline AC layout at ss=1 se=63 al=0)."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = _huff(rd, ac_lut[0], ac_lut[1], "AC")
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:           # ZRL
+                k += 16
+                continue
+            eobrun[0] = (1 << r) - 1  # EOBn: this block ends, r more follow
+            if r:
+                eobrun[0] += rd.read(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        blk[k] = _extend(rd.read(s), s) << al
+        k += 1
+
+
+def _ac_refine(rd, blk, ac_lut, ss, se, al, eobrun):
+    """AC successive-approximation refinement (T.81 G.1.2.3)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            sym = _huff(rd, ac_lut[0], ac_lut[1], "AC")
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun[0] = 1 << r   # includes the current block
+                    if r:
+                        eobrun[0] += rd.read(r)
+                    break
+                # ZRL: walk 16 zero-history positions below
+            else:
+                newval = p1 if rd.read(1) else m1
+            # walk: skip r zero-history positions, correcting nonzero ones
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if rd.read(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun[0] > 0:
+        # correction bits for remaining nonzero-history positions
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and rd.read(1) and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _decode_scan_into(raw, frame, store, scan_cids, stabs, luts, restart,
+                      ss, se, ah, al):
+    """Decode one scan's entropy data into the coefficient store."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcw, mch = frame["mcw"], frame["mch"]
+    by_id = {c["id"]: c for c in frame["comps"]}
+    comps = [by_id[cid] for cid in scan_cids]
+    progressive = frame["progressive"]
 
     # split entropy data on restart markers, destuff each segment
-    raw = data[start:end]
     if restart:
         segs = []
         p0 = 0
@@ -585,61 +896,75 @@ def _decode_scan(data, frame, scan, qtabs, luts, restart):
         segs = [raw]
     readers = [_BitReader(_destuff(s)) for s in segs]
 
-    # per-component coefficient storage (zigzag order), block raster layout
-    store = {}
-    for c in comps:
+    # MCU structure: interleaved for multi-component scans; a
+    # single-component scan is non-interleaved — MCU = one block over the
+    # component's OWN ceil-dimension grid (T.81 A.2.2), mapped into the
+    # interleaved store layout
+    if len(comps) > 1:
+        mcus = []
+        for my in range(mch):
+            for mx in range(mcw):
+                blocks = []
+                for c in comps:
+                    bw = mcw * c["h"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blocks.append((c["id"],
+                                           (my * c["v"] + by) * bw
+                                           + (mx * c["h"] + bx)))
+                mcus.append(blocks)
+    else:
+        c = comps[0]
+        bw_s = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
+        bh_s = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
         bw = mcw * c["h"]
-        bh = mch * c["v"]
-        store[c["id"]] = np.zeros((bh * bw, 64), dtype=np.int32)
+        mcus = [[(c["id"], by * bw + bx)]
+                for by in range(bh_s) for bx in range(bw_s)]
+
+    needs_dc = not progressive or (ss == 0 and ah == 0)
+    needs_ac = not progressive or ss > 0
+    dc_luts = {}
+    ac_luts = {}
+    for c in comps:
+        td, ta = stabs[c["id"]]
+        if needs_dc:
+            if (0, td) not in luts:
+                raise ValueError("missing DC Huffman table %d" % td)
+            dc_luts[c["id"]] = luts[(0, td)]
+        if needs_ac:
+            if (1, ta) not in luts:
+                raise ValueError("missing AC Huffman table %d" % ta)
+            ac_luts[c["id"]] = luts[(1, ta)]
 
     preds = {c["id"]: 0 for c in comps}
+    eobrun = [0]
     seg_i = 0
     rd = readers[0]
-    mcu_count = 0
-    for my in range(mch):
-        for mx in range(mcw):
-            if restart and mcu_count and mcu_count % restart == 0:
-                seg_i += 1
-                rd = readers[seg_i]
-                preds = {c["id"]: 0 for c in comps}
-            for c in comps:
-                td, ta = stabs[c["id"]]
-                dc_sym, dc_len = luts[(0, td)]
-                ac_sym, ac_len = luts[(1, ta)]
-                bw = mcw * c["h"]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        bi = (my * c["v"] + by) * bw + (mx * c["h"] + bx)
-                        blk = store[c["id"]][bi]
-                        # DC
-                        pk = rd.peek16()
-                        s = int(dc_sym[pk])
-                        if s < 0:
-                            raise ValueError("bad Huffman code (DC)")
-                        rd.skip(int(dc_len[pk]))
-                        diff = _extend(rd.read(s), s)
-                        preds[c["id"]] += diff
-                        blk[0] = preds[c["id"]]
-                        # AC
-                        k = 1
-                        while k < 64:
-                            pk = rd.peek16()
-                            sym = int(ac_sym[pk])
-                            if sym < 0:
-                                raise ValueError("bad Huffman code (AC)")
-                            rd.skip(int(ac_len[pk]))
-                            if sym == 0x00:      # EOB
-                                break
-                            if sym == 0xF0:      # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            size = sym & 0x0F
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            blk[k] = _extend(rd.read(size), size)
-                            k += 1
-            mcu_count += 1
+    for mcu_count, blocks in enumerate(mcus):
+        if restart and mcu_count and mcu_count % restart == 0:
+            seg_i += 1
+            rd = readers[seg_i]
+            preds = {c["id"]: 0 for c in comps}
+            eobrun = [0]
+        for cid, bi in blocks:
+            blk = store[cid][bi]
+            if not progressive:
+                _dc_first(rd, blk, preds, cid, dc_luts[cid], 0)
+                _ac_first(rd, blk, ac_luts[cid], 1, 63, 0, eobrun)
+            elif ss == 0 and ah == 0:
+                _dc_first(rd, blk, preds, cid, dc_luts[cid], al)
+            elif ss == 0:
+                blk[0] = int(blk[0]) | (rd.read(1) << al)
+            elif ah == 0:
+                _ac_first(rd, blk, ac_luts[cid], ss, se, al, eobrun)
+            else:
+                _ac_refine(rd, blk, ac_luts[cid], ss, se, al, eobrun)
+
+
+def _reconstruct(frame, store, qtabs):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcw, mch = frame["mcw"], frame["mch"]
 
     # dequantize + IDCT per component (vectorized over all blocks)
     planes = {}

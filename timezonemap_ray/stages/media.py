@@ -5,8 +5,8 @@ The codec layer is REAL byte-level decode — binary PPM, 24-bit BMP, PNG
 ``stages/jpeg.py``) and the TZV1 demo video container (see
 ``stages/codec.py``). Decode, nearest-neighbor resize, pixel-histogram
 features and per-frame demux all operate on actual bytes; the remaining
-compressed formats (H.264/MP3, progressive JPEG) are the documented
-``NotImplementedError`` seam where libav would plug in.
+compressed formats (H.264/MP3) are the documented ``NotImplementedError``
+seam where libav would plug in.
 
 Each stage is an actor-pool ``map_batches`` class: setup happens once per
 actor; batches stay small (``SUGGESTED_BATCH``) because payload bytes
@@ -99,8 +99,8 @@ class MediaDecoder:
 
     def __init__(self, feature_dim: int = 32, strict: bool = False,
                  fake: bool = False):
-        # `fake` kept for API compat; the codec is real now. Compressed
-        # formats are the remaining PIL/libav seam (raised per payload).
+        # `fake` kept for API compat; the codec is real now (incl. PNG
+        # and baseline+progressive JPEG); H.264/MP3 remain the libav seam.
         self.feature_dim = feature_dim
         self.strict = strict
         self.fake = fake
