@@ -19,10 +19,12 @@ Formats:
 - **JPEG**: baseline + progressive DCT (``stages/jpeg.py``) — grayscale
   and YCbCr 4:4:4 / 4:2:2 / 4:2:0, restart markers, spectral selection +
   successive approximation. Arithmetic coding raises.
-- **TZV1 video**: a deliberately trivial container for the frame-sample
-  stage: ``b"TZV1" + uint32 n_frames + uint32 frame_interval_ms`` then per
-  frame ``uint32 byte_length + PPM bytes``. No such container exists in the
-  wild — it stands in for the demux step a real format needs.
+- **AVI / MJPEG video**: a REAL RIFF container (hdrl/avih/strh/strf,
+  movi with '00dc' chunks, idx1) holding our baseline JPEGs — readable
+  by any player/ffmpeg; demux touches only chunk offsets.
+- **TZV1 video**: a deliberately trivial legacy container for the
+  frame-sample stage: ``b"TZV1" + uint32 n_frames + uint32
+  frame_interval_ms`` then per frame ``uint32 byte_length + PPM bytes``.
 """
 
 from __future__ import annotations
@@ -322,16 +324,94 @@ def encode_video(frames: list, frame_interval_ms: int = 1000) -> bytes:
     return b"".join(parts)
 
 
+def encode_avi_mjpeg(frames: list, fps: int = 1, quality: int = 90) -> bytes:
+    """List of (h, w, 3) uint8 frames → AVI (RIFF) with MJPG-compressed
+    frames — a REAL container any player/ffmpeg reads: hdrl (avih + one
+    'vids'/'MJPG' stream), movi with '00dc' chunks, idx1 index.  Frames
+    are our own baseline JPEGs (``stages/jpeg.py``)."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    jpgs = [jpeg.encode_jpeg(f, quality=quality) for f in frames]
+    n = len(jpgs)
+    usec = max(int(1_000_000 // max(fps, 1)), 1)
+    maxb = max(len(j) for j in jpgs)
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(tag, body):
+        return chunk(b"LIST", tag + body)
+
+    avih = struct.pack("<14I", usec, maxb * fps, 0, 0x10,  # AVIF_HASINDEX
+                       n, 0, 1, maxb, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIiI4h", b"vids", b"MJPG", 0, 0, 0,
+                       0, 1, fps, 0, n, maxb, -1, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", j) for j in jpgs)
+    movi = lst(b"movi", movi_body)
+    # idx1 offsets are relative to the start of the movi list data ('movi')
+    idx = []
+    off = 4
+    for j in jpgs:
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _avi_frames(data: bytes):
+    """AVI bytes → (frame byte-ranges, frame_interval_ms). Walks RIFF
+    chunks; only offsets are touched, no frame decoded."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    interval_ms = 0
+    ranges = []
+    pos = 12
+    end = 8 + struct.unpack_from("<I", data, 4)[0]
+
+    def walk(pos, end):
+        nonlocal interval_ms
+        while pos + 8 <= end:
+            tag = data[pos:pos + 4]
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            body = pos + 8
+            if tag == b"LIST":
+                walk(body + 4, body + size)
+            elif tag == b"avih":
+                interval_ms = struct.unpack_from("<I", data, body)[0] // 1000
+            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+                ranges.append((body, body + size))
+            pos = body + size + (size % 2)
+
+    walk(pos, end)
+    return ranges, interval_ms
+
+
 def video_info(data: bytes) -> tuple[int, int]:
-    """(n_frames, frame_interval_ms) without decoding any frame."""
-    if data[:4] != b"TZV1":
-        raise ValueError("not a TZV1 video")
-    return struct.unpack_from("<II", data, 4)
+    """(n_frames, frame_interval_ms) without decoding any frame.
+    TZV1 or AVI/MJPEG."""
+    if data[:4] == b"TZV1":
+        return struct.unpack_from("<II", data, 4)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        ranges, interval = _avi_frames(data)
+        return len(ranges), interval
+    raise ValueError("not a TZV1/AVI video")
 
 
 def decode_video_frame(data: bytes, frame_idx: int) -> np.ndarray:
-    """Decode ONE frame by seeking the length-prefixed stream — the demux
-    step: only the requested frame's bytes are touched."""
+    """Decode ONE frame by seeking the container index — the demux step:
+    only the requested frame's bytes are parsed. TZV1 or AVI/MJPEG."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        ranges, _ = _avi_frames(data)
+        if not (0 <= frame_idx < len(ranges)):
+            raise IndexError(f"frame {frame_idx} of {len(ranges)}")
+        a, b = ranges[frame_idx]
+        return decode_image(data[a:b])
     n, _ = video_info(data)
     if not (0 <= frame_idx < n):
         raise IndexError(f"frame {frame_idx} of {n}")

@@ -50,7 +50,10 @@ def synth_media_table(media_refs: list, kind: str = "image",
     for i, ref in enumerate(media_refs):
         if kind == "video":
             frames = [_synth_pixels(f"{ref}#f{k}", w, h) for k in range(5)]
-            payload = codec.encode_video(frames, frame_interval_ms=1000)
+            if fmt == "avi":
+                payload = codec.encode_avi_mjpeg(frames, fps=1)
+            else:
+                payload = codec.encode_video(frames, frame_interval_ms=1000)
             dur = 5000
         elif kind == "audio":
             import hashlib
@@ -107,7 +110,8 @@ class MediaDecoder:
 
     def _decode_one(self, payload: bytes):
         """→ (features_source_array, decoded_nbytes)."""
-        if payload[:4] == b"TZV1":
+        if payload[:4] == b"TZV1" or (payload[:4] == b"RIFF"
+                                      and payload[8:12] == b"AVI "):
             img = codec.decode_video_frame(payload, 0)
             return codec.image_features(img, self.feature_dim), img.nbytes
         if payload[:4] == b"RIFF":
