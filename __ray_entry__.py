@@ -957,6 +957,28 @@ def _q_media_similarity_png(sf_dir: str):
                          vec_col="counts", id_col="media_id")
 
 
+def _q_media_frames_avi(sf_dir: str):
+    """AVI/MJPEG demux plumbing (round 4): 60 REAL RIFF/AVI containers
+    (hdrl/movi/idx1 over baseline JPEGs, `stages/codec.py`) → distributed
+    FrameSampler → one row per sampled frame. ORACLE-CHECKED via the
+    sampling invariant: 5 frames at 1 fps over a 5000 ms clip sampled
+    every 1000 ms ⇒ exactly rows (mid, t·1000, 24, 16) for t in 0..4 —
+    a constant SQL table, so a failed demux, an off-by-one frame index,
+    or wrong decoded dimensions all hash-mismatch (frame CONTENT is
+    JPEG-decoded and pytest-bound in tests/test_codec.py)."""
+    import ray.data as rd
+
+    from timezonemap_ray.stages import media
+    refs = [f"media://avi/{i}" for i in range(60)]
+    ds = rd.from_arrow(media.synth_media_table(refs, kind="video",
+                                               w=24, h=16, fmt="avi"))
+    out = ds.map_batches(media.FrameSampler, batch_format="pyarrow",
+                         batch_size=media.SUGGESTED_BATCH,
+                         concurrency=(1, 4),
+                         fn_constructor_kwargs={"every_ms": 1000})
+    return out.select_columns(["media_id", "frame_ms", "frame_w", "frame_h"])
+
+
 def _q_media_decode(sf_dir: str):
     """Multimodal decode plumbing: 200 real TZV1 video containers →
     actor-pool decode of the representative first frame. ORACLE-CHECKED
@@ -2178,6 +2200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_pipeline": _q_training_pipeline,
         # multimodal decode plumbing (decode-size invariant oracle)
         "media_decode": _q_media_decode,
+        # AVI/MJPEG demux through FrameSampler (sampling-invariant oracle)
+        "media_frames_avi": _q_media_frames_avi,
         # multimodal similarity, integer-exact twin (pixels SQL-derivable)
         "media_similarity_int": _q_media_similarity_int,
         # same, through REAL PNG payloads (zlib inflate + all 5 unfilters)
@@ -2274,6 +2298,13 @@ def oracle_sql() -> dict[str, str]:
                    'media://blob/' || CAST(g.i AS VARCHAR) AS media_ref,
                    CAST(9216 AS BIGINT) AS decoded_bytes
             FROM (SELECT unnest(generate_series(0, 199)) AS i) g""",
+        "media_frames_avi": """
+            SELECT CAST(m.i AS BIGINT) AS media_id,
+                   CAST(t.j * 1000 AS INTEGER) AS frame_ms,
+                   CAST(24 AS INTEGER) AS frame_w,
+                   CAST(16 AS INTEGER) AS frame_h
+            FROM (SELECT unnest(generate_series(0, 59)) AS i) m,
+                 (SELECT unnest(generate_series(0, 4)) AS j) t""",
         "media_similarity_int": oracle.media_similarity_int_sql(),
         # payload encoding is invisible to the oracle — identical twin
         "media_similarity_png": oracle.media_similarity_int_sql(),
