@@ -957,6 +957,26 @@ def _q_media_similarity_png(sf_dir: str):
                          vec_col="counts", id_col="media_id")
 
 
+def _q_media_decode_mixed(sf_dir: str):
+    """Mixed-format image decode plumbing (round 4): 160 images cycling
+    BMP / PPM / PNG / baseline-JPEG payloads → actor-pool decode.
+    ORACLE-CHECKED via the decode-size invariant: every payload —
+    including the DCT+Huffman JPEG quarter — must decode to exactly
+    w·h·3 = 32·20·3 = 1920 frame bytes with id/ref intact, so a failed
+    JPEG Huffman decode, a dimension bug, or a dropped row all
+    hash-mismatch (pixel fidelity is pytest-bound, tests/test_jpeg.py)."""
+    import ray.data as rd
+
+    from timezonemap_ray.stages import media
+    refs = [f"media://mixed/{i}" for i in range(160)]
+    ds = rd.from_arrow(media.synth_media_table(refs, kind="image",
+                                               w=32, h=20, fmt="mixed"))
+    out = ds.map_batches(media.MediaDecoder, batch_format="pyarrow",
+                         batch_size=media.SUGGESTED_BATCH,
+                         concurrency=(1, 4))
+    return out.select_columns(["media_id", "media_ref", "decoded_bytes"])
+
+
 def _q_media_frames_avi(sf_dir: str):
     """AVI/MJPEG demux plumbing (round 4): 60 REAL RIFF/AVI containers
     (hdrl/movi/idx1 over baseline JPEGs, `stages/codec.py`) → distributed
@@ -2202,6 +2222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         # AVI/MJPEG demux through FrameSampler (sampling-invariant oracle)
         "media_frames_avi": _q_media_frames_avi,
+        # mixed BMP/PPM/PNG/JPEG decode (size-invariant oracle)
+        "media_decode_mixed": _q_media_decode_mixed,
         # multimodal similarity, integer-exact twin (pixels SQL-derivable)
         "media_similarity_int": _q_media_similarity_int,
         # same, through REAL PNG payloads (zlib inflate + all 5 unfilters)
@@ -2298,6 +2320,11 @@ def oracle_sql() -> dict[str, str]:
                    'media://blob/' || CAST(g.i AS VARCHAR) AS media_ref,
                    CAST(9216 AS BIGINT) AS decoded_bytes
             FROM (SELECT unnest(generate_series(0, 199)) AS i) g""",
+        "media_decode_mixed": """
+            SELECT CAST(g.i AS BIGINT) AS media_id,
+                   'media://mixed/' || CAST(g.i AS VARCHAR) AS media_ref,
+                   CAST(1920 AS BIGINT) AS decoded_bytes
+            FROM (SELECT unnest(generate_series(0, 159)) AS i) g""",
         "media_frames_avi": """
             SELECT CAST(m.i AS BIGINT) AS media_id,
                    CAST(t.j * 1000 AS INTEGER) AS frame_ms,

@@ -213,3 +213,53 @@ def test_fb_and_parquet_archives_agree(tmp_path):
     assert t1["zone_id"].to_pylist() == t2["zone_id"].to_pylist()
     assert t1["rings"].to_pylist() == t2["rings"].to_pylist()
     assert t1["area_rank"].to_pylist() == t2["area_rank"].to_pylist()
+
+
+def test_archive_interop_system_zstd_and_gnu_tar(fb_archive, tmp_path):
+    """EXTERNAL validation: the archive must decompress with the real
+    zstd binary and list/extract with GNU tar — byte-level interop
+    evidence independent of this repo's own reader."""
+    import shutil
+    import subprocess
+    zstd = shutil.which("zstd")
+    if zstd is None or shutil.which("tar") is None:
+        pytest.skip("system zstd/tar unavailable")
+    out = tmp_path / "out.tar"
+    subprocess.run([zstd, "-d", "-q", fb_archive, "-o", str(out)],
+                   check=True)
+    res = subprocess.run(["tar", "-tf", str(out)], capture_output=True,
+                         text=True, check=True)
+    names = res.stdout.splitlines()
+    assert names[0].rstrip("/") == "Version: 1.0:2020d"
+    assert len(names) == 1 + worlds.conformance_table().num_rows
+    # every zone entry: {tzid}/{4-float CSV}
+    for nm in names[1:]:
+        frag = nm.rstrip("/").rsplit("/", 1)[-1]
+        assert len(frag.split(",")) == 4, nm
+    # extract everything with GNU tar and FlatBuffer-parse one payload
+    xdir = tmp_path / "x"
+    xdir.mkdir()
+    subprocess.run(["tar", "-xf", str(out), "-C", str(xdir)], check=True)
+    payloads = [p for p in xdir.rglob("*") if p.is_file() and p.stat().st_size]
+    assert payloads
+    zid, polys = fb.deserialize_timezone(payloads[0].read_bytes())
+    assert zid and polys and len(polys[0][0]) >= 3
+
+
+def test_archive_reads_foreign_zstd_frames(tmp_path):
+    """The reader must accept frames produced by the REAL zstd binary
+    (arbitrary level, not pyarrow's)."""
+    import shutil
+    import subprocess
+    zstd = shutil.which("zstd")
+    if zstd is None:
+        pytest.skip("system zstd unavailable")
+    plain = tmp_path / "zones.tar"
+    write_map_archive(worlds.conformance_table(), str(plain), "2020d",
+                      compression="uncompressed")
+    comp = tmp_path / "zones.tar.zst"
+    subprocess.run([zstd, "-19", "-q", str(plain), "-o", str(comp)],
+                   check=True)
+    table, stats = read_map_archive(str(comp))
+    assert table.num_rows == worlds.conformance_table().num_rows
+    assert stats["map_version"] == "1.0:2020d"
