@@ -263,3 +263,13 @@ def test_archive_reads_foreign_zstd_frames(tmp_path):
     table, stats = read_map_archive(str(comp))
     assert table.num_rows == worlds.conformance_table().num_rows
     assert stats["map_version"] == "1.0:2020d"
+
+
+def test_engine_from_reference_archive(fb_archive):
+    """TimeZoneEngine.from_archive sniffs the reference wire format — a
+    Java-built archive opens directly, region-scoped."""
+    from timezonemap_ray.api import TimeZoneEngine
+    eng = TimeZoneEngine.from_archive(fb_archive,
+                                      region=(38.0, -10.0, 42.0, -5.0))
+    assert eng.map_version == "1.0:2020d"
+    assert eng.get_overlapping_time_zone(39.666304, -7.558607) == "Test/West"

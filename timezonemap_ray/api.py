@@ -53,10 +53,20 @@ class TimeZoneEngine:
         """Open a tar+zstd zone ARCHIVE (the reference's bring-your-own-
         archive stream, `TimeZoneMap.kt:104-113`): region-scoped opens skip
         non-overlapping zones from the entry NAME alone — payload bytes for
-        pruned zones are never parsed (``sources/archive.py``)."""
+        pruned zones are never parsed (``sources/archive.py``).
+
+        Sniffs the payload format: the repo's parquet-payload twin
+        (``ZSTDTAR1``) and the reference's EXACT wire format (standard
+        zstd frame or plain tar of FlatBuffer payloads — round 4) both
+        open, so archives built by the Java reference work directly."""
         from .index import WORLD
-        from .sources.archive import read_zone_archive
-        table, stats = read_zone_archive(path, region=region)
+        from .sources.archive import read_map_archive, read_zone_archive
+        with open(path, "rb") as f:
+            magic = f.read(8)
+        if magic == b"ZSTDTAR1":
+            table, stats = read_zone_archive(path, region=region)
+        else:
+            table, stats = read_map_archive(path, region=region)
         eng = cls(build_index(table, region=region or WORLD,
                               check_version=False, **kw))
         eng.index.map_version = stats["map_version"]
