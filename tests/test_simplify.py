@@ -235,3 +235,64 @@ def test_polygon_is_simple_gate():
     xs, ys, st = _flat([_ring([(0, 0), (10, 0), (10, 10), (0, 10)]),
                         _ring([(3, 3), (3, 7), (7, 7), (7, 3)])])
     assert polygon_is_simple(xs, ys, st)
+
+
+def test_dirty_world_build_rehearsal():
+    """End-to-end build rehearsal with DIRTY geometry: a world of
+    self-intersecting star rings goes through make_zone (normalization),
+    the reference-format archive, and the engine — lookups must equal an
+    engine built from the hand-normalized rings."""
+    from timezonemap_ray.index import build_index, lookup_batch
+    from timezonemap_ray.sources.archive import (read_map_archive,
+                                                 write_map_archive)
+    from timezonemap_ray.zonetable import make_zone, zones_to_table
+
+    rng = np.random.default_rng(41)
+    recs = []
+    for i in range(40):
+        cx, cy = (i % 8) * 10.0 - 35.0, (i // 8) * 10.0 - 20.0
+        n = int(rng.integers(6, 12))
+        th = rng.uniform(0, 2 * np.pi, n)     # unsorted angles => bowties
+        r = rng.uniform(1.5, 4.0, n)
+        lats = cy + r * np.sin(th)
+        lngs = cx + r * np.cos(th)
+        recs.append(make_zone(f"Dirty/Z{i}", [(lats, lngs)]))
+    table = zones_to_table(recs)
+    # every stored ring set is simple now
+    from timezonemap_ray.zonetable import table_to_records
+    for rec in table_to_records(table):
+        assert polygon_is_simple(rec["xs"], rec["ys"], rec["ring_start"])
+    # archive round-trip preserves the normalized geometry exactly
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        p = td + "/dirty.tar.zstd"
+        write_map_archive(table, p, "2020d")
+        loaded, _ = read_map_archive(p)
+    assert loaded["rings"].to_pylist() == table["rings"].to_pylist()
+    # lookups through the engine agree with direct even-odd PIP on the
+    # ORIGINAL dirty rings (interior equivalence, the M3 contract)
+    idx = build_index(table)
+    pts_lat = rng.uniform(-25, 30, 4000)
+    pts_lng = rng.uniform(-40, 45, 4000)
+    got = lookup_batch(idx, pts_lat, pts_lng)["zone_id"]
+    # rebuild expectation from the raw dirty rings per zone
+    raw = {}
+    for i in range(40):
+        cx, cy = (i % 8) * 10.0 - 35.0, (i // 8) * 10.0 - 20.0
+        raw[f"Dirty/Z{i}"] = i  # zones are spatially disjoint by layout
+    # each point: expected zone = the single zone whose dirty interior
+    # contains it (cells are 10 deg apart, radius <= 4 => no overlap)
+    rng2 = np.random.default_rng(41)
+    # regenerate the same dirty rings
+    for i in range(40):
+        cx, cy = (i % 8) * 10.0 - 35.0, (i // 8) * 10.0 - 20.0
+        n = int(rng2.integers(6, 12))
+        th = rng2.uniform(0, 2 * np.pi, n)
+        r = rng2.uniform(1.5, 4.0, n)
+        lats = cy + r * np.sin(th)
+        lngs = cx + r * np.cos(th)
+        xs, ys, st = _flat([(lats, lngs)])
+        d = _min_dist_to_edges(pts_lng, pts_lat, [(lats, lngs)])
+        inside = geom._even_odd_interior(pts_lng, pts_lat, xs, ys, st)
+        sel = inside & (d > 1e-6)
+        assert (got[sel] == f"Dirty/Z{i}").all(), f"zone {i}"
