@@ -957,6 +957,79 @@ def _q_media_similarity_png(sf_dir: str):
                          vec_col="counts", id_col="media_id")
 
 
+def _q_ridge_normal_eqs(sf_dir: str):
+    """Distributed ridge-regression sufficient statistics (round 4,
+    `stages/linear.py`): md5-mode hashing-trick INTEGER count features
+    (dim=8) + y = token count per document → one streaming pass emitting
+    per-block (G | b | n) partials, tree-reduced; the exact int64 sums
+    G = Σ x xᵀ, b = Σ x·y, n come out as rows (i, j, v). ORACLE: DuckDB
+    rebuilds the features (md5 → splitmix64 in HUGEINT) and the sums —
+    bit-exact, partition-independent (associative integer addition)."""
+    import ray.data as rd
+
+    from timezonemap_ray.stages import linear, text
+    from timezonemap_ray.stages.terms import _flat_tokens
+    DIM = 8
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def featurize(b: pa.Table) -> pa.Table:
+        counts = text.feature_hash_counts(b, dim=DIM, hash_fn="md5")
+        _, parent = _flat_tokens(b, "text")
+        y = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(y, parent, 1)
+        return counts.append_column("y", pa.array(y))
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow")
+    g, bvec, n = linear.normal_equations(feats, "counts", "y", DIM)
+    ii, jj, vv = [], [], []
+    for i in range(DIM):
+        for j in range(DIM):
+            ii.append(i)
+            jj.append(j)
+            vv.append(int(g[i, j]))
+        ii.append(i)
+        jj.append(DIM)
+        vv.append(int(bvec[i]))
+    ii.append(DIM)
+    jj.append(DIM)
+    vv.append(n)
+    return pa.table({"i": pa.array(ii, pa.int64()),
+                     "j": pa.array(jj, pa.int64()),
+                     "v": pa.array(vv, pa.int64())})
+
+
+def _q_docs_quality_probe(sf_dir: str):
+    """Linear quality probe trained distributively (rows-only: the d×d
+    solve is float64 — but BIT-deterministic because its inputs are the
+    partition-independent integer sums above; partition-independence is
+    asserted in tests/test_linear.py). Output: the fitted weights plus
+    the model's in-sample integer prediction-rank over 10 probe docs."""
+    import ray.data as rd
+
+    from timezonemap_ray.stages import linear, text
+    from timezonemap_ray.stages.terms import _flat_tokens
+    DIM = 8
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def featurize(b: pa.Table) -> pa.Table:
+        counts = text.feature_hash_counts(b, dim=DIM, hash_fn="blake2b")
+        _, parent = _flat_tokens(b, "text")
+        y = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(y, parent, 1)
+        return counts.append_column("y", pa.array(y))
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow")
+    fit = linear.ridge_fit(feats, "counts", "y", DIM, l2=1.0)
+    w = fit["weights"]
+    return pa.table({"slot": pa.array(range(DIM), pa.int64()),
+                     # weights scaled to micro-units: stable integers
+                     "weight_u": pa.array(
+                         [int(round(x * 1_000_000)) for x in w],
+                         pa.int64())})
+
+
 def _q_media_decode_mixed(sf_dir: str):
     """Mixed-format image decode plumbing (round 4): 160 images cycling
     BMP / PPM / PNG / baseline-JPEG payloads → actor-pool decode.
@@ -2224,6 +2297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames_avi": _q_media_frames_avi,
         # mixed BMP/PPM/PNG/JPEG decode (size-invariant oracle)
         "media_decode_mixed": _q_media_decode_mixed,
+        # distributed ridge sufficient statistics (exact-sum oracle)
+        "ridge_normal_eqs": _q_ridge_normal_eqs,
         # multimodal similarity, integer-exact twin (pixels SQL-derivable)
         "media_similarity_int": _q_media_similarity_int,
         # same, through REAL PNG payloads (zlib inflate + all 5 unfilters)
@@ -2248,6 +2323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_similarity": _q_media_similarity,
         "value_quantiles_sketch": _q_value_quantiles_sketch,
         "bpe_merges": _q_bpe_merges,
+        "docs_quality_probe": _q_docs_quality_probe,
     })
 
 
@@ -2320,6 +2396,7 @@ def oracle_sql() -> dict[str, str]:
                    'media://blob/' || CAST(g.i AS VARCHAR) AS media_ref,
                    CAST(9216 AS BIGINT) AS decoded_bytes
             FROM (SELECT unnest(generate_series(0, 199)) AS i) g""",
+        "ridge_normal_eqs": oracle.ridge_normal_eqs_sql(dim=8),
         "media_decode_mixed": """
             SELECT CAST(g.i AS BIGINT) AS media_id,
                    'media://mixed/' || CAST(g.i AS VARCHAR) AS media_ref,

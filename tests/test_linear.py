@@ -1,0 +1,89 @@
+"""Distributed ridge regression (``stages/linear.py``): exact normal
+equations, partition independence, numpy parity, predict stage."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from timezonemap_ray.stages import linear
+
+
+def _make_ds(x, y, n_blocks=1):
+    import ray.data as rd
+    d = x.shape[1]
+    flat = pa.array(x.reshape(-1))
+    tbl = pa.table({"vec": pa.FixedSizeListArray.from_arrays(flat, d),
+                    "y": pa.array(y)})
+    ds = rd.from_arrow(tbl)
+    return ds.repartition(n_blocks) if n_blocks > 1 else ds
+
+
+@pytest.fixture(scope="module")
+def int_data():
+    rng = np.random.default_rng(11)
+    x = rng.integers(-9, 10, size=(500, 6)).astype(np.int64)
+    w_true = np.array([3, -1, 0, 2, 5, -4], dtype=np.int64)
+    y = x @ w_true + rng.integers(-2, 3, size=500)
+    return x, y.astype(np.int64)
+
+
+def test_normal_equations_exact(ray_session, int_data):
+    x, y = int_data
+    g, b, n = linear.normal_equations(_make_ds(x, y), "vec", "y", 6)
+    assert np.array_equal(g, x.T @ x)
+    assert np.array_equal(b, x.T @ y)
+    assert n == 500
+
+
+def test_partition_independence_bit_exact(ray_session, int_data):
+    """Integer sums are associative: any block layout must give the SAME
+    statistics and therefore bit-identical solved weights."""
+    x, y = int_data
+    fits = [linear.ridge_fit(_make_ds(x, y, nb), "vec", "y", 6, l2=0.5)
+            for nb in (1, 7, 23)]
+    for f in fits[1:]:
+        assert np.array_equal(f["gram"], fits[0]["gram"])
+        assert np.array_equal(f["xty"], fits[0]["xty"])
+        assert f["weights"].tobytes() == fits[0]["weights"].tobytes()
+
+
+def test_ridge_matches_numpy(ray_session, int_data):
+    x, y = int_data
+    fit = linear.ridge_fit(_make_ds(x, y, 5), "vec", "y", 6, l2=2.0)
+    a = (x.T @ x).astype(np.float64) + 2.0 * np.eye(6)
+    w_ref = np.linalg.solve(a, (x.T @ y).astype(np.float64))
+    assert np.allclose(fit["weights"], w_ref, rtol=0, atol=0)  # same inputs
+    # near-noiseless data recovers the generating weights
+    assert np.allclose(fit["weights"], [3, -1, 0, 2, 5, -4], atol=0.1)
+
+
+def test_float_path(ray_session):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(400, 4))
+    w_true = np.array([1.5, -2.0, 0.25, 3.0])
+    y = x @ w_true + rng.normal(scale=0.01, size=400)
+    fit = linear.ridge_fit(_make_ds(x, y, 4), "vec", "y", 4,
+                           l2=1e-6, integer=False)
+    assert np.allclose(fit["weights"], w_true, atol=0.01)
+
+
+def test_predict_stage(ray_session, int_data):
+    x, y = int_data
+    fit = linear.ridge_fit(_make_ds(x, y, 3), "vec", "y", 6, l2=0.5)
+    ds = _make_ds(x, y, 3).map_batches(
+        linear.predict_stage(fit["weights"], "vec"),
+        batch_format="pyarrow")
+    pdf = ds.to_pandas()
+    pred = np.asarray(pdf["prediction"])
+    # in-sample fit on near-noiseless data is tight
+    resid = pred - np.asarray(pdf["y"], dtype=np.float64)
+    assert np.sqrt((resid ** 2).mean()) < 2.0
+
+
+def test_empty_and_single_row(ray_session):
+    x = np.array([[2, 3]], dtype=np.int64)
+    y = np.array([7], dtype=np.int64)
+    g, b, n = linear.normal_equations(_make_ds(x, y), "vec", "y", 2)
+    assert np.array_equal(g, [[4, 6], [6, 9]])
+    assert np.array_equal(b, [14, 21])
+    assert n == 1

@@ -629,6 +629,47 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rn <= {k}"""
 
 
+def ridge_normal_eqs_sql(dim: int = 8, table: str = "documents",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """SQL TWIN of the distributed ridge sufficient statistics
+    (``stages/linear.normal_equations`` over md5-mode
+    ``text.feature_hash_counts`` features with y = token count): rebuilds
+    the integer hashed-count vectors (md5 → splitmix64 in HUGEINT, bucket
+    ``h % dim``, sign bit 63) and the EXACT sums G = Σ x xᵀ, b = Σ x·y,
+    n — emitted as rows (i, j, v): G at j < dim, b at j = dim, n at
+    (dim, dim)."""
+    chain, out = _sql_smix_chain("t.h0", "rg")
+    sign_cut = 1 << 63
+    return f"""WITH tok AS (
+  SELECT {id_col}, unnest(regexp_extract_all({text_col}, '\\S+')) AS w
+  FROM {table}),
+th AS (SELECT {id_col}, {_sql_md5_u64('w')} AS h0 FROM tok),
+hh AS (SELECT t.{id_col}, {out} AS h FROM th t{chain}),
+cnt AS (SELECT {id_col}, CAST(h % {dim} AS BIGINT) AS bucket,
+               sum(CASE WHEN h >= CAST('{sign_cut}' AS HUGEINT)
+                        THEN -1 ELSE 1 END) AS c
+        FROM hh GROUP BY 1, 2),
+yv AS (SELECT d.{id_col}, COALESCE(tc.yy, 0) AS y
+       FROM {table} d LEFT JOIN (SELECT {id_col}, count(*) AS yy
+                                 FROM tok GROUP BY 1) tc USING ({id_col})),
+gsum AS (SELECT c1.bucket AS i, c2.bucket AS j, sum(c1.c * c2.c) AS v
+         FROM cnt c1 JOIN cnt c2 USING ({id_col}) GROUP BY 1, 2),
+bsum AS (SELECT c.bucket AS i, sum(c.c * y.y) AS v
+         FROM cnt c JOIN yv y USING ({id_col}) GROUP BY 1),
+grid AS (SELECT a.i, b.j
+         FROM (SELECT unnest(range({dim})) AS i) a,
+              (SELECT unnest(range({dim})) AS j) b)
+SELECT g.i, g.j, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+FROM grid g LEFT JOIN gsum s ON s.i = g.i AND s.j = g.j
+UNION ALL
+SELECT a.i, CAST({dim} AS BIGINT) AS j, CAST(COALESCE(b.v, 0) AS BIGINT) AS v
+FROM (SELECT unnest(range({dim})) AS i) a LEFT JOIN bsum b ON b.i = a.i
+UNION ALL
+SELECT CAST({dim} AS BIGINT), CAST({dim} AS BIGINT),
+       (SELECT count(*) FROM {table})"""
+
+
 def embedding_dedup_int_sql(dim: int = 64, threshold_num: int = 361,
                             threshold_den: int = 400, n_bits: int = 12,
                             scale: int = 10_000, seed: int = 23,

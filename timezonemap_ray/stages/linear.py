@@ -1,0 +1,116 @@
+"""Distributed linear probes — ridge regression via exact normal equations.
+
+The training-data-pipeline counterpart of ``stages/pca.py``: fit a linear
+model (a "quality probe" / linear readout) over a corpus-sized feature
+column without ever moving rows. The sufficient statistics of ridge
+regression are PURE SUMS,
+
+    G = Σ x xᵀ   (d×d Gram),   b = Σ x·y,   n = Σ 1,
+
+so each ``map_batches`` block emits one (d² + d + 1)-number partial,
+partials tree-reduce through :func:`ann.collapse_partials` (driver reads
+O(fanin) blocks regardless of input size), and the d×d solve happens once
+on the driver — O(d²) bytes cross the cluster, never O(rows).
+
+Exactness: with INTEGER features and targets (the hashing-trick count
+vectors of ``text.feature_hash_counts``), G and b are associative int64
+sums — bit-identical under any partitioning — so the solved weights are
+PARTITION-INDEPENDENT to the last bit (same guarantee the integer k-means
+/ exact-covariance PCA paths give; asserted in tests/test_linear.py).
+The (G, b, n) statistics themselves are SQL-checkable: the driver query
+``ridge_normal_eqs`` has a DuckDB twin that rebuilds the md5-hashed
+features and the exact sums (``oracle.ridge_normal_eqs_sql``).
+
+Scale notes (100 TB): one streaming pass, zero shuffles; partial size is
+d²·8 bytes (d=256 → 512 KiB/block) — keep d ≤ ~2k for this plan, beyond
+that use the block-sparse Gram variant (bucket pairs by nonzero overlap)
+before reaching for iterative solvers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .ann import collapse_partials
+
+
+def _vec_matrix(batch: pa.Table, vec_col: str, dtype) -> np.ndarray:
+    col = batch[vec_col].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.flatten() if hasattr(col, "flatten") else col.values
+    arr = vals.to_numpy(zero_copy_only=False).astype(dtype)
+    return arr.reshape(batch.num_rows, -1)
+
+
+def normal_eq_partials(ds, vec_col: str, target_col: str,
+                       integer: bool = True):
+    """Dataset with fixed-size-list ``vec_col`` + numeric ``target_col``
+    → collapsed partial table with ONE flattened (G | b | n) row vector
+    per remaining block."""
+    dtype = np.int64 if integer else np.float64
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        x = _vec_matrix(batch, vec_col, dtype)
+        y = batch[target_col].to_numpy(zero_copy_only=False).astype(dtype)
+        d = x.shape[1]
+        g = x.T @ x                       # (d, d) exact for int64
+        b = x.T @ y                       # (d,)
+        flat = np.concatenate([g.reshape(-1), b,
+                               np.array([batch.num_rows], dtype=dtype)])
+        return pa.table({"partial": pa.FixedSizeListArray.from_arrays(
+            pa.array(flat), len(flat))})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        m = _vec_matrix(batch, "partial", dtype)
+        s = m.sum(axis=0)
+        return pa.table({"partial": pa.FixedSizeListArray.from_arrays(
+            pa.array(s), len(s))})
+
+    return collapse_partials(
+        ds.map_batches(block_partial, batch_format="pyarrow",
+                       batch_size=None),
+        combine)
+
+
+def normal_equations(ds, vec_col: str, target_col: str, dim: int,
+                     integer: bool = True):
+    """→ (G (d,d), b (d,), n) — exact sums over the whole dataset."""
+    dtype = np.int64 if integer else np.float64
+    parts = normal_eq_partials(ds, vec_col, target_col, integer=integer)
+    total = np.zeros(dim * dim + dim + 1, dtype=dtype)
+    for batch in parts.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"):
+        total += _vec_matrix(batch, "partial", dtype).sum(axis=0)
+    g = total[:dim * dim].reshape(dim, dim)
+    b = total[dim * dim:dim * dim + dim]
+    n = int(total[-1])
+    return g, b, n
+
+
+def ridge_fit(ds, vec_col: str, target_col: str, dim: int,
+              l2: float = 1e-3, integer: bool = True) -> dict:
+    """Fit ``argmin_w ||Xw - y||² + l2·||w||²`` in one distributed pass.
+
+    Returns ``{"weights", "n", "gram", "xty"}``. With integer inputs the
+    statistics are partition-independent-exact, so the float solve is
+    bit-reproducible across any block layout."""
+    g, b, n = normal_equations(ds, vec_col, target_col, dim,
+                               integer=integer)
+    a = g.astype(np.float64) + l2 * np.eye(dim)
+    w = np.linalg.solve(a, b.astype(np.float64))
+    return {"weights": w, "n": n, "gram": g, "xty": b}
+
+
+def predict_stage(weights: np.ndarray, vec_col: str,
+                  out_col: str = "prediction"):
+    """map_batches fn adding ``out_col = x · w`` (weights broadcast via
+    closure capture — Ray ships them once per task, ~d·8 bytes)."""
+    w = np.asarray(weights, dtype=np.float64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = _vec_matrix(batch, vec_col, np.float64)
+        return batch.append_column(out_col, pa.array(x @ w))
+
+    return fn
