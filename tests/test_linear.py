@@ -87,3 +87,58 @@ def test_empty_and_single_row(ray_session):
     assert np.array_equal(g, [[4, 6], [6, 9]])
     assert np.array_equal(b, [14, 21])
     assert n == 1
+
+
+@pytest.fixture(scope="module")
+def logit_data():
+    rng = np.random.default_rng(29)
+    x = rng.normal(size=(1200, 5))
+    w_true = np.array([2.0, -1.5, 0.0, 1.0, -0.5])
+    p = 1.0 / (1.0 + np.exp(-(x @ w_true)))
+    y = (rng.uniform(size=1200) < p).astype(np.int64)
+    return x, y, w_true
+
+
+def test_logistic_matches_driver_newton(ray_session, logit_data):
+    """Distributed IRLS == a single-process Newton reference on the same
+    data (same algorithm, so agreement is near machine precision)."""
+    x, y, _ = logit_data
+    fit = linear.logistic_fit(_make_ds(x, y, 6), "vec", "y", 5, l2=1.0)
+    assert fit["converged"]
+
+    w = np.zeros(5)
+    for _ in range(fit["n_iter"] + 5):
+        z = x @ w
+        p = 1.0 / (1.0 + np.exp(-z))
+        s = np.clip(p * (1 - p), 1e-12, None)
+        h = (x * s[:, None]).T @ x + 1.0 * np.eye(5)
+        g = x.T @ (y - p) - 1.0 * w
+        step = np.linalg.solve(h, g)
+        nrm = float(np.abs(step).max())
+        if nrm > 10.0:
+            step *= 10.0 / nrm
+        w = w + step
+    assert np.allclose(fit["weights"], w, atol=1e-6)
+
+
+def test_logistic_recovers_direction(ray_session, logit_data):
+    x, y, w_true = logit_data
+    fit = linear.logistic_fit(_make_ds(x, y, 4), "vec", "y", 5, l2=0.1)
+    w = fit["weights"]
+    # direction recovered (logistic scale is data-dependent)
+    cos = (w @ w_true) / (np.linalg.norm(w) * np.linalg.norm(w_true))
+    assert cos > 0.98
+    # in-sample accuracy well above chance
+    pred = (x @ w > 0).astype(np.int64)
+    assert (pred == y).mean() > 0.85
+
+
+def test_logistic_gradient_zero_at_solution(ray_session, logit_data):
+    """First-order optimality: at the fitted weights the regularized
+    gradient must vanish — independent of how the reference iterated."""
+    x, y, _ = logit_data
+    fit = linear.logistic_fit(_make_ds(x, y, 3), "vec", "y", 5, l2=1.0)
+    w = fit["weights"]
+    p = 1.0 / (1.0 + np.exp(-(x @ w)))
+    grad = x.T @ (y - p) - 1.0 * w
+    assert np.abs(grad).max() < 1e-4
