@@ -1030,6 +1030,38 @@ def _q_docs_quality_probe(sf_dir: str):
                          pa.int64())})
 
 
+def _q_docs_quality_classifier(sf_dir: str):
+    """Distributed quality-classifier TRAINING (rows-only: float IRLS;
+    reproducibility pytest-bound in tests/test_linear.py): logistic
+    regression over hashing-trick features predicting the deterministic
+    label text_length > 400, trained by distributed Newton — the
+    CCNet/DCLM-style corpus filter. Output: fitted weights (micro-unit
+    ints) + iteration/loss diagnostics."""
+    import ray.data as rd
+
+    from timezonemap_ray.stages import linear, text
+    DIM = 8
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def featurize(b: pa.Table) -> pa.Table:
+        counts = text.feature_hash_counts(b, dim=DIM, hash_fn="blake2b")
+        lens = pc.utf8_length(b["text"])
+        label = pc.cast(pc.greater(lens, pa.scalar(400)), pa.int64())
+        return counts.append_column("label", label)
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow")
+    fit = linear.logistic_fit(feats, "counts", "label", DIM, l2=1.0)
+    w = fit["weights"]
+    return pa.table({
+        "slot": pa.array(range(DIM), pa.int64()),
+        "weight_u": pa.array([int(round(x * 1_000_000)) for x in w],
+                             pa.int64()),
+        "n_iter": pa.array([fit["n_iter"]] * DIM, pa.int64()),
+        "n_docs": pa.array([fit["n"]] * DIM, pa.int64()),
+    })
+
+
 def _q_media_decode_mixed(sf_dir: str):
     """Mixed-format image decode plumbing (round 4): 160 images cycling
     BMP / PPM / PNG / baseline-JPEG payloads → actor-pool decode.
@@ -2324,6 +2356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_sketch": _q_value_quantiles_sketch,
         "bpe_merges": _q_bpe_merges,
         "docs_quality_probe": _q_docs_quality_probe,
+        "docs_quality_classifier": _q_docs_quality_classifier,
     })
 
 
