@@ -2404,13 +2404,15 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings,
                    (SELECT unnest(generate_series(0, 63)) AS i) gi),
             pairs AS (
-              SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS s
+              SELECT a.i AS i, b.i AS j,
+                     CAST(sum(a.q * b.q) AS BIGINT) AS s
               FROM m a JOIN m b USING (vec_id)
               WHERE a.i <= b.i GROUP BY a.i, b.i),
-            firsts AS (SELECT i, CAST(-1 AS BIGINT) AS j, sum(q) AS s
+            firsts AS (SELECT i, CAST(-1 AS BIGINT) AS j,
+                              CAST(sum(q) AS BIGINT) AS s
                        FROM m GROUP BY i),
             cnt AS (SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
-                           count(*) AS s FROM embeddings)
+                           CAST(count(*) AS BIGINT) AS s FROM embeddings)
             SELECT i, j, s FROM pairs
             UNION ALL SELECT i, j, s FROM firsts
             UNION ALL SELECT i, j, s FROM cnt""",

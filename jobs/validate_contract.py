@@ -5,6 +5,16 @@ dir and compare SQL-expressible ones against ``oracle_sql()`` via DuckDB
 query and a final summary; exit code 1 on any mismatch.
 
     python jobs/validate_contract.py [sf_dir=/root/testdata/sf0.01]
+                                     [--strict] [--only=q1,q2,...]
+
+``--strict`` additionally compares the physical pandas dtype of every
+column between the engine result and the DuckDB oracle result (before
+any coercion) and counts a drift as a failure even when the values
+match.  The external driver's value hash IS dtype-sensitive — an
+oracle ``sum()`` that comes back HUGEINT->float64 against an engine
+int64 hashes differently despite equal values (the round-4 red row) —
+so the default lenient compare would mask exactly the failure mode the
+driver punishes.
 """
 
 from __future__ import annotations
@@ -28,8 +38,26 @@ def norm(df):
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def dtype_drift(a, b):
+    """Columns whose physical dtype differs between engine (a) and
+    oracle (b) normalized frames."""
+    drifted = []
+    for c in a.columns:
+        da, db = a[c].dtype, b[c].dtype
+        if str(da) == str(db):
+            continue
+        drifted.append(f"{c}: engine={da} oracle={db}")
+    return drifted
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    strict = "--strict" in sys.argv
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import ray
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
@@ -51,6 +79,8 @@ def main():
     qs, oracles = m.queries(), m.oracle_sql()
     failures = []
     for name in sorted(qs):
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             res = qs[name](sf_dir)
@@ -61,6 +91,7 @@ def main():
                 assert list(a.columns) == list(b.columns), \
                     f"columns {list(a.columns)} != {list(b.columns)}"
                 assert len(a) == len(b), f"rows {len(a)} != {len(b)}"
+                drift = dtype_drift(a, b) if strict else []
                 for c in a.columns:
                     if str(a[c].dtype) != str(b[c].dtype):
                         try:
@@ -68,6 +99,8 @@ def main():
                         except (TypeError, ValueError):
                             pass
                 pd.testing.assert_frame_equal(a, b, check_dtype=False)
+                if drift:
+                    raise AssertionError("dtype drift: " + "; ".join(drift))
                 status = f"ORACLE-OK ({len(a)} rows)"
             else:
                 assert len(df) > 0, "empty result"
