@@ -7,11 +7,13 @@
 - ``hash_join``: big ⋈ big via Ray Data's hash-shuffle ``Dataset.join``.
 - ``asof_join``: per-key ordered as-of join (each left row matched to the
   latest right row with ``right_on <= left_on``) — a custom operator Ray
-  Data lacks, composed from co-partitioning ``groupby(key)`` +
-  ``map_groups`` with a pandas ``merge_asof`` inside each group.
-  Partitioning assumption: all rows of one key fit in one group task
-  (bounded per-key history); skewed keys would need the same salting as the
-  spatial path.
+  Data lacks, composed from coarse key-hash co-partitioning + one
+  vectorized searchsorted per partition.  The default plan assumes one
+  key's history fits one partition; ``time_salt=S`` removes that
+  assumption by additionally range-partitioning the timeline into S
+  buckets and running a carry-in boundary pass (the last preceding right
+  row per key crosses each bucket edge), so a single pathological hot
+  key distributes over S tasks.
 """
 
 from __future__ import annotations
@@ -323,8 +325,19 @@ def range_join(ds, lows, highs, labels, value_col: str,
     return ds.map_batches(attach, batch_format="pyarrow")
 
 
+def _time_i8(v):
+    """Scalar time → int64 (datetimes via their epoch representation)."""
+    if isinstance(v, (int, np.integer)):
+        return np.int64(v)
+    import pandas as pd
+    if isinstance(v, (np.datetime64, pd.Timestamp)):
+        return np.int64(pd.Timestamp(v).value)
+    return np.int64(v)
+
+
 def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
-              value_cols: list):
+              value_cols: list, time_salt: int | None = None,
+              time_bounds: tuple | None = None):
     """As-of join: for each left row, the latest right row of the same key
     with ``right_on <= on``; appended ``value_cols`` are null when no right
     row precedes. Both sides shuffle once on the key.
@@ -335,7 +348,20 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
     events_rolling / window_funcs partitions; no pandas conversion, so
     value columns keep their exact Arrow types (no null-upcast to
     float64). Ties on (key, time) match the LAST right row in partition
-    order, the ``pd.merge_asof`` convention this replaced."""
+    order, the ``pd.merge_asof`` convention this replaced.
+
+    ``time_salt=S`` (de-skew plan, for hot keys whose history exceeds one
+    partition): rows are additionally range-partitioned into S uniform
+    time buckets, so one key's timeline spreads over up to S group tasks.
+    Semantics are preserved by a boundary pass — for every (key, bucket)
+    the last right row of any EARLIER bucket is replicated into the
+    bucket as a carry-in (its time strictly precedes everything in the
+    bucket, so the same searchsorted kernel picks it exactly when no
+    in-bucket right row precedes a left row).  Bucket boundaries come
+    from a min/max aggregate over the time columns (one column-pruned
+    pass; pass ``time_bounds=(lo, hi)`` ints to skip it when the caller
+    already knows the range).  Use the default plan unless keys are
+    skewed: the carry table holds ≤ distinct-right-keys × S rows."""
     left_schema = left.schema()
     left_cols = [c for c in left_schema.names]
     left_types = dict(zip(left_schema.names, left_schema.types))
@@ -367,6 +393,31 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
             out = out.append_column(c, b[c])
         return out
 
+    salt = int(time_salt) if time_salt and time_salt > 1 else 0
+    lo_i8 = width = None
+    if salt:
+        if time_bounds is not None:
+            lo_i8, hi_i8 = np.int64(time_bounds[0]), np.int64(time_bounds[1])
+        else:
+            # one column-pruned pass per side; upstream lineage re-executes
+            # for the join itself (callers with expensive upstreams should
+            # pass time_bounds or materialize first)
+            from ray.data.aggregate import Max, Min
+            ls = left.select_columns([on]).aggregate(Min(on), Max(on))
+            rs = right.select_columns([right_on]).aggregate(
+                Min(right_on), Max(right_on))
+            cands = [v for v in (ls[f"min({on})"], rs[f"min({right_on})"])
+                     if v is not None]
+            cands_hi = [v for v in (ls[f"max({on})"], rs[f"max({right_on})"])
+                        if v is not None]
+            if not cands or not cands_hi:
+                salt = 0  # an empty side: nothing to de-skew
+            else:
+                lo_i8 = min(_time_i8(v) for v in cands)
+                hi_i8 = max(_time_i8(v) for v in cands_hi)
+        if salt:
+            width = np.int64(max(1, (int(hi_i8) - int(lo_i8)) // salt + 1))
+
     left = left.map_batches(tag_left, batch_format="pyarrow")
     right = right.map_batches(tag_right, batch_format="pyarrow")
     both = left.union(right)
@@ -378,9 +429,19 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
 
     from .select import _hash_part_of
 
+    def _tv_i8(col) -> np.ndarray:
+        tv = col.to_numpy(zero_copy_only=False)
+        if tv.dtype.kind in "Mm":
+            tv = tv.view("i8")
+        return tv
+
     def add_part(b: pa.Table) -> pa.Table:
-        return b.append_column(
+        b = b.append_column(
             "_part", pa.array(_hash_part_of(b[key], 64)))
+        if salt:
+            bkt = np.clip((_tv_i8(b[on]) - lo_i8) // width, 0, salt - 1)
+            b = b.append_column("_bkt", pa.array(bkt.astype(np.int64)))
+        return b
 
     def merge_part(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
@@ -417,8 +478,71 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
         out.update({c: pc.take(g.column(c), rsel) for c in value_cols})
         return pa.table(out)
 
-    return both.map_batches(add_part, batch_format="pyarrow") \
-        .groupby("_part").map_groups(merge_part, batch_format="pyarrow")
+    parted = both.map_batches(add_part, batch_format="pyarrow")
+    if not salt:
+        return parted.groupby("_part").map_groups(
+            merge_part, batch_format="pyarrow")
+
+    # --- de-skew boundary pass -------------------------------------
+    # For every (key, bucket) the last right row of any earlier bucket
+    # is replicated into the bucket; its time strictly precedes the
+    # bucket start, so merge_part's searchsorted picks it exactly when
+    # no in-bucket right row precedes a left row.
+
+    def _last_per_key_bucket(b: pa.Table) -> pa.Table:
+        """Keep the last right row per (key, bucket) of this batch — a
+        combiner: each batch contributes ≤ distinct(key,bucket) rows."""
+        b = b.filter(pc.equal(b["_side"], 1)).combine_chunks()
+        if b.num_rows == 0:
+            return b
+        codes = b.column(key).chunk(0).dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = b.column("_bkt").to_numpy(zero_copy_only=False)
+        tv = _tv_i8(b.column(on))
+        seq = np.arange(len(codes))
+        order = np.lexsort((seq, tv, bkt, codes))
+        is_end = np.ones(len(order), dtype=bool)
+        oc, ob = codes[order], bkt[order]
+        is_end[:-1] = (oc[1:] != oc[:-1]) | (ob[1:] != ob[:-1])
+        return b.take(pa.array(order[is_end]))
+
+    def _carry_fill(g: pa.Table) -> pa.Table:
+        """Forward-fill per key across buckets: emit each surviving right
+        row once per target bucket in (its bucket, next occupied bucket]
+        (or through S-1 for the key's last occupied bucket)."""
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return g
+        codes = g.column(key).chunk(0).dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = g.column("_bkt").to_numpy(zero_copy_only=False)
+        tv = _tv_i8(g.column(on))
+        seq = np.arange(len(codes))
+        order = np.lexsort((seq, tv, bkt, codes))
+        oc, ob = codes[order], bkt[order]
+        is_end = np.ones(len(order), dtype=bool)
+        is_end[:-1] = (oc[1:] != oc[:-1]) | (ob[1:] != ob[:-1])
+        keep = order[is_end]                  # (key,bucket)-sorted rows
+        kc, kb = codes[keep], bkt[keep]
+        nxt = np.full(len(keep), salt - 1, dtype=np.int64)
+        if len(keep) > 1:
+            same = kc[:-1] == kc[1:]
+            nxt[:-1][same] = kb[1:][same]
+        counts = (nxt - kb).astype(np.int64)  # targets kb+1 .. nxt
+        total = int(counts.sum())
+        rep = np.repeat(np.arange(len(keep)), counts)
+        pos = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        tgt = kb[rep] + 1 + pos
+        sub = g.take(pa.array(keep[rep]))
+        return pa.table({c: (pa.array(tgt) if c == "_bkt" else sub[c])
+                         for c in sub.column_names})
+
+    carries = parted.map_batches(
+        _last_per_key_bucket, batch_format="pyarrow") \
+        .groupby("_part").map_groups(_carry_fill, batch_format="pyarrow")
+    return parted.union(carries).groupby(["_part", "_bkt"]).map_groups(
+        merge_part, batch_format="pyarrow")
 
 
 def interval_overlap_join(left, right, key_col: str, lo_col: str,
