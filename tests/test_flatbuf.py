@@ -200,6 +200,57 @@ def test_map_archive_version_gate(tmp_path):
         read_map_archive(noversion)
 
 
+def test_java_reference_version_stamp_accepted(tmp_path):
+    """An archive stamped by the Java reference build ("4.5:2020d",
+    pom.xml:7) must open under the DEFAULT gate — the wire format is
+    the one we replay (ADVICE r4: the old gate only accepted the
+    engine's own '1.0' prefix, rejecting genuine reference archives)."""
+    from timezonemap_ray.api import TimeZoneEngine
+    p = str(tmp_path / "javaref.tar")
+    ring = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]], dtype=np.float32)
+    payload = fb.serialize_timezone("Test/Zone", [[ring]])
+    with tarfile.open(p, mode="w") as tar:
+        marker = tarfile.TarInfo(name="Version: 4.5:2020d")
+        marker.size = 0
+        tar.addfile(marker)
+        info = tarfile.TarInfo(name="Test/Zone/0.0,0.0,1.0,1.0")
+        info.size = len(payload)
+        tar.addfile(info, io.BytesIO(payload))
+    t, stats = read_map_archive(p)          # default check_version=True
+    assert stats["map_version"] == "4.5:2020d"
+    eng = TimeZoneEngine.from_archive(p)    # full engine path too
+    assert eng.map_version == "4.5:2020d"
+    assert eng.get_time_zones() == ["Test/Zone"]
+    # and an engine-level escape hatch for unknown-but-compatible stamps
+    with tarfile.open(p, mode="w") as tar:
+        marker = tarfile.TarInfo(name="Version: 7.0:2099z")
+        marker.size = 0
+        tar.addfile(marker)
+        info = tarfile.TarInfo(name="Test/Zone/0.0,0.0,1.0,1.0")
+        info.size = len(payload)
+        tar.addfile(info, io.BytesIO(payload))
+    with pytest.raises(ValueError, match="Incompatible"):
+        TimeZoneEngine.from_archive(p)
+    eng = TimeZoneEngine.from_archive(p, check_version=False)
+    assert eng.map_version == "7.0:2099z"
+
+
+def test_long_zone_id_archive_roundtrip(tmp_path):
+    """A zone id pushing the entry name past USTAR's 100-char cap must
+    round-trip (GNU long-name fallback) instead of dying in tarfile
+    (ADVICE r4 low)."""
+    import pyarrow as pa
+    from timezonemap_ray.zonetable import make_zone, zones_to_table
+    long_id = "Region/" + "VeryLongZoneNameSegment" * 6   # 145 chars
+    z = make_zone(long_id, [(np.array([0.0, 1.0, 1.0, 0.0]),
+                             np.array([0.0, 0.0, 1.0, 1.0]))])
+    tbl = zones_to_table([z])
+    p = str(tmp_path / "long.tar.zstd")
+    write_map_archive(tbl, p, "2020d")
+    t, _ = read_map_archive(p)
+    assert t["zone_id"].to_pylist() == [long_id]
+
+
 def test_fb_and_parquet_archives_agree(tmp_path):
     """The twin (parquet payloads) and the reference-exact (FlatBuffer)
     archive must load the SAME zone table from the same input."""

@@ -89,6 +89,37 @@ def test_empty_and_single_row(ray_session):
     assert n == 1
 
 
+def test_empty_blocks_in_stream(ray_session):
+    """Ray Data emits empty blocks (filters, more read tasks than rows);
+    the partial/combine kernels must pass them through instead of dying
+    in reshape (ADVICE r4 low)."""
+    import ray.data as rd
+    x = np.array([[2, 3], [1, -1], [0, 4]], dtype=np.int64)
+    y = np.array([7, 1, 2], dtype=np.int64)
+    d = x.shape[1]
+    tbl = pa.table({"vec": pa.FixedSizeListArray.from_arrays(
+        pa.array(x.reshape(-1)), d), "y": pa.array(y)})
+    # the kernel itself must accept a 0-row batch (Ray's planner prunes
+    # empty blocks in simple plans, but unions/zips can still emit them)
+    m = linear._vec_matrix(tbl.slice(0, 0), "vec", np.int64)
+    assert m.shape == (0, d)
+    # a filter that drops entire blocks produces empty blocks downstream
+    ds = rd.from_arrow(tbl).repartition(8) \
+        .filter(lambda r: r["y"] >= 0)
+    g, b, n = linear.normal_equations(ds, "vec", "y", d)
+    assert np.array_equal(g, x.T @ x)
+    assert np.array_equal(b, x.T @ y)
+    assert n == 3
+    # the logistic path shares _vec_matrix; IRLS must survive empties too
+    ds01 = rd.from_arrow(pa.table({
+        "vec": pa.FixedSizeListArray.from_arrays(
+            pa.array(x.reshape(-1)), d),
+        "y01": pa.array((y > 1).astype(np.int64))})) \
+        .repartition(8).filter(lambda r: r["y01"] >= 0)
+    out = linear.logistic_fit(ds01, "vec", "y01", d, max_iter=2)
+    assert out["n"] == 3 and len(out["weights"]) == d
+
+
 @pytest.fixture(scope="module")
 def logit_data():
     rng = np.random.default_rng(29)

@@ -49,7 +49,7 @@ class TimeZoneEngine:
 
     @classmethod
     def from_archive(cls, path: str, region: tuple | None = None,
-                     **kw) -> "TimeZoneEngine":
+                     check_version: bool = True, **kw) -> "TimeZoneEngine":
         """Open a tar+zstd zone ARCHIVE (the reference's bring-your-own-
         archive stream, `TimeZoneMap.kt:104-113`): region-scoped opens skip
         non-overlapping zones from the entry NAME alone — payload bytes for
@@ -58,15 +58,20 @@ class TimeZoneEngine:
         Sniffs the payload format: the repo's parquet-payload twin
         (``ZSTDTAR1``) and the reference's EXACT wire format (standard
         zstd frame or plain tar of FlatBuffer payloads — round 4) both
-        open, so archives built by the Java reference work directly."""
+        open. Java-reference-built archives (version stamps like
+        "4.5:2020d") pass the gate via ``REFERENCE_WIRE_VERSIONS``;
+        ``check_version=False`` skips the gate entirely (the caller
+        vouches for wire compatibility)."""
         from .index import WORLD
         from .sources.archive import read_map_archive, read_zone_archive
         with open(path, "rb") as f:
             magic = f.read(8)
         if magic == b"ZSTDTAR1":
-            table, stats = read_zone_archive(path, region=region)
+            table, stats = read_zone_archive(path, region=region,
+                                             check_version=check_version)
         else:
-            table, stats = read_map_archive(path, region=region)
+            table, stats = read_map_archive(path, region=region,
+                                            check_version=check_version)
         eng = cls(build_index(table, region=region or WORLD,
                               check_version=False, **kw))
         eng.index.map_version = stats["map_version"]

@@ -149,24 +149,33 @@ def write_map_archive(table: pa.Table, path: str, map_version: str,
 
     from . import flatbuf as fb
 
+    rings_col = table["rings"].to_pylist()
+    zids = table["zone_id"].to_pylist()
+    envs = [table[c].to_pylist()
+            for c in ("min_lat", "min_lng", "max_lat", "max_lng")]
+    entries = []
+    for i in range(table.num_rows):
+        rings = [np.asarray([(p["lat"], p["lng"]) for p in ring],
+                            dtype=np.float32).reshape(-1, 2)
+                 for ring in rings_col[i]]
+        payload = fb.serialize_timezone(zids[i], [rings])
+        env = fb.serialize_envelope(envs[0][i], envs[1][i],
+                                    envs[2][i], envs[3][i])
+        entries.append((f"{zids[i]}/{env}", payload))
+    # USTAR matches the reference byte-for-byte but caps names at 100
+    # chars; an unusually long zone id falls back to GNU long-name
+    # entries (the Java TarArchiveInputStream reader side handles them)
+    fmt = tarfile.USTAR_FORMAT
+    if any(len(name.encode()) > 100 for name, _ in entries):
+        fmt = tarfile.GNU_FORMAT
     buf = io.BytesIO()
-    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tar:
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as tar:
         marker = tarfile.TarInfo(
             name=f"Version: {ENGINE_VERSION}:{map_version}")
         marker.size = 0
         tar.addfile(marker)
-        rings_col = table["rings"].to_pylist()
-        zids = table["zone_id"].to_pylist()
-        envs = [table[c].to_pylist()
-                for c in ("min_lat", "min_lng", "max_lat", "max_lng")]
-        for i in range(table.num_rows):
-            rings = [np.asarray([(p["lat"], p["lng"]) for p in ring],
-                                dtype=np.float32).reshape(-1, 2)
-                     for ring in rings_col[i]]
-            payload = fb.serialize_timezone(zids[i], [rings])
-            env = fb.serialize_envelope(envs[0][i], envs[1][i],
-                                        envs[2][i], envs[3][i])
-            info = tarfile.TarInfo(name=f"{zids[i]}/{env}")
+        for name, payload in entries:
+            info = tarfile.TarInfo(name=name)
             info.size = len(payload)
             tar.addfile(info, io.BytesIO(payload))
     raw = buf.getvalue()
@@ -212,7 +221,11 @@ def read_map_archive(path: str, region: tuple | None = None,
                     raise ValueError("No version marker found in map archive")
                 version = entry.name[len("Version: "):]
                 if check_version:
-                    check_version_string(version)
+                    # reference-format archives stamped by the Java build
+                    # (e.g. "4.5:2020d") are wire-compatible by design
+                    from ..zonetable import REFERENCE_WIRE_VERSIONS
+                    check_version_string(version,
+                                         accept=REFERENCE_WIRE_VERSIONS)
                 continue
             stats["entries"] += 1
             if region is not None:

@@ -39,6 +39,11 @@ def _vec_matrix(batch: pa.Table, vec_col: str, dtype) -> np.ndarray:
     col = batch[vec_col].combine_chunks()
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if batch.num_rows == 0:
+        # Ray Data can emit empty blocks (filters, more read tasks than
+        # rows); reshape(-1) below can't infer the width from 0 values
+        width = getattr(batch.schema.field(vec_col).type, "list_size", 0)
+        return np.zeros((0, width), dtype=dtype)
     vals = col.flatten() if hasattr(col, "flatten") else col.values
     arr = vals.to_numpy(zero_copy_only=False).astype(dtype)
     return arr.reshape(batch.num_rows, -1)

@@ -211,12 +211,23 @@ def read_map_version(path: str) -> str:
     raise ValueError("No version marker found in map archive")  # M5 analogue
 
 
-def check_version_string(v: str) -> str:
+# Library-version prefixes whose WIRE FORMAT this engine reads: the
+# FlatBuffers+tar+zstd layout replayed in sources/flatbuf.py is the
+# reference's 4.x format (pom.xml:7 `<version>4.5</version>`,
+# `Serialization.kt:26-63`), so archives stamped by that Java build
+# (e.g. "4.5:2020d") open directly.
+REFERENCE_WIRE_VERSIONS = frozenset({"4.5"})
+
+
+def check_version_string(v: str, accept=()) -> str:
     """Version compatibility gate on a version STRING (reference M5,
-    `TimeZoneMap.kt:171-182`): engine-version prefix must match, else
-    ``ValueError``. Shared by the parquet table and the tar archive."""
+    `TimeZoneMap.kt:171-182`): engine-version prefix must match — or any
+    prefix in ``accept`` (extra known-compatible writer versions, e.g.
+    ``REFERENCE_WIRE_VERSIONS`` for Java-reference-built archives) —
+    else ``ValueError``. Shared by the parquet table and the tar
+    archive."""
     lib = v.split(":", 1)[0]
-    if lib != ENGINE_VERSION:
+    if lib != ENGINE_VERSION and lib not in accept:
         raise ValueError(
             f"Incompatible map archive: engine version {ENGINE_VERSION}, archive {v}")
     return v
