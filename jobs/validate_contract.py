@@ -46,6 +46,12 @@ def dtype_drift(a, b):
         da, db = a[c].dtype, b[c].dtype
         if str(da) == str(db):
             continue
+        # timestamp-RESOLUTION drift (s vs us) is tolerated by the
+        # driver's hash (empirical: shipping_priority_topk carries
+        # engine datetime64[s] vs oracle datetime64[us] and is
+        # hash-green in CORRECTNESS_r04); numeric-kind drift is not
+        if da.kind == "M" and db.kind == "M":
+            continue
         drifted.append(f"{c}: engine={da} oracle={db}")
     return drifted
 
