@@ -296,3 +296,49 @@ def test_dirty_world_build_rehearsal():
         inside = geom._even_odd_interior(pts_lng, pts_lat, xs, ys, st)
         sel = inside & (d > 1e-6)
         assert (got[sel] == f"Dirty/Z{i}").all(), f"zone {i}"
+
+
+def test_gate_flags_t_junction_interior_entry():
+    """Round-5 ADVICE: a ring entering another's interior through two
+    boundary-TOUCH points (no proper crossing) must be flagged, so
+    make_zone normalizes it and the area fast path never sees it.
+    Diamond centered on the square's corner: touch points (1,2),(2,1)
+    lie strictly interior to the square's edges."""
+    rings = [_ring([(0, 0), (2, 0), (2, 2), (0, 2)]),
+             _ring([(1, 2), (2, 1), (3, 2), (2, 3)])]
+    xs, ys, st = _flat(rings)
+    assert not polygon_is_simple(xs, ys, st)
+    # wrong fast-path answer would be 4 + 2 = 6; even-odd is 4 + 2 - 2*0.5
+    assert abs(geom.polygon_area_deg2(xs, ys, st) - 5.0) < 1e-12
+    # normalization handles it, and the gate passes on its own output
+    out = simplify_even_odd(rings)
+    _assert_equivalent(rings, out)
+
+
+def test_gate_idempotent_on_straightened_tangent_edge():
+    """The simplify emit keeps collinear arrangement vertices where other
+    boundary pieces are incident (out-degree >= 2) — otherwise the
+    straightened edge would re-create the very T-junction the gate
+    flags, breaking gate idempotence on simplify's own output."""
+    rings = [_ring([(0, 0), (4, 0), (4, 4), (0, 4)]),
+             _ring([(4, 2), (7, 1), (7, 3)])]
+    out = simplify_even_odd(rings)
+    oxs, oys, ostarts = _flat(out)
+    assert polygon_is_simple(oxs, oys, ostarts)
+    twice = simplify_even_odd(out)
+    assert abs(_signed_area(out) - _signed_area(twice)) < 1e-12
+
+
+def test_area_mixed_parity_shared_vertex_crossing():
+    """A ring crossing another's boundary ONLY at shared vertices passes
+    the simplicity gate (vertex-vertex contacts are benign in general),
+    but its depth is not constant along the boundary — the all-free-
+    vertex parity probe must detect the mix and fall back to the exact
+    scanline."""
+    rings = [_ring([(0, 0), (4, 0), (4, 4), (0, 4)]),
+             _ring([(0, 0), (2, 1), (4, 4), (8, -2)])]
+    xs, ys, st = _flat(rings)
+    assert polygon_is_simple(xs, ys, st)
+    fast = geom.polygon_area_deg2(xs, ys, st)
+    exact = geom._even_odd_area_scanline(xs, ys, st)
+    assert abs(fast - exact) < 1e-9

@@ -133,10 +133,17 @@ def polygon_area_deg2(xs: np.ndarray, ys: np.ndarray, ring_start: np.ndarray) ->
             free = np.flatnonzero(~on_j)
             if free.size == 0:
                 return _even_odd_area_scanline(xs, ys, ring_start)
-            k = int(free[0])
-            if _even_odd_interior(np.array([float(rx[k])]),
-                                  np.array([float(ry[k])]),
-                                  ox, oy, rs)[0]:
+            # probe ALL free vertices of i, not just the first: rings
+            # whose only contacts are shared vertices pass the simplicity
+            # gate yet can still cross THROUGH those vertices (round 5,
+            # ADVICE) — then i's boundary is partly inside and partly
+            # outside j and no single depth is right; mixed parity routes
+            # to the exact scanline.
+            inside = _even_odd_interior(as_f64(rx)[free], as_f64(ry)[free],
+                                        ox, oy, rs)
+            if inside.any() != inside.all():
+                return _even_odd_area_scanline(xs, ys, ring_start)
+            if inside[0]:
                 depth += 1
         a = abs(ring_signed_area(rx, ry))
         total += a if depth % 2 == 0 else -a

@@ -341,6 +341,7 @@ def simplify_even_odd(rings: list) -> list:
         return int(g_eid[s0 + pos])
 
     used = np.zeros(m, dtype=bool)
+    outdeg = ends - starts  # boundary out-degree per arrangement vertex
     out_rings = []
     for start in range(m):
         if used[start]:
@@ -352,15 +353,20 @@ def simplify_even_odd(rings: list) -> list:
             cycle.append(e)
             e = next_edge(e)
         # emit vertex chain
-        pts = upts[uid[cycle]]
-        # drop exactly-collinear interior vertices (arrangement Steiner pts)
+        vids = uid[cycle]
+        pts = upts[vids]
+        # drop exactly-collinear interior vertices (arrangement Steiner
+        # pts) — EXCEPT where another boundary piece is incident
+        # (out-degree >= 2): straightening through such a point would
+        # re-create the T-junction contact ``polygon_is_simple`` flags,
+        # breaking gate idempotence on our own output (round 5, ADVICE)
         if pts.shape[0] >= 3:
             prev_ = np.roll(pts, 1, axis=0)
             next_ = np.roll(pts, -1, axis=0)
             cr = ((pts[:, 0] - prev_[:, 0]) * (next_[:, 1] - prev_[:, 1])
                   - (pts[:, 1] - prev_[:, 1]) * (next_[:, 0] - prev_[:, 0]))
-            keep = cr != 0
-            if keep.sum() >= 3:
+            keep = (cr != 0) | (outdeg[vids] >= 2)
+            if keep.sum() >= 3 and not keep.all():
                 pts = pts[keep]
         if pts.shape[0] >= 3:
             out_rings.append((pts[:, 1].copy(), pts[:, 0].copy()))  # lats, lngs
@@ -371,12 +377,25 @@ def simplify_even_odd(rings: list) -> list:
 # gate
 # ---------------------------------------------------------------------------
 
+def _t_junction(px, py, ax, ay, bx, by) -> np.ndarray:
+    """Elementwise: does point (px,py) lie STRICTLY interior to segment
+    (a,b) — exactly collinear and strictly between the endpoints?"""
+    cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+    len2 = (bx - ax) ** 2 + (by - ay) ** 2
+    return (cross == 0) & (dot > 0) & (dot < len2)
+
+
 def polygon_is_simple(xs: np.ndarray, ys: np.ndarray,
                       ring_start: np.ndarray) -> bool:
     """True iff NO two edges of the ring set properly cross (within one
-    ring — excluding adjacent edges — or across rings).  The condition
-    the reference repairs with ``OperatorSimplify``; the gate for
-    ``simplify_even_odd`` in the build path."""
+    ring — excluding adjacent edges — or across rings) AND no edge
+    endpoint lies strictly interior to another edge (T-junction /
+    collinear-overlap contacts — round 5, ADVICE: a ring can enter
+    another ring's interior through two boundary-touch points with no
+    proper crossing, which corrupts the depth-signed area fast path).
+    The condition the reference repairs with ``OperatorSimplify``; the
+    gate for ``simplify_even_odd`` in the build path."""
     xs = geom.as_f64(xs)
     ys = geom.as_f64(ys)
     nr = len(ring_start) - 1
@@ -399,6 +418,17 @@ def polygon_is_simple(xs: np.ndarray, ys: np.ndarray,
     y2 = np.concatenate(y2l)
     n = x1.size
     for ii, jj in _candidate_pair_chunks(x1, y1, x2, y2):
+        # T-junction / collinear overlap: an endpoint of one edge exactly
+        # collinear with and STRICTLY between the other's endpoints.
+        # Checked on ALL candidate pairs (a pair sharing one vertex can
+        # still overlap collinearly through the other endpoint); the
+        # strict interval excludes the shared endpoints themselves.
+        if bool((_t_junction(x1[ii], y1[ii], x1[jj], y1[jj], x2[jj], y2[jj])
+                 | _t_junction(x2[ii], y2[ii], x1[jj], y1[jj], x2[jj], y2[jj])
+                 | _t_junction(x1[jj], y1[jj], x1[ii], y1[ii], x2[ii], y2[ii])
+                 | _t_junction(x2[jj], y2[jj], x1[ii], y1[ii], x2[ii], y2[ii])
+                 ).any()):
+            return False
         # exclude edge pairs sharing a vertex (same-ring adjacency and
         # benign cross-ring touches alike — not proper crossings)
         shared = (((x1[ii] == x1[jj]) & (y1[ii] == y1[jj]))
