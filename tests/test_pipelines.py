@@ -292,3 +292,62 @@ def test_shuffled_join_empty_lazy_input(ray_session):
         "lng": pa.array([], type=pa.float64())}))
     lazy = empty.map_batches(lambda b: b, batch_format="pyarrow")
     assert shuffled_join(lazy, eng).count() == 0
+
+
+def test_salt_fanout_capped_at_key_stride():
+    """VERDICT r4 #6: a cell hotter than threshold*max_salt asks for more
+    fan-out than the per-cell key stride holds; the salt must clamp at
+    max_salt so keys never spill into the next cell's key space."""
+    from timezonemap_ray import cells
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    cell = np.full(n, 777, dtype=np.int64)
+    # a benign neighbor at the very next id — its keys must stay disjoint
+    cell[-100:] = 778
+    rh = rng.integers(0, 2**62, size=n)
+    max_salt = 64
+    # request 4M-way fan-out on the hot cell (way past the stride)
+    keys = cells.salted_keys(cell, {777: 4_000_000}, rh, max_salt=max_salt)
+    hot = keys[cell == 777]
+    assert hot.min() >= 777 * max_salt
+    assert hot.max() < 778 * max_salt          # never bleeds into cell 778
+    assert len(np.unique(hot)) == max_salt     # full capped fan-out used
+    cold = keys[cell == 778]
+    assert (cold == 778 * max_salt).all()      # unsalted neighbor intact
+    # group sizes stay balanced under the cap (no salt value starved)
+    _, counts = np.unique(hot, return_counts=True)
+    assert counts.min() > 0.5 * counts.mean()
+
+
+def test_shuffled_join_forced_cap_matches_broadcast(ray_session, sf_dir,
+                                                    engine):
+    """End-to-end: a tiny max_salt with an over-asking salt_counts prior
+    still produces exactly the broadcast join's rows."""
+    import ray.data as rd
+
+    pts = rd.read_parquet(f"{sf_dir}/events.parquet") \
+            .limit(2000).materialize()
+    lat = pts.schema().names  # sanity only
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "lat": rng.uniform(-60, 60, 3000),
+        "lng": rng.uniform(-180, 180, 3000),
+    })
+    # 90% of rows in one cell -> that cell's count asks for huge fan-out
+    df.loc[: int(0.9 * len(df)), ["lat", "lng"]] = [10.01, 10.01]
+    ds = rd.from_pandas(df).materialize()
+    # priors demanding 10^6-way salt on every cell the data occupies
+    from timezonemap_ray import cells as C
+    cids = C.cell_ids(df["lat"].to_numpy(), df["lng"].to_numpy(),
+                      engine.index.cell_size)
+    priors = {int(c): 1_000_000 for c in np.unique(cids)}
+    a = fs.shuffled_join(ds, engine, salt_counts=priors).to_pandas()
+    a = a.drop(columns=[c for c in ("cell_id", "shuffle_key")
+                        if c in a.columns])
+    b = engine.lookup_points(ds).to_pandas()
+    key = ["lat", "lng"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)], check_like=True)

@@ -68,11 +68,17 @@ def salted_keys(cell: np.ndarray, salt_counts: dict[int, int],
                 row_hash: np.ndarray, max_salt: int = 1024) -> np.ndarray:
     """Skew handling: hot cells get `cell_id * max_salt + (hash % k)` keys so
     one dense urban cell fans out over k shuffle partitions. Cells absent
-    from ``salt_counts`` keep salt 0."""
+    from ``salt_counts`` keep salt 0.
+
+    ``k`` is clamped to ``max_salt``: a requested fan-out beyond the key
+    stride would spill salt values into the NEXT cell's key space and
+    silently merge groups across cells (round 5, VERDICT #6 audit — a
+    90%-hot cell at 10^12 rows asks for ~4M-way salt)."""
     salt = np.zeros(cell.shape, dtype=np.int64)
     if salt_counts:
         hot = np.array(list(salt_counts.keys()), dtype=np.int64)
-        ks = np.array(list(salt_counts.values()), dtype=np.int64)
+        ks = np.minimum(np.array(list(salt_counts.values()), dtype=np.int64),
+                        np.int64(max_salt))
         order = np.argsort(hot)
         hot, ks = hot[order], ks[order]
         idx = np.searchsorted(hot, cell)

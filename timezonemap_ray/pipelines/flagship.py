@@ -52,7 +52,15 @@ def flagship(sf_dir: str, engine, out_dir: str | None = None,
 # Co-partitioned (shuffle) join path
 # ---------------------------------------------------------------------------
 
-MAX_SALT = 1024
+# Key stride per cell = the maximum salt fan-out for one hot cell.
+# Sized for the 100x target (round 5, VERDICT #6): with salt_threshold
+# 250k rows/group, one cell holding 90% of 10^12 points asks for
+# ceil(9e11/250k) = 3.6M-way salt; the stride caps it, so it must be
+# large enough that capped groups stay block-sized:
+#   rows/group at cap = 9e11 / 2^20 = ~858k rows = ~27 MB at 32 B/row —
+# one Ray block, vs ~28 GB/group at the old 1024 cap. Key-space bound:
+# cell ids are < 6.5e8 even at 0.01-degree cells, x 2^20 = 6.8e14 << 2^63.
+MAX_SALT = 1 << 20
 
 
 def _row_hash(lats: np.ndarray, lngs: np.ndarray) -> np.ndarray:
