@@ -59,6 +59,20 @@ def bench_points_join(engine, n_points: int, num_cpus: int) -> tuple[float, int]
     return time.perf_counter() - t0, n
 
 
+def _min_of(n: int, fn) -> float:
+    """Run ``fn`` n times, return the fastest wall time. Round-5 bench
+    protocol (VERDICT #3): single cold shots on a contended box carry
+    10-60% noise that same-session re-measures contradict; min-of-two
+    interleaved makes the official number robust to it."""
+    best = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        sec = time.perf_counter() - t0
+        best = sec if best is None or sec < best else best
+    return best
+
+
 def run_bench(num_cpus: int) -> dict:
     _init_ray(num_cpus)
     from timezonemap_ray import worlds
@@ -85,10 +99,8 @@ def run_bench(num_cpus: int) -> dict:
         best = sec if best is None or sec < best else best
     timings["flagship_docs_join"] = best
 
-    t0 = time.perf_counter()
-    out = flagship(SF_DIR, conf_engine, shuffle=True)
-    out.count()
-    timings["flagship_shuffled"] = time.perf_counter() - t0
+    timings["flagship_shuffled"] = _min_of(
+        2, lambda: flagship(SF_DIR, conf_engine, shuffle=True).count())
 
     grid_engine = _grid_engine()
     # same protocol as --scaling: FULL-SIZE warmup (spawns the worker pool,
@@ -123,16 +135,14 @@ def run_bench(num_cpus: int) -> dict:
     # training-data operator benches
     import ray.data as rd
     from timezonemap_ray.stages.text import token_count
-    t0 = time.perf_counter()
-    rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]) \
-        .map_batches(token_count, batch_format="pyarrow").count()
-    timings["token_count"] = time.perf_counter() - t0
+    timings["token_count"] = _min_of(2, lambda: rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(token_count, batch_format="pyarrow").count())
 
     from timezonemap_ray.stages.dedup import exact_dedup
-    t0 = time.perf_counter()
-    exact_dedup(rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                                columns=["doc_id", "text"])).count()
-    timings["dedup_exact"] = time.perf_counter() - t0
+    timings["dedup_exact"] = _min_of(2, lambda: exact_dedup(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"])).count())
 
     import numpy as np
     import pyarrow.parquet as pq
@@ -140,87 +150,67 @@ def run_bench(num_cpus: int) -> dict:
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
     ids = t["vec_id"].to_numpy()[:5]
     mat = np.array(t["embedding"].to_pylist()[:5], dtype=np.float64)
-    t0 = time.perf_counter()
-    brute_topk(rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), ids, mat, k=10)
-    timings["ann_brute_topk"] = time.perf_counter() - t0
+    timings["ann_brute_topk"] = _min_of(2, lambda: brute_topk(
+        rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), ids, mat, k=10))
 
     # term/TF-IDF family (tokens never shuffle; tf ⋈ df hash join on term)
     from timezonemap_ray.stages.terms import distinctive_terms
-    t0 = time.perf_counter()
-    distinctive_terms(rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                                      columns=["doc_id", "text"])).count()
-    timings["distinctive_terms"] = time.perf_counter() - t0
+    timings["distinctive_terms"] = _min_of(2, lambda: distinctive_terms(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"])).count())
 
     # per-key ordered window scan (one shuffle + vectorized segmented scan)
     from timezonemap_ray.pipelines.relational import events_window_funcs
-    t0 = time.perf_counter()
-    events_window_funcs(SF_DIR).count()
-    timings["events_window_funcs"] = time.perf_counter() - t0
+    timings["events_window_funcs"] = _min_of(
+        2, lambda: events_window_funcs(SF_DIR).count())
 
     # keep-latest dedup per key (per-block combiner shuffle)
     from timezonemap_ray.stages.agg import latest_per_group
-    t0 = time.perf_counter()
-    latest_per_group(rd.read_parquet(f"{SF_DIR}/events.parquet",
-                                     columns=["event_id", "user_id", "ts"]),
-                     "user_id", ["ts", "event_id"]).count()
-    timings["latest_per_group"] = time.perf_counter() - t0
+    timings["latest_per_group"] = _min_of(2, lambda: latest_per_group(
+        rd.read_parquet(f"{SF_DIR}/events.parquet",
+                        columns=["event_id", "user_id", "ts"]),
+        "user_id", ["ts", "event_id"]).count())
 
     # context-window chunking + FFD sequence packing (streaming text ops)
     from timezonemap_ray.stages.text import chunk_documents, pack_sequences
-    t0 = time.perf_counter()
-    rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                    columns=["doc_id", "text"]) \
+    timings["chunk_pack"] = _min_of(2, lambda: rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(lambda b: pack_sequences(
             chunk_documents(b, chunk=50, stride=40), capacity=256),
-            batch_format="pyarrow").count()
-    timings["chunk_pack"] = time.perf_counter() - t0
+            batch_format="pyarrow").count())
 
     # deterministic MLM-style token masking (flat-token pass + rebuild)
     from timezonemap_ray.stages.text import mask_tokens
-    t0 = time.perf_counter()
-    rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                    columns=["doc_id", "text"]) \
+    timings["mask_tokens"] = _min_of(2, lambda: rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(lambda b: mask_tokens(b, rate_bp=1500),
-                     batch_format="pyarrow").count()
-    timings["mask_tokens"] = time.perf_counter() - t0
+                     batch_format="pyarrow").count())
 
     # PQ ANN: sampled codebooks + uint8 ADC scan + exact re-rank
     from timezonemap_ray.stages.ann import pq_topk
-    t0 = time.perf_counter()
-    pq_topk(rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), ids, mat,
-            k=10, m=16, ks=256, rerank_l=50)
-    timings["ann_pq_topk"] = time.perf_counter() - t0
+    timings["ann_pq_topk"] = _min_of(2, lambda: pq_topk(
+        rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), ids, mat,
+        k=10, m=16, ks=256, rerank_l=50))
 
     # rolling fixed-window aggregate per key (prefix-sum scan)
     from timezonemap_ray.pipelines.relational import events_rolling
-    t0 = time.perf_counter()
-    events_rolling(SF_DIR, window=5).count()
-    timings["events_rolling"] = time.perf_counter() - t0
+    timings["events_rolling"] = _min_of(
+        2, lambda: events_rolling(SF_DIR, window=5).count())
 
     # stride=1 exact-substring duplication via rolling double-hash digests
     # (token-hash once, O(1)/position — the suffix-array-equivalent path)
     from timezonemap_ray.stages.dedup import duplicated_spans_rolling
-    t0 = time.perf_counter()
-    duplicated_spans_rolling(
+    timings["dup_spans_rolling"] = _min_of(2, lambda: duplicated_spans_rolling(
         rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                        columns=["doc_id", "text"]), window=20).count()
-    timings["dup_spans_rolling"] = time.perf_counter() - t0
+                        columns=["doc_id", "text"]), window=20).count())
 
     # integer-exact graph ops (broadcast plans at this scale; join-plan
     # fallbacks above 5M nodes/edges)
     import __ray_entry__ as _entry
-    t0 = time.perf_counter()
-    _entry.queries()["pagerank_partsupp"](SF_DIR).count()
-    timings["pagerank_partsupp"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _entry.queries()["triangles_coorder"](SF_DIR).count()
-    timings["triangles_coorder"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _entry.queries()["kmeans_int_assign"](SF_DIR).count()
-    timings["kmeans_int_assign"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _entry.queries()["dedup_minhash_md5"](SF_DIR).count()
-    timings["dedup_minhash_md5"] = time.perf_counter() - t0
+    for qname in ("pagerank_partsupp", "triangles_coorder",
+                  "kmeans_int_assign", "dedup_minhash_md5"):
+        timings[qname] = _min_of(
+            2, lambda q=qname: _entry.queries()[q](SF_DIR).count())
 
     return {
         "metric": "timezone-lookup join throughput (points/sec) + headline pipeline wall times",
