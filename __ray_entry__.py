@@ -957,6 +957,51 @@ def _q_media_similarity_png(sf_dir: str):
                          vec_col="counts", id_col="media_id")
 
 
+def _q_irls_step_int(sf_dir: str):
+    """One IRLS round's distributed machinery, integer-exact (round 5,
+    `stages/linear.irls_step_int`): md5-mode hashed INTEGER count
+    features (dim=8), y = [>= 50 tokens], fixed integer probe weights,
+    rational fast-sigmoid quantized to q=1000 → one streaming pass
+    emitting per-block (H | g | n) int64 partials, tree-reduced; rows
+    (i, j, v). ORACLE: DuckDB rebuilds features, z, p and the exact
+    sums (`oracle.irls_step_int_sql`) — bit-exact,
+    partition-independent. The float `logistic_fit` production path
+    shares this exact plumbing (same block/combine shape)."""
+    import ray.data as rd
+
+    from timezonemap_ray.stages import linear, text
+    from timezonemap_ray.stages.terms import _flat_tokens
+    DIM = 8
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def featurize(b: pa.Table) -> pa.Table:
+        counts = text.feature_hash_counts(b, dim=DIM, hash_fn="md5")
+        _, parent = _flat_tokens(b, "text")
+        tc = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(tc, parent, 1)
+        return counts.append_column(
+            "y", pa.array((tc >= 50).astype(np.int64)))
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow")
+    h, g, n = linear.irls_step_int(feats, "counts", "y")
+    ii, jj, vv = [], [], []
+    for i in range(DIM):
+        for j in range(DIM):
+            ii.append(i)
+            jj.append(j)
+            vv.append(int(h[i, j]))
+        ii.append(i)
+        jj.append(DIM)
+        vv.append(int(g[i]))
+    ii.append(DIM)
+    jj.append(DIM)
+    vv.append(n)
+    return pa.table({"i": pa.array(ii, pa.int64()),
+                     "j": pa.array(jj, pa.int64()),
+                     "v": pa.array(vv, pa.int64())})
+
+
 def _q_ridge_normal_eqs(sf_dir: str):
     """Distributed ridge-regression sufficient statistics (round 4,
     `stages/linear.py`): md5-mode hashing-trick INTEGER count features
@@ -2348,6 +2393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_mixed": _q_media_decode_mixed,
         # distributed ridge sufficient statistics (exact-sum oracle)
         "ridge_normal_eqs": _q_ridge_normal_eqs,
+        "irls_step_int": _q_irls_step_int,
         # multimodal similarity, integer-exact twin (pixels SQL-derivable)
         "media_similarity_int": _q_media_similarity_int,
         # same, through REAL PNG payloads (zlib inflate + all 5 unfilters)
@@ -2449,6 +2495,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(9216 AS BIGINT) AS decoded_bytes
             FROM (SELECT unnest(generate_series(0, 199)) AS i) g""",
         "ridge_normal_eqs": oracle.ridge_normal_eqs_sql(dim=8),
+        "irls_step_int": oracle.irls_step_int_sql(dim=8),
         "media_decode_mixed": """
             SELECT CAST(g.i AS BIGINT) AS media_id,
                    'media://mixed/' || CAST(g.i AS VARCHAR) AS media_ref,

@@ -173,3 +173,36 @@ def test_logistic_gradient_zero_at_solution(ray_session, logit_data):
     p = 1.0 / (1.0 + np.exp(-(x @ w)))
     grad = x.T @ (y - p) - 1.0 * w
     assert np.abs(grad).max() < 1e-4
+
+
+def test_irls_step_int_partition_independent(ray_session):
+    """The integer IRLS-step statistics are associative sums: any
+    repartitioning yields bit-identical (H, g, n); and they match a
+    single-machine numpy replay exactly."""
+    import ray.data as rd
+
+    from timezonemap_ray.stages.linear import IRLS_W0, irls_step_int
+
+    rng = np.random.default_rng(42)
+    n, d, q = 3000, 8, 1000
+    x = rng.integers(-50, 120, size=(n, d)).astype(np.int64)
+    y = rng.integers(0, 2, size=n).astype(np.int64)
+    tbl = pa.table({
+        "counts": pa.FixedSizeListArray.from_arrays(
+            pa.array(x.reshape(-1)), d),
+        "y": pa.array(y),
+    })
+    ds = rd.from_arrow(tbl)
+    h1, g1, n1 = irls_step_int(ds, "counts", "y")
+    h2, g2, n2 = irls_step_int(ds.repartition(13), "counts", "y")
+    assert (h1 == h2).all() and (g1 == g2).all() and n1 == n2 == n
+
+    # numpy replay
+    w0 = np.asarray(IRLS_W0, dtype=np.int64)
+    z = x @ w0
+    az = np.abs(z)
+    p = (q * (1 + az + z)) // (2 * (1 + az))
+    s = p * (q - p)
+    assert (h1 == (x * s[:, None]).T @ x).all()
+    assert (g1 == x.T @ (y * q - p)).all()
+    assert (p >= 0).all() and (p <= q).all()

@@ -670,6 +670,61 @@ SELECT CAST({dim} AS BIGINT), CAST({dim} AS BIGINT),
        (SELECT count(*) FROM {table})"""
 
 
+def irls_step_int_sql(dim: int = 8, q: int = 1000, y_cut: int = 50,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """SQL TWIN of ``stages/linear.irls_step_int`` over md5-mode hashed
+    count features: rebuilds the integer vectors, z = x·w0 with the
+    fixed probe weights, the rational fast-sigmoid quantization
+    p = floor(q·(1+|z|+z) / (2(1+|z|))), and the EXACT int64 sums
+    H = Σ p(q−p)·x xᵀ, g = Σ x·(q·y − p), n — rows (i, j, v): H at
+    j < dim, g at j = dim, n at (dim, dim). y = 1 iff the document has
+    at least ``y_cut`` whitespace tokens."""
+    from .stages.linear import IRLS_W0
+    chain, out = _sql_smix_chain("t.h0", "rg")
+    sign_cut = 1 << 63
+    w0_rows = ", ".join(f"({i}, {int(w)})" for i, w in enumerate(IRLS_W0))
+    return f"""WITH tok AS (
+  SELECT {id_col}, unnest(regexp_extract_all({text_col}, '\\S+')) AS w
+  FROM {table}),
+th AS (SELECT {id_col}, {_sql_md5_u64('w')} AS h0 FROM tok),
+hh AS (SELECT t.{id_col}, {out} AS h FROM th t{chain}),
+cnt AS (SELECT {id_col}, CAST(h % {dim} AS BIGINT) AS bucket,
+               CAST(sum(CASE WHEN h >= CAST('{sign_cut}' AS HUGEINT)
+                        THEN -1 ELSE 1 END) AS BIGINT) AS c
+        FROM hh GROUP BY 1, 2),
+xv AS (SELECT d.{id_col}, g.b AS bucket, COALESCE(c.c, 0) AS x
+       FROM {table} d
+       CROSS JOIN (SELECT unnest(range({dim})) AS b) g
+       LEFT JOIN cnt c ON c.{id_col} = d.{id_col} AND c.bucket = g.b),
+w0(b, w) AS (VALUES {w0_rows}),
+zv AS (SELECT x.{id_col}, CAST(sum(x.x * w.w) AS BIGINT) AS z
+       FROM xv x JOIN w0 w ON w.b = x.bucket GROUP BY 1),
+pv AS (SELECT {id_col},
+              ({q} * (1 + abs(z) + z)) // (2 * (1 + abs(z))) AS p
+       FROM zv),
+yv AS (SELECT d.{id_col},
+              CASE WHEN COALESCE(tc.yy, 0) >= {y_cut} THEN 1 ELSE 0
+              END AS y
+       FROM {table} d LEFT JOIN (SELECT {id_col}, count(*) AS yy
+                                 FROM tok GROUP BY 1) tc
+       USING ({id_col})),
+hsum AS (SELECT x1.bucket AS i, x2.bucket AS j,
+                CAST(sum(p.p * ({q} - p.p) * x1.x * x2.x) AS BIGINT) AS v
+         FROM xv x1 JOIN xv x2 USING ({id_col}) JOIN pv p USING ({id_col})
+         GROUP BY 1, 2),
+gsum AS (SELECT x.bucket AS i,
+                CAST(sum(x.x * ({q} * y.y - p.p)) AS BIGINT) AS v
+         FROM xv x JOIN yv y USING ({id_col}) JOIN pv p USING ({id_col})
+         GROUP BY 1)
+SELECT h.i, h.j, h.v FROM hsum h
+UNION ALL
+SELECT g.i, CAST({dim} AS BIGINT) AS j, g.v FROM gsum g
+UNION ALL
+SELECT CAST({dim} AS BIGINT), CAST({dim} AS BIGINT),
+       (SELECT count(*) FROM {table})"""
+
+
 def embedding_dedup_int_sql(dim: int = 64, threshold_num: int = 361,
                             threshold_den: int = 400, n_bits: int = 12,
                             scale: int = 10_000, seed: int = 23,

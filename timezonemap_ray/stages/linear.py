@@ -191,6 +191,72 @@ def logistic_fit(ds, vec_col: str, target_col: str, dim: int,
             "converged": False}
 
 
+# fixed integer probe weights for the oracle-checked IRLS-step twin
+# (inlined as literals in the DuckDB twin — keep in sync via import)
+IRLS_W0 = (2, -1, 3, 0, -2, 1, -3, 2)
+
+
+def irls_step_int(ds, vec_col: str, target_col: str,
+                  w0=IRLS_W0, q: int = 1000):
+    """Integer-exact twin of ONE IRLS round's distributed machinery
+    (round 5, VERDICT #7 — the ``kmeans_int`` pattern applied to
+    ``logistic_fit``): with INTEGER features x, 0/1 targets y and fixed
+    integer probe weights w0, replace the transcendental sigmoid by the
+    rational fast sigmoid
+
+        mu(z) = 1/2 + z / (2(1+|z|)) = (1 + |z| + z) / (2(1+|z|)),
+
+    quantized to p = floor(q·(1+|z|+z) / (2(1+|z|))) ∈ [0, q] — every
+    per-row quantity is an exact integer, so the round's sufficient
+    statistics  H = Σ p(q−p)·x xᵀ,  g = Σ x·(q·y − p),  n  are
+    associative int64 sums: bit-identical under any partitioning and
+    rebuildable in SQL (``oracle.irls_step_int_sql``). Same streaming
+    shape as :func:`_irls_partials` — one pass, zero shuffles,
+    tree-reduced (d²+d+1)-number partials. The float production path
+    (``logistic_fit``) keeps the true sigmoid; this variant pins its
+    distributed plumbing under the driver gate."""
+    wv = np.asarray(w0, dtype=np.int64)
+    qi = np.int64(q)
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        x = _vec_matrix(batch, vec_col, np.int64)
+        y = batch[target_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        z = x @ wv
+        az = np.abs(z)
+        # numerator 1+|z|+z >= 1 and denominator > 0, so floor == trunc
+        # (matches DuckDB's // on the same non-negative operands)
+        p = (qi * (1 + az + z)) // (2 * (1 + az))
+        s = p * (qi - p)
+        h = (x * s[:, None]).T @ x
+        grad = x.T @ (y * qi - p)
+        d = x.shape[1]
+        flat = np.concatenate([h.reshape(-1), grad,
+                               [np.int64(batch.num_rows)]])
+        return pa.table({"partial": pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, type=pa.int64()), d * d + d + 1)})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        m = _vec_matrix(batch, "partial", np.int64)
+        s = m.sum(axis=0)
+        return pa.table({"partial": pa.FixedSizeListArray.from_arrays(
+            pa.array(s, type=pa.int64()), len(s))})
+
+    parts = collapse_partials(
+        ds.map_batches(block_partial, batch_format="pyarrow",
+                       batch_size=None),
+        combine)
+    d = len(wv)
+    total = np.zeros(d * d + d + 1, dtype=np.int64)
+    for batch in parts.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"):
+        total += _vec_matrix(batch, "partial", np.int64).sum(axis=0)
+    h = total[:d * d].reshape(d, d)
+    grad = total[d * d:d * d + d]
+    n = int(total[-1])
+    return h, grad, n
+
+
 def predict_stage(weights: np.ndarray, vec_col: str,
                   out_col: str = "prediction"):
     """map_batches fn adding ``out_col = x · w`` (weights broadcast via
