@@ -64,12 +64,19 @@ def _min_of(n: int, fn) -> float:
     protocol (VERDICT #3): single cold shots on a contended box carry
     10-60% noise that same-session re-measures contradict; min-of-two
     interleaved makes the official number robust to it."""
+    return _min_of_val(n, fn)[0]
+
+
+def _min_of_val(n: int, fn):
+    """Like :func:`_min_of` but also returns the result of the fastest
+    run — for rows whose output feeds the report (row counts)."""
     best = None
     for _ in range(n):
         t0 = time.perf_counter()
-        fn()
+        out = fn()
         sec = time.perf_counter() - t0
-        best = sec if best is None or sec < best else best
+        if best is None or sec < best[0]:
+            best = (sec, out)
     return best
 
 
@@ -90,14 +97,8 @@ def run_bench(num_cpus: int) -> dict:
     _rd.range(1_000_000, override_num_blocks=num_cpus * 2).map_batches(
         lambda b: b, batch_format="pyarrow").count()
 
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        out = flagship(SF_DIR, conf_engine)
-        n_flagship = out.count()
-        sec = time.perf_counter() - t0
-        best = sec if best is None or sec < best else best
-    timings["flagship_docs_join"] = best
+    timings["flagship_docs_join"], n_flagship = _min_of_val(
+        2, lambda: flagship(SF_DIR, conf_engine).count())
 
     timings["flagship_shuffled"] = _min_of(
         2, lambda: flagship(SF_DIR, conf_engine, shuffle=True).count())
@@ -108,12 +109,9 @@ def run_bench(num_cpus: int) -> dict:
     # the steady state a long-running job sees; single cold shots carry a
     # 30-50% first-run penalty from pool spin-up
     bench_points_join(grid_engine, BENCH_POINTS, num_cpus)
-    best = None
-    for _ in range(3):
-        sec, n_pts = bench_points_join(grid_engine, BENCH_POINTS, num_cpus)
-        if best is None or sec < best[0]:
-            best = (sec, n_pts)
-    sec, n_pts = best
+    sec, n_pts = min(
+        (bench_points_join(grid_engine, BENCH_POINTS, num_cpus)
+         for _ in range(3)), key=lambda r: r[0])
     timings["points_join"] = sec
     pps = n_pts / sec if sec > 0 else 0.0
 
@@ -124,13 +122,11 @@ def run_bench(num_cpus: int) -> dict:
         _w.grid_world_table(n=40, jagged=True))
     big_n = BENCH_POINTS // 4
     bench_points_join(big_engine, big_n, num_cpus)  # warm
-    best = None
-    for _ in range(2):
-        sec_b, n_b = bench_points_join(big_engine, big_n, num_cpus)
-        if best is None or sec_b < best[0]:
-            best = (sec_b, n_b)
-    timings["points_join_bigworld"] = best[0]
-    pps_big = best[1] / best[0] if best[0] > 0 else 0.0
+    sec_b, n_b = min(
+        (bench_points_join(big_engine, big_n, num_cpus)
+         for _ in range(2)), key=lambda r: r[0])
+    timings["points_join_bigworld"] = sec_b
+    pps_big = n_b / sec_b if sec_b > 0 else 0.0
 
     # training-data operator benches
     import ray.data as rd

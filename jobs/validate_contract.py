@@ -83,10 +83,20 @@ def main():
                 f"FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = m.queries(), m.oracle_sql()
+    if only is not None:
+        unknown = sorted(only - set(qs))
+        if unknown:
+            # a typo'd --only would otherwise run ZERO queries and exit 0
+            # with a green-looking summary (round-5 review finding)
+            print(f"--only names not in the registry: {', '.join(unknown)}",
+                  file=sys.stderr)
+            return 2
     failures = []
+    n_run = 0
     for name in sorted(qs):
         if only is not None and name not in only:
             continue
+        n_run += 1
         t0 = time.perf_counter()
         try:
             res = qs[name](sf_dir)
@@ -116,8 +126,11 @@ def main():
             failures.append(name)
         print(f"{name:28s} {status:40s} {time.perf_counter()-t0:6.1f}s")
 
-    print(f"\n{len(qs)} queries, {len(oracles)} oracle-checked, "
-          f"{len(failures)} failures{': ' + ', '.join(failures) if failures else ''}")
+    ran = (f"{n_run} of {len(qs)} registry queries run"
+           if only is not None else
+           f"{len(qs)} queries, {len(oracles)} oracle-checked")
+    print(f"\n{ran}, {len(failures)} failures"
+          f"{': ' + ', '.join(failures) if failures else ''}")
     ray.shutdown()
     return 1 if failures else 0
 

@@ -357,3 +357,52 @@ def test_interval_overlap_join_exactly_once(ray_session):
                                bucket_width=4).to_pandas()
     assert set(map(tuple, o2[["id_l", "id_r"]].to_numpy())) == {(0, 0),
                                                                 (1, 1)}
+
+
+def test_asof_join_time_salted_timestamp_columns(ray_session):
+    """Round-5 review findings: (1) Ray's Min/Max aggregate returns plain
+    datetime.datetime, which _time_i8 must accept; (2) bucket arithmetic
+    must normalize the column to ns — a timestamp[us] view in its native
+    unit would collapse every row into bucket 0, silently de-activating
+    the de-skew. Salted and unsalted plans must agree on timestamp[us]
+    columns, and the salted plan must actually spread buckets."""
+    import pandas as pd
+    import ray.data as rd
+
+    from timezonemap_ray.stages.join import _tv_ns_i8, _time_i8
+
+    rng = np.random.default_rng(13)
+    n_l, n_r = 2_000, 600
+    base_ts = pd.Timestamp("2024-01-01").value
+    lk = np.where(rng.random(n_l) < 0.9, 0, rng.integers(1, 4, n_l))
+    lt_ns = base_ts + rng.permutation(n_l * 5)[:n_l] * 1_000_000
+    rk = np.where(rng.random(n_r) < 0.9, 0, rng.integers(1, 4, n_r))
+    rt_ns = base_ts + (rng.permutation(n_r * 5)[:n_r] * 5 + 3) * 1_000_000
+    rv = np.arange(n_r, dtype=np.int64)
+    # store as timestamp[us] — the parquet default
+    lt = pa.array(lt_ns.astype("datetime64[ns]")).cast(pa.timestamp("us"))
+    rt = pa.array(rt_ns.astype("datetime64[ns]")).cast(pa.timestamp("us"))
+    left = rd.from_arrow(pa.table({"k": lk, "t": lt})).repartition(8)
+    right = rd.from_arrow(
+        pa.table({"rk": rk, "rt": rt, "val": rv})).repartition(8)
+
+    def run(**kw):
+        df = asof_join(left, right, key="k", right_key="rk", on="t",
+                       right_on="rt", value_cols=["val"], **kw).to_pandas()
+        return df.sort_values(["k", "t"]).reset_index(drop=True)
+
+    base = run()
+    got = run(time_salt=4)              # crashed before the fix
+    assert got.equals(base)
+    # ns bounds (pd.Timestamp.value convention) must also agree
+    got = run(time_salt=4, time_bounds=(int(min(lt_ns.min(), rt_ns.min())),
+                                        int(max(lt_ns.max(), rt_ns.max()))))
+    assert got.equals(base)
+    # the de-skew must actually spread: recompute the bucket assignment
+    # the plan uses and assert >1 occupied bucket (the us-vs-ns bug put
+    # every row in bucket 0)
+    lo = min(_time_i8(v) for v in (lt_ns.min(), rt_ns.min()))
+    hi = max(_time_i8(v) for v in (lt_ns.max(), rt_ns.max()))
+    width = max(1, (hi - lo) // 4 + 1)
+    bkt = np.clip((_tv_ns_i8(lt) - lo) // width, 0, 3)
+    assert len(np.unique(bkt)) > 1

@@ -326,9 +326,6 @@ def test_shuffled_join_forced_cap_matches_broadcast(ray_session, sf_dir,
     still produces exactly the broadcast join's rows."""
     import ray.data as rd
 
-    pts = rd.read_parquet(f"{sf_dir}/events.parquet") \
-            .limit(2000).materialize()
-    lat = pts.schema().names  # sanity only
     rng = np.random.default_rng(5)
     df = pd.DataFrame({
         "lat": rng.uniform(-60, 60, 3000),

@@ -133,12 +133,23 @@ def polygon_area_deg2(xs: np.ndarray, ys: np.ndarray, ring_start: np.ndarray) ->
             free = np.flatnonzero(~on_j)
             if free.size == 0:
                 return _even_odd_area_scanline(xs, ys, ring_start)
-            # probe ALL free vertices of i, not just the first: rings
-            # whose only contacts are shared vertices pass the simplicity
-            # gate yet can still cross THROUGH those vertices (round 5,
+            if not on_j.any():
+                # disjoint boundaries: crossings through shared vertices
+                # are impossible (and proper crossings / T-junctions were
+                # already excluded by the gate), so depth is constant
+                # along ring i — one probe suffices, keeping the fast
+                # path O(E) per ring pair.
+                k = int(free[0])
+                if _even_odd_interior(np.array([float(rx[k])]),
+                                      np.array([float(ry[k])]),
+                                      ox, oy, rs)[0]:
+                    depth += 1
+                continue
+            # shared contact points exist: rings can still cross THROUGH
+            # those vertices while passing the simplicity gate (round 5,
             # ADVICE) — then i's boundary is partly inside and partly
-            # outside j and no single depth is right; mixed parity routes
-            # to the exact scanline.
+            # outside j and no single depth is right. Probe ALL free
+            # vertices; mixed parity routes to the exact scanline.
             inside = _even_odd_interior(as_f64(rx)[free], as_f64(ry)[free],
                                         ox, oy, rs)
             if inside.any() != inside.all():

@@ -326,13 +326,34 @@ def range_join(ds, lows, highs, labels, value_col: str,
 
 
 def _time_i8(v):
-    """Scalar time → int64 (datetimes via their epoch representation)."""
+    """Scalar time → int64 NANOSECOND epoch (datetimes of any flavor —
+    ``np.datetime64``, ``pd.Timestamp``, stdlib ``datetime`` as returned
+    by Ray's Min/Max aggregates — all normalize to ns so bucket math
+    matches ``_tv_ns_i8``'s column view)."""
     if isinstance(v, (int, np.integer)):
         return np.int64(v)
+    import datetime as _dt
+
     import pandas as pd
-    if isinstance(v, (np.datetime64, pd.Timestamp)):
+    if isinstance(v, (np.datetime64, pd.Timestamp, _dt.datetime, _dt.date)):
         return np.int64(pd.Timestamp(v).value)
     return np.int64(v)
+
+
+def _tv_ns_i8(col) -> np.ndarray:
+    """Arrow column → int64 array in NANOSECONDS for datetime/timedelta
+    columns (whatever their storage unit), pass-through for ints — the
+    unit-safe view for arithmetic against ``_time_i8`` bounds. (A plain
+    ``.view('i8')`` of a timestamp[us] column is µs and would make every
+    (tv − lo_ns) negative, collapsing all de-skew buckets to 0.)"""
+    tv = col.to_numpy(zero_copy_only=False)
+    if tv.dtype.kind == "M":
+        tv = tv.astype("datetime64[ns]")
+    elif tv.dtype.kind == "m":
+        tv = tv.astype("timedelta64[ns]")
+    if tv.dtype.kind in "Mm":
+        return tv.view("i8")
+    return tv
 
 
 def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
@@ -359,9 +380,15 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
     bucket, so the same searchsorted kernel picks it exactly when no
     in-bucket right row precedes a left row).  Bucket boundaries come
     from a min/max aggregate over the time columns (one column-pruned
-    pass; pass ``time_bounds=(lo, hi)`` ints to skip it when the caller
-    already knows the range).  Use the default plan unless keys are
-    skewed: the carry table holds ≤ distinct-right-keys × S rows."""
+    pass; pass ``time_bounds=(lo, hi)`` to skip it when the caller
+    already knows the range — NANOSECOND-epoch ints for datetime
+    columns, matching ``pd.Timestamp.value``).  Use the default plan
+    unless keys are skewed: the carry table holds ≤
+    distinct-right-keys × S rows.  Tie caveat: when several right rows
+    share an exact (key, time) pair, the carried copy is the last in
+    per-batch order, which can differ from the unsalted plan's
+    last-in-partition-order pick — the plans are guaranteed identical
+    when (key, time) is unique on the right side."""
     left_schema = left.schema()
     left_cols = [c for c in left_schema.names]
     left_types = dict(zip(left_schema.names, left_schema.types))
@@ -439,7 +466,8 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
         b = b.append_column(
             "_part", pa.array(_hash_part_of(b[key], 64)))
         if salt:
-            bkt = np.clip((_tv_i8(b[on]) - lo_i8) // width, 0, salt - 1)
+            # ns-normalized view: lo_i8/width are ns-epoch (_time_i8)
+            bkt = np.clip((_tv_ns_i8(b[on]) - lo_i8) // width, 0, salt - 1)
             b = b.append_column("_bkt", pa.array(bkt.astype(np.int64)))
         return b
 

@@ -35,14 +35,26 @@ import pyarrow as pa
 from .ann import collapse_partials
 
 
-def _vec_matrix(batch: pa.Table, vec_col: str, dtype) -> np.ndarray:
+def _vec_matrix(batch: pa.Table, vec_col: str, dtype,
+                dim: int | None = None) -> np.ndarray:
     col = batch[vec_col].combine_chunks()
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if batch.num_rows == 0:
         # Ray Data can emit empty blocks (filters, more read tasks than
-        # rows); reshape(-1) below can't infer the width from 0 values
-        width = getattr(batch.schema.field(vec_col).type, "list_size", 0)
+        # rows); reshape(-1) below can't infer the width from 0 values.
+        # FixedSizeList carries it in the type; variable list<...>
+        # columns need the caller's dim hint — a silent width-0 partial
+        # would fail Arrow schema unification far downstream (round-5
+        # review finding).
+        width = getattr(batch.schema.field(vec_col).type, "list_size",
+                        None)
+        if width is None:
+            width = dim
+        if width is None:
+            raise ValueError(
+                f"empty block with variable-length list column "
+                f"{vec_col!r}: pass the vector width explicitly")
         return np.zeros((0, width), dtype=dtype)
     vals = col.flatten() if hasattr(col, "flatten") else col.values
     arr = vals.to_numpy(zero_copy_only=False).astype(dtype)
@@ -50,14 +62,14 @@ def _vec_matrix(batch: pa.Table, vec_col: str, dtype) -> np.ndarray:
 
 
 def normal_eq_partials(ds, vec_col: str, target_col: str,
-                       integer: bool = True):
+                       integer: bool = True, dim: int | None = None):
     """Dataset with fixed-size-list ``vec_col`` + numeric ``target_col``
     → collapsed partial table with ONE flattened (G | b | n) row vector
     per remaining block."""
     dtype = np.int64 if integer else np.float64
 
     def block_partial(batch: pa.Table) -> pa.Table:
-        x = _vec_matrix(batch, vec_col, dtype)
+        x = _vec_matrix(batch, vec_col, dtype, dim=dim)
         y = batch[target_col].to_numpy(zero_copy_only=False).astype(dtype)
         d = x.shape[1]
         g = x.T @ x                       # (d, d) exact for int64
@@ -83,7 +95,8 @@ def normal_equations(ds, vec_col: str, target_col: str, dim: int,
                      integer: bool = True):
     """→ (G (d,d), b (d,), n) — exact sums over the whole dataset."""
     dtype = np.int64 if integer else np.float64
-    parts = normal_eq_partials(ds, vec_col, target_col, integer=integer)
+    parts = normal_eq_partials(ds, vec_col, target_col, integer=integer,
+                               dim=dim)
     total = np.zeros(dim * dim + dim + 1, dtype=dtype)
     for batch in parts.iter_batches(batch_size=None,
                                     batch_format="pyarrow"):
@@ -116,7 +129,7 @@ def _irls_partials(ds, vec_col: str, target_col: str, w: np.ndarray,
     wv = np.asarray(w, dtype=np.float64)
 
     def block_partial(batch: pa.Table) -> pa.Table:
-        x = _vec_matrix(batch, vec_col, np.float64)
+        x = _vec_matrix(batch, vec_col, np.float64, dim=len(wv))
         y = batch[target_col].to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         z = x @ wv
@@ -219,7 +232,7 @@ def irls_step_int(ds, vec_col: str, target_col: str,
     qi = np.int64(q)
 
     def block_partial(batch: pa.Table) -> pa.Table:
-        x = _vec_matrix(batch, vec_col, np.int64)
+        x = _vec_matrix(batch, vec_col, np.int64, dim=len(wv))
         y = batch[target_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         z = x @ wv
