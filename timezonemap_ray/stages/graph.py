@@ -253,29 +253,40 @@ def _pagerank_int_driver(raw, iters: int, damping_num: int,
             b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]))
     sd = (np.concatenate(parts, axis=1) if parts
           else np.empty((2, 0), dtype=np.int64))
-    if len(sd[0]) and int(sd.min()) >= 0 and int(sd.max()) < 1 << 31:
-        pairs_u = np.unique((sd[0] << 32) | sd[1])
-        s, d = pairs_u >> 32, pairs_u & 0xFFFFFFFF
+    if sd.shape[1] == 0:
+        ids = np.empty(0, dtype=np.int64)
+        s_idx = t_idx = np.empty(0, dtype=np.int64)
     else:
-        order = np.lexsort((sd[1], sd[0]))
-        s, d = sd[0][order], sd[1][order]
-        keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])] \
-            if len(s) else np.empty(0, dtype=bool)
-        s, d = s[keep], d[keep]
-
-    # s is already sorted (packed-unique order), so its uniques are a
-    # diff mask; only d pays a sort
-    us = s[np.r_[True, s[1:] != s[:-1]]] if len(s) \
-        else np.empty(0, dtype=np.int64)
-    ids = np.union1d(us, np.unique(d))
-    s_idx = np.searchsorted(ids, s)
-    t_idx = np.searchsorted(ids, d)
+        if int(sd.min()) >= 0 and int(sd.max()) < 1 << 31:
+            # ids already packable: dedup the raw values directly
+            c0, c1 = sd[0], sd[1]
+            ids = None
+        else:
+            # arbitrary int64 node ids: dense-code remap (unique node
+            # set + searchsorted codes < 2·edges ≤ 40M < 2^31) makes
+            # the packed dedup applicable — measured 6.6 s vs the old
+            # lexsort fallback's 11.5 s at 12M pairs (round-5 profile)
+            ids = np.unique(sd)
+            c0 = np.searchsorted(ids, sd[0]).astype(np.int64)
+            c1 = np.searchsorted(ids, sd[1]).astype(np.int64)
+        pairs_u = np.unique((c0 << 32) | c1)
+        cs = (pairs_u >> 32).astype(np.int64)
+        cd = (pairs_u & 0xFFFFFFFF).astype(np.int64)
+        if ids is None:
+            # node set from the (far smaller) deduped edge list; cs is
+            # sorted, so its uniques are a diff mask
+            us = cs[np.r_[True, cs[1:] != cs[:-1]]]
+            ids = np.union1d(us, np.unique(cd))
+            s_idx = np.searchsorted(ids, cs)
+            t_idx = np.searchsorted(ids, cd)
+        else:
+            s_idx, t_idx = cs, cd
     outdeg = np.bincount(s_idx, minlength=len(ids)).astype(np.int64)
     safe_deg = np.maximum(outdeg, 1)
     # float64 bincount is exact only while the max possible in-sum
     # (n_edges·scale) stays below 2^53; exotic scales fall back to the
     # slower exact int64 scatter-add
-    exact_f64 = len(s) * scale < 1 << 53
+    exact_f64 = len(s_idx) * scale < 1 << 53
 
     ranks = np.full(len(ids), scale, dtype=np.int64)
     for _ in range(iters):
