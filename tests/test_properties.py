@@ -365,3 +365,42 @@ def test_pagerank_int_property(ray_session, edge_list):
         "dst": pa.array([v for _, v in edges], type=pa.int64())})
     got = pagerank_int(rd.from_arrow(tbl), iters=2).to_pandas()
     assert dict(zip(got["node_id"], got["rank_int"])) == want
+
+
+@given(st.lists(st.integers(min_value=-10**12, max_value=10**12),
+                min_size=1, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_fast_sigmoid_quantization_laws(zs):
+    """irls_step_int's rational fast sigmoid p = floor(q(1+|z|+z)/(2(1+|z|)))
+    must satisfy 0 <= p <= q, monotonicity in z, and the symmetry
+    p(z) + p(-z) in {q-1, q} (exact rational symmetry up to one floor)."""
+    q = 1000
+    z = np.asarray(sorted(zs), dtype=np.int64)
+    az = np.abs(z)
+    p = (q * (1 + az + z)) // (2 * (1 + az))
+    assert (p >= 0).all() and (p <= q).all()
+    assert (np.diff(p) >= 0).all()
+    pn = (q * (1 + az - z)) // (2 * (1 + az))
+    assert np.isin(p + pn, (q - 1, q)).all()
+    # z = 0 is exactly q/2
+    assert (q * 1) // 2 == q // 2
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62),
+                min_size=1, max_size=100),
+       st.sampled_from(["us", "ms", "s", "ns"]))
+@settings(max_examples=40, deadline=None)
+def test_tv_ns_i8_unit_invariance(ns_vals, unit):
+    """_tv_ns_i8 must give the SAME int64 ns values for a timestamp
+    column regardless of its Arrow storage unit (the round-5 asof
+    bucket-collapse bug class), for values representable in that unit."""
+    import pyarrow as pa
+
+    from timezonemap_ray.stages.join import _tv_ns_i8
+    step = {"ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9}[unit]
+    ns = (np.asarray(ns_vals, dtype=np.int64) // step) * step
+    ns = ns[np.abs(ns) < 2**62]  # stay clear of ns-overflow on cast
+    col = pa.array(ns.astype("datetime64[ns]")).cast(pa.timestamp(unit))
+    out = _tv_ns_i8(col)
+    assert out.dtype == np.int64
+    assert (out == ns).all()
