@@ -624,6 +624,25 @@ def _q_dedup_embedding_int(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/embeddings.parquet"), dim=dim)
 
 
+def _q_dedup_semantic_int(sf_dir: str):
+    """SemDeDup-style SEMANTIC dedup, ORACLE-CHECKED (round 5): integer
+    k-means (k=4, 2 Lloyd's rounds — the `kmeans_int_assign` machinery)
+    partitions the embedding space; within each cluster a vector is
+    dropped iff a LOWER-id vector is cosine-similar (τ = √(9/100) = 0.3,
+    the exact rational predicate den·dot² ≥ num·‖a‖²·‖b‖² on
+    floor(x·10³) int64 quantized vectors, pair-local — no closure), per
+    Abbas et al. 2023 (arXiv:2303.09540). Clustering bounds the
+    quadratic scan to within-cluster pairs — the scale story of the
+    method (`stages/dedup.semantic_dedup_int`; SQL twin
+    `oracle.semantic_dedup_int_sql` unrolls the k-means CTE chain and
+    replays the anti-join in HUGEINT)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import semantic_dedup_int
+    return semantic_dedup_int(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]))
+
+
 def _ann_queries(sf_dir: str):
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
@@ -2402,6 +2421,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": _q_cms_user_counts,
         "hll_registers": _q_hll_registers,
         "approx_distinct_users": _q_approx_distinct_users,
+        # round-5 additions (appended AFTER the pre-existing oracle block
+        # so the arranged r5 rotation window keeps its never-sampled
+        # targets — see _rotate_registry)
+        "dedup_semantic_int": _q_dedup_semantic_int,
         # ---- rows-only residue (no SQL twin exists; invariants pytest-
         # bound per docstring) ----
         "tz_distance_boundary": _q_tz_distance,
@@ -2489,6 +2512,7 @@ def oracle_sql() -> dict[str, str]:
             "timezonemap_ray.stages.sketch",
             fromlist=["hll_estimate_sql"]).hll_estimate_sql(
                 out_col="approx_n_users"),
+        "dedup_semantic_int": oracle.semantic_dedup_int_sql(),
         "media_decode": """
             SELECT CAST(g.i AS BIGINT) AS media_id,
                    'media://blob/' || CAST(g.i AS VARCHAR) AS media_ref,

@@ -1000,3 +1000,94 @@ def test_cluster_output_string_ids(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert got["cluster_id"].tolist() == ["a", "a", "m", "a", "z"]
     assert got["is_duplicate"].tolist() == [False, True, False, True, False]
+
+
+def test_semantic_dedup_int_matches_sql_twin(ray_session):
+    """SemDeDup integer twin: SQL bit parity on separable clusters with
+    injected within-cluster near-dups, at two partitionings."""
+    import ray.data as rd
+
+    from timezonemap_ray.oracle import semantic_dedup_int_sql
+    rng = np.random.default_rng(11)
+    centers = np.array([[0.6, 0.0, 0.0, 0.0], [0.0, 0.6, 0.0, 0.0],
+                        [0.0, 0.0, 0.6, 0.0]])
+    pts = np.concatenate([c + 0.25 * rng.standard_normal((15, 4))
+                          for c in centers])
+    # near-dups of rows 0 and 20 (same direction => cosine ~ 1)
+    pts = np.concatenate([pts, pts[[0]] * 1.02 + 0.001,
+                          pts[[20]] * 0.98 - 0.001])
+    m = pts.astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(m)), type=pa.int64()),
+        "embedding": pa.array([r for r in m], type=pa.list_(pa.float32()))})
+    con2 = duckdb.connect()
+    con2.register("embeddings", tbl)
+    # tau^2 = 9025/10000 (tau = 0.95): drops the injected near-parallel
+    # pairs plus a handful of organic in-cluster ones
+    want = con2.execute(
+        semantic_dedup_int_sql(k=3, kmeans_iters=2, threshold_num=9025,
+                               threshold_den=10000)
+        + " ORDER BY vec_id").df()
+    for parts in (1, 5):
+        got = dedup.semantic_dedup_int(
+            rd.from_arrow(tbl).repartition(parts), k=3, kmeans_iters=2,
+            threshold_num=9025, threshold_den=10000).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    # the injected near-dups are gone (45's base 0 survives; 46's base 20
+    # is itself organically deduped by a lower-id neighbor), and the
+    # dedup is non-trivial in both directions
+    kept = set(got["vec_id"])
+    assert 0 in kept
+    assert 45 not in kept and 46 not in kept
+    assert 2 < len(kept) < len(m)
+
+
+def test_semantic_dedup_int_overflow_backstop_matches_sql(ray_session):
+    """Vectors large enough to fail the int64 product guard route to the
+    arbitrary-precision pair loop — still bit-equal to the HUGEINT SQL."""
+    import ray.data as rd
+
+    from timezonemap_ray.oracle import semantic_dedup_int_sql
+    rng = np.random.default_rng(13)
+    base = 600.0 * rng.standard_normal((12, 8))  # |x|*1000 ~ 6e5 per dim
+    vecs = np.concatenate([base, base[[2]] * 1.01])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([r for r in vecs.astype(np.float32)],
+                              type=pa.list_(pa.float32()))})
+    # guard must actually trip: den*max_na^2 >= 2^63
+    q = np.floor(vecs.astype(np.float64) * 1000.0).astype(np.int64)
+    mx = int((q * q).sum(axis=1).max())
+    assert 100 * mx * mx >= 1 << 63
+    con2 = duckdb.connect()
+    con2.register("embeddings", tbl)
+    want = con2.execute(
+        semantic_dedup_int_sql(k=2, kmeans_iters=1, threshold_num=81,
+                               threshold_den=100)
+        + " ORDER BY vec_id").df()
+    got = dedup.semantic_dedup_int(
+        rd.from_arrow(tbl), k=2, kmeans_iters=1,
+        threshold_num=81, threshold_den=100).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    assert 12 not in set(got["vec_id"])  # the scaled copy of row 2
+
+
+def test_semantic_dedup_int_rule_is_pair_local_not_closure(ray_session):
+    """Documented keep rule: drop j iff a DIRECT lower-id near-dup
+    exists. A chain 1-3, 2-3 (1 and 2 dissimilar) keeps {1, 2} — a
+    closure rule would keep only {1}."""
+    import ray.data as rd
+    v1 = np.array([1.0, 0.0], dtype=np.float32)
+    v2 = np.array([0.0, 1.0], dtype=np.float32)
+    v3 = (v1 + v2) / np.sqrt(2.0)  # cos(v3, v1) = cos(v3, v2) ~ 0.707
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+        "embedding": pa.array([v1, v2, v3.astype(np.float32)],
+                              type=pa.list_(pa.float32()))})
+    # tau^2 = 49/100 (tau = 0.7): 3 is a near-dup of both 1 and 2
+    got = dedup.semantic_dedup_int(
+        rd.from_arrow(tbl), k=1, kmeans_iters=1,
+        threshold_num=49, threshold_den=100).to_pandas()
+    assert sorted(got["vec_id"]) == [1, 2]

@@ -774,6 +774,51 @@ ver AS (SELECT d.a, d.b
 {_closure_sql(table, id_col)}"""
 
 
+def semantic_dedup_int_sql(k: int = 4, kmeans_iters: int = 2,
+                           threshold_num: int = 9,
+                           threshold_den: int = 100,
+                           sim_scale: int = 1_000,
+                           kmeans_scale: int = 10_000,
+                           table: str = "embeddings",
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> str:
+    """SQL TWIN of ``stages.dedup.semantic_dedup_int``: the unrolled
+    integer-k-means CTE chain (:func:`stages.cluster.kmeans_int_sql`)
+    supplies cluster assignments; a within-cluster pairwise self-join
+    evaluates the exact rational cosine predicate in HUGEINT; the keep
+    rule is the same pair-local anti-join (drop j iff an i<j in j's
+    cluster is similar — NOT closure-based)."""
+    from .stages.cluster import kmeans_int_sql
+    km = kmeans_int_sql(k=k, iters=kmeans_iters, scale=kmeans_scale,
+                        table=table, id_col=id_col, vec_col=vec_col)
+    return f"""WITH
+sq AS (SELECT {id_col} AS vid, d,
+              CAST(floor(CAST(x AS DOUBLE) * {float(sim_scale)!r}) AS BIGINT)
+                  AS x
+       FROM (SELECT {id_col}, unnest({vec_col}) AS x,
+                    generate_subscripts({vec_col}, 1) AS d
+             FROM {table})),
+asg AS (SELECT {id_col} AS vid, cluster FROM ({km})),
+nn AS (SELECT vid, sum(x * x) AS na FROM sq GROUP BY 1),
+dots AS (SELECT ai.vid AS i, aj.vid AS j, sum(qi.x * qj.x) AS dot
+         FROM asg ai JOIN asg aj
+              ON aj.cluster = ai.cluster AND ai.vid < aj.vid
+         JOIN sq qi ON qi.vid = ai.vid
+         JOIN sq qj ON qj.vid = aj.vid AND qj.d = qi.d
+         GROUP BY 1, 2),
+dup AS (SELECT DISTINCT d.j AS vid
+        FROM dots d
+        JOIN nn xi ON xi.vid = d.i
+        JOIN nn xj ON xj.vid = d.j
+        WHERE d.dot > 0
+          AND {threshold_den} * CAST(d.dot AS HUGEINT)
+              * CAST(d.dot AS HUGEINT)
+              >= {threshold_num} * CAST(xi.na AS HUGEINT)
+                 * CAST(xj.na AS HUGEINT))
+SELECT a.vid AS {id_col}, a.cluster
+FROM asg a WHERE a.vid NOT IN (SELECT vid FROM dup)"""
+
+
 def media_similarity_int_sql(n: int = 150, w: int = 16, h: int = 12,
                              k: int = 5, n_queries: int = 3) -> str:
     """SQL TWIN of the ``media_similarity_int`` query: DuckDB recomputes

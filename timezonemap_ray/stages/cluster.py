@@ -236,7 +236,36 @@ def kmeans_int(ds, k: int = 4, iters: int = 2, vec_col: str = "embedding",
     the FINAL centroids.
     """
     vecs = ds.select_columns([id_col, vec_col]).materialize()
+    cents = kmeans_int_centroids(vecs, k, iters, vec_col=vec_col,
+                                 id_col=id_col, scale=scale)
+    ref = ray.put(cents)
 
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = _quant_matrix(b[vec_col], scale)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        return pa.table({
+            id_col: b[id_col],
+            "cluster": pa.array(a.astype(np.int64)),
+            "d2_int": pa.array(d2[np.arange(len(a)), a].astype(np.int64)),
+        })
+
+    return vecs.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_int_centroids(vecs, k: int, iters: int,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         scale: int = 10_000) -> np.ndarray:
+    """The FIT loop of :func:`kmeans_int` over an already-materialized
+    (``id_col``, ``vec_col``) Dataset: deterministic k-smallest-ids init,
+    ``iters`` exact-integer Lloyd's rounds (broadcast centroids, one
+    partial-sums pass per round, O(k·d) driver fold), returning the
+    final k×d int64 centroid matrix. Factored out so compositions
+    (``dedup.semantic_dedup_int``) can fit once and fuse their own
+    assignment into a downstream pass instead of joining against the
+    assignment table."""
     # init = the k smallest ids, WITHOUT a global sort shuffle: each block
     # prunes itself to its local bottom-k (vectorized argsort), the
     # ≤ k·n_blocks survivors merge on the driver — the sample_bottom_k
@@ -300,20 +329,7 @@ def kmeans_int(ds, k: int = 4, iters: int = 2, vec_col: str = "embedding",
                                           tot_cnt[nonempty, None])
         cents = new_c
 
-    ref = ray.put(cents)
-
-    def assign(b: pa.Table) -> pa.Table:
-        c = ray.get(ref)
-        x = _quant_matrix(b[vec_col], scale)
-        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        a = np.argmin(d2, axis=1)
-        return pa.table({
-            id_col: b[id_col],
-            "cluster": pa.array(a.astype(np.int64)),
-            "d2_int": pa.array(d2[np.arange(len(a)), a].astype(np.int64)),
-        })
-
-    return vecs.map_batches(assign, batch_format="pyarrow")
+    return cents
 
 
 def _sql_floordiv(s: str, n: str) -> str:

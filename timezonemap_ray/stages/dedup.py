@@ -900,6 +900,116 @@ def embedding_dedup_int(ds, dim: int, threshold_num: int = 361,
                           id_col=id_col)
 
 
+# pairwise-compare chunk budget for semantic_dedup_int: bound the G-matrix
+# slice at ~8M int64 cells (64 MB) regardless of cluster size
+SEMANTIC_PAIR_BUDGET = 8_000_000
+
+
+def semantic_dedup_int(ds, k: int = 4, kmeans_iters: int = 2,
+                       threshold_num: int = 9, threshold_den: int = 100,
+                       sim_scale: int = 1_000, kmeans_scale: int = 10_000,
+                       vec_col: str = "embedding", id_col: str = "vec_id"):
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    arXiv:2303.09540) in EXACT integer arithmetic: cluster the embedding
+    space with k-means, then drop every vector that has a LOWER-id
+    near-duplicate (cosine ≥ √(num/den)) inside its OWN cluster — the
+    clustering turns the quadratic all-pairs scan into k independent
+    within-cluster scans, which is the entire scale story of the method.
+
+    Exactness (so a SQL twin can reproduce it bit-for-bit):
+
+    - clustering = :func:`cluster.kmeans_int_centroids` (quantization
+      ``floor(x·kmeans_scale)``, integer Lloyd's, deterministic init) —
+      assignments are partition-independent;
+    - similarity vectors quantize separately as ``floor(x·sim_scale)``
+      (default 1000 keeps every int64 product in range for ``|x| ≤ 1``:
+      ``den·dot² ≤ 100·(64·10⁶)² < 2⁶³``);
+    - the keep rule for vector j is pair-local — ``∄ i<j in the same
+      cluster with dot(qᵢ,qⱼ) > 0 ∧ den·dot² ≥ num·‖qᵢ‖²·‖qⱼ‖²`` — NOT
+      transitive-closure based, so j's fate never depends on whether i
+      itself survived; every pair checks independently and the rule is
+      one SQL anti-join (``oracle.semantic_dedup_int_sql``).
+
+    Distributed shape: fit once (broadcast centroids, partial-sum folds);
+    ONE map pass fuses assignment + quantization (no assignment join);
+    ONE ``groupby(cluster)`` shuffle moves (id, quantized vec) only; the
+    per-cluster kernel is a chunked integer matmul with
+    O(``SEMANTIC_PAIR_BUDGET``) live cells. Partitioning assumption
+    (SURVEY §2 custom-operator rule): k is chosen so clusters are
+    block-sized (SemDeDup uses k ∝ corpus size, e.g. 11k clusters for
+    LAION-440M) — within-cluster work is quadratic in CLUSTER size by
+    design, never in corpus size.
+
+    Returns the KEPT rows as a Dataset of (``id_col``, cluster).
+    """
+    import ray
+
+    from .cluster import _quant_matrix, kmeans_int_centroids
+
+    vecs = ds.select_columns([id_col, vec_col]).materialize()
+    cents = kmeans_int_centroids(vecs, k, kmeans_iters, vec_col=vec_col,
+                                 id_col=id_col, scale=kmeans_scale)
+    ref = ray.put(cents)
+
+    def tag(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = _quant_matrix(b[vec_col], kmeans_scale)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        q = _quant_matrix(b[vec_col], sim_scale)
+        qv = pa.FixedSizeListArray.from_arrays(pa.array(q.ravel()),
+                                               q.shape[1])
+        return pa.table({id_col: b[id_col],
+                         "cluster": pa.array(a.astype(np.int64)),
+                         "_qv": qv})
+
+    tagged = vecs.map_batches(tag, batch_format="pyarrow")
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        raw_ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(raw_ids, kind="stable")
+        ids = raw_ids[order]
+        v = list_column_to_matrix(g["_qv"], dtype=np.int64)[order]
+        na = (v * v).sum(axis=1)
+        m = len(ids)
+        dup = np.zeros(m, dtype=bool)
+        mx = int(na.max()) if m else 0
+        num, den = threshold_num, threshold_den
+        if den * mx * mx < 1 << 63 and num * mx * mx < 1 << 63:
+            # Cauchy-Schwarz: |dot| ≤ max‖q‖², so every product below
+            # stays in int64 — vectorized path
+            step = max(1, SEMANTIC_PAIR_BUDGET // max(m, 1))
+            rows = np.arange(m)
+            for j0 in range(1, m, step):
+                j1 = min(m, j0 + step)
+                gc = v @ v[j0:j1].T  # (m, j1-j0)
+                hit = (gc > 0) & (den * gc * gc
+                                  >= num * na[:, None] * na[None, j0:j1])
+                before = rows[:, None] < np.arange(j0, j1)[None, :]
+                dup[j0:j1] |= (hit & before).any(axis=0)
+        else:
+            # overflow backstop: arbitrary-precision Python ints (the
+            # embedding_dedup_int verify path); only reachable for
+            # ‖x‖∞·sim_scale > ~3.8e8
+            for j in range(1, m):
+                qj = [int(t) for t in v[j]]
+                nj = int(na[j])
+                for i in range(j):
+                    d = sum(int(a_) * b_ for a_, b_ in zip(v[i], qj))
+                    if d > 0 and den * d * d >= num * int(na[i]) * nj:
+                        dup[j] = True
+                        break
+        keep = ~dup
+        return pa.table({
+            id_col: pa.array(ids[keep]),
+            "cluster": pa.array(g["cluster"].to_numpy(
+                zero_copy_only=False)[order][keep]),
+        })
+
+    return tagged.groupby("cluster").map_groups(dedup_group,
+                                                batch_format="pyarrow")
+
+
 def duplicated_spans(ds, window: int = 50, stride: int = 25,
                      text_col: str = "text", id_col: str = "doc_id"):
     """Cross-document EXACT substring duplication (the Lee et al. 2022
