@@ -643,6 +643,22 @@ def _q_dedup_semantic_int(sf_dir: str):
                         columns=["vec_id", "embedding"]))
 
 
+def _q_prune_prototypes_int(sf_dir: str):
+    """Prototypicality data pruning, ORACLE-CHECKED (round 5): per
+    Sorscher et al. 2022 (arXiv:2206.14486), drop the quarter of each
+    k-means cluster CLOSEST to its centroid (the most prototypical /
+    easiest examples — safe to discard when data is abundant), keep the
+    rest. Exact integer ranking over the `kmeans_int` d2_int distances
+    — (d2 asc, id asc) per cluster, cut at floor(m/4) — so the SQL twin
+    (`stages/cluster.prune_prototypes_int_sql`: the unrolled k-means CTE
+    chain + one window anti-filter) matches bit-for-bit."""
+    import ray.data as rd
+    from timezonemap_ray.stages.cluster import prune_prototypes_int
+    return prune_prototypes_int(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]))
+
+
 def _ann_queries(sf_dir: str):
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
@@ -2425,6 +2441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # so the arranged r5 rotation window keeps its never-sampled
         # targets — see _rotate_registry)
         "dedup_semantic_int": _q_dedup_semantic_int,
+        "prune_prototypes_int": _q_prune_prototypes_int,
         # ---- rows-only residue (no SQL twin exists; invariants pytest-
         # bound per docstring) ----
         "tz_distance_boundary": _q_tz_distance,
@@ -2513,6 +2530,10 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["hll_estimate_sql"]).hll_estimate_sql(
                 out_col="approx_n_users"),
         "dedup_semantic_int": oracle.semantic_dedup_int_sql(),
+        "prune_prototypes_int": __import__(
+            "timezonemap_ray.stages.cluster",
+            fromlist=["prune_prototypes_int_sql"]
+        ).prune_prototypes_int_sql(),
         "media_decode": """
             SELECT CAST(g.i AS BIGINT) AS media_id,
                    'media://blob/' || CAST(g.i AS VARCHAR) AS media_ref,

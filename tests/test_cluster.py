@@ -199,3 +199,71 @@ def test_kmeans_int_empty_cluster_carryover(ray_session):
     con.register("embeddings", tbl)
     want = con.execute(kmeans_int_sql(k=3, iters=2) + " ORDER BY vec_id").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_prune_prototypes_int_matches_sql_twin(ray_session):
+    """Prototypicality pruning: SQL bit parity at two partitionings;
+    exactly floor(m/4) closest-to-centroid rows drop per cluster."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from timezonemap_ray.stages.cluster import (prune_prototypes_int,
+                                                prune_prototypes_int_sql)
+    rng = np.random.default_rng(7)
+    centers = np.array([[0.0, 0.0, 0.0], [5.0, 5.0, 5.0], [-5.0, 5.0, 0.0]])
+    pts = np.concatenate([c + 0.4 * rng.standard_normal((21, 3))
+                          for c in centers])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(pts)), type=pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in pts],
+                              type=pa.list_(pa.float32()))})
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    want = con.execute(prune_prototypes_int_sql(k=3, iters=2)
+                       + " ORDER BY vec_id").df()
+    for parts in (1, 6):
+        got = prune_prototypes_int(rd.from_arrow(tbl).repartition(parts),
+                                   k=3, iters=2).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    # well-separated blobs of 21 -> clusters of 21, each drops
+    # floor(21/4)=5: 48 rows survive, and every cluster's kept minimum
+    # d2 exceeds at least one dropped d2 (the closest were removed)
+    assert len(got) == 63 - 3 * 5
+    full = con.execute("SELECT * FROM (" + __import__(
+        "timezonemap_ray.stages.cluster",
+        fromlist=["kmeans_int_sql"]).kmeans_int_sql(k=3, iters=2) + ")").df()
+    for cid, grp in full.groupby("cluster"):
+        kept = got[got["cluster"] == cid]
+        dropped = grp[~grp["vec_id"].isin(kept["vec_id"])]
+        assert len(dropped) == len(grp) // 4
+        if len(dropped) and len(kept):
+            assert dropped["d2_int"].max() <= kept["d2_int"].min() \
+                or sorted(dropped["d2_int"])[-1] <= sorted(kept["d2_int"])[0]
+
+
+def test_prune_prototypes_int_tiny_groups(ray_session):
+    """m < drop_den clusters drop nothing (floor(m·1/4) = 0); ties on
+    d2 break by id — both sides must agree."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from timezonemap_ray.stages.cluster import (prune_prototypes_int,
+                                                prune_prototypes_int_sql)
+    # two coincident points (d2 tie) + one far point, k=2
+    vecs = [[0.0, 0.0], [0.0, 0.0], [9.0, 9.0]]
+    tbl = pa.table({
+        "vec_id": pa.array([7, 3, 5], type=pa.int64()),
+        "embedding": pa.array([np.asarray(v, dtype=np.float32)
+                               for v in vecs], type=pa.list_(pa.float32()))})
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    want = con.execute(prune_prototypes_int_sql(k=2, iters=1, drop_num=1,
+                                                drop_den=2)
+                       + " ORDER BY vec_id").df()
+    got = prune_prototypes_int(rd.from_arrow(tbl), k=2, iters=1,
+                               drop_num=1, drop_den=2).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)

@@ -332,6 +332,67 @@ def kmeans_int_centroids(vecs, k: int, iters: int,
     return cents
 
 
+def prune_prototypes_int(ds, k: int = 4, iters: int = 2,
+                         drop_num: int = 1, drop_den: int = 4,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id", scale: int = 10_000):
+    """Prototypicality data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws", arXiv:2206.14486 — the SSL-prototypes metric)
+    in EXACT integer arithmetic: cluster with :func:`kmeans_int`, then
+    inside each cluster DROP the ``drop_num/drop_den`` fraction of
+    points CLOSEST to their centroid (the most prototypical / easiest
+    examples — the ones the paper shows are safe to discard when data
+    is abundant) and keep the rest.
+
+    Exact semantics so the SQL twin (:func:`prune_prototypes_int_sql`)
+    reproduces the kept set bit-for-bit: per cluster of size m, order by
+    (d2_int asc, id asc) and drop the first ``(drop_num·m) // drop_den``
+    rows. Every input is an integer (d2_int from the integer k-means),
+    so partitioning cannot change the ranking.
+
+    Distributed shape: the k-means fit is the broadcast/partial-fold
+    machinery; ranking is per-cluster (ONE groupby(cluster) shuffle of
+    (id, cluster, d2_int) triples — vectors never move); the same
+    k ∝ corpus-size assumption as ``semantic_dedup_int`` bounds group
+    size. Returns kept rows as (``id_col``, cluster, d2_int)."""
+    assigned = kmeans_int(ds, k=k, iters=iters, vec_col=vec_col,
+                          id_col=id_col, scale=scale)
+
+    def prune(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        d2 = g["d2_int"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, d2))
+        m = len(ids)
+        cut = (drop_num * m) // drop_den
+        keep = pa.array(order[cut:])
+        return g.take(keep)
+
+    return assigned.groupby("cluster").map_groups(prune,
+                                                  batch_format="pyarrow")
+
+
+def prune_prototypes_int_sql(k: int = 4, iters: int = 2,
+                             drop_num: int = 1, drop_den: int = 4,
+                             scale: int = 10_000,
+                             table: str = "embeddings",
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> str:
+    """SQL TWIN of :func:`prune_prototypes_int`: the unrolled k-means
+    CTE chain plus one window-ranked anti-filter (drop rank ≤
+    floor(num·m/den) per cluster; positives, so DuckDB ``//`` is
+    floor)."""
+    km = kmeans_int_sql(k=k, iters=iters, scale=scale, table=table,
+                        id_col=id_col, vec_col=vec_col)
+    return f"""WITH r AS (
+  SELECT {id_col}, cluster, d2_int,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY d2_int, {id_col}) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS m
+  FROM ({km}))
+SELECT {id_col}, cluster, d2_int
+FROM r WHERE rn > ({drop_num} * m) // {drop_den}"""
+
+
 def _sql_floordiv(s: str, n: str) -> str:
     """Exact FLOOR division for SQL (DuckDB ``//`` truncates toward zero
     on negatives; numpy floors): subtract the canonical non-negative
