@@ -182,3 +182,39 @@ def test_cooccur_edges_giant_group_chunked(ray_session):
             == sorted(want)
     finally:
         graph.WEDGE_PAIR_BUDGET = old
+
+
+def test_pagerank_big_node_ids_all_plans(ray_session):
+    """Node ids ≥ 2^31 route the driver plan through the dense-code
+    remap (sorted-unique + parallel searchsorted); all three plans must
+    still match the naive reference bit-for-bit."""
+    import ray.data as rd
+
+    from timezonemap_ray.stages.graph import pagerank_int
+    rng = np.random.default_rng(17)
+    e = _random_edges(rng) + (3 << 31)  # every id above the packing bound
+    want = _naive_pagerank_int([(int(u), int(v)) for u, v in e])
+    tbl = pa.table({"src": pa.array(e[:, 0], type=pa.int64()),
+                    "dst": pa.array(e[:, 1], type=pa.int64())})
+    for bmax, dmax in ((5_000_000, 5_000_000), (5_000_000, 0), (0, 0)):
+        got = pagerank_int(rd.from_arrow(tbl).repartition(3),
+                           iters=3, broadcast_nodes_max=bmax,
+                           driver_edges_max=dmax).to_pandas()
+        assert dict(zip(got["node_id"], got["rank_int"])) == want, \
+            (bmax, dmax)
+
+
+def test_par_searchsorted_matches_numpy_across_chunk_boundaries():
+    """The multithreaded probe helper is exactly np.searchsorted at every
+    size class, including probes absent from the key table."""
+    from timezonemap_ray.stages.graph import _par_searchsorted
+    rng = np.random.default_rng(23)
+    keys = np.sort(rng.choice(1 << 40, 5_000, replace=False)).astype(np.int64)
+    for n in (0, 1, 999, 1_000, 1_001, 10_000):
+        vals = np.concatenate([
+            rng.choice(keys, n // 2 + 1),
+            rng.integers(0, 1 << 40, size=n - n // 2 - 1 if n else 0),
+        ])[:n].astype(np.int64)
+        got = _par_searchsorted(keys, vals, chunk=1_000)
+        assert got.dtype == np.int64
+        assert (got == np.searchsorted(keys, vals)).all()

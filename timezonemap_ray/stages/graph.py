@@ -111,6 +111,32 @@ def _sorted_unique_i64(x: np.ndarray) -> np.ndarray:
         return np.unique(x)
 
 
+def _par_searchsorted(sorted_arr: np.ndarray, values: np.ndarray,
+                      chunk: int = 2_000_000) -> np.ndarray:
+    """``np.searchsorted``, multithreaded over probe chunks —
+    searchsorted releases the GIL and the key table is read-shared, so
+    driver-fold remaps parallelize cleanly (3.4 s → ~0.4 s for 24M
+    probes into a 210k-key table, round-5 profile; the binary search is
+    branchy enough that one core can't hide the latency even with the
+    table L2-resident)."""
+    n = len(values)
+    if n <= chunk:
+        return np.searchsorted(sorted_arr, values).astype(np.int64)
+    import concurrent.futures as cf
+    import os as _os
+    out = np.empty(n, dtype=np.int64)
+
+    def fill(span):
+        s, e = span
+        out[s:e] = np.searchsorted(sorted_arr, values[s:e])
+
+    spans = [(i, min(n, i + chunk)) for i in range(0, n, chunk)]
+    with cf.ThreadPoolExecutor(
+            max_workers=min(16, _os.cpu_count() or 4)) as ex:
+        list(ex.map(fill, spans))
+    return out
+
+
 def _sort_i64(x: np.ndarray) -> np.ndarray:
     """``np.sort`` for int64 arrays via polars' multithreaded sort
     (0.14 s vs 0.73 s at 12M values, round-5 profile)."""
@@ -299,8 +325,8 @@ def _pagerank_int_driver(raw, iters: int, damping_num: int,
             # makes the packed dedup applicable — measured 6.6 s vs the
             # old lexsort fallback's 11.5 s at 12M pairs (round-5)
             remap = _sorted_unique_i64(np.concatenate([c0, c1]))
-            c0 = np.searchsorted(remap, c0).astype(np.int64)
-            c1 = np.searchsorted(remap, c1).astype(np.int64)
+            c0 = _par_searchsorted(remap, c0)
+            c1 = _par_searchsorted(remap, c1)
         pairs_u = _sorted_unique_i64((c0 << 32) | c1)
         c0 = c1 = None
         cs = (pairs_u >> 32).astype(np.int64)
@@ -321,8 +347,8 @@ def _pagerank_int_driver(raw, iters: int, damping_num: int,
                 t_idx = codebook[cd]
             else:
                 ids = _sorted_unique_i64(np.concatenate([cs, cd]))
-                s_idx = np.searchsorted(ids, cs)
-                t_idx = np.searchsorted(ids, cd)
+                s_idx = _par_searchsorted(ids, cs)
+                t_idx = _par_searchsorted(ids, cd)
     outdeg = np.bincount(s_idx, minlength=len(ids)).astype(np.int64)
     safe_deg = np.maximum(outdeg, 1)
     # float64 bincount is exact only while the max possible in-sum
@@ -521,8 +547,8 @@ def _triangle_counts_broadcast(edges, num_partitions: int):
         b_pos = codebook[ab[1]]
     else:
         ids = _sorted_unique_i64(ab.reshape(-1))
-        a_pos = np.searchsorted(ids, ab[0])
-        b_pos = np.searchsorted(ids, ab[1])
+        a_pos = _par_searchsorted(ids, ab[0])
+        b_pos = _par_searchsorted(ids, ab[1])
     deg = (np.bincount(a_pos, minlength=len(ids))
            + np.bincount(b_pos, minlength=len(ids))).astype(np.int64)
 
