@@ -659,6 +659,24 @@ def _q_prune_prototypes_int(sf_dir: str):
                         columns=["vec_id", "embedding"]))
 
 
+def _q_docs_target_selection_int(sf_dir: str):
+    """DSIR-shaped data selection, ORACLE-CHECKED (round 5): a
+    deterministic 10% hash sample of documents stands in for the target
+    domain; hashed unigram multinomial counts (md5-mode
+    `feature_hash_counts`, +1/occurrence) model target and raw corpus;
+    keep documents whose exact integer count-ratio score
+    Σ_f c_f·(n_t[f]·D_r − n_r[f]·D_t) is positive (Xie et al. 2023,
+    arXiv:2302.03169 — the integer-exact RNG-free variant;
+    `stages/select.target_selection_int`, SQL twin
+    `oracle.target_selection_int_sql`). Two streaming passes, one
+    broadcast dim-vector, zero shuffles."""
+    import ray.data as rd
+    from timezonemap_ray.stages.select import target_selection_int
+    return target_selection_int(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]))
+
+
 def _ann_queries(sf_dir: str):
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
@@ -2442,6 +2460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # targets — see _rotate_registry)
         "dedup_semantic_int": _q_dedup_semantic_int,
         "prune_prototypes_int": _q_prune_prototypes_int,
+        "docs_target_selection_int": _q_docs_target_selection_int,
         # ---- rows-only residue (no SQL twin exists; invariants pytest-
         # bound per docstring) ----
         "tz_distance_boundary": _q_tz_distance,
@@ -2534,6 +2553,7 @@ def oracle_sql() -> dict[str, str]:
             "timezonemap_ray.stages.cluster",
             fromlist=["prune_prototypes_int_sql"]
         ).prune_prototypes_int_sql(),
+        "docs_target_selection_int": oracle.target_selection_int_sql(),
         "media_decode": """
             SELECT CAST(g.i AS BIGINT) AS media_id,
                    'media://blob/' || CAST(g.i AS VARCHAR) AS media_ref,

@@ -205,7 +205,7 @@ def run_bench(num_cpus: int) -> dict:
     import __ray_entry__ as _entry
     for qname in ("pagerank_partsupp", "triangles_coorder",
                   "kmeans_int_assign", "dedup_minhash_md5",
-                  "dedup_semantic_int"):
+                  "dedup_semantic_int", "docs_target_selection_int"):
         timings[qname] = _min_of(
             2, lambda q=qname: _entry.queries()[q](SF_DIR).count())
 

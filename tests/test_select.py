@@ -409,3 +409,78 @@ def test_mixture_sample_rates_and_determinism(ray_session):
     assert "s3" not in counts.index
     out2 = mixture_sample(ds, "source", "doc_id", rates).to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])  # deterministic
+
+
+def test_target_selection_int_matches_sql_twin(ray_session):
+    """DSIR-shaped count-ratio selection: SQL bit parity at two
+    partitionings on a corpus whose target-sampled docs share a
+    distinctive vocabulary."""
+    from timezonemap_ray.oracle import target_selection_int_sql
+    from timezonemap_ray.stages.select import (SAMPLE_MOD, SAMPLE_MULT,
+                                               SAMPLE_SPACE,
+                                               target_selection_int)
+    rate = 2_000  # 20% target sample
+    ids = np.arange(60, dtype=np.int64)
+    h = ((ids * SAMPLE_MULT) % SAMPLE_MOD) % SAMPLE_SPACE
+    is_t = h < rate
+    # target docs talk about quasars; raw docs about plumbing; a few
+    # NON-target docs also talk about quasars (they should score high)
+    texts = []
+    for i, t in zip(ids, is_t):
+        if t:
+            texts.append("quasar jets emit radio lobes quasar")
+        elif i % 7 == 0:
+            texts.append("quasar survey maps radio quasar")
+        elif i % 11 == 0:
+            texts.append("")  # empty doc: no tokens, never selected
+        else:
+            texts.append("pipe wrench fits the drain trap")
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "text": pa.array(texts, type=pa.string())})
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(target_selection_int_sql(dim=32, target_rate_bp=rate)
+                       + " ORDER BY doc_id").df()
+    for parts in (1, 6):
+        got = target_selection_int(_ds(tbl, parts), dim=32,
+                                   target_rate_bp=rate).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    kept = set(got["doc_id"])
+    # every target doc and every quasar-adjacent doc selected; all
+    # plumbing and empty docs rejected
+    for i, t in zip(ids, is_t):
+        if t or (not t and i % 7 == 0 and i % 11 != 0):
+            assert i in kept, i
+        elif "pipe" in texts[i] or texts[i] == "":
+            assert i not in kept, i
+
+
+def test_target_selection_int_empty_target(ray_session):
+    """rate 0 => empty target sample => all weights 0 => nothing kept
+    (engine and SQL agree)."""
+    from timezonemap_ray.oracle import target_selection_int_sql
+    from timezonemap_ray.stages.select import target_selection_int
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "text": pa.array(["a b c", "d e", "f"])})
+    got = target_selection_int(_ds(tbl, 1), dim=16,
+                               target_rate_bp=0).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(target_selection_int_sql(dim=16, target_rate_bp=0)).df()
+    assert len(got) == 0 and len(want) == 0
+
+
+def test_feature_hash_counts_unsigned_mode():
+    """signed=False sums +1 per occurrence: row sums equal token counts
+    and every entry is nonnegative; signed mode is unchanged."""
+    from timezonemap_ray.stages.text import feature_hash_counts
+    tbl = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                    "text": pa.array(["x y x z", ""])})
+    u = feature_hash_counts(tbl, dim=8, signed=False)
+    m = np.array(u["counts"].to_pylist())
+    assert (m >= 0).all()
+    assert m.sum(axis=1).tolist() == [4, 0]
+    s = feature_hash_counts(tbl, dim=8, signed=True)
+    ms = np.array(s["counts"].to_pylist())
+    assert (np.abs(ms).sum(axis=1) <= 4).all()

@@ -629,6 +629,41 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rn <= {k}"""
 
 
+def target_selection_int_sql(dim: int = 64, target_rate_bp: int = 1_000,
+                             table: str = "documents",
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    """SQL TWIN of ``stages.select.target_selection_int``: DuckDB
+    rebuilds the hashed unigram multinomial counts (md5 → splitmix64 in
+    HUGEINT, bucket ``h % dim``, +1 per occurrence), the deterministic
+    target sample, the cross-multiplied count-ratio weights
+    ``Δ_f = n_t·D_r − n_r·D_t``, and keeps documents with positive
+    integer score — bit-for-bit against the engine's two-pass plan."""
+    from .stages.select import sample_hash_sql_pred
+    chain = _sql_smix_chain("t.h0", "m")[0]
+    pred = sample_hash_sql_pred(id_col, target_rate_bp)
+    return f"""WITH tok AS (
+  SELECT {id_col}, unnest(regexp_extract_all({text_col}, '\\S+')) AS w
+  FROM {table}),
+th AS (SELECT {id_col}, {_sql_md5_u64('w')} AS h0 FROM tok),
+hh AS (SELECT t.{id_col}, sme.x AS h FROM th t{chain}),
+cnt AS (SELECT {id_col}, CAST(h % {dim} AS BIGINT) AS bucket,
+               count(*) AS c
+        FROM hh GROUP BY 1, 2),
+tgt AS (SELECT {id_col} FROM {table} WHERE {pred}),
+nt AS (SELECT bucket, sum(c) AS n FROM cnt JOIN tgt USING ({id_col})
+       GROUP BY 1),
+nr AS (SELECT bucket, sum(c) AS n FROM cnt GROUP BY 1),
+dt AS (SELECT COALESCE(sum(n), 0) AS d FROM nt),
+dr AS (SELECT COALESCE(sum(n), 0) AS d FROM nr),
+delta AS (SELECT r.bucket, COALESCE(t.n, 0) * dr.d - r.n * dt.d AS w
+          FROM nr r LEFT JOIN nt t ON t.bucket = r.bucket, dt, dr),
+sc AS (SELECT c.{id_col}, sum(c.c * d.w) AS score
+       FROM cnt c JOIN delta d ON d.bucket = c.bucket GROUP BY 1)
+SELECT {id_col}, CAST(score AS BIGINT) AS score
+FROM sc WHERE score > 0"""
+
+
 def ridge_normal_eqs_sql(dim: int = 8, table: str = "documents",
                          id_col: str = "doc_id",
                          text_col: str = "text") -> str:

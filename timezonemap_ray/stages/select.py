@@ -754,3 +754,94 @@ def quality_weighted_sample(ds, text_col: str = "text"):
         return q.filter(pa.array(h < p))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def target_selection_int(ds, dim: int = 64, target_rate_bp: int = 1_000,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         hash_fn: str = "md5"):
+    """Data selection toward a TARGET distribution (the DSIR shape —
+    Xie et al. 2023, arXiv:2302.03169 — hashed bag-of-words importance
+    scoring; this variant scores with exact integer COUNT-RATIO
+    differences instead of float log-likelihood ratios + Gumbel
+    resampling, so the whole op is RNG-free and a SQL twin reproduces
+    the selected set bit-for-bit):
+
+    1. a deterministic hash sample of documents (``sample_hash``
+       semantics, ``target_rate_bp``/10000) stands in for the target
+       domain;
+    2. hashed unigram multinomial counts (``text.feature_hash_counts``
+       with ``signed=False`` — +1 per occurrence) model both the target
+       and the raw corpus: ONE streaming pass emits per-block
+       (target_sums | raw_sums) partials, folded into two dim-vectors
+       ``n_t``/``n_r`` on the driver (O(dim) bytes per block);
+    3. each feature's weight is the cross-multiplied ratio difference
+       ``Δ_f = n_t[f]·D_r − n_r[f]·D_t`` (D = Σ_f n) — positive exactly
+       when the target uses feature f more than the raw average;
+    4. a second map-only pass keeps documents with
+       ``score(x) = Σ_f c_f(x)·Δ_f > 0`` — "looks more like the target
+       than the average document" — and returns (id, score).
+
+    Scale shape: two streaming passes over text, a broadcast dim-vector,
+    zero shuffles. Every quantity is an integer count, so block order /
+    partitioning cannot change the kept set (an int64 bound is asserted
+    per block — at corpus sizes where Σc·max|Δ| approaches 2⁶³, shard
+    the corpus or shrink ``dim``).
+    """
+    import ray
+
+    from ..vecs import list_column_to_matrix
+    from .text import feature_hash_counts
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = feature_hash_counts(b, dim=dim, text_col=text_col,
+                                hash_fn=hash_fn, signed=False)
+        c = list_column_to_matrix(t["counts"], dtype=np.int64)
+        v = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)) \
+            % np.int64(SAMPLE_SPACE)
+        is_t = h < target_rate_bp
+        nt = c[is_t].sum(axis=0, dtype=np.int64)
+        nr = c.sum(axis=0, dtype=np.int64)
+        return pa.table({"which": pa.array([0, 1], type=pa.int64()),
+                         "sums": pa.array([nt, nr],
+                                          type=pa.list_(pa.int64()))})
+
+    n_t = np.zeros(dim, dtype=np.int64)
+    n_r = np.zeros(dim, dtype=np.int64)
+    for batch in ds.map_batches(partials, batch_format="pyarrow") \
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
+        which = batch["which"].to_numpy(zero_copy_only=False)
+        sm = batch["sums"].combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).reshape(len(which), dim)
+        n_t += sm[which == 0].sum(axis=0, dtype=np.int64)
+        n_r += sm[which == 1].sum(axis=0, dtype=np.int64)
+    d_t, d_r = int(n_t.sum()), int(n_r.sum())
+    # exact in Python ints first; assert the int64 envelope before cast
+    delta_py = [int(t) * d_r - int(r) * d_t for t, r in zip(n_t, n_r)]
+    max_abs = max((abs(x) for x in delta_py), default=0)
+    if max_abs >= 1 << 62:
+        raise ValueError(
+            f"target_selection_int: |delta| up to {max_abs} leaves no "
+            f"int64 headroom for the score dot — shard the corpus or "
+            f"reduce dim")
+    delta = np.array(delta_py, dtype=np.int64)
+    ref = ray.put(delta)
+
+    def score(b: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        t = feature_hash_counts(b, dim=dim, text_col=text_col,
+                                hash_fn=hash_fn, signed=False)
+        c = list_column_to_matrix(t["counts"], dtype=np.int64)
+        if len(c):
+            # score bound: Σ_f c_f · max|Δ| — must stay inside int64
+            tot = int(c.sum(axis=1).max())
+            if tot * int(np.abs(w).max() or 0) >= 1 << 63:
+                raise ValueError(
+                    "target_selection_int: per-document score would "
+                    "overflow int64 — shard the corpus or reduce dim")
+        s = c @ w
+        keep = s > 0
+        return pa.table({id_col: b[id_col].filter(pa.array(keep)),
+                         "score": pa.array(s[keep])})
+
+    return ds.map_batches(score, batch_format="pyarrow")

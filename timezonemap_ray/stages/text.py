@@ -610,7 +610,8 @@ def mask_sql_pred(doc_col: str, idx: str, rate_bp: int) -> str:
 def feature_hash_counts(batch: pa.Table, dim: int = 256,
                         text_col: str = "text",
                         out_col: str = "counts",
-                        hash_fn: str = "blake2b") -> pa.Table:
+                        hash_fn: str = "blake2b",
+                        signed: bool = True) -> pa.Table:
     """Hashing-trick document vectors as RAW SIGNED INTEGER COUNTS (no
     normalization): token hash → splitmix64 → bucket ``h % dim``, sign
     bit 63, ±1 per OCCURRENCE. The integer form exists for exactness:
@@ -618,7 +619,12 @@ def feature_hash_counts(batch: pa.Table, dim: int = 256,
     a MIPS top-k over them is bit-reproducible and SQL-checkable
     (``hash_fn="md5"`` makes the token hash DuckDB-recomputable; see
     ``oracle_sql['docs_hash_embed_mips_topk']``). The float cosine
-    production path is :func:`feature_hash_vectors`."""
+    production path is :func:`feature_hash_vectors`.
+
+    ``signed=False`` drops the sign bit (+1 per occurrence always):
+    the vector is then a hashed bag-of-words MULTINOMIAL count — the
+    nonnegative form distribution-ratio selection needs
+    (``select.target_selection_int``)."""
     from .terms import _flat_tokens
 
     hfn = hash_u64_md5 if hash_fn == "md5" else hash_u64
@@ -633,8 +639,11 @@ def feature_hash_counts(batch: pa.Table, dim: int = 256,
             dtype=np.uint64, count=len(enc.dictionary))
         hh = _splitmix64(dict_hashes)
         buckets = (hh % np.uint64(dim)).astype(np.int64)
-        signs = np.where((hh >> np.uint64(63)).astype(bool), -1, 1) \
-            .astype(np.int64)
+        if signed:
+            signs = np.where((hh >> np.uint64(63)).astype(bool), -1, 1) \
+                .astype(np.int64)
+        else:
+            signs = np.ones(len(hh), dtype=np.int64)
         np.add.at(out, (parent, buckets[codes]), signs[codes])
     flat_vals = pa.array(out.reshape(-1))
     emb = pa.FixedSizeListArray.from_arrays(flat_vals, dim)
