@@ -404,3 +404,60 @@ def test_tv_ns_i8_unit_invariance(ns_vals, unit):
     out = _tv_ns_i8(col)
     assert out.dtype == np.int64
     assert (out == ns).all()
+
+
+def _naive_dup_mask(v, num, den):
+    """O(n²·d) arbitrary-precision reference for _semantic_dup_mask."""
+    m = len(v)
+    dup = [False] * m
+    for j in range(m):
+        nj = sum(int(x) * int(x) for x in v[j])
+        for i in range(j):
+            d = sum(int(a) * int(b) for a, b in zip(v[i], v[j]))
+            ni = sum(int(x) * int(x) for x in v[i])
+            if d > 0 and den * d * d >= num * ni * nj:
+                dup[j] = True
+                break
+    return dup
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_semantic_dup_mask_matches_naive_property(data):
+    """The chunked-matmul kernel (forced to chunk via a tiny budget by
+    many rows) equals the arbitrary-precision pairwise reference on
+    random small int matrices, for random rational thresholds."""
+    from timezonemap_ray.stages.dedup import _semantic_dup_mask
+    m = data.draw(st.integers(min_value=0, max_value=12))
+    d = data.draw(st.integers(min_value=1, max_value=4))
+    v = np.array(
+        data.draw(st.lists(
+            st.lists(st.integers(min_value=-9, max_value=9),
+                     min_size=d, max_size=d),
+            min_size=m, max_size=m)),
+        dtype=np.int64).reshape(m, d)
+    num = data.draw(st.integers(min_value=0, max_value=100))
+    got = _semantic_dup_mask(v, num, 100)
+    assert got.tolist() == _naive_dup_mask(v, num, 100)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_semantic_dup_mask_overflow_path_matches_naive(data):
+    """Values big enough to trip the int64 guard route to the Python-int
+    backstop — same answer as the reference."""
+    from timezonemap_ray.stages.dedup import _semantic_dup_mask
+    m = data.draw(st.integers(min_value=2, max_value=6))
+    base = np.array(
+        data.draw(st.lists(
+            st.lists(st.integers(min_value=-9, max_value=9),
+                     min_size=3, max_size=3),
+            min_size=m, max_size=m)),
+        dtype=np.int64).reshape(m, 3)
+    v = base * (1 << 31)  # na ~ 2^62·k => den·na² overflows int64
+    na_max = int((v * v).sum(axis=1).max())
+    got = _semantic_dup_mask(v, 81, 100)
+    if 100 * na_max * na_max >= 1 << 63:  # guard actually tripped
+        assert got.tolist() == _naive_dup_mask(v, 81, 100)
+    else:  # all-zero rows drawn; still must agree
+        assert got.tolist() == _naive_dup_mask(v, 81, 100)

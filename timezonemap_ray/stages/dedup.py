@@ -905,6 +905,51 @@ def embedding_dedup_int(ds, dim: int, threshold_num: int = 361,
 SEMANTIC_PAIR_BUDGET = 8_000_000
 
 
+def _semantic_dup_mask(v: np.ndarray, threshold_num: int,
+                       threshold_den: int) -> np.ndarray:
+    """The per-cluster kernel of :func:`semantic_dedup_int`: rows of
+    ``v`` (int64, ALREADY in ascending-id order) → bool mask, True where
+    an EARLIER row is cosine-similar (dot > 0 ∧ den·dot² ≥ num·‖a‖²·‖b‖²,
+    exact). Vectorized chunked-matmul path while every product fits
+    int64 (Cauchy-Schwarz bounds |dot| by max‖q‖²); arbitrary-precision
+    Python-int backstop beyond."""
+    m = len(v)
+    dup = np.zeros(m, dtype=bool)
+    num, den = threshold_num, threshold_den
+    # route on an overflow-PROOF bound (Python ints): ‖q‖² ≤ d·max|q|²,
+    # and by Cauchy-Schwarz |dot| ≤ max‖q‖² — deciding from the numpy
+    # norms themselves would read already-wrapped values in the extreme
+    # case the backstop exists for (hypothesis-found)
+    mx_abs = int(np.abs(v).max()) if m else 0
+    na_bound = v.shape[1] * mx_abs * mx_abs if m else 0
+    if den * na_bound * na_bound < 1 << 63 \
+            and num * na_bound * na_bound < 1 << 63:
+        na = (v * v).sum(axis=1)  # exact: bounded by na_bound
+        step = max(1, SEMANTIC_PAIR_BUDGET // max(m, 1))
+        rows = np.arange(m)
+        for j0 in range(1, m, step):
+            j1 = min(m, j0 + step)
+            gc = v @ v[j0:j1].T  # (m, j1-j0)
+            hit = (gc > 0) & (den * gc * gc
+                              >= num * na[:, None] * na[None, j0:j1])
+            before = rows[:, None] < np.arange(j0, j1)[None, :]
+            dup[j0:j1] |= (hit & before).any(axis=0)
+    else:
+        # arbitrary precision throughout — norms included (numpy int64
+        # squares can wrap here); only reachable for
+        # ‖x‖∞·sim_scale > ~3.8e8
+        na_py = [sum(int(x) * int(x) for x in row) for row in v]
+        for j in range(1, m):
+            qj = [int(t) for t in v[j]]
+            nj = na_py[j]
+            for i in range(j):
+                d = sum(int(a_) * b_ for a_, b_ in zip(v[i], qj))
+                if d > 0 and den * d * d >= num * na_py[i] * nj:
+                    dup[j] = True
+                    break
+    return dup
+
+
 def semantic_dedup_int(ds, k: int = 4, kmeans_iters: int = 2,
                        threshold_num: int = 9, threshold_den: int = 100,
                        sim_scale: int = 1_000, kmeans_scale: int = 10_000,
@@ -970,36 +1015,7 @@ def semantic_dedup_int(ds, k: int = 4, kmeans_iters: int = 2,
         order = np.argsort(raw_ids, kind="stable")
         ids = raw_ids[order]
         v = list_column_to_matrix(g["_qv"], dtype=np.int64)[order]
-        na = (v * v).sum(axis=1)
-        m = len(ids)
-        dup = np.zeros(m, dtype=bool)
-        mx = int(na.max()) if m else 0
-        num, den = threshold_num, threshold_den
-        if den * mx * mx < 1 << 63 and num * mx * mx < 1 << 63:
-            # Cauchy-Schwarz: |dot| ≤ max‖q‖², so every product below
-            # stays in int64 — vectorized path
-            step = max(1, SEMANTIC_PAIR_BUDGET // max(m, 1))
-            rows = np.arange(m)
-            for j0 in range(1, m, step):
-                j1 = min(m, j0 + step)
-                gc = v @ v[j0:j1].T  # (m, j1-j0)
-                hit = (gc > 0) & (den * gc * gc
-                                  >= num * na[:, None] * na[None, j0:j1])
-                before = rows[:, None] < np.arange(j0, j1)[None, :]
-                dup[j0:j1] |= (hit & before).any(axis=0)
-        else:
-            # overflow backstop: arbitrary-precision Python ints (the
-            # embedding_dedup_int verify path); only reachable for
-            # ‖x‖∞·sim_scale > ~3.8e8
-            for j in range(1, m):
-                qj = [int(t) for t in v[j]]
-                nj = int(na[j])
-                for i in range(j):
-                    d = sum(int(a_) * b_ for a_, b_ in zip(v[i], qj))
-                    if d > 0 and den * d * d >= num * int(na[i]) * nj:
-                        dup[j] = True
-                        break
-        keep = ~dup
+        keep = ~_semantic_dup_mask(v, threshold_num, threshold_den)
         return pa.table({
             id_col: pa.array(ids[keep]),
             "cluster": pa.array(g["cluster"].to_numpy(
