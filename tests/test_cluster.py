@@ -239,8 +239,7 @@ def test_prune_prototypes_int_matches_sql_twin(ray_session):
         dropped = grp[~grp["vec_id"].isin(kept["vec_id"])]
         assert len(dropped) == len(grp) // 4
         if len(dropped) and len(kept):
-            assert dropped["d2_int"].max() <= kept["d2_int"].min() \
-                or sorted(dropped["d2_int"])[-1] <= sorted(kept["d2_int"])[0]
+            assert dropped["d2_int"].max() <= kept["d2_int"].min()
 
 
 def test_prune_prototypes_int_tiny_groups(ray_session):

@@ -424,10 +424,11 @@ def _naive_dup_mask(v, num, den):
 @settings(max_examples=40, deadline=None)
 @given(st.data())
 def test_semantic_dup_mask_matches_naive_property(data):
-    """The chunked-matmul kernel (forced to chunk via a tiny budget by
-    many rows) equals the arbitrary-precision pairwise reference on
-    random small int matrices, for random rational thresholds."""
-    from timezonemap_ray.stages.dedup import _semantic_dup_mask
+    """The chunked-matmul kernel — FORCED to multi-chunk by patching the
+    pair budget down to a few cells — equals the arbitrary-precision
+    pairwise reference on random small int matrices, for random
+    rational thresholds."""
+    from timezonemap_ray.stages import dedup as dd
     m = data.draw(st.integers(min_value=0, max_value=12))
     d = data.draw(st.integers(min_value=1, max_value=4))
     v = np.array(
@@ -437,8 +438,16 @@ def test_semantic_dup_mask_matches_naive_property(data):
             min_size=m, max_size=m)),
         dtype=np.int64).reshape(m, d)
     num = data.draw(st.integers(min_value=0, max_value=100))
-    got = _semantic_dup_mask(v, num, 100)
-    assert got.tolist() == _naive_dup_mask(v, num, 100)
+    want = _naive_dup_mask(v, num, 100)
+    budget = data.draw(st.sampled_from([1, 7, dd.SEMANTIC_PAIR_BUDGET]))
+    old = dd.SEMANTIC_PAIR_BUDGET
+    try:
+        # budget 1/7 at m>7 rows forces step < m: many j-chunks per call
+        dd.SEMANTIC_PAIR_BUDGET = budget
+        got = dd._semantic_dup_mask(v, num, 100)
+    finally:
+        dd.SEMANTIC_PAIR_BUDGET = old
+    assert got.tolist() == want
 
 
 @settings(max_examples=15, deadline=None)

@@ -484,3 +484,15 @@ def test_feature_hash_counts_unsigned_mode():
     s = feature_hash_counts(tbl, dim=8, signed=True)
     ms = np.array(s["counts"].to_pylist())
     assert (np.abs(ms).sum(axis=1) <= 4).all()
+
+
+def test_target_selection_int_custom_id_col(ray_session):
+    """Regression (review-found): a non-default id column must work —
+    feature_hash_counts used to hardcode doc_id and crash."""
+    from timezonemap_ray.stages.select import target_selection_int
+    tbl = pa.table({"my_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                    "text": pa.array(["a b", "c d", "a b", "e"])})
+    out = target_selection_int(_ds(tbl, 2), dim=16, target_rate_bp=5_000,
+                               id_col="my_id").to_pandas()
+    assert list(out.columns) == ["my_id", "score"]
+    assert set(out["my_id"]) <= {1, 2, 3, 4}

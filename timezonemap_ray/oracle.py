@@ -834,8 +834,9 @@ sq AS (SELECT {id_col} AS vid, d,
                     generate_subscripts({vec_col}, 1) AS d
              FROM {table})),
 asg AS (SELECT {id_col} AS vid, cluster FROM ({km})),
-nn AS (SELECT vid, sum(x * x) AS na FROM sq GROUP BY 1),
-dots AS (SELECT ai.vid AS i, aj.vid AS j, sum(qi.x * qj.x) AS dot
+nn AS (SELECT vid, sum(CAST(x AS HUGEINT) * x) AS na FROM sq GROUP BY 1),
+dots AS (SELECT ai.vid AS i, aj.vid AS j,
+                sum(CAST(qi.x AS HUGEINT) * qj.x) AS dot
          FROM asg ai JOIN asg aj
               ON aj.cluster = ai.cluster AND ai.vid < aj.vid
          JOIN sq qi ON qi.vid = ai.vid

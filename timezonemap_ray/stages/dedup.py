@@ -975,6 +975,12 @@ def semantic_dedup_int(ds, k: int = 4, kmeans_iters: int = 2,
       itself survived; every pair checks independently and the rule is
       one SQL anti-join (``oracle.semantic_dedup_int_sql``).
 
+    Exactness domain: the binding bound is the K-MEANS quantization —
+    int64 squared distances need ``d·(2·‖x‖∞·kmeans_scale)² < 2⁶³``
+    (‖x‖∞ ≲ 1.9e4 at d=64, scale=10⁴ — any real embedding space);
+    within it every similarity product fits BIGINT too, and the kernel's
+    arbitrary-precision backstop covers the rest of ITS range anyway.
+
     Distributed shape: fit once (broadcast centroids, partial-sum folds);
     ONE map pass fuses assignment + quantization (no assignment join);
     ONE ``groupby(cluster)`` shuffle moves (id, quantized vec) only; the
@@ -989,7 +995,7 @@ def semantic_dedup_int(ds, k: int = 4, kmeans_iters: int = 2,
     """
     import ray
 
-    from .cluster import _quant_matrix, kmeans_int_centroids
+    from .cluster import kmeans_int_centroids
 
     vecs = ds.select_columns([id_col, vec_col]).materialize()
     cents = kmeans_int_centroids(vecs, k, kmeans_iters, vec_col=vec_col,
@@ -998,10 +1004,13 @@ def semantic_dedup_int(ds, k: int = 4, kmeans_iters: int = 2,
 
     def tag(b: pa.Table) -> pa.Table:
         c = ray.get(ref)
-        x = _quant_matrix(b[vec_col], kmeans_scale)
+        # one list-column decode, two quantizations (same floor·scale
+        # arithmetic as _quant_matrix — review-found double decode)
+        m = list_column_to_matrix(b[vec_col], dtype=np.float64)
+        x = np.floor(m * float(kmeans_scale)).astype(np.int64)
         d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         a = np.argmin(d2, axis=1)
-        q = _quant_matrix(b[vec_col], sim_scale)
+        q = np.floor(m * float(sim_scale)).astype(np.int64)
         qv = pa.FixedSizeListArray.from_arrays(pa.array(q.ravel()),
                                                q.shape[1])
         return pa.table({id_col: b[id_col],

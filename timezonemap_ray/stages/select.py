@@ -338,6 +338,20 @@ SAMPLE_MOD = 1000000007
 SAMPLE_SPACE = 10_000  # basis points
 
 
+def _hash_mod(v: np.ndarray) -> np.ndarray:
+    """The deterministic id hash ``(id·SAMPLE_MULT) mod SAMPLE_MOD`` —
+    THE single definition of the sampling hash; every engine-side use
+    must route through here (or :func:`_hash_bp`) so the rule can never
+    diverge from ``sample_hash_sql_pred``."""
+    return (v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)
+
+
+def _hash_bp(v: np.ndarray) -> np.ndarray:
+    """Basis-point bucket of the sampling hash (``_hash_mod % 10000``) —
+    compare against a rate_bp for membership."""
+    return _hash_mod(v) % np.int64(SAMPLE_SPACE)
+
+
 def sample_hash(ds, id_col: str, rate_bp: int, invert: bool = False):
     """Keep rows where ``((id·2654435761) mod 1000000007) mod 10000 <
     rate_bp`` — a deterministic ~rate_bp/10000 sample. Pure int64
@@ -348,8 +362,7 @@ def sample_hash(ds, id_col: str, rate_bp: int, invert: bool = False):
     other rows — a disjoint holdout)."""
     def keep(b: pa.Table) -> pa.Table:
         v = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)
-        m = (h % np.int64(SAMPLE_SPACE)) < rate_bp
+        m = _hash_bp(v) < rate_bp
         return b.filter(pa.array(~m if invert else m))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -378,8 +391,7 @@ def sample_bottom_k(ds, id_col: str, k: int) -> pa.Table:
 
     def bottom(t: pa.Table) -> pa.Table:
         v = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)
-        sel = np.lexsort((v, h))[:k]
+        sel = np.lexsort((v, _hash_mod(v)))[:k]
         return t.take(pa.array(sel))
 
     parts = [b for b in ds.map_batches(bottom, batch_format="pyarrow")
@@ -698,9 +710,8 @@ def sample_per_group(ds, group_col: str, id_col: str, k: int,
 
     def add_h(b: pa.Table) -> pa.Table:
         v = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)
         # topk_per_group orders DESC; negate so largest ≡ smallest hash
-        return b.append_column("_negh", pa.array(-h))
+        return b.append_column("_negh", pa.array(-_hash_mod(v)))
 
     out = topk_per_group(ds.map_batches(add_h, batch_format="pyarrow"),
                          group_col, "_negh", k, id_col, n_parts=n_parts)
@@ -747,11 +758,9 @@ def quality_weighted_sample(ds, text_col: str = "text"):
     def keep(b: pa.Table) -> pa.Table:
         q = quality_score(b, text_col=text_col)
         v = q["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = ((v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)) \
-            % np.int64(SAMPLE_SPACE)
         p = np.floor(q["quality"].to_numpy(zero_copy_only=False)
                      * float(SAMPLE_SPACE)).astype(np.int64)
-        return q.filter(pa.array(h < p))
+        return q.filter(pa.array(_hash_bp(v) < p))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -794,12 +803,11 @@ def target_selection_int(ds, dim: int = 64, target_rate_bp: int = 1_000,
 
     def partials(b: pa.Table) -> pa.Table:
         t = feature_hash_counts(b, dim=dim, text_col=text_col,
-                                hash_fn=hash_fn, signed=False)
+                                hash_fn=hash_fn, signed=False,
+                                id_col=id_col)
         c = list_column_to_matrix(t["counts"], dtype=np.int64)
         v = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = ((v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)) \
-            % np.int64(SAMPLE_SPACE)
-        is_t = h < target_rate_bp
+        is_t = _hash_bp(v) < target_rate_bp
         nt = c[is_t].sum(axis=0, dtype=np.int64)
         nr = c.sum(axis=0, dtype=np.int64)
         return pa.table({"which": pa.array([0, 1], type=pa.int64()),
@@ -830,7 +838,8 @@ def target_selection_int(ds, dim: int = 64, target_rate_bp: int = 1_000,
     def score(b: pa.Table) -> pa.Table:
         w = ray.get(ref)
         t = feature_hash_counts(b, dim=dim, text_col=text_col,
-                                hash_fn=hash_fn, signed=False)
+                                hash_fn=hash_fn, signed=False,
+                                id_col=id_col)
         c = list_column_to_matrix(t["counts"], dtype=np.int64)
         if len(c):
             # score bound: Σ_f c_f · max|Δ| — must stay inside int64

@@ -611,7 +611,8 @@ def feature_hash_counts(batch: pa.Table, dim: int = 256,
                         text_col: str = "text",
                         out_col: str = "counts",
                         hash_fn: str = "blake2b",
-                        signed: bool = True) -> pa.Table:
+                        signed: bool = True,
+                        id_col: str = "doc_id") -> pa.Table:
     """Hashing-trick document vectors as RAW SIGNED INTEGER COUNTS (no
     normalization): token hash → splitmix64 → bucket ``h % dim``, sign
     bit 63, ±1 per OCCURRENCE. The integer form exists for exactness:
@@ -647,7 +648,7 @@ def feature_hash_counts(batch: pa.Table, dim: int = 256,
         np.add.at(out, (parent, buckets[codes]), signs[codes])
     flat_vals = pa.array(out.reshape(-1))
     emb = pa.FixedSizeListArray.from_arrays(flat_vals, dim)
-    return pa.table({"doc_id": batch["doc_id"], out_col: emb})
+    return pa.table({id_col: batch[id_col], out_col: emb})
 
 
 def feature_hash_vectors(batch: pa.Table, dim: int = 256,
