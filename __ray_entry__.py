@@ -659,6 +659,23 @@ def _q_prune_prototypes_int(sf_dir: str):
                         columns=["vec_id", "embedding"]))
 
 
+def _q_events_dedup_window(sf_dir: str):
+    """TEMPORAL event-stream dedup, ORACLE-CHECKED (round 5): flag every
+    event repeating the same (user_id, event_type) within one hour of an
+    EARLIER event (ts, then event_id order) — the log/telemetry
+    at-least-once-delivery dedup. The nearest earlier same-key event is
+    the immediate predecessor, so the engine's per-key sorted diff
+    (`stages/dedup.window_dedup_events` — one coarse hash shuffle,
+    vectorized lexsort kernel, output bounded by duplicate volume) and
+    the SQL `lag()` twin are the same rule stated two ways."""
+    import ray.data as rd
+    from timezonemap_ray.stages.dedup import window_dedup_events
+    return window_dedup_events(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id",
+                                 "event_type"]))
+
+
 def _q_docs_target_selection_int(sf_dir: str):
     """DSIR-shaped data selection, ORACLE-CHECKED (round 5): a
     deterministic 10% hash sample of documents stands in for the target
@@ -2461,6 +2478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic_int": _q_dedup_semantic_int,
         "prune_prototypes_int": _q_prune_prototypes_int,
         "docs_target_selection_int": _q_docs_target_selection_int,
+        "events_dedup_window": _q_events_dedup_window,
         # ---- rows-only residue (no SQL twin exists; invariants pytest-
         # bound per docstring) ----
         "tz_distance_boundary": _q_tz_distance,
@@ -2554,6 +2572,18 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["prune_prototypes_int_sql"]
         ).prune_prototypes_int_sql(),
         "docs_target_selection_int": oracle.target_selection_int_sql(),
+        "events_dedup_window": """
+            WITH p AS (
+              SELECT event_id, user_id, event_type, ts,
+                     lag(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS pts
+              FROM events)
+            SELECT event_id, user_id, event_type,
+                   CAST(date_diff('microsecond', pts, ts) AS BIGINT)
+                       AS gap_us
+            FROM p
+            WHERE pts IS NOT NULL
+              AND date_diff('microsecond', pts, ts) <= 3600000000""",
         "media_decode": """
             SELECT CAST(g.i AS BIGINT) AS media_id,
                    'media://blob/' || CAST(g.i AS VARCHAR) AS media_ref,

@@ -1091,3 +1091,56 @@ def test_semantic_dedup_int_rule_is_pair_local_not_closure(ray_session):
         rd.from_arrow(tbl), k=1, kmeans_iters=1,
         threshold_num=49, threshold_den=100).to_pandas()
     assert sorted(got["vec_id"]) == [1, 2]
+
+
+def test_window_dedup_events_matches_lag_twin(ray_session):
+    """window_dedup_events ≡ the SQL lag() rule on a synthetic stream
+    with ts ties, cross-block keys, exact-window gaps, and singletons."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    ts_us = base + rng.integers(0, 3_600_000_000 * 8, n)
+    ts_us[100] = ts_us[101]  # exact tie on one key
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 60, n).astype(np.int64),
+        "event_type": rng.choice(["click", "view", "buy"], n),
+        "ts": pd.to_datetime(ts_us, unit="us"),
+    })
+    # force one exactly-at-window gap (inclusive boundary) and one just over
+    df.loc[0, ["user_id", "event_type"]] = [999, "edge"]
+    df.loc[1, ["user_id", "event_type"]] = [999, "edge"]
+    df.loc[0, "ts"] = pd.Timestamp("2025-01-01")
+    df.loc[1, "ts"] = pd.Timestamp("2025-01-01") + pd.Timedelta(hours=1)
+    df.loc[2, ["user_id", "event_type"]] = [998, "edge"]
+    df.loc[3, ["user_id", "event_type"]] = [998, "edge"]
+    df.loc[2, "ts"] = pd.Timestamp("2025-01-01")
+    df.loc[3, "ts"] = (pd.Timestamp("2025-01-01") + pd.Timedelta(hours=1)
+                       + pd.Timedelta(microseconds=1))
+    df.loc[4, ["user_id", "event_type"]] = [997, "solo"]  # singleton key
+
+    got = dedup.window_dedup_events(
+        rd.from_pandas(df).repartition(7)).to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+
+    con2 = duckdb.connect()
+    con2.register("events", df)
+    want = con2.sql("""
+        WITH p AS (
+          SELECT event_id, user_id, event_type, ts,
+                 lag(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS pts
+          FROM events)
+        SELECT event_id, user_id, event_type,
+               CAST(date_diff('microsecond', pts, ts) AS BIGINT) AS gap_us
+        FROM p
+        WHERE pts IS NOT NULL
+          AND date_diff('microsecond', pts, ts) <= 3600000000
+        ORDER BY event_id""").df()
+    assert 0 in got["event_id"].values or 1 in got["event_id"].values
+    assert 3 not in want["event_id"].values  # just-over-window excluded
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "event_type", "gap_us"]],
+        want[["event_id", "user_id", "event_type", "gap_us"]])

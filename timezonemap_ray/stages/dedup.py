@@ -1035,6 +1035,72 @@ def semantic_dedup_int(ds, k: int = 4, kmeans_iters: int = 2,
                                                 batch_format="pyarrow")
 
 
+def window_dedup_events(ds, window_us: int = 3_600_000_000,
+                        key_cols: tuple = ("user_id", "event_type"),
+                        ts_col: str = "ts", id_col: str = "event_id"):
+    """TEMPORAL dedup over an event stream (the log/telemetry dedup op):
+    flag every event that repeats the same key within ``window_us``
+    microseconds of an EARLIER event — retries, double-fires, at-least-
+    once delivery artifacts. "Earlier" orders by (ts, id); an event is a
+    duplicate iff its gap to the NEAREST earlier same-key event is ≤ the
+    window, which equals the gap to the immediate predecessor (the
+    nearest earlier event maximizes ts), so one ``lag()`` reproduces it
+    in SQL and one sorted-diff reproduces it here — no pairwise scan.
+
+    Scale shape: ONE coarse hash shuffle on the first key column
+    (``_runs_map_groups`` — per-key groups are tiny, so per-key
+    ``groupby`` dispatch would dominate); within a run, a vectorized
+    lexsort + boundary-masked diff. Single-event keys never enter the
+    kernel (runs < 2 are skipped by construction — they cannot contain a
+    duplicate). Returns the DUPLICATE rows as (id, *key_cols, gap_us) —
+    bounded by duplicate volume, not stream size.
+    """
+    import pyarrow.compute as pc
+
+    k0, k1 = key_cols
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col], k0: b[k0], k1: b[k1],
+            "_ts": pc.cast(pc.cast(b[ts_col],
+                                   pa.timestamp("us")), pa.int64()),
+        })
+
+    empty = pa.table({
+        id_col: pa.array([], type=pa.int64()),
+        k0: pa.array([], type=pa.int64()),
+        k1: pa.array([], type=pa.string()),
+        "gap_us": pa.array([], type=pa.int64()),
+    })
+
+    def run_fn(g: pa.Table) -> pa.Table:
+        # one user's events: group by the second key locally, order by
+        # (ts, id) inside each group, diff against the predecessor
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # null keys form their own group (SQL PARTITION BY semantics):
+        # map null dictionary indices to -1 instead of an undefined
+        # NaN->int64 cast
+        enc = g[k1].combine_chunks().dictionary_encode()
+        code = pc.fill_null(enc.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, ts, code))
+        c, t = code[order], ts[order]
+        same = np.r_[False, c[1:] == c[:-1]]
+        gap = np.r_[0, t[1:] - t[:-1]]
+        dup = same & (gap <= window_us)
+        sel = order[dup]
+        return pa.table({
+            id_col: pa.array(ids[sel]),
+            k0: g[k0].take(pa.array(sel)),
+            k1: g[k1].take(pa.array(sel)),
+            "gap_us": pa.array(gap[dup]),
+        })
+
+    rows = ds.map_batches(prep, batch_format="pyarrow")
+    return _runs_map_groups(rows, k0, run_fn, empty_schema=empty)
+
+
 def duplicated_spans(ds, window: int = 50, stride: int = 25,
                      text_col: str = "text", id_col: str = "doc_id"):
     """Cross-document EXACT substring duplication (the Lee et al. 2022
