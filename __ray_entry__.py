@@ -676,6 +676,24 @@ def _q_events_dedup_window(sf_dir: str):
                                  "event_type"]))
 
 
+def _q_docs_lm_score_int(sf_dir: str):
+    """CCNet-shaped bigram-LM quality scoring, ORACLE-CHECKED (round 5):
+    score every document under a bigram LM learned from the corpus
+    itself — the Wenzek et al. 2020 'perplexity head/tail' signal — as
+    the exact integer sum of floor(q·C(bigram)/C(left unigram)) over
+    global MLE counts (`stages/terms.lm_score_docs`: one combined
+    counting scan with per-block partial folds, count tables broadcast
+    once via ray.put, map-only scoring pass — document text never
+    shuffles). Every addend is a pure function of global counts, so the
+    int64 sum is associative and the DuckDB twin rebuilds it
+    bit-exactly."""
+    import ray.data as rd
+    from timezonemap_ray.stages.terms import lm_score_docs
+    return lm_score_docs(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]))
+
+
 def _q_docs_target_selection_int(sf_dir: str):
     """DSIR-shaped data selection, ORACLE-CHECKED (round 5): a
     deterministic 10% hash sample of documents stands in for the target
@@ -2479,6 +2497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prune_prototypes_int": _q_prune_prototypes_int,
         "docs_target_selection_int": _q_docs_target_selection_int,
         "events_dedup_window": _q_events_dedup_window,
+        "docs_lm_score_int": _q_docs_lm_score_int,
         # ---- rows-only residue (no SQL twin exists; invariants pytest-
         # bound per docstring) ----
         "tz_distance_boundary": _q_tz_distance,
@@ -2572,6 +2591,7 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["prune_prototypes_int_sql"]
         ).prune_prototypes_int_sql(),
         "docs_target_selection_int": oracle.target_selection_int_sql(),
+        "docs_lm_score_int": oracle.lm_score_docs_sql(),
         "events_dedup_window": """
             WITH p AS (
               SELECT event_id, user_id, event_type, ts,

@@ -166,3 +166,35 @@ def test_bigram_counts_matches_duckdb(ray_session):
     one = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
                     "text": pa.array(["solo", ""])})
     assert bigram_counts(rd.from_arrow(one)).count() == 0
+
+
+def test_lm_score_docs_matches_duckdb_and_partitioning(ray_session):
+    """lm_score_docs ≡ the SQL twin on chaos docs (empty/whitespace-only
+    docs score 0), identical across partitionings, and the min_count
+    pruning knob zeroes rare bigrams."""
+    from timezonemap_ray.oracle import lm_score_docs_sql
+    from timezonemap_ray.stages.terms import lm_score_docs
+
+    tbl = _docs_tbl()
+    con = _con(tbl)
+    want = con.sql(lm_score_docs_sql() + " ORDER BY 1").df()
+
+    got3 = lm_score_docs(_ds(tbl, 3)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got11 = lm_score_docs(_ds(tbl, 11)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got3, want)
+    pd.testing.assert_frame_equal(got3, got11)
+    assert got3.loc[0, "lm_score"] == 0 and got3.loc[0, "n_bigrams"] == 0
+
+    # pruning: min_count above every bigram's corpus count zeroes scores
+    # but keeps n_bigrams
+    pruned = lm_score_docs(_ds(tbl, 5), min_count=10**9).to_pandas()
+    assert (pruned["lm_score"] == 0).all()
+    assert pruned["n_bigrams"].sum() == got3["n_bigrams"].sum()
+
+    # overflow guard trips loudly instead of wrapping
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overflows int64"):
+        lm_score_docs(_ds(tbl, 3), q=2**62)

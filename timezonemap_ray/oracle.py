@@ -896,3 +896,35 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(vec_id AS BIGINT) AS vec_id,
        CAST(rank AS BIGINT) AS rank, dot
 FROM ranked WHERE rank <= {k}"""
+
+
+def lm_score_docs_sql(q: int = 1_000_000, min_count: int = 1,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """Twin of ``stages/terms.lm_score_docs``: rebuild the corpus bigram
+    LM (unigram + bigram MLE counts, bigrams below ``min_count`` pruned)
+    and each document's exact-integer score
+    sum(floor(q*C(w1 w2)/C(w1))). Tokens are ``\\S+`` runs, so the pair
+    (w1, w2) is an injective stand-in for the engine's "w1 w2" gram key."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest(toks) AS w, generate_subscripts(toks, 1) AS i
+  FROM (SELECT {id_col}, regexp_extract_all({text_col}, '\\S+') AS toks
+        FROM {table})),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY w),
+bg AS (SELECT a.{id_col}, a.w AS w1, b.w AS w2
+       FROM tok a JOIN tok b ON b.{id_col} = a.{id_col} AND b.i = a.i + 1),
+bic AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg
+        GROUP BY w1, w2 HAVING count(*) >= {min_count}),
+scored AS (
+  SELECT g.{id_col},
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(({q} * coalesce(c.c2, 0)) // u.c1) AS BIGINT) AS lm_score
+  FROM bg g
+  JOIN uni u ON u.w = g.w1
+  LEFT JOIN bic c ON c.w1 = g.w1 AND c.w2 = g.w2
+  GROUP BY g.{id_col})
+SELECT d.{id_col},
+       coalesce(s.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       coalesce(s.lm_score, CAST(0 AS BIGINT)) AS lm_score
+FROM {table} d LEFT JOIN scored s ON s.{id_col} = d.{id_col}"""

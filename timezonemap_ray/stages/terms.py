@@ -337,3 +337,126 @@ def bigram_counts(ds, text_col: str = "text"):
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+
+
+def lm_score_docs(ds, q: int = 1_000_000, text_col: str = "text",
+                  id_col: str = "doc_id", min_count: int = 1):
+    """CCNet-shaped bigram-LM document scoring (Wenzek et al. 2020:
+    score every document under a language model learned from the corpus,
+    so downstream filters can keep the head of the quality distribution).
+    Exact-integer variant so the distributed machinery is SQL-checkable:
+    the per-document score is
+
+        lm_score = Σ_i  floor(q · C(w_i w_{i+1}) / C(w_i))
+
+    over the doc's adjacent token pairs, where C(·) are GLOBAL corpus
+    counts (unigram denominator = total occurrences of w_i, a
+    backoff-free MLE; bigrams with corpus count < ``min_count`` are
+    pruned to 0 — the CCNet vocabulary cut). Each addend is a pure
+    function of global counts, so the int64 sum is associative and the
+    result is partition-independent and bit-reproducible in SQL.
+
+    Scale shape: ONE combined counting scan (unigram + bigram partials
+    fold per block via dictionary-encode + bincount; only (gram, kind,
+    n) rows shuffle — ~100× below token volume on natural text), the
+    pruned count tables broadcast once via ``ray.put`` (vocab-bounded;
+    at crawl scale ``min_count`` ≥ 2 is the standard LM-pruning knob
+    that keeps this tens-of-GB → sub-GB), then a map-only scoring pass
+    (searchsorted lookups + segment-sum; no shuffle touches document
+    text). Returns (id_col, n_bigrams, lm_score) for every document.
+
+    Raises if ``q × max(bigram count)`` would overflow int64 — at that
+    corpus size lower ``q`` (the score is a ratio; precision, not
+    range)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def gram_partials(b: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(b, text_col)
+        out_g, out_k, out_n = [], [], []
+        if len(flat) > 0:
+            enc = flat.dictionary_encode()
+            counts = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                                 minlength=len(enc.dictionary))
+            out_g.append(enc.dictionary)
+            out_k.append(np.zeros(len(enc.dictionary), dtype=np.int8))
+            out_n.append(counts.astype(np.int64))
+        if len(flat) >= 2:
+            same = parent[1:] == parent[:-1]
+            if same.any():
+                m = pa.array(same)
+                bg = pc.binary_join_element_wise(
+                    flat.slice(0, len(flat) - 1).filter(m),
+                    flat.slice(1).filter(m), " ")
+                if isinstance(bg, pa.ChunkedArray):
+                    bg = bg.combine_chunks()
+                enc2 = bg.dictionary_encode()
+                c2 = np.bincount(enc2.indices.to_numpy(zero_copy_only=False),
+                                 minlength=len(enc2.dictionary))
+                out_g.append(enc2.dictionary)
+                out_k.append(np.ones(len(enc2.dictionary), dtype=np.int8))
+                out_n.append(c2.astype(np.int64))
+        if not out_g:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "kind": pa.array([], type=pa.int8()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({
+            "gram": pa.concat_arrays([a.cast(pa.string()) for a in out_g]),
+            "kind": pa.array(np.concatenate(out_k)),
+            "n": pa.array(np.concatenate(out_n)),
+        })
+
+    counts = ds.map_batches(gram_partials, batch_format="pyarrow") \
+        .groupby(["gram", "kind"]).aggregate(Sum("n", alias_name="n"))
+    ct = pa.concat_tables(
+        counts.iter_batches(batch_size=None, batch_format="pyarrow"))
+    ct = ct.combine_chunks()
+    kind = ct["kind"].to_numpy(zero_copy_only=False)
+    ns = ct["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uni_sel = np.flatnonzero(kind == 0)
+    bi_sel = np.flatnonzero((kind == 1) & (ns >= min_count))
+    uni_g = pc.take(ct["gram"], pa.array(uni_sel)).combine_chunks()
+    uni_n = ns[uni_sel]
+    bi_g = pc.take(ct["gram"], pa.array(bi_sel)).combine_chunks()
+    bi_n = ns[bi_sel]
+    if bi_n.size and int(bi_n.max()) > (2**63 - 1) // max(q, 1):
+        raise ValueError(
+            f"q={q} x max bigram count {int(bi_n.max())} overflows int64; "
+            "lower q")
+    ref = ray.put((uni_g, uni_n, bi_g, bi_n))
+
+    def score(b: pa.Table) -> pa.Table:
+        ug, un, bg_g, bg_n = ray.get(ref)
+        flat, parent = _flat_tokens(b, text_col)
+        n = b.num_rows
+        n_bi = np.zeros(n, dtype=np.int64)
+        tot = np.zeros(n, dtype=np.int64)
+        if len(flat) >= 2:
+            same = parent[1:] == parent[:-1]
+            if same.any():
+                m = pa.array(same)
+                left = flat.slice(0, len(flat) - 1).filter(m)
+                bg = pc.binary_join_element_wise(
+                    left, flat.slice(1).filter(m), " ")
+                pdoc = parent[:-1][same]
+                # C(bigram): 0 where absent/pruned (hash lookup, not
+                # object-compare searchsorted)
+                pos = pc.fill_null(pc.index_in(bg, value_set=bg_g), -1) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                c2 = np.where(pos >= 0,
+                              bg_n[np.clip(pos, 0, None)]
+                              if len(bg_n) else 0, 0)
+                # C(left unigram): present by construction (occurs here)
+                upos = pc.index_in(left, value_set=ug) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                c1 = un[upos]
+                addend = (q * c2.astype(np.int64)) // c1
+                np.add.at(tot, pdoc, addend)
+                np.add.at(n_bi, pdoc, 1)
+        return pa.table({
+            id_col: b[id_col],
+            "n_bigrams": pa.array(n_bi),
+            "lm_score": pa.array(tot),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
