@@ -676,6 +676,51 @@ def _q_events_dedup_window(sf_dir: str):
                                  "event_type"]))
 
 
+def _q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 flavor, ORACLE-CHECKED (round 5): per-customer order-
+    count distribution including the zero bucket — computed WITHOUT the
+    outer join (`pipelines/relational.customer_order_distribution`: two
+    partial-fold groupbys + exact zero-bucket arithmetic; order rows and
+    customer rows never shuffle). The SQL twin is the classic LEFT JOIN
+    double aggregate."""
+    from timezonemap_ray.pipelines.relational import (
+        customer_order_distribution)
+    return customer_order_distribution(sf_dir)
+
+
+def _q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 flavor, ORACLE-CHECKED (round 5): orders with total
+    lineitem quantity > 300 joined to their customer
+    (`pipelines/relational.large_volume_customers`: per-block qty-sum
+    partials → orderkey groupby → HAVING outliers broadcast back into
+    the orders stream as an index_in semi-probe → tiny hash join to
+    customer)."""
+    from timezonemap_ray.pipelines.relational import large_volume_customers
+    return large_volume_customers(sf_dir)
+
+
+def _q_idle_customer_balance(sf_dir: str):
+    """TPC-H Q22 flavor, ORACLE-CHECKED (round 5): per-nation count and
+    total balance of above-average-balance customers with no order since
+    2000-06-01 (`pipelines/relational.idle_customer_balance`). The
+    global positive-balance average is an exact integer rational folded
+    in one streaming pass and compared cross-multiplied (cents·C > S) on
+    BOTH sides, so no float divide enters the predicate; the recency
+    anti join is a broadcast keyset probe."""
+    from timezonemap_ray.pipelines.relational import idle_customer_balance
+    return idle_customer_balance(sf_dir)
+
+
+def _q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 flavor, ORACLE-CHECKED (round 5): per part, the supplier
+    observed at the minimum extended price (cents; ties → smallest
+    suppkey), with supplier/nation attached
+    (`pipelines/relational.min_cost_supplier`: topk_per_group's
+    block-local argmin combiner + broadcast dim probes)."""
+    from timezonemap_ray.pipelines.relational import min_cost_supplier
+    return min_cost_supplier(sf_dir)
+
+
 def _q_docs_lm_score_int(sf_dir: str):
     """CCNet-shaped bigram-LM quality scoring, ORACLE-CHECKED (round 5):
     score every document under a bigram LM learned from the corpus
@@ -2498,6 +2543,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_target_selection_int": _q_docs_target_selection_int,
         "events_dedup_window": _q_events_dedup_window,
         "docs_lm_score_int": _q_docs_lm_score_int,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "large_volume_customers": _q_large_volume_customers,
+        "idle_customer_balance": _q_idle_customer_balance,
+        "min_cost_supplier": _q_min_cost_supplier,
         # ---- rows-only residue (no SQL twin exists; invariants pytest-
         # bound per docstring) ----
         "tz_distance_boundary": _q_tz_distance,
@@ -2592,6 +2641,59 @@ def oracle_sql() -> dict[str, str]:
         ).prune_prototypes_int_sql(),
         "docs_target_selection_int": oracle.target_selection_int_sql(),
         "docs_lm_score_int": oracle.lm_score_docs_sql(),
+        "customer_order_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (SELECT c.c_custkey,
+                         CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                  FROM customer c
+                  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count""",
+        "large_volume_customers": """
+            WITH q AS (SELECT l_orderkey,
+                              CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+                       FROM lineitem GROUP BY l_orderkey
+                       HAVING sum(l_quantity) > 300)
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, q.sum_qty
+            FROM q
+            JOIN orders o ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey""",
+        "idle_customer_balance": """
+            WITH cc AS (SELECT c_custkey, c_nationkey,
+                               CAST(round(c_acctbal * 100) AS BIGINT)
+                                   AS cents
+                        FROM customer),
+            s AS (SELECT CAST(sum(cents) AS BIGINT) AS S,
+                         CAST(count(*) AS BIGINT) AS C
+                  FROM cc WHERE cents > 0),
+            idle AS (SELECT cc.c_nationkey, cc.cents
+                     FROM cc, s
+                     WHERE cc.cents * s.C > s.S
+                       AND cc.c_custkey NOT IN
+                           (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '2000-06-01'))
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(cents) AS BIGINT) AS totacctbal_c
+            FROM idle GROUP BY c_nationkey""",
+        "min_cost_supplier": """
+            WITH p AS (SELECT l_partkey, l_suppkey,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  AS c
+                       FROM lineitem),
+            m AS (SELECT l_partkey, min(c) AS min_price_c
+                  FROM p GROUP BY l_partkey),
+            w AS (SELECT p.l_partkey, m.min_price_c,
+                         min(p.l_suppkey) AS l_suppkey
+                  FROM p JOIN m ON m.l_partkey = p.l_partkey
+                                AND p.c = m.min_price_c
+                  GROUP BY p.l_partkey, m.min_price_c)
+            SELECT w.l_partkey, w.min_price_c, w.l_suppkey,
+                   s.s_name, n.n_name
+            FROM w
+            JOIN supplier s ON s.s_suppkey = w.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey""",
         "events_dedup_window": """
             WITH p AS (
               SELECT event_id, user_id, event_type, ts,

@@ -748,3 +748,277 @@ def customers_per_nation(sf_dir: str):
                           value_cols=["n_name"])
     return ds.groupby("n_name").aggregate(Count(alias_name="n_customers")) \
              .sort("n_name")
+
+
+def customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 flavor: the distribution of per-customer order counts,
+    INCLUDING zero-order customers — without the customer⋈orders outer
+    join. Orders fold to (custkey, n) partials per block (dictionary-
+    encode + bincount), one customer-keyed groupby sums them, a second
+    partial fold builds counts-of-counts, and the zero bucket is exact
+    arithmetic: total customers (metadata count) minus distinct buyers
+    (= Σ custdist). The all-to-all moves one row per distinct custkey
+    per block — never an order row, never a customer row. Assumes
+    orders.o_custkey ⊆ customer.c_custkey (the TPC-H FK)."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        enc = b["o_custkey"].combine_chunks().dictionary_encode()
+        cnt = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(enc.dictionary))
+        return pa.table({"o_custkey": enc.dictionary.cast(pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    per_cust = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("n", alias_name="c_count"))
+
+    def dist_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"c_count": pa.array([], type=pa.int64()),
+                             "custdist": pa.array([], type=pa.int64())})
+        v, c = np.unique(b["c_count"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"c_count": pa.array(v.astype(np.int64)),
+                         "custdist": pa.array(c.astype(np.int64))})
+
+    dist = per_cust.map_batches(dist_partial, batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Sum("custdist", alias_name="custdist"))
+    # tiny (distinct count values); driver assembles the zero bucket
+    parts = [b for b in dist.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")
+             if b.num_rows]
+    tbl = pa.concat_tables(parts) if parts else pa.table(
+        {"c_count": pa.array([], type=pa.int64()),
+         "custdist": pa.array([], type=pa.int64())})
+    n_cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey"]).count()
+    zero = n_cust - int(pc.sum(tbl["custdist"]).as_py() or 0)
+    if zero > 0:
+        tbl = pa.concat_tables([tbl, pa.table(
+            {"c_count": pa.array([0], type=pa.int64()),
+             "custdist": pa.array([zero], type=pa.int64())})])
+    return tbl.sort_by("c_count")
+
+
+def large_volume_customers(sf_dir: str, threshold: int = 300):
+    """TPC-H Q18 flavor: orders whose total lineitem quantity exceeds
+    ``threshold``, with their customer. Lineitem folds to (orderkey,
+    qty-sum) partials per block before the orderkey groupby (the big
+    side never shuffles raw rows); the HAVING filter leaves a small
+    outlier set that broadcast-semi-joins into the orders stream
+    (``pc.index_in`` probe — no shuffle), and only the few qualifying
+    orders hash-join against customer. l_quantity is integral-valued
+    double, so per-block float sums are exact and the output is int64."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..stages.join import broadcast_lookup
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        enc = b["l_orderkey"].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        s = np.bincount(idx, weights=q, minlength=len(enc.dictionary))
+        return pa.table({"l_orderkey": enc.dictionary.cast(pa.int64()),
+                         "q": pa.array(s.astype(np.int64))})
+
+    per_order = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("q", alias_name="sum_qty"))
+
+    def having(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        return b.filter(pc.greater(b["sum_qty"], threshold))
+
+    heavy = per_order.map_batches(having, batch_format="pyarrow")
+    # HAVING survivors are outliers — bounded; collect + broadcast
+    parts = [b for b in heavy.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+             if b.num_rows]
+    heavy_tbl = pa.concat_tables(parts) if parts else pa.table(
+        {"l_orderkey": pa.array([], type=pa.int64()),
+         "sum_qty": pa.array([], type=pa.int64())})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+    qualified = broadcast_lookup(orders, heavy_tbl, key="o_orderkey",
+                                 small_key="l_orderkey",
+                                 value_cols=["sum_qty"]) \
+        .map_batches(lambda b: b.filter(pc.is_valid(b["sum_qty"])),
+                     batch_format="pyarrow")
+    # a shuffle join here would leave most of its partitions EMPTY on
+    # the tiny qualified side (Ray's join chokes on schema-less empty
+    # partitions); instead semi-probe the customer STREAM by the
+    # qualified custkeys (broadcast is_in — customer rows never
+    # shuffle) and attach the ≤|qualified| surviving names by a second
+    # broadcast. qualified is bounded by the HAVING outliers.
+    q_parts = [b for b in qualified.iter_batches(batch_size=None,
+                                                 batch_format="pyarrow")
+               if b.num_rows]
+    if not q_parts:
+        return pa.table({"c_custkey": pa.array([], type=pa.int64()),
+                         "c_name": pa.array([], type=pa.string()),
+                         "o_orderkey": pa.array([], type=pa.int64()),
+                         "o_orderdate": pa.array(
+                             [], type=pa.timestamp("us")),
+                         "o_totalprice": pa.array([], type=pa.float64()),
+                         "sum_qty": pa.array([], type=pa.int64())})
+    q_tbl = pa.concat_tables(q_parts)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    from ..stages.join import broadcast_semi_join
+    matched = broadcast_semi_join(cust, pc.unique(
+        q_tbl["o_custkey"].combine_chunks()), "c_custkey")
+    name_tbl = pa.concat_tables(
+        [b for b in matched.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")
+         if b.num_rows])
+    out = broadcast_lookup(rd.from_arrow(q_tbl), name_tbl,
+                           key="o_custkey", small_key="c_custkey",
+                           value_cols=["c_name"])
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": b["o_custkey"],
+                         "c_name": b["c_name"],
+                         "o_orderkey": b["o_orderkey"],
+                         "o_orderdate": b["o_orderdate"],
+                         "o_totalprice": b["o_totalprice"],
+                         "sum_qty": b["sum_qty"]})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def idle_customer_balance(sf_dir: str, cutoff: str = "2000-06-01"):
+    """TPC-H Q22 flavor: per-nation count + total balance of customers
+    whose balance beats the global positive-balance average AND who have
+    placed no order since ``cutoff``. The global average is an EXACT
+    integer rational — one streaming pass folds (Σ cents, count) over
+    positive balances, the filter compares cents·C > S cross-multiplied
+    (no float divide on either side) — and the recency anti join is a
+    broadcast distinct-recent-buyers keyset probed with ``pc.is_in``
+    (bounded by active customers in the window; the bloom path in
+    ``stages/join.bloom_anti_join`` is the giant-keyset fallback).
+    Output folds to one (nation, numcust, cents) partial per block."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..stages.agg import _sql_cents
+    from ..stages.join import broadcast_semi_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+
+    def scalar_partial(b: pa.Table) -> pa.Table:
+        cents = _sql_cents(b["c_acctbal"]).to_numpy(zero_copy_only=False)
+        pos = cents[cents > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], type=pa.int64()),
+                         "c": pa.array([len(pos)], type=pa.int64())})
+
+    S = C = 0
+    for b in cust.map_batches(scalar_partial, batch_format="pyarrow") \
+                 .iter_batches(batch_size=None, batch_format="pyarrow"):
+        S += int(pc.sum(b["s"]).as_py() or 0)
+        C += int(pc.sum(b["c"]).as_py() or 0)
+
+    recent = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    cut_ts = pa.scalar(np.datetime64(cutoff, "us"),
+                       type=pa.timestamp("us"))
+
+    def key_partial(b: pa.Table) -> pa.Table:
+        m = pc.greater_equal(pc.cast(b["o_orderdate"],
+                                     pa.timestamp("us")), cut_ts)
+        u = pc.unique(b["o_custkey"].filter(
+            pc.fill_null(m, False)).combine_chunks())
+        return pa.table({"k": u})
+
+    keys = pa.concat_tables(
+        [b for b in recent.map_batches(key_partial, batch_format="pyarrow")
+         .iter_batches(batch_size=None, batch_format="pyarrow")
+         if b.num_rows])["k"]
+    keys = pc.unique(keys.combine_chunks())
+
+    idle = broadcast_semi_join(cust, keys, "c_custkey", anti=True)
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        cents = _sql_cents(b["c_acctbal"]).to_numpy(zero_copy_only=False)
+        keep = cents * C > S          # exact: |cents|·C ≪ 2^63
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)[keep]
+        nk_type = b.schema.field("c_nationkey").type  # keep source dtype
+        cents = cents[keep]
+        if nk.size == 0:
+            return pa.table({"c_nationkey": pa.array([], type=nk_type),
+                             "numcust": pa.array([], type=pa.int64()),
+                             "totacctbal_c": pa.array([], type=pa.int64())})
+        u, inv = np.unique(nk, return_inverse=True)
+        return pa.table({
+            "c_nationkey": pa.array(u, type=nk_type),
+            "numcust": pa.array(np.bincount(inv).astype(np.int64)),
+            "totacctbal_c": pa.array(
+                np.bincount(inv, weights=cents.astype(np.float64))
+                .astype(np.int64)),
+        })
+
+    agg = idle.map_batches(nation_partial, batch_format="pyarrow") \
+        .groupby("c_nationkey").aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("totacctbal_c", alias_name="totacctbal_c"))
+
+    # Ray's aggregate upcasts the int32 key to int64 — restore the
+    # source column dtype so the result schema matches the input's
+    def recast(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("c_nationkey")
+        return b.set_column(i, pa.field("c_nationkey", pa.int32()),
+                            pc.cast(b["c_nationkey"], pa.int32()))
+
+    return agg.map_batches(recast, batch_format="pyarrow")
+
+
+def min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 flavor (no partsupp table in this schema — lineitem is
+    the part×supplier fact): per part, the supplier observed at the
+    MINIMUM extended price (cents; ties → smallest suppkey), with
+    supplier + nation attached. The argmin is ``topk_per_group``'s
+    block-local combiner (prune to 1 row/part/block before the shuffle);
+    supplier and nation are broadcast dims probed via ``pc.index_in``."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ..stages.agg import _sql_cents
+    from ..stages.join import broadcast_lookup
+    from ..stages.select import topk_per_group
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = _sql_cents(b["l_extendedprice"])
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "min_price_c": cents,
+                         "_negp": pc.negate_checked(cents)})
+
+    best = topk_per_group(li.map_batches(prep, batch_format="pyarrow"),
+                          group_col="l_partkey", order_col="_negp", k=1,
+                          id_col="l_suppkey")
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    best = broadcast_lookup(best, sup, key="l_suppkey",
+                            small_key="s_suppkey",
+                            value_cols=["s_name", "s_nationkey"])
+    best = broadcast_lookup(best, nat, key="s_nationkey",
+                            small_key="n_nationkey", value_cols=["n_name"])
+    return best.select_columns(["l_partkey", "min_price_c", "l_suppkey",
+                                "s_name", "n_name"])
