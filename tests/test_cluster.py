@@ -266,3 +266,44 @@ def test_prune_prototypes_int_tiny_groups(ray_session):
                                drop_num=1, drop_den=2).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_int_assign_blas_path_bit_equals_int64_kernel():
+    """_int_assign's exact-float64 expansion must reproduce the int64
+    broadcast-subtract kernel bit-for-bit (incl. argmin tie-breaks) on
+    adversarial near-tie inputs, and the guard must route huge values to
+    the fallback."""
+    import numpy as np
+    from timezonemap_ray.stages.cluster import _int_assign
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n, d, k = int(rng.integers(1, 200)), int(rng.integers(1, 80)), \
+            int(rng.integers(1, 9))
+        x = rng.integers(-10**5, 10**5, (n, d)).astype(np.int64)
+        c = rng.integers(-10**5, 10**5, (k, d)).astype(np.int64)
+        # force exact ties: duplicate a centroid and plant rows ON
+        # centroids
+        if k >= 2:
+            c[k - 1] = c[0]
+        x[0] = c[0]
+        ref_d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        ref_a = np.argmin(ref_d2, axis=1)
+        a, d2a = _int_assign(x, c, need_d2=True)
+        assert np.array_equal(a, ref_a)
+        assert np.array_equal(d2a, ref_d2[np.arange(n), ref_a])
+        assert d2a.dtype == np.int64
+
+    # guard: values past the 2^53 bound use the int64 fallback and stay
+    # exact
+    big = np.array([[2**31, -2**31]], dtype=np.int64)
+    cb = np.array([[2**31, 2**31], [-2**31, -2**31]], dtype=np.int64)
+    a, d2a = _int_assign(big, cb, need_d2=True)
+    want = ((big[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+    assert a[0] == int(np.argmin(want[0]))
+    assert d2a[0] == want[0, a[0]]
+
+    # empty block
+    a, d2a = _int_assign(np.zeros((0, 4), dtype=np.int64),
+                         np.zeros((2, 4), dtype=np.int64), need_d2=True)
+    assert a.size == 0 and d2a.size == 0

@@ -997,7 +997,9 @@ def semantic_dedup_int(ds, k: int = 4, kmeans_iters: int = 2,
 
     from .cluster import kmeans_int_centroids
 
-    vecs = ds.select_columns([id_col, vec_col]).materialize()
+    from .cluster import _coalesce_small
+    vecs = _coalesce_small(
+        ds.select_columns([id_col, vec_col]).materialize())
     cents = kmeans_int_centroids(vecs, k, kmeans_iters, vec_col=vec_col,
                                  id_col=id_col, scale=kmeans_scale)
     ref = ray.put(cents)
@@ -1008,8 +1010,8 @@ def semantic_dedup_int(ds, k: int = 4, kmeans_iters: int = 2,
         # arithmetic as _quant_matrix — review-found double decode)
         m = list_column_to_matrix(b[vec_col], dtype=np.float64)
         x = np.floor(m * float(kmeans_scale)).astype(np.int64)
-        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        a = np.argmin(d2, axis=1)
+        from .cluster import _int_assign
+        a, _ = _int_assign(x, c)
         q = np.floor(m * float(sim_scale)).astype(np.int64)
         qv = pa.FixedSizeListArray.from_arrays(pa.array(q.ravel()),
                                                q.shape[1])
