@@ -721,6 +721,17 @@ def _q_min_cost_supplier(sf_dir: str):
     return min_cost_supplier(sf_dir)
 
 
+def _q_event_funnel(sf_dir: str):
+    """Ordered view→click→purchase funnel, ORACLE-CHECKED (round 5):
+    per user, the furthest funnel stage reached with each step within 24
+    hours of the previous (`pipelines/relational.event_funnel`). EXISTS
+    semantics reduce to nearest-predecessor checks, so each hop is ONE
+    asof_join instead of an inequality self-join; the SQL twin states
+    the same rule as DISTINCT inequality joins."""
+    from timezonemap_ray.pipelines.relational import event_funnel
+    return event_funnel(sf_dir)
+
+
 def _q_docs_lm_score_int(sf_dir: str):
     """CCNet-shaped bigram-LM quality scoring, ORACLE-CHECKED (round 5):
     score every document under a bigram LM learned from the corpus
@@ -2547,6 +2558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": _q_large_volume_customers,
         "idle_customer_balance": _q_idle_customer_balance,
         "min_cost_supplier": _q_min_cost_supplier,
+        "event_funnel": _q_event_funnel,
         # ---- rows-only residue (no SQL twin exists; invariants pytest-
         # bound per docstring) ----
         "tz_distance_boundary": _q_tz_distance,
@@ -2694,6 +2706,35 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             JOIN supplier s ON s.s_suppkey = w.l_suppkey
             JOIN nation n ON n.n_nationkey = s.s_nationkey""",
+        "event_funnel": """
+            WITH v AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'view'),
+            c AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+            qc AS (SELECT DISTINCT c.user_id, c.ts
+                   FROM c JOIN v ON v.user_id = c.user_id
+                     AND v.ts <= c.ts
+                     AND date_diff('microsecond', v.ts, c.ts)
+                         <= 86400000000),
+            qpu AS (SELECT DISTINCT p.user_id
+                    FROM p JOIN qc ON qc.user_id = p.user_id
+                      AND qc.ts <= p.ts
+                      AND date_diff('microsecond', qc.ts, p.ts)
+                          <= 86400000000),
+            qcu AS (SELECT DISTINCT user_id FROM qc),
+            vu AS (SELECT DISTINCT user_id FROM v),
+            au AS (SELECT DISTINCT user_id FROM events)
+            SELECT au.user_id,
+                   CAST(CASE WHEN qpu.user_id IS NOT NULL THEN 3
+                             WHEN qcu.user_id IS NOT NULL THEN 2
+                             WHEN vu.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_stage
+            FROM au
+            LEFT JOIN qpu ON qpu.user_id = au.user_id
+            LEFT JOIN qcu ON qcu.user_id = au.user_id
+            LEFT JOIN vu ON vu.user_id = au.user_id""",
         "events_dedup_window": """
             WITH p AS (
               SELECT event_id, user_id, event_type, ts,

@@ -1022,3 +1022,91 @@ def min_cost_supplier(sf_dir: str):
                             small_key="n_nationkey", value_cols=["n_name"])
     return best.select_columns(["l_partkey", "min_price_c", "l_suppkey",
                                 "s_name", "n_name"])
+
+
+def event_funnel(sf_dir: str, window_hours: int = 24,
+                 steps: tuple = ("view", "click", "purchase")):
+    """Ordered event funnel (the product-analytics staple): per user, the
+    furthest step of ``steps`` reached where each step happens AT OR
+    AFTER the previous one and within ``window_hours`` of it. EXISTS
+    semantics — "is there ANY chain" — reduce to nearest-predecessor
+    checks: a step-k event completes a chain iff the LATEST chain-(k−1)
+    completion at or before it is within the window (the nearest
+    predecessor maximizes its timestamp), so each hop is ONE
+    :func:`stages.join.asof_join` (coarse key shuffle + packed
+    searchsorted) instead of an inequality self-join that explodes on
+    active users.
+
+    Scale shape: three column/row-pruned parquet reads (one per step —
+    predicate pushdown keeps non-step rows on disk), two asof hops, and
+    a distinct-users pass; the per-stage user sets broadcast for the
+    final stage attach (bounded by funnel users; swap in
+    ``bloom_semi_join`` when user cardinality outgrows a broadcast).
+    Returns (user_id, funnel_stage ∈ 0..len(steps)) for every user with
+    ≥ 1 event of any type."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+    import pyarrow.dataset as pads
+    from ..stages.join import _distinct_keys, asof_join
+
+    w_us = np.int64(window_hours) * 3_600_000_000
+    path = f"{sf_dir}/events.parquet"
+
+    def step_read(name: str):
+        return rd.read_parquet(path, columns=["user_id", "ts"],
+                               filter=pads.field("event_type") == name)
+
+    def gap_filter(prev_col: str):
+        def keep(b: pa.Table) -> pa.Table:
+            lt = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+            rt = pc.cast(pc.cast(b[prev_col], pa.timestamp("us")),
+                         pa.int64())
+            ok = pc.and_kleene(pc.is_valid(b[prev_col]),
+                               pc.less_equal(pc.subtract(lt, rt),
+                                             pa.scalar(w_us)))
+            return b.filter(pc.fill_null(ok, False)) \
+                .select(["user_id", "ts"])
+        return keep
+
+    # hop chain: step k's qualifying events = asof(step_k, qualifying
+    # step k-1) within the window; step 1 qualifies as-is
+    step_user_sets = []
+    qual = step_read(steps[0])
+    step_user_sets.append(_distinct_keys(qual, "user_id", "user_id"))
+    for s in steps[1:]:
+        def cp_prev(b: pa.Table) -> pa.Table:
+            return b.append_column("_prev_ts", b["ts"])
+        right = qual.map_batches(cp_prev, batch_format="pyarrow")
+        hop = asof_join(step_read(s), right, key="user_id",
+                        right_key="user_id", on="ts", right_on="ts",
+                        value_cols=["_prev_ts"])
+        qual = hop.map_batches(gap_filter("_prev_ts"),
+                               batch_format="pyarrow")
+        step_user_sets.append(_distinct_keys(qual, "user_id", "user_id"))
+
+    def collect_keys(d) -> pa.Array:
+        parts = [b["user_id"].combine_chunks()
+                 for b in d.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")
+                 if b.num_rows]
+        if not parts:
+            return pa.array([], type=pa.int64())
+        return pa.concat_arrays([p.combine_chunks()
+                                 if isinstance(p, pa.ChunkedArray) else p
+                                 for p in parts])
+
+    refs = [ray.put(collect_keys(d)) for d in step_user_sets]
+    all_users = _distinct_keys(
+        rd.read_parquet(path, columns=["user_id"]), "user_id", "user_id")
+
+    def attach_stage(b: pa.Table) -> pa.Table:
+        stage = np.zeros(b.num_rows, dtype=np.int64)
+        for lvl, r in enumerate(refs, start=1):
+            m = pc.fill_null(pc.is_in(b["user_id"], value_set=ray.get(r)),
+                             False).to_numpy(zero_copy_only=False)
+            stage[m] = lvl  # sets are nested: level k ⊆ level k-1
+        return pa.table({"user_id": b["user_id"],
+                         "funnel_stage": pa.array(stage)})
+
+    return all_users.map_batches(attach_stage, batch_format="pyarrow")
