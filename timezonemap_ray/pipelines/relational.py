@@ -10,6 +10,7 @@ shuffle-joining — the 100 TB pattern for fact⋈dim.
 from __future__ import annotations
 
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1110,3 +1111,90 @@ def event_funnel(sf_dir: str, window_hours: int = 24,
                          "funnel_stage": pa.array(stage)})
 
     return all_users.map_batches(attach_stage, batch_format="pyarrow")
+
+
+def nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 flavor: shipped revenue between every (supplier nation,
+    customer nation) pair per ship year, supp ≠ cust, in exact integer
+    "cent-discount" units (round(price·100)·(100 − round(disc·100)) —
+    associative int64, bit-reproducible under any partitioning).
+
+    Scale shape: (1) supplier's nation attaches to lineitem via a
+    broadcast probe (supplier is the classic small dim); (2) lineitem
+    pre-aggregates to (orderkey, supp_nation, year) partials inside
+    map_batches BEFORE the one all-to-all — the hash join on orderkey;
+    (3) customer/nation attach as broadcast probes after the join (at
+    true 100 TB scale swap the customer probe for a second hash join —
+    same plan as revenue_by_nation, documented there)."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from ..stages.join import broadcast_lookup, hash_join
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    s_nat = dict(zip(sup["s_suppkey"].to_pylist(),
+                     sup["s_nationkey"].to_pylist()))
+    sup_keys = np.array(sorted(s_nat), dtype=np.int64)
+    sup_nats = np.array([s_nat[k] for k in sup_keys], dtype=np.int64)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount",
+                                  "l_shipdate"])
+
+    def pre_agg(b: pa.Table) -> pa.Table:
+        price_c = np.round(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        disc_c = np.round(b["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        vol = price_c * (100 - disc_c)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        snat = sup_nats[np.searchsorted(sup_keys, sk)]
+        year = pc.year(b["l_shipdate"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({"l_orderkey": b["l_orderkey"],
+                      "s_nat": pa.array(snat),
+                      "l_year": pa.array(year),
+                      "vol": pa.array(vol)})
+        g = pa.TableGroupBy(t, ["l_orderkey", "s_nat", "l_year"]) \
+            .aggregate([("vol", "sum")])
+        return g.rename_columns(["l_orderkey", "s_nat", "l_year", "vol"])
+
+    li = li.map_batches(pre_agg, batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    joined = broadcast_lookup(joined, cust, key="o_custkey",
+                              small_key="c_custkey",
+                              value_cols=["c_nationkey"])
+
+    nat_keys = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+    nat_order = np.argsort(nat_keys)
+    nat_keys = nat_keys[nat_order].astype(np.int64)
+    nat_names = np.asarray(nat["n_name"].to_pylist(),
+                           dtype=object)[nat_order]
+
+    def name_pair(b: pa.Table) -> pa.Table:
+        snat = b["s_nat"].to_numpy(zero_copy_only=False)
+        cnat = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = snat != cnat
+        sn = nat_names[np.searchsorted(nat_keys, snat[keep])]
+        cn = nat_names[np.searchsorted(nat_keys, cnat[keep])]
+        return pa.table({
+            "supp_nation": pa.array(sn, type=pa.string()),
+            "cust_nation": pa.array(cn, type=pa.string()),
+            "l_year": b["l_year"].filter(pa.array(keep)),
+            "vol": b["vol"].filter(pa.array(keep)),
+        })
+
+    out = joined.map_batches(name_pair, batch_format="pyarrow") \
+        .groupby(["supp_nation", "cust_nation", "l_year"]) \
+        .aggregate(Sum("vol", alias_name="revenue_c2"))
+    return out.sort(["supp_nation", "cust_nation", "l_year"])

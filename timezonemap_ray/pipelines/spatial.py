@@ -1,0 +1,366 @@
+"""Geospatial tiling + proximity joins over the interleaved-span points.
+
+The reference's query surface is point-in-polygon over an envelope-pruned
+zone table (`TimeZoneMap.kt` getOverlappingTimeZones / the region-scoped
+`forRegion` prefilter); a web-scale curation pipeline additionally needs
+the TILING and SPATIAL-JOIN operators this module adds on the same point
+stream:
+
+- ``quadkey_counts``   — Bing-style quadkey (Morton / z-order) tiling
+  rollup: points → level-L quadkeys → per-tile count + coordinate sums.
+  The z-order key is the distributed analogue of the reference's flat
+  cell grid (`cells.py`): prefix-truncating a quadkey coarsens the tile,
+  and sorting by quadkey is a space-filling-curve clustering — the
+  standard layout for 100 TB spatial data lakes.
+- ``radius_pairs``     — ε-neighbor SELF-join (all point pairs within an
+  L2 radius): grid-cell bucketing at cell = ε, forward-neighbor
+  replication (5 of 9 cells), within-cell vectorized candidate test.
+  Never all-pairs: candidates are bounded by local density.
+- ``bbox_overlap_pairs`` — rectangle-intersection self-join (PBSM-style
+  partitioned spatial join, Patel & DeWitt SIGMOD'96): boxes replicate to
+  the ≤4 grid cells they cover, pairs are tested per cell and emitted
+  ONLY in the canonical cell containing the overlap's min corner —
+  exactly-once by construction, no global dedup.
+
+All three run on the INTEGER lattice form of the geo points
+(``sources/docgen.geo_points_int_for``): the span generator derives
+lat/lng from doc_id by pure int64 arithmetic, so ``lat1e4/lng1e4`` are
+exact int64 on both the engine and the DuckDB oracle side and every
+aggregate below is associative integer math — bit-reproducible under any
+partitioning or parallelism.
+
+Scale notes (100 TB): each pipeline is one coarse hash shuffle on the
+cell key; replication factors are constants (5× points, ≤4× boxes);
+within-partition kernels are O(candidates) numpy with no Python
+per-row loops. Quadkey rollup pre-aggregates per block before its
+groupby, so the shuffle moves one partial row per (block, tile).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.docgen import geo_points_int_for
+
+# shift to a non-negative grid anchored at the (-90, -180) world corner so
+# integer floor-division bucketing needs no negative-floor care (DuckDB's
+# ``//`` truncates toward zero; on non-negative ints truncate == floor)
+LAT_OFF = 900_000   # 1e-4 deg units
+LNG_OFF = 1_800_000
+WORLD_X = 3_600_000
+WORLD_Y = 1_800_000
+
+
+def geo_points_int(sf_dir: str):
+    """Dataset of (doc_id, span_idx, lat1e4, lng1e4) int64 rows — the
+    integer-lattice twin of the flagship's geo-span extraction (one row
+    per geo span; span_idx 1..n_geo mirrors ``sources/docgen`` layout)."""
+    import ray.data as rd
+
+    def gen(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = 1 + (d % 3)
+        doc = np.repeat(d, reps)
+        total = int(reps.sum())
+        j = (np.arange(total, dtype=np.int64)
+             - np.repeat(np.cumsum(reps) - reps, reps))
+        lat1e4, lng1e4 = geo_points_int_for(doc, j)
+        return pa.table({
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "span_idx": pa.array(j + 1, type=pa.int64()),
+            "lat1e4": pa.array(lat1e4, type=pa.int64()),
+            "lng1e4": pa.array(lng1e4, type=pa.int64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def _interleave_bits(ix: np.ndarray, iy: np.ndarray, level: int) -> np.ndarray:
+    """Morton / z-order interleave: bit b of ix → bit 2b, of iy → bit 2b+1."""
+    z = np.zeros_like(ix)
+    for b in range(level):
+        z |= ((ix >> b) & 1) << (2 * b)
+        z |= ((iy >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def quadkey_counts(sf_dir: str, level: int = 8):
+    """Per-quadkey tile rollup at ``level`` (2^level × 2^level world grid):
+    (quadkey, n_points, sum_lat1e4, sum_lng1e4), quadkey-ascending — the
+    space-filling-curve histogram/centroid layout pass.
+
+    One shuffle total: per-block partials (np.unique + exact int64
+    accumulation) shrink each block to ≤ 4^level rows before the global
+    groupby sum."""
+    from ray.data.aggregate import Sum
+
+    n = 1 << level
+
+    def part(b: pa.Table) -> pa.Table:
+        lat = b["lat1e4"].to_numpy(zero_copy_only=False)
+        lng = b["lng1e4"].to_numpy(zero_copy_only=False)
+        ix = (lng + LNG_OFF) * n // WORLD_X
+        iy = (lat + LAT_OFF) * n // WORLD_Y
+        z = _interleave_bits(ix, iy, level)
+        uz, inv, cnt = np.unique(z, return_inverse=True, return_counts=True)
+        slat = np.zeros(len(uz), dtype=np.int64)
+        slng = np.zeros(len(uz), dtype=np.int64)
+        np.add.at(slat, inv, lat)
+        np.add.at(slng, inv, lng)
+        return pa.table({
+            "quadkey": pa.array(uz, type=pa.int64()),
+            "n_points": pa.array(cnt.astype(np.int64)),
+            "sum_lat1e4": pa.array(slat),
+            "sum_lng1e4": pa.array(slng),
+        })
+
+    out = geo_points_int(sf_dir) \
+        .map_batches(part, batch_format="pyarrow") \
+        .groupby("quadkey").aggregate(
+            Sum("n_points", alias_name="n_points"),
+            Sum("sum_lat1e4", alias_name="sum_lat1e4"),
+            Sum("sum_lng1e4", alias_name="sum_lng1e4"))
+    return out.sort("quadkey")
+
+
+def _part_of(keys: np.ndarray, n_parts: int) -> np.ndarray:
+    from ..stages.dedup import _splitmix64
+    return (_splitmix64(keys.astype(np.uint64))
+            % np.uint64(n_parts)).astype(np.int64)
+
+
+# forward-neighbor offsets: (0,0) plus the 4 cells lexicographically after
+# it — every unordered cross-cell pair is probed from exactly one side
+_FWD = ((0, 0), (1, 0), (-1, 1), (0, 1), (1, 1))
+
+
+def radius_pairs(sf_dir: str, eps1e4: int = 30000, n_parts: int = 64):
+    """All unordered point pairs within L2 distance ``eps1e4`` (1e-4 deg
+    units) of each other: (doc_a, span_a, doc_b, span_b, d2),
+    d2 = exact int64 squared planar distance ≤ eps².
+
+    Shape: grid cells of side ε ⇒ any qualifying pair is ≤ 1 cell apart
+    per axis. PROBE side replicates to the 5 forward-neighbor cells,
+    HOME side stays put; one hash shuffle on the cell key co-locates
+    candidates; the within-partition test is a segmented searchsorted
+    expansion (no Python loop over cells). Exactly-once: a cross-cell
+    pair exists in exactly one probe direction; same-cell pairs are
+    deduped by the key order test."""
+    eps = np.int64(eps1e4)
+    eps2 = eps * eps
+    ncy = np.int64(WORLD_Y // eps1e4 + 4)
+
+    def prep(b: pa.Table):
+        lat = b["lat1e4"].to_numpy(zero_copy_only=False)
+        lng = b["lng1e4"].to_numpy(zero_copy_only=False)
+        key = (b["doc_id"].to_numpy(zero_copy_only=False) * 4
+               + b["span_idx"].to_numpy(zero_copy_only=False))
+        cx = (lng + LNG_OFF) // eps
+        cy = (lat + LAT_OFF) // eps
+        return key, lat, lng, cx, cy
+
+    def probe(b: pa.Table) -> pa.Table:
+        key, lat, lng, cx, cy = prep(b)
+        ks, lats, lngs, cks = [], [], [], []
+        for dx, dy in _FWD:
+            ks.append(key)
+            lats.append(lat)
+            lngs.append(lng)
+            cks.append((cx + dx) * ncy + (cy + dy))
+        return pa.table({
+            "ckey": pa.array(np.concatenate(cks), type=pa.int64()),
+            "key": pa.array(np.concatenate(ks), type=pa.int64()),
+            "lat": pa.array(np.concatenate(lats), type=pa.int64()),
+            "lng": pa.array(np.concatenate(lngs), type=pa.int64()),
+            "side": pa.array(
+                np.zeros(len(key) * len(_FWD), dtype=np.int8)),
+        })
+
+    def home(b: pa.Table) -> pa.Table:
+        key, lat, lng, cx, cy = prep(b)
+        return pa.table({
+            "ckey": pa.array(cx * ncy + cy, type=pa.int64()),
+            "key": pa.array(key, type=pa.int64()),
+            "lat": pa.array(lat, type=pa.int64()),
+            "lng": pa.array(lng, type=pa.int64()),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+        })
+
+    pts = geo_points_int(sf_dir)
+    both = pts.map_batches(probe, batch_format="pyarrow") \
+        .union(pts.map_batches(home, batch_format="pyarrow"))
+
+    empty = pa.table({c: pa.array([], type=pa.int64())
+                      for c in ("doc_a", "span_a", "doc_b", "span_b", "d2")})
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = _part_of(b["ckey"].to_numpy(zero_copy_only=False), n_parts)
+        return b.append_column("_part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        g = g.drop_columns(["_part"])
+        side = g["side"].to_numpy(zero_copy_only=False)
+        a = g.filter(pa.array(side == 0))
+        h = g.filter(pa.array(side == 1))
+        if a.num_rows == 0 or h.num_rows == 0:
+            return empty
+        hc = h["ckey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(hc, kind="stable")
+        hc = hc[order]
+        hk = h["key"].to_numpy(zero_copy_only=False)[order]
+        hlat = h["lat"].to_numpy(zero_copy_only=False)[order]
+        hlng = h["lng"].to_numpy(zero_copy_only=False)[order]
+        ac = a["ckey"].to_numpy(zero_copy_only=False)
+        starts = np.searchsorted(hc, ac, side="left")
+        ends = np.searchsorted(hc, ac, side="right")
+        cnt = ends - starts
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        ai = np.repeat(np.arange(len(ac), dtype=np.int64), cnt)
+        bi = (np.repeat(starts, cnt)
+              + np.arange(tot, dtype=np.int64)
+              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        ak = a["key"].to_numpy(zero_copy_only=False)[ai]
+        alat = a["lat"].to_numpy(zero_copy_only=False)[ai]
+        alng = a["lng"].to_numpy(zero_copy_only=False)[ai]
+        bk, blat, blng = hk[bi], hlat[bi], hlng[bi]
+        d2 = (alat - blat) ** 2 + (alng - blng) ** 2
+        # same home cell ⇒ both probe directions exist: keep ak < bk;
+        # cross-cell ⇒ single direction: keep ak != bk and normalize
+        same = ((alng + LNG_OFF) // eps == (blng + LNG_OFF) // eps) \
+            & ((alat + LAT_OFF) // eps == (blat + LAT_OFF) // eps)
+        keep = (d2 <= eps2) & np.where(same, ak < bk, ak != bk)
+        ak, bk, d2 = ak[keep], bk[keep], d2[keep]
+        lo = np.minimum(ak, bk)
+        hi = np.maximum(ak, bk)
+        return pa.table({
+            "doc_a": pa.array(lo // 4, type=pa.int64()),
+            "span_a": pa.array(lo % 4, type=pa.int64()),
+            "doc_b": pa.array(hi // 4, type=pa.int64()),
+            "span_b": pa.array(hi % 4, type=pa.int64()),
+            "d2": pa.array(d2, type=pa.int64()),
+        })
+
+    return both.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def doc_boxes(sf_dir: str):
+    """One axis-aligned box per document: centered on the doc's FIRST geo
+    point, half-size h = 1000 + (doc_id * 48271 % 2147483647) % 30001
+    (0.1°–3.1001° in 1e-4 units) — a deterministic per-doc footprint in
+    the shifted non-negative grid. Columns xlo/xhi/ylo/yhi int64."""
+    import ray.data as rd
+
+    def gen(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat1e4, lng1e4 = geo_points_int_for(d, np.zeros(len(d), np.int64))
+        x0 = lng1e4 + LNG_OFF
+        y0 = lat1e4 + LAT_OFF
+        h = 1000 + (d * np.int64(48271) % np.int64(2147483647)) % np.int64(30001)
+        return pa.table({
+            "doc_id": pa.array(d, type=pa.int64()),
+            "xlo": pa.array(x0 - h, type=pa.int64()),
+            "xhi": pa.array(x0 + h, type=pa.int64()),
+            "ylo": pa.array(y0 - h, type=pa.int64()),
+            "yhi": pa.array(y0 + h, type=pa.int64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def bbox_overlap_pairs(sf_dir: str, cell: int = 65536, n_parts: int = 64):
+    """Rectangle-intersection SELF-join over the per-doc boxes
+    (``doc_boxes``): (doc_a, doc_b, ox, oy) for every unordered pair of
+    docs whose boxes intersect (closed intervals, both axes); ox/oy are
+    the exact int64 overlap extents.
+
+    PBSM shape: every box replicates to the grid cells it covers (cell >
+    max box width ⇒ ≤ 2×2 = 4 replicas); one hash shuffle on the cell
+    key; within a cell a segmented vectorized self-join tests all local
+    pairs; a pair is emitted ONLY in the canonical cell containing
+    (max(xlo), max(ylo)) — the overlap's min corner — so cross-cell
+    duplicates never exist."""
+    assert cell > 2 * 31001, "cell must exceed the max box width"
+    ncy = np.int64(WORLD_Y // cell + 4)
+    c = np.int64(cell)
+
+    def replicate(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        xlo = b["xlo"].to_numpy(zero_copy_only=False)
+        xhi = b["xhi"].to_numpy(zero_copy_only=False)
+        ylo = b["ylo"].to_numpy(zero_copy_only=False)
+        yhi = b["yhi"].to_numpy(zero_copy_only=False)
+        cxlo, cxhi = xlo // c, xhi // c
+        cylo, cyhi = ylo // c, yhi // c
+        parts = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                m = (cxlo + dx <= cxhi) & (cylo + dy <= cyhi)
+                if not m.any():
+                    continue
+                parts.append(pa.table({
+                    "ckey": pa.array((cxlo[m] + dx) * ncy + (cylo[m] + dy),
+                                     type=pa.int64()),
+                    "doc_id": pa.array(d[m], type=pa.int64()),
+                    "xlo": pa.array(xlo[m], type=pa.int64()),
+                    "xhi": pa.array(xhi[m], type=pa.int64()),
+                    "ylo": pa.array(ylo[m], type=pa.int64()),
+                    "yhi": pa.array(yhi[m], type=pa.int64()),
+                }))
+        if not parts:
+            return pa.table({k: pa.array([], type=pa.int64()) for k in
+                             ("ckey", "doc_id", "xlo", "xhi", "ylo", "yhi")})
+        return pa.concat_tables(parts)
+
+    empty = pa.table({k: pa.array([], type=pa.int64())
+                      for k in ("doc_a", "doc_b", "ox", "oy")})
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = _part_of(b["ckey"].to_numpy(zero_copy_only=False), n_parts)
+        return b.append_column("_part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[("ckey", "ascending"),
+                                            ("doc_id", "ascending")])
+        g = g.take(idx)
+        ck = g["ckey"].to_numpy(zero_copy_only=False)
+        seg_end = np.searchsorted(ck, ck, side="right")
+        cnt = seg_end - np.arange(len(ck)) - 1
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        ai = np.repeat(np.arange(len(ck), dtype=np.int64), cnt)
+        bi = (ai + 1 + np.arange(tot, dtype=np.int64)
+              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        xlo = g["xlo"].to_numpy(zero_copy_only=False)
+        xhi = g["xhi"].to_numpy(zero_copy_only=False)
+        ylo = g["ylo"].to_numpy(zero_copy_only=False)
+        yhi = g["yhi"].to_numpy(zero_copy_only=False)
+        mx = np.maximum(xlo[ai], xlo[bi])
+        my = np.maximum(ylo[ai], ylo[bi])
+        ox = np.minimum(xhi[ai], xhi[bi]) - mx
+        oy = np.minimum(yhi[ai], yhi[bi]) - my
+        canon = (mx // c) * ncy + (my // c) == ck[ai]
+        keep = (ox >= 0) & (oy >= 0) & canon
+        return pa.table({
+            "doc_a": pa.array(d[ai][keep], type=pa.int64()),
+            "doc_b": pa.array(d[bi][keep], type=pa.int64()),
+            "ox": pa.array(ox[keep], type=pa.int64()),
+            "oy": pa.array(oy[keep], type=pa.int64()),
+        })
+
+    return doc_boxes(sf_dir).map_batches(replicate, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")

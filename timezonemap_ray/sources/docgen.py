@@ -64,6 +64,32 @@ def geo_points_for(doc_ids: np.ndarray, j: int, hotspots: bool = False):
     return lat, lng
 
 
+def geo_points_int_for(doc_ids: np.ndarray, j: np.ndarray):
+    """INTEGER form of ``geo_points_for`` (hotspots off): exact int64
+    quantized coordinates ``lat1e4 = s % 1300001 - 650000`` and
+    ``lng1e4 = s2 % 3400001 - 1700000`` — the float form is
+    ``lat1e4 / 1e4``.  Because both the engine and the DuckDB twin stay
+    on this int64 lattice (``geo_points_int_sql_expr``), every spatial
+    aggregate built on it is associative integer math, bit-reproducible
+    under any partitioning.  ``j`` is a per-row 0-based geo index array."""
+    d = doc_ids.astype(np.int64)
+    jj = np.asarray(j, dtype=np.int64)
+    s = (d * np.int64(37) + jj) * MULT % MOD
+    s2 = (d * np.int64(37) + jj) * MULT2 % MOD2
+    lat1e4 = s % LAT_MOD - np.int64(650000)
+    lng1e4 = s2 % LNG_MOD - np.int64(1700000)
+    return lat1e4, lng1e4
+
+
+def geo_points_int_sql_expr(j: str = "j") -> tuple[str, str]:
+    """DuckDB SQL (lat1e4, lng1e4) BIGINT expressions matching
+    ``geo_points_int_for`` exactly."""
+    s = f"(((doc_id * 37 + {j}) * 2654435761) % 1000000007)"
+    s2 = f"(((doc_id * 37 + {j}) * 1779033703) % 999999937)"
+    return (f"(({s} % 1300001) - 650000)",
+            f"(({s2} % 3400001) - 1700000)")
+
+
 def geo_point_sql_expr(j: str = "j") -> tuple[str, str]:
     """DuckDB SQL (lat, lng) expressions matching ``geo_points_for`` exactly
     (hotspots off). ``j`` is the SQL expression for the 0-based geo index."""
