@@ -783,6 +783,19 @@ def _q_nation_trade_volume(sf_dir: str):
     return nation_trade_volume(sf_dir)
 
 
+def _q_points_nn_within(sf_dir: str):
+    """Bounded nearest-neighbor join, ORACLE-CHECKED (round 5): each
+    point's (d2, key)-argmin neighbor within 8° L2
+    (`pipelines/spatial.nearest_neighbor_within`). Directed variant of
+    the ε-cell bucketing: probes replicate to all 9 neighbor cells,
+    per-partition partial argmins (lexsort first-per-key, ≤ 1 row per
+    point per partition) feed a second bounded shuffle that finishes
+    the argmin — candidates never leave their partition. SQL twin:
+    9-offset candidates + row_number argmin."""
+    from timezonemap_ray.pipelines.spatial import nearest_neighbor_within
+    return nearest_neighbor_within(sf_dir)
+
+
 def _q_docs_lm_score_int(sf_dir: str):
     """CCNet-shaped bigram-LM quality scoring, ORACLE-CHECKED (round 5):
     score every document under a bigram LM learned from the corpus
@@ -2545,7 +2558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stats_per_type": _q_events_stats_per_type,
         "events_type_share": _q_events_type_share,
         "events_zscore": _q_events_zscore,
-        "events_ohlc_per_user": _q_events_ohlc_per_user,
+        "min_cost_supplier": _q_min_cost_supplier,
         # r5 window arrangement: the round-4 red row (oracle dtype fixed
         # this round) and the four session-5 spatial/Q7 queries take the
         # base slots of five r04-green rows so the driver's first-50
@@ -2555,7 +2568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_radius_pairs": _q_points_radius_pairs,
         "doc_bbox_overlap_pairs": _q_doc_bbox_overlap_pairs,
         "nation_trade_volume": _q_nation_trade_volume,
-        "events_asof_orders": _q_events_asof_orders,
+        "points_nn_within": _q_points_nn_within,
+        "event_funnel": _q_event_funnel,
         "customers_per_nation": _q_customers_per_nation,
         "value_range_buckets": _q_value_range_buckets,
         "concurrent_events": _q_concurrent_events,
@@ -2612,8 +2626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": _q_customer_order_distribution,
         "large_volume_customers": _q_large_volume_customers,
         "idle_customer_balance": _q_idle_customer_balance,
-        "min_cost_supplier": _q_min_cost_supplier,
-        "event_funnel": _q_event_funnel,
+        "events_ohlc_per_user": _q_events_ohlc_per_user,
+        "events_asof_orders": _q_events_asof_orders,
         "events_pivot_types": _q_events_pivot_types,
         "orders_rollup": _q_orders_rollup,
         "orders_cube": _q_orders_cube,
@@ -2798,6 +2812,7 @@ def oracle_sql() -> dict[str, str]:
         "points_radius_pairs": oracle.sql_radius_pairs(),
         "doc_bbox_overlap_pairs": oracle.sql_bbox_overlap_pairs(),
         "nation_trade_volume": oracle.sql_nation_trade_volume(),
+        "points_nn_within": oracle.sql_nearest_neighbor_within(),
         "events_dedup_window": """
             WITH p AS (
               SELECT event_id, user_id, event_type, ts,

@@ -122,3 +122,32 @@ def test_geo_points_int_matches_float_form(ray_session, sf_dir):
     s2 = (d * np.int64(37) + j) * np.int64(1779033703) % np.int64(999999937)
     assert ((s % 1300001 - 650000) == pts.lat1e4.to_numpy()).all()
     assert ((s2 % 3400001 - 1700000) == pts.lng1e4.to_numpy()).all()
+
+
+def test_nearest_neighbor_within_equals_brute_force(ray_session, sf_dir):
+    from timezonemap_ray.pipelines.spatial import nearest_neighbor_within
+    doc, span, lat, lng = _all_points(sf_dir)
+    key = doc * 4 + span
+    eps = 80000
+    d2 = ((lat[:, None] - lat[None, :]) ** 2
+          + (lng[:, None] - lng[None, :]) ** 2)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    want = {}
+    for i in range(len(key)):
+        j = np.lexsort((key, d2[i]))[0]
+        if d2[i, j] <= eps * eps:
+            want[int(key[i])] = (int(key[j]), int(d2[i, j]))
+    got = nearest_neighbor_within(sf_dir, eps1e4=eps).to_pandas()
+    got_map = {int(r.doc_id * 4 + r.span_idx):
+               (int(r.nn_doc * 4 + r.nn_span), int(r.nn_d2))
+               for r in got.itertuples()}
+    assert got_map == want
+
+
+def test_nearest_neighbor_partition_invariant(ray_session, sf_dir):
+    from timezonemap_ray.pipelines.spatial import nearest_neighbor_within
+    a = nearest_neighbor_within(sf_dir, n_parts=5).to_pandas() \
+        .sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    b = nearest_neighbor_within(sf_dir, n_parts=64).to_pandas() \
+        .sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    assert a.equals(b)
