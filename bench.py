@@ -205,7 +205,10 @@ def run_bench(num_cpus: int) -> dict:
     import __ray_entry__ as _entry
     for qname in ("pagerank_partsupp", "triangles_coorder",
                   "kmeans_int_assign", "dedup_minhash_md5",
-                  "dedup_semantic_int", "docs_target_selection_int"):
+                  "dedup_semantic_int", "docs_target_selection_int",
+                  # round-5 session-5 spatial ops (int-lattice plans)
+                  "points_quadkey_counts", "points_radius_pairs",
+                  "points_nn_within"):
         timings[qname] = _min_of(
             2, lambda q=qname: _entry.queries()[q](SF_DIR).count())
 
