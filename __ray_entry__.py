@@ -796,6 +796,31 @@ def _q_points_nn_within(sf_dir: str):
     return nearest_neighbor_within(sf_dir)
 
 
+def _q_tile_density_smooth(sf_dir: str):
+    """3×3 box-filter raster smoothing, ORACLE-CHECKED (round 5): every
+    occupied level-8 tile's point count plus its 3×3-neighborhood total
+    (`pipelines/spatial.tile_density_smooth`) — the heatmap/convolution
+    pass of a density pipeline. Point rows are touched exactly once (the
+    rollup); the convolution runs on the TILE table (≤ 4^8 rows, bounded
+    by the grid not the data) as a 9-offset scatter + groupby, occupied
+    set broadcast. SQL twin: 3×3 BETWEEN self-join over the rollup."""
+    from timezonemap_ray.pipelines.spatial import tile_density_smooth
+    return tile_density_smooth(sf_dir)
+
+
+def _q_points_in_doc_boxes(sf_dir: str):
+    """BIG-BIG point-in-rectangle join, ORACLE-CHECKED (round 5): every
+    (doc box, point) containment pair with neither side broadcast
+    (`pipelines/spatial.points_in_doc_boxes`). The point stays in its
+    home ε-cell (unique), the box replicates to the ≤4 cells it covers —
+    each qualifying pair meets in exactly one cell, so the plan is
+    exactly-once WITHOUT a dedup pass. This is the distributed form of
+    the reference's envelope-containment prefilter
+    (`TimeZoneMap.kt` forRegion). SQL twin: direct BETWEEN IEJoin."""
+    from timezonemap_ray.pipelines.spatial import points_in_doc_boxes
+    return points_in_doc_boxes(sf_dir)
+
+
 def _q_docs_lm_score_int(sf_dir: str):
     """CCNet-shaped bigram-LM quality scoring, ORACLE-CHECKED (round 5):
     score every document under a bigram LM learned from the corpus
@@ -2556,8 +2581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue_delta": _q_forecast_revenue_delta,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_stats_per_type": _q_events_stats_per_type,
-        "events_type_share": _q_events_type_share,
-        "events_zscore": _q_events_zscore,
+        "docs_lm_score_int": _q_docs_lm_score_int,
+        "customer_order_distribution": _q_customer_order_distribution,
         "min_cost_supplier": _q_min_cost_supplier,
         # r5 window arrangement: the round-4 red row (oracle dtype fixed
         # this round) and the four session-5 spatial/Q7 queries take the
@@ -2569,9 +2594,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bbox_overlap_pairs": _q_doc_bbox_overlap_pairs,
         "nation_trade_volume": _q_nation_trade_volume,
         "points_nn_within": _q_points_nn_within,
+        "tile_density_smooth": _q_tile_density_smooth,
+        "points_in_doc_boxes": _q_points_in_doc_boxes,
         "event_funnel": _q_event_funnel,
-        "customers_per_nation": _q_customers_per_nation,
-        "value_range_buckets": _q_value_range_buckets,
+        "large_volume_customers": _q_large_volume_customers,
+        "idle_customer_balance": _q_idle_customer_balance,
         "concurrent_events": _q_concurrent_events,
         "streaming_windows": _q_streaming_windows,
         "distinct_users": _q_distinct_users,
@@ -2622,10 +2649,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prune_prototypes_int": _q_prune_prototypes_int,
         "docs_target_selection_int": _q_docs_target_selection_int,
         "events_dedup_window": _q_events_dedup_window,
-        "docs_lm_score_int": _q_docs_lm_score_int,
-        "customer_order_distribution": _q_customer_order_distribution,
-        "large_volume_customers": _q_large_volume_customers,
-        "idle_customer_balance": _q_idle_customer_balance,
+        "events_type_share": _q_events_type_share,
+        "events_zscore": _q_events_zscore,
+        "customers_per_nation": _q_customers_per_nation,
+        "value_range_buckets": _q_value_range_buckets,
         "events_ohlc_per_user": _q_events_ohlc_per_user,
         "events_asof_orders": _q_events_asof_orders,
         "events_pivot_types": _q_events_pivot_types,
@@ -2813,6 +2840,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_bbox_overlap_pairs": oracle.sql_bbox_overlap_pairs(),
         "nation_trade_volume": oracle.sql_nation_trade_volume(),
         "points_nn_within": oracle.sql_nearest_neighbor_within(),
+        "tile_density_smooth": oracle.sql_tile_density_smooth(),
+        "points_in_doc_boxes": oracle.sql_points_in_doc_boxes(),
         "events_dedup_window": """
             WITH p AS (
               SELECT event_id, user_id, event_type, ts,

@@ -151,3 +151,43 @@ def test_nearest_neighbor_partition_invariant(ray_session, sf_dir):
     b = nearest_neighbor_within(sf_dir, n_parts=64).to_pandas() \
         .sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_tile_density_smooth_equals_numpy(ray_session, sf_dir):
+    from timezonemap_ray.pipelines.spatial import tile_density_smooth
+    _, _, lat, lng = _all_points(sf_dir)
+    ix = (lng + LNG_OFF) * 256 // 3_600_000
+    iy = (lat + LAT_OFF) * 256 // 1_800_000
+    from collections import Counter
+    cnt = Counter(zip(ix.tolist(), iy.tolist()))
+    want = {}
+    for (x, y), n in cnt.items():
+        s = sum(cnt.get((x + dx, y + dy), 0)
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        z = int(_interleave_bits(np.array([x]), np.array([y]), 8)[0])
+        want[z] = (n, s)
+    got = tile_density_smooth(sf_dir).to_pandas()
+    got_map = {int(r.quadkey): (int(r.n_points), int(r.smooth_n))
+               for r in got.itertuples()}
+    assert got_map == want
+    assert got.quadkey.is_monotonic_increasing
+
+
+def test_points_in_doc_boxes_equals_brute_force(ray_session, sf_dir):
+    from timezonemap_ray.pipelines.spatial import (
+        doc_boxes, points_in_doc_boxes)
+    doc, span, lat, lng = _all_points(sf_dir)
+    x = lng + LNG_OFF
+    y = lat + LAT_OFF
+    boxes = doc_boxes(sf_dir).to_pandas()
+    want = set()
+    for r in boxes.itertuples():
+        inside = ((r.xlo <= x) & (x <= r.xhi)
+                  & (r.ylo <= y) & (y <= r.yhi))
+        for i in np.flatnonzero(inside):
+            want.add((int(r.doc_id), int(doc[i]), int(span[i])))
+    got = points_in_doc_boxes(sf_dir).to_pandas()
+    pairs = list(zip(got.box_doc.tolist(), got.pt_doc.tolist(),
+                     got.pt_span.tolist()))
+    assert len(set(pairs)) == len(pairs), "pair emitted twice"
+    assert set(pairs) == want

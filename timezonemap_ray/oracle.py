@@ -1060,3 +1060,48 @@ best AS (SELECT key, nn_key, d2,
 SELECT key // 4 AS doc_id, key % 4 AS span_idx,
        nn_key // 4 AS nn_doc, nn_key % 4 AS nn_span, d2 AS nn_d2
 FROM best WHERE rn = 1"""
+
+
+def sql_tile_density_smooth(level: int = 8) -> str:
+    """Twin of ``pipelines/spatial.tile_density_smooth``: the 9-offset
+    scatter + groupby is re-stated as a 3×3 BETWEEN self-join over the
+    (ix, iy) tile rollup."""
+    n = 1 << level
+    terms = []
+    for b in range(level):
+        terms.append(f"(((a.ix >> {b}) & 1) * {1 << (2 * b)})")
+        terms.append(f"(((a.iy >> {b}) & 1) * {1 << (2 * b + 1)})")
+    z = " + ".join(terms)
+    return f"""
+WITH {geo_points_int_cte()},
+t AS (SELECT ((lng1e4 + 1800000) * {n}) // 3600000 AS ix,
+             ((lat1e4 + 900000) * {n}) // 1800000 AS iy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ipts GROUP BY ix, iy)
+SELECT CAST({z} AS BIGINT) AS quadkey,
+       a.n AS n_points,
+       CAST(sum(b.n) AS BIGINT) AS smooth_n
+FROM t a JOIN t b ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+                 AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+GROUP BY a.ix, a.iy, a.n"""
+
+
+def sql_points_in_doc_boxes() -> str:
+    """Twin of ``pipelines/spatial.points_in_doc_boxes``: direct BETWEEN
+    (IEJoin) point-in-rectangle join over the same boxes and points."""
+    from .sources.docgen import geo_points_int_sql_expr
+    lat0, lng0 = geo_points_int_sql_expr("0")
+    return f"""
+WITH {geo_points_int_cte()},
+c AS (
+  SELECT doc_id,
+         CAST({lng0} + 1800000 AS BIGINT) AS x0,
+         CAST({lat0} + 900000 AS BIGINT) AS y0,
+         CAST(1000 + ((doc_id * 48271) % 2147483647) % 30001 AS BIGINT) AS h
+  FROM documents),
+bb AS (SELECT doc_id, x0 - h AS xlo, x0 + h AS xhi,
+              y0 - h AS ylo, y0 + h AS yhi FROM c),
+p AS (SELECT key, lng1e4 + 1800000 AS x, lat1e4 + 900000 AS y FROM ipts)
+SELECT bb.doc_id AS box_doc, p.key // 4 AS pt_doc, p.key % 4 AS pt_span
+FROM bb JOIN p ON p.x BETWEEN bb.xlo AND bb.xhi
+              AND p.y BETWEEN bb.ylo AND bb.yhi"""

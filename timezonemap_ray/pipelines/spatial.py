@@ -506,3 +506,214 @@ def nearest_neighbor_within(sf_dir: str, eps1e4: int = 80000,
 
     return partials.map_batches(add_kpart, batch_format="pyarrow") \
         .groupby("_part").map_groups(finish, batch_format="pyarrow")
+
+
+def tile_counts_xy(sf_dir: str, level: int = 8):
+    """Per-tile (ix, iy, n) rollup — the raster form of
+    ``quadkey_counts`` (same lattice, axis-aligned keys). One shuffle;
+    per-block partials as in ``quadkey_counts``."""
+    from ray.data.aggregate import Sum
+
+    n = 1 << level
+
+    def part(b: pa.Table) -> pa.Table:
+        lat = b["lat1e4"].to_numpy(zero_copy_only=False)
+        lng = b["lng1e4"].to_numpy(zero_copy_only=False)
+        ix = (lng + LNG_OFF) * n // WORLD_X
+        iy = (lat + LAT_OFF) * n // WORLD_Y
+        tk = ix * (2 * n) + iy
+        ut, cnt = np.unique(tk, return_counts=True)
+        return pa.table({
+            "tkey": pa.array(ut, type=pa.int64()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    return geo_points_int(sf_dir) \
+        .map_batches(part, batch_format="pyarrow") \
+        .groupby("tkey").aggregate(Sum("n", alias_name="n"))
+
+
+def tile_density_smooth(sf_dir: str, level: int = 8):
+    """3×3 box-filter density over the level-``level`` tile raster: for
+    every OCCUPIED tile, the total point count in its 3×3 tile
+    neighborhood — the raster-convolution smoothing pass of a density /
+    heatmap pipeline. Output (quadkey, n_points, smooth_n), int64,
+    quadkey-ascending.
+
+    Shape: after the rollup the working set is TILES (≤ 4^level rows —
+    bounded by the grid, not the data), so the convolution is a 9-offset
+    scatter + one tile-keyed groupby sum, and the occupied-tile filter is
+    a broadcast probe of the (bounded) occupied set. Point rows are
+    touched exactly once, in the rollup."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n = 1 << level
+    tiles = tile_counts_xy(sf_dir, level)
+
+    def scatter(b: pa.Table) -> pa.Table:
+        tk = b["tkey"].to_numpy(zero_copy_only=False)
+        cnt = b["n"].to_numpy(zero_copy_only=False)
+        ix = tk // (2 * n)
+        iy = tk % (2 * n)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(pa.table({
+                    "tkey": pa.array((ix + dx) * (2 * n) + (iy + dy),
+                                     type=pa.int64()),
+                    "c": pa.array(cnt, type=pa.int64()),
+                }))
+        return pa.concat_tables(outs)
+
+    smooth = tiles.map_batches(scatter, batch_format="pyarrow") \
+        .groupby("tkey").aggregate(Sum("c", alias_name="smooth_n"))
+
+    # occupied-tile counts, broadcast (≤ 4^level rows by construction)
+    occ = {}
+    for b in tiles.iter_batches(batch_size=None, batch_format="pyarrow"):
+        tk = b["tkey"].to_numpy(zero_copy_only=False)
+        cn = b["n"].to_numpy(zero_copy_only=False)
+        for t, c in zip(tk.tolist(), cn.tolist()):
+            occ[t] = c
+    okeys = np.array(sorted(occ), dtype=np.int64)
+    ovals = np.array([occ[t] for t in okeys], dtype=np.int64)
+    okeys_ref = ray.put(okeys)
+    ovals_ref = ray.put(ovals)
+
+    def attach(b: pa.Table) -> pa.Table:
+        ks = ray.get(okeys_ref)
+        vs = ray.get(ovals_ref)
+        if b.num_rows == 0 or len(ks) == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in ("quadkey", "n_points", "smooth_n")})
+        tk = b["tkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, tk)
+        pos_c = np.minimum(pos, len(ks) - 1)
+        hit = ks[pos_c] == tk
+        ix = tk[hit] // (2 * n)
+        iy = tk[hit] % (2 * n)
+        z = _interleave_bits(ix, iy, level)
+        return pa.table({
+            "quadkey": pa.array(z, type=pa.int64()),
+            "n_points": pa.array(vs[pos_c[hit]], type=pa.int64()),
+            "smooth_n": b["smooth_n"].filter(pa.array(hit)),
+        })
+
+    return smooth.map_batches(attach, batch_format="pyarrow") \
+        .sort("quadkey")
+
+
+def points_in_doc_boxes(sf_dir: str, cell: int = 65536, n_parts: int = 64):
+    """BIG-BIG point-in-rectangle join: every (box, point) pair where the
+    point lies inside the document's box (closed intervals, ``doc_boxes``)
+    — neither side broadcasts. Output (box_doc, pt_doc, pt_span), int64,
+    sorted.
+
+    Exactly-once WITHOUT a dedup pass: the point side stays in its home
+    cell (unique), the box side replicates to every cell it covers (≤ 4 by
+    the cell > max-box-width invariant) — a point inside the box is inside
+    a covered cell, so each qualifying pair meets in exactly one cell."""
+    assert cell > 2 * 31001, "cell must exceed the max box width"
+    ncy = np.int64(WORLD_Y // cell + 4)
+    c = np.int64(cell)
+
+    def rep_boxes(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        xlo = b["xlo"].to_numpy(zero_copy_only=False)
+        xhi = b["xhi"].to_numpy(zero_copy_only=False)
+        ylo = b["ylo"].to_numpy(zero_copy_only=False)
+        yhi = b["yhi"].to_numpy(zero_copy_only=False)
+        cxlo, cxhi = xlo // c, xhi // c
+        cylo, cyhi = ylo // c, yhi // c
+        parts = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                m = (cxlo + dx <= cxhi) & (cylo + dy <= cyhi)
+                if not m.any():
+                    continue
+                parts.append(pa.table({
+                    "ckey": pa.array((cxlo[m] + dx) * ncy + (cylo[m] + dy),
+                                     type=pa.int64()),
+                    "id": pa.array(d[m], type=pa.int64()),
+                    "xlo": pa.array(xlo[m], type=pa.int64()),
+                    "xhi": pa.array(xhi[m], type=pa.int64()),
+                    "ylo": pa.array(ylo[m], type=pa.int64()),
+                    "yhi": pa.array(yhi[m], type=pa.int64()),
+                    "side": pa.array(np.zeros(int(m.sum()), dtype=np.int8)),
+                }))
+        schema = {"ckey": pa.int64(), "id": pa.int64(), "xlo": pa.int64(),
+                  "xhi": pa.int64(), "ylo": pa.int64(), "yhi": pa.int64()}
+        if not parts:
+            t = {k: pa.array([], type=v) for k, v in schema.items()}
+            t["side"] = pa.array([], type=pa.int8())
+            return pa.table(t)
+        return pa.concat_tables(parts)
+
+    def points_home(b: pa.Table) -> pa.Table:
+        x = b["lng1e4"].to_numpy(zero_copy_only=False) + LNG_OFF
+        y = b["lat1e4"].to_numpy(zero_copy_only=False) + LAT_OFF
+        key = (b["doc_id"].to_numpy(zero_copy_only=False) * 4
+               + b["span_idx"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "ckey": pa.array((x // c) * ncy + (y // c), type=pa.int64()),
+            "id": pa.array(key, type=pa.int64()),
+            "xlo": pa.array(x, type=pa.int64()),
+            "xhi": pa.array(x, type=pa.int64()),
+            "ylo": pa.array(y, type=pa.int64()),
+            "yhi": pa.array(y, type=pa.int64()),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+        })
+
+    both = doc_boxes(sf_dir).map_batches(rep_boxes, batch_format="pyarrow") \
+        .union(geo_points_int(sf_dir).map_batches(points_home,
+                                                  batch_format="pyarrow"))
+
+    empty = pa.table({k: pa.array([], type=pa.int64())
+                      for k in ("box_doc", "pt_doc", "pt_span")})
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = _part_of(b["ckey"].to_numpy(zero_copy_only=False), n_parts)
+        return b.append_column("_part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        g = g.drop_columns(["_part"])
+        side = g["side"].to_numpy(zero_copy_only=False)
+        bx = g.filter(pa.array(side == 0))
+        pt = g.filter(pa.array(side == 1))
+        if bx.num_rows == 0 or pt.num_rows == 0:
+            return empty
+        pc_ = pt["ckey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pc_, kind="stable")
+        pc_ = pc_[order]
+        pk = pt["id"].to_numpy(zero_copy_only=False)[order]
+        px = pt["xlo"].to_numpy(zero_copy_only=False)[order]
+        py = pt["ylo"].to_numpy(zero_copy_only=False)[order]
+        bc = bx["ckey"].to_numpy(zero_copy_only=False)
+        starts = np.searchsorted(pc_, bc, side="left")
+        ends = np.searchsorted(pc_, bc, side="right")
+        cnt = ends - starts
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        ai = np.repeat(np.arange(len(bc), dtype=np.int64), cnt)
+        pi = (np.repeat(starts, cnt)
+              + np.arange(tot, dtype=np.int64)
+              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        bid = bx["id"].to_numpy(zero_copy_only=False)[ai]
+        xlo = bx["xlo"].to_numpy(zero_copy_only=False)[ai]
+        xhi = bx["xhi"].to_numpy(zero_copy_only=False)[ai]
+        ylo = bx["ylo"].to_numpy(zero_copy_only=False)[ai]
+        yhi = bx["yhi"].to_numpy(zero_copy_only=False)[ai]
+        x, y, k = px[pi], py[pi], pk[pi]
+        keep = (xlo <= x) & (x <= xhi) & (ylo <= y) & (y <= yhi)
+        return pa.table({
+            "box_doc": pa.array(bid[keep], type=pa.int64()),
+            "pt_doc": pa.array(k[keep] // 4, type=pa.int64()),
+            "pt_span": pa.array(k[keep] % 4, type=pa.int64()),
+        })
+
+    return both.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
