@@ -208,7 +208,8 @@ def run_bench(num_cpus: int) -> dict:
                   "dedup_semantic_int", "docs_target_selection_int",
                   # round-5 session-5 spatial ops (int-lattice plans)
                   "points_quadkey_counts", "points_radius_pairs",
-                  "points_nn_within"):
+                  "points_nn_within", "tile_density_smooth",
+                  "points_in_doc_boxes"):
         timings[qname] = _min_of(
             2, lambda q=qname: _entry.queries()[q](SF_DIR).count())
 
