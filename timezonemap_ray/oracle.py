@@ -1105,3 +1105,128 @@ p AS (SELECT key, lng1e4 + 1800000 AS x, lat1e4 + 900000 AS y FROM ipts)
 SELECT bb.doc_id AS box_doc, p.key // 4 AS pt_doc, p.key % 4 AS pt_span
 FROM bb JOIN p ON p.x BETWEEN bb.xlo AND bb.xhi
               AND p.y BETWEEN bb.ylo AND bb.yhi"""
+
+
+def _morton_sql(ix: str, iy: str, level: int) -> str:
+    """Closed-form Morton/z-order interleave of SQL expressions ``ix``/
+    ``iy``: Σ_b ((ix>>b)&1)·4^b + ((iy>>b)&1)·2·4^b — the SQL twin of
+    ``pipelines/spatial._interleave_bits``."""
+    terms = []
+    for b in range(level):
+        terms.append(f"((({ix} >> {b}) & 1) * {1 << (2 * b)})")
+        terms.append(f"((({iy} >> {b}) & 1) * {1 << (2 * b + 1)})")
+    return " + ".join(terms)
+
+
+def _doc_boxes_cte() -> str:
+    """CTE ``bb(doc_id, xlo, xhi, ylo, yhi)`` — the per-doc boxes of
+    ``pipelines/spatial.doc_boxes`` in the shifted non-negative grid."""
+    from .sources.docgen import geo_points_int_sql_expr
+    lat0, lng0 = geo_points_int_sql_expr("0")
+    return f"""boxc AS (
+  SELECT doc_id,
+         CAST({lng0} + 1800000 AS BIGINT) AS x0,
+         CAST({lat0} + 900000 AS BIGINT) AS y0,
+         CAST(1000 + ((doc_id * 48271) % 2147483647) % 30001 AS BIGINT) AS h
+  FROM documents),
+bb AS (SELECT doc_id, x0 - h AS xlo, x0 + h AS xhi,
+              y0 - h AS ylo, y0 + h AS yhi FROM boxc)"""
+
+
+def sql_box_coverage_raster(level: int = 8) -> str:
+    """Twin of ``pipelines/raster.box_coverage_raster``: each box expands
+    to its covered tile rectangle via LATERAL generate_series (the same
+    floor-division tile ranges — all coords non-negative, so DuckDB's
+    truncating ``//`` ≡ floor), then a plain count per tile."""
+    n = 1 << level
+    z = _morton_sql("g.ix", "g.iy", level)
+    return f"""
+WITH {_doc_boxes_cte()},
+t AS (SELECT (xlo * {n}) // 3600000 AS ixlo, (xhi * {n}) // 3600000 AS ixhi,
+             (ylo * {n}) // 1800000 AS iylo, (yhi * {n}) // 1800000 AS iyhi
+      FROM bb),
+g AS (SELECT gx.ix, gy.iy FROM t,
+      LATERAL (SELECT unnest(generate_series(t.ixlo, t.ixhi)) AS ix) gx,
+      LATERAL (SELECT unnest(generate_series(t.iylo, t.iyhi)) AS iy) gy)
+SELECT CAST({z} AS BIGINT) AS quadkey,
+       CAST(count(*) AS BIGINT) AS n_boxes
+FROM g GROUP BY quadkey"""
+
+
+def sql_tile_runs(level: int = 8) -> str:
+    """Twin of ``pipelines/raster.tile_runs``: gaps-and-islands — the
+    run id is ix minus the row_number within the grid row, constant
+    exactly along each maximal consecutive run."""
+    n = 1 << level
+    return f"""
+WITH {geo_points_int_cte()},
+t AS (SELECT ((lng1e4 + 1800000) * {n}) // 3600000 AS ix,
+             ((lat1e4 + 900000) * {n}) // 1800000 AS iy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ipts GROUP BY ix, iy),
+r AS (SELECT ix, iy, n,
+             ix - row_number() OVER (PARTITION BY iy ORDER BY ix) AS grp
+      FROM t)
+SELECT CAST(iy AS BIGINT) AS iy,
+       CAST(min(ix) AS BIGINT) AS ix_start,
+       CAST(max(ix) AS BIGINT) AS ix_end,
+       CAST(count(*) AS BIGINT) AS n_tiles,
+       CAST(sum(n) AS BIGINT) AS n_points
+FROM r GROUP BY iy, grp"""
+
+
+def sql_tile_regions(level: int = 11) -> str:
+    """Twin of ``pipelines/raster.tile_regions``: 4-connected component
+    labeling as a recursive min-label propagation — a label l spreads
+    across occupied-tile adjacency edges into any tile with key > l, so
+    min(lbl) per tile is the component minimum (the engine's region_id).
+    Subcritical occupancy at the fine level keeps the recursion's
+    (tile, label) pair space small."""
+    n = 1 << level
+    return f"""
+WITH RECURSIVE {geo_points_int_cte()},
+t AS (SELECT ((lng1e4 + 1800000) * {n}) // 3600000 AS ix,
+             ((lat1e4 + 900000) * {n}) // 1800000 AS iy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ipts GROUP BY ix, iy),
+k AS (SELECT ix * {2 * n} + iy AS tkey, ix, iy, n FROM t),
+e AS (SELECT a.tkey AS a, b.tkey AS b
+      FROM k a JOIN k b ON (b.ix = a.ix + 1 AND b.iy = a.iy)
+                        OR (b.ix = a.ix AND b.iy = a.iy + 1)),
+es AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+lab AS (SELECT tkey, tkey AS lbl FROM k
+        UNION
+        SELECT es.b AS tkey, lab.lbl
+        FROM lab JOIN es ON es.a = lab.tkey WHERE lab.lbl < es.b),
+m AS (SELECT tkey, min(lbl) AS region_id FROM lab GROUP BY tkey)
+SELECT CAST(m.region_id AS BIGINT) AS region_id,
+       CAST(count(*) AS BIGINT) AS n_tiles,
+       CAST(sum(k.n) AS BIGINT) AS n_points,
+       CAST(min(k.ix) AS BIGINT) AS min_ix,
+       CAST(max(k.ix) AS BIGINT) AS max_ix,
+       CAST(min(k.iy) AS BIGINT) AS min_iy,
+       CAST(max(k.iy) AS BIGINT) AS max_iy
+FROM m JOIN k ON k.tkey = m.tkey
+GROUP BY m.region_id"""
+
+
+def sql_tile_pyramid_counts(levels: tuple = (8, 6, 4, 2)) -> str:
+    """Twin of ``pipelines/raster.tile_pyramid_counts``: per-level direct
+    tile group-bys UNION ALL'd (⌊⌊x·2^L/W⌋/2^k⌋ = ⌊x·2^(L-k)/W⌋, so the
+    direct computation per level equals the engine's quadkey-shift
+    coarsening of the finest rollup)."""
+    parts = []
+    for lv in sorted(levels, reverse=True):
+        n = 1 << lv
+        z = _morton_sql("ix", "iy", lv)
+        parts.append(f"""
+SELECT CAST({lv} AS BIGINT) AS level,
+       CAST({z} AS BIGINT) AS quadkey,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM (SELECT ((lng1e4 + 1800000) * {n}) // 3600000 AS ix,
+             ((lat1e4 + 900000) * {n}) // 1800000 AS iy
+      FROM ipts) GROUP BY quadkey""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {geo_points_int_cte()}
+{body}"""
