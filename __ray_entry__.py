@@ -860,6 +860,22 @@ def _q_tile_pyramid_counts(sf_dir: str):
     return tile_pyramid_counts(sf_dir)
 
 
+def _q_segment_box_hits(sf_dir: str):
+    """Polyline×rectangle spatial join, ORACLE-CHECKED (round 5): every
+    (trajectory segment, doc box) intersecting pair under the exact
+    integer separating-axis test
+    (`pipelines/spatial.segment_box_hits`) — the route-vs-footprint GIS
+    overlay. Segments replicate to exactly the grid cells they PASS
+    THROUGH (vectorized rational supercover, O(nx+ny) replicas for
+    world-spanning lines, never the bbox's O(nx·ny)); boxes to the ≤4
+    cells they cover; one hash shuffle + segmented searchsorted kernel;
+    a distinct-triple groupby (output-bounded) dedups the ≤4-shared-cell
+    meetings. SQL twin: direct SAT join (bbox ranges + corner cross
+    products)."""
+    from timezonemap_ray.pipelines.spatial import segment_box_hits
+    return segment_box_hits(sf_dir)
+
+
 def _q_points_in_doc_boxes(sf_dir: str):
     """BIG-BIG point-in-rectangle join, ORACLE-CHECKED (round 5): every
     (doc box, point) containment pair with neither side broadcast
@@ -2628,7 +2644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "customer_returns_topk": _q_customer_returns_topk,
         "shipping_priority_topk": _q_shipping_priority_topk,
-        "late_shipment_stats": _q_late_shipment_stats,
+        "irls_step_int": _q_irls_step_int,
         # r5 session-6 window re-arrangement: adding 4 raster queries
         # shifts the rotation start 4 back, so 8 never-sampled entries
         # that would fall off the window's tail trade base slots with 8
@@ -2646,6 +2662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_runs": _q_tile_runs,
         "tile_regions": _q_tile_regions,
         "tile_pyramid_counts": _q_tile_pyramid_counts,
+        "segment_box_hits": _q_segment_box_hits,
         # r5 window arrangement: the round-4 red row (oracle dtype fixed
         # this round) and the four session-5 spatial/Q7 queries take the
         # base slots of five r04-green rows so the driver's first-50
@@ -2666,7 +2683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_target_selection_int": _q_docs_target_selection_int,
         "events_dedup_window": _q_events_dedup_window,
         # selection operators (exact quantile / hash sample / top-k per group)
-        "value_quantiles": _q_value_quantiles,
+        "media_similarity_int": _q_media_similarity_int,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "documents_sample": _q_documents_sample,
         "documents_sample_fixed": _q_documents_sample_fixed,
@@ -2695,9 +2712,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_mixed": _q_media_decode_mixed,
         # distributed ridge sufficient statistics (exact-sum oracle)
         "ridge_normal_eqs": _q_ridge_normal_eqs,
-        "irls_step_int": _q_irls_step_int,
+        "late_shipment_stats": _q_late_shipment_stats,
         # multimodal similarity, integer-exact twin (pixels SQL-derivable)
-        "media_similarity_int": _q_media_similarity_int,
+        "value_quantiles": _q_value_quantiles,
         # r03/r04-green rows displaced from the window region by the
         # session-6 swap (see the raster-query comment above)
         "priority_order_counts": _q_priority_order_counts,
@@ -2905,6 +2922,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_runs": oracle.sql_tile_runs(),
         "tile_regions": oracle.sql_tile_regions(),
         "tile_pyramid_counts": oracle.sql_tile_pyramid_counts(),
+        "segment_box_hits": oracle.sql_segment_box_hits(),
         "events_dedup_window": """
             WITH p AS (
               SELECT event_id, user_id, event_type, ts,

@@ -191,3 +191,76 @@ def test_points_in_doc_boxes_equals_brute_force(ray_session, sf_dir):
                      got.pt_span.tolist()))
     assert len(set(pairs)) == len(pairs), "pair emitted twice"
     assert set(pairs) == want
+
+
+def _brute_segment_box(sf_dir):
+    """O(segments × boxes) separating-axis oracle."""
+    d = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id"])["doc_id"].to_numpy().astype(np.int64)
+    nseg = d % 3
+    doc = np.repeat(d, nseg)
+    j = (np.arange(int(nseg.sum()), dtype=np.int64)
+         - np.repeat(np.cumsum(nseg) - nseg, nseg))
+    lat1, lng1 = geo_points_int_for(doc, j)
+    lat2, lng2 = geo_points_int_for(doc, j + 1)
+    x1, y1 = lng1 + LNG_OFF, lat1 + LAT_OFF
+    x2, y2 = lng2 + LNG_OFF, lat2 + LAT_OFF
+    lat0, lng0 = geo_points_int_for(d, np.zeros(len(d), np.int64))
+    bx0, by0 = lng0 + LNG_OFF, lat0 + LAT_OFF
+    h = 1000 + (d * np.int64(48271) % np.int64(2147483647)) % np.int64(30001)
+    xlo, xhi, ylo, yhi = bx0 - h, bx0 + h, by0 - h, by0 + h
+    hits = set()
+    for s in range(len(doc)):
+        dx, dy = x2[s] - x1[s], y2[s] - y1[s]
+        bb = (np.minimum(x1[s], x2[s]) <= xhi) & \
+             (np.maximum(x1[s], x2[s]) >= xlo) & \
+             (np.minimum(y1[s], y2[s]) <= yhi) & \
+             (np.maximum(y1[s], y2[s]) >= ylo)
+        cs = [dx * (cy - y1[s]) - dy * (cx - x1[s])
+              for cx, cy in ((xlo, ylo), (xlo, yhi), (xhi, ylo), (xhi, yhi))]
+        cmin = np.minimum.reduce(cs)
+        cmax = np.maximum.reduce(cs)
+        for b in np.flatnonzero(bb & (cmin <= 0) & (cmax >= 0)):
+            hits.add((int(doc[s]), int(j[s] + 1), int(d[b])))
+    return hits
+
+
+def test_segment_box_hits_equals_brute_force(ray_session, sf_dir):
+    from timezonemap_ray.pipelines.spatial import segment_box_hits
+    got = segment_box_hits(sf_dir).to_pandas()
+    have = set(map(tuple, got[["seg_doc", "seg_j", "box_doc"]]
+                   .values.tolist()))
+    assert len(have) == len(got)  # distinct triples, no dup rows
+    assert have == _brute_segment_box(sf_dir)
+
+
+def test_segment_supercover_is_complete(ray_session):
+    """Property: every cell containing a segment point is emitted by the
+    column-walk replication (so no qualifying pair can be missed)."""
+    from timezonemap_ray.pipelines.spatial import doc_segments  # noqa: F401
+    rng = np.random.RandomState(11)
+    cellw = np.int64(225000)
+    for _ in range(200):
+        x1, x2 = np.sort(rng.randint(0, 3_400_000, 2).astype(np.int64))
+        y1, y2 = rng.randint(0, 1_580_000, 2).astype(np.int64)
+        # engine's per-column row range
+        cols = {}
+        for colv in range(int(x1 // cellw), int(x2 // cellw) + 1):
+            dx, dy = x2 - x1, y2 - y1
+            if dx == 0:
+                lo, hi = min(y1, y2) // cellw, max(y1, y2) // cellw
+            else:
+                lox = max(x1, colv * cellw)
+                hix = min(x2, (colv + 1) * cellw)
+                ia = (y1 * dx + (lox - x1) * dy) // (cellw * dx)
+                ib = (y1 * dx + (hix - x1) * dy) // (cellw * dx)
+                lo, hi = min(ia, ib), max(ia, ib)
+            cols[colv] = (int(lo), int(hi))
+        # dense sampling of the segment (parameter sweep) must stay inside
+        for t in np.linspace(0, 1, 2000):
+            px = x1 + (x2 - x1) * t
+            py = y1 + (y2 - y1) * t
+            cx, cy = int(px // cellw), int(py // cellw)
+            assert cx in cols
+            lo, hi = cols[cx]
+            assert lo <= cy <= hi, (x1, y1, x2, y2, cx, cy, lo, hi)

@@ -1230,3 +1230,39 @@ FROM (SELECT ((lng1e4 + 1800000) * {n}) // 3600000 AS ix,
     return f"""
 WITH {geo_points_int_cte()}
 {body}"""
+
+
+def sql_segment_box_hits() -> str:
+    """Twin of ``pipelines/spatial.segment_box_hits``: the direct
+    separating-axis join — closed bbox overlap (IEJoin-able range
+    predicates) plus the four exact int64 corner cross products against
+    the segment's supporting line (not all strictly one side)."""
+    from .sources.docgen import geo_points_int_sql_expr
+    lat_a, lng_a = geo_points_int_sql_expr("g.j")
+    lat_b, lng_b = geo_points_int_sql_expr("(g.j + 1)")
+    corners = []
+    for cx, cy in (("bb.xlo", "bb.ylo"), ("bb.xlo", "bb.yhi"),
+                   ("bb.xhi", "bb.ylo"), ("bb.xhi", "bb.yhi")):
+        corners.append(f"((s.x2 - s.x1) * ({cy} - s.y1)"
+                       f" - (s.y2 - s.y1) * ({cx} - s.x1))")
+    cmin = f"least({', '.join(corners)})"
+    cmax = f"greatest({', '.join(corners)})"
+    # MATERIALIZED: DuckDB 1.0's IEJoin hits an internal "requires a
+    # flat vector" assertion when the range-join input is the lazy
+    # lateral-unnest CTE; materializing the segment table first avoids it
+    return f"""
+WITH {_doc_boxes_cte()},
+s AS MATERIALIZED (
+  SELECT d.doc_id AS seg_doc, CAST(g.j + 1 AS BIGINT) AS seg_j,
+         CAST({lng_a} + 1800000 AS BIGINT) AS x1,
+         CAST({lat_a} + 900000 AS BIGINT) AS y1,
+         CAST({lng_b} + 1800000 AS BIGINT) AS x2,
+         CAST({lat_b} + 900000 AS BIGINT) AS y2
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(
+                    0, CAST(d.doc_id % 3 AS BIGINT) - 1)) AS j) g)
+SELECT s.seg_doc, s.seg_j, bb.doc_id AS box_doc
+FROM s JOIN bb
+  ON least(s.x1, s.x2) <= bb.xhi AND greatest(s.x1, s.x2) >= bb.xlo
+ AND least(s.y1, s.y2) <= bb.yhi AND greatest(s.y1, s.y2) >= bb.ylo
+ AND {cmin} <= 0 AND {cmax} >= 0"""

@@ -717,3 +717,218 @@ def points_in_doc_boxes(sf_dir: str, cell: int = 65536, n_parts: int = 64):
 
     return both.map_batches(add_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def doc_segments(sf_dir: str):
+    """Trajectory segments: consecutive geo-span point pairs per doc
+    (n_geo − 1 = doc_id % 3 segments), endpoints in the shifted
+    non-negative int64 grid, normalized so x1 ≤ x2.  Columns
+    (seg_doc, seg_j, x1, y1, x2, y2) — seg_j is the 1-based index of the
+    segment's FIRST span."""
+    import ray.data as rd
+
+    def gen(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nseg = d % 3
+        doc = np.repeat(d, nseg)
+        tot = int(nseg.sum())
+        j = (np.arange(tot, dtype=np.int64)
+             - np.repeat(np.cumsum(nseg) - nseg, nseg))
+        lat1, lng1 = geo_points_int_for(doc, j)
+        lat2, lng2 = geo_points_int_for(doc, j + 1)
+        x1, y1 = lng1 + LNG_OFF, lat1 + LAT_OFF
+        x2, y2 = lng2 + LNG_OFF, lat2 + LAT_OFF
+        sw = x1 > x2
+        x1s = np.where(sw, x2, x1)
+        x2s = np.where(sw, x1, x2)
+        y1s = np.where(sw, y2, y1)
+        y2s = np.where(sw, y1, y2)
+        return pa.table({
+            "seg_doc": pa.array(doc, type=pa.int64()),
+            "seg_j": pa.array(j + 1, type=pa.int64()),
+            "x1": pa.array(x1s, type=pa.int64()),
+            "y1": pa.array(y1s, type=pa.int64()),
+            "x2": pa.array(x2s, type=pa.int64()),
+            "y2": pa.array(y2s, type=pa.int64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def segment_box_hits(sf_dir: str, cell: int = 225000, n_parts: int = 64):
+    """Polyline×rectangle spatial join: every (trajectory segment, doc
+    box) pair whose closed shapes intersect — the GIS overlay /
+    route-vs-zone-footprint join.  Output (seg_doc, seg_j, box_doc),
+    int64, distinct.
+
+    The exact predicate is the separating-axis test for a segment vs an
+    axis-aligned box (only three candidate axes exist — x, y, and the
+    segment normal): closed bbox overlap AND the box's four corners not
+    all strictly on one side of the segment's supporting line, all in
+    exact int64 cross products (|coords| ≤ 3.6e6 ⇒ products ≤ 1.3e13).
+
+    Shape: boxes replicate to the ≤ 4 grid cells they cover (cell > max
+    box width); segments replicate to exactly the cells they PASS
+    THROUGH — a vectorized supercover: per covered grid column, the
+    segment's y-extent inside that column is computed in exact rational
+    arithmetic (y·dx numerators, one floor-div), bounding the row range
+    — world-spanning segments cost O(nx + ny) replicas, never the
+    O(nx·ny) of their bbox.  One hash shuffle co-locates; within a cell
+    a segmented searchsorted kernel tests candidates.  A pair can meet
+    in up to 4 shared cells, so a final distinct-triple groupby dedups —
+    it shuffles OUTPUT pairs only (bounded by the result), documented
+    as the price of skipping per-pair rational clip canonicalization."""
+    from .raster import _expand_ranges
+
+    assert cell > 2 * 31001, "cell must exceed the max box width"
+    c = np.int64(cell)
+    ncy = np.int64(WORLD_Y // cell + 4)
+
+    def rep_segments(b: pa.Table) -> pa.Table:
+        x1 = b["x1"].to_numpy(zero_copy_only=False)
+        y1 = b["y1"].to_numpy(zero_copy_only=False)
+        x2 = b["x2"].to_numpy(zero_copy_only=False)
+        y2 = b["y2"].to_numpy(zero_copy_only=False)
+        key = (b["seg_doc"].to_numpy(zero_copy_only=False) * 4
+               + b["seg_j"].to_numpy(zero_copy_only=False))
+        # segment → covered grid columns
+        si, col = _expand_ranges(x1 // c, x2 // c)
+        dx = x2[si] - x1[si]
+        dy = y2[si] - y1[si]
+        # y-extent of the segment inside this column (endpoints clamped
+        # to the column's x-interval; y is monotone in x, so the two
+        # boundary evaluations bound every segment point in the column)
+        lox = np.maximum(x1[si], col * c)
+        hix = np.minimum(x2[si], (col + 1) * c)
+        den = np.maximum(dx, 1) * c  # dx==0 rows are overridden below
+        na = y1[si] * np.maximum(dx, 1) + (lox - x1[si]) * dy
+        nb = y1[si] * np.maximum(dx, 1) + (hix - x1[si]) * dy
+        ia, ib = na // den, nb // den
+        vert = dx == 0
+        ylo_v = np.minimum(y1[si], y2[si]) // c
+        yhi_v = np.maximum(y1[si], y2[si]) // c
+        cylo = np.where(vert, ylo_v, np.minimum(ia, ib))
+        cyhi = np.where(vert, yhi_v, np.maximum(ia, ib))
+        ri, cy = _expand_ranges(cylo, cyhi)
+        return pa.table({
+            "ckey": pa.array(col[ri] * ncy + cy, type=pa.int64()),
+            "id": pa.array(key[si][ri], type=pa.int64()),
+            "xlo": pa.array(x1[si][ri], type=pa.int64()),
+            "xhi": pa.array(x2[si][ri], type=pa.int64()),
+            "ylo": pa.array(y1[si][ri], type=pa.int64()),
+            "yhi": pa.array(y2[si][ri], type=pa.int64()),
+            "side": pa.array(np.ones(len(ri), dtype=np.int8)),
+        })
+
+    def rep_boxes(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        xlo = b["xlo"].to_numpy(zero_copy_only=False)
+        xhi = b["xhi"].to_numpy(zero_copy_only=False)
+        ylo = b["ylo"].to_numpy(zero_copy_only=False)
+        yhi = b["yhi"].to_numpy(zero_copy_only=False)
+        cxlo, cxhi = xlo // c, xhi // c
+        cylo, cyhi = ylo // c, yhi // c
+        parts = []
+        for ox in (0, 1):
+            for oy in (0, 1):
+                m = (cxlo + ox <= cxhi) & (cylo + oy <= cyhi)
+                if not m.any():
+                    continue
+                parts.append(pa.table({
+                    "ckey": pa.array((cxlo[m] + ox) * ncy + (cylo[m] + oy),
+                                     type=pa.int64()),
+                    "id": pa.array(d[m], type=pa.int64()),
+                    "xlo": pa.array(xlo[m], type=pa.int64()),
+                    "xhi": pa.array(xhi[m], type=pa.int64()),
+                    "ylo": pa.array(ylo[m], type=pa.int64()),
+                    "yhi": pa.array(yhi[m], type=pa.int64()),
+                    "side": pa.array(np.zeros(int(m.sum()), dtype=np.int8)),
+                }))
+        if not parts:
+            t = {k: pa.array([], type=pa.int64()) for k in
+                 ("ckey", "id", "xlo", "xhi", "ylo", "yhi")}
+            t["side"] = pa.array([], type=pa.int8())
+            return pa.table(t)
+        return pa.concat_tables(parts)
+
+    both = doc_segments(sf_dir) \
+        .map_batches(rep_segments, batch_format="pyarrow") \
+        .union(doc_boxes(sf_dir).map_batches(rep_boxes,
+                                             batch_format="pyarrow"))
+
+    empty = pa.table({k: pa.array([], type=pa.int64())
+                      for k in ("seg_doc", "seg_j", "box_doc")})
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = _part_of(b["ckey"].to_numpy(zero_copy_only=False), n_parts)
+        return b.append_column("_part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        g = g.drop_columns(["_part"])
+        side = g["side"].to_numpy(zero_copy_only=False)
+        sg = g.filter(pa.array(side == 1))
+        bx = g.filter(pa.array(side == 0))
+        if sg.num_rows == 0 or bx.num_rows == 0:
+            return empty
+        bc = bx["ckey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bc, kind="stable")
+        bc = bc[order]
+        bid = bx["id"].to_numpy(zero_copy_only=False)[order]
+        bxlo = bx["xlo"].to_numpy(zero_copy_only=False)[order]
+        bxhi = bx["xhi"].to_numpy(zero_copy_only=False)[order]
+        bylo = bx["ylo"].to_numpy(zero_copy_only=False)[order]
+        byhi = bx["yhi"].to_numpy(zero_copy_only=False)[order]
+        sc = sg["ckey"].to_numpy(zero_copy_only=False)
+        starts = np.searchsorted(bc, sc, side="left")
+        ends = np.searchsorted(bc, sc, side="right")
+        cnt = ends - starts
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        ai = np.repeat(np.arange(len(sc), dtype=np.int64), cnt)
+        bi = (np.repeat(starts, cnt)
+              + np.arange(tot, dtype=np.int64)
+              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        k = sg["id"].to_numpy(zero_copy_only=False)[ai]
+        x1 = sg["xlo"].to_numpy(zero_copy_only=False)[ai]
+        x2 = sg["xhi"].to_numpy(zero_copy_only=False)[ai]
+        y1 = sg["ylo"].to_numpy(zero_copy_only=False)[ai]
+        y2 = sg["yhi"].to_numpy(zero_copy_only=False)[ai]
+        xlo, xhi = bxlo[bi], bxhi[bi]
+        ylo, yhi = bylo[bi], byhi[bi]
+        keep = (x1 <= xhi) & (x2 >= xlo) \
+            & (np.minimum(y1, y2) <= yhi) & (np.maximum(y1, y2) >= ylo)
+        dx, dy = x2 - x1, y2 - y1
+        cmin = None
+        cmax = None
+        for cx, cy in ((xlo, ylo), (xlo, yhi), (xhi, ylo), (xhi, yhi)):
+            cr = dx * (cy - y1) - dy * (cx - x1)
+            cmin = cr if cmin is None else np.minimum(cmin, cr)
+            cmax = cr if cmax is None else np.maximum(cmax, cr)
+        keep &= (cmin <= 0) & (cmax >= 0)
+        k, bd = k[keep], bid[bi][keep]
+        # per-partition dedup (a pair can meet in ≤ 4 shared cells)
+        u = np.unique(np.stack([k, bd], axis=1), axis=0)
+        return pa.table({
+            "seg_doc": pa.array(u[:, 0] // 4, type=pa.int64()),
+            "seg_j": pa.array(u[:, 0] % 4, type=pa.int64()),
+            "box_doc": pa.array(u[:, 1], type=pa.int64()),
+        })
+
+    cand = both.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+    # global distinct: shared cells can land in different partitions
+    from ray.data.aggregate import Count
+
+    out = cand.groupby(["seg_doc", "seg_j", "box_doc"]).aggregate(
+        Count(alias_name="_n"))
+
+    def strip(b: pa.Table) -> pa.Table:
+        return pa.table({c2: b[c2].cast(pa.int64())
+                         for c2 in ("seg_doc", "seg_j", "box_doc")})
+
+    return out.map_batches(strip, batch_format="pyarrow")
