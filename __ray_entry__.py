@@ -860,6 +860,20 @@ def _q_tile_pyramid_counts(sf_dir: str):
     return tile_pyramid_counts(sf_dir)
 
 
+def _q_points_knn_within(sf_dir: str):
+    """Bounded k-nearest-neighbor join (k=3), ORACLE-CHECKED (round 5):
+    each point's ≤3 nearest neighbors within 8°, ranked by (d2, key)
+    (`pipelines/spatial.knn_within`) — the kNN-fallback shape of the
+    north star generalized to top-k. Same directed 9-cell bucketing as
+    the argmin join; each (point, candidate) pair meets in exactly one
+    partition, so disjoint per-partition top-k partials union-cover the
+    global top-k and a second bounded shuffle (≤ k rows per partition ×
+    point) merges. SQL twin: row_number ≤ k over the 9-offset candidate
+    join."""
+    from timezonemap_ray.pipelines.spatial import knn_within
+    return knn_within(sf_dir)
+
+
 def _q_segment_box_hits(sf_dir: str):
     """Polyline×rectangle spatial join, ORACLE-CHECKED (round 5): every
     (trajectory segment, doc box) intersecting pair under the exact
@@ -2643,7 +2657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "event_transitions": _q_event_transitions,
         "customer_returns_topk": _q_customer_returns_topk,
-        "shipping_priority_topk": _q_shipping_priority_topk,
+        "media_decode_mixed": _q_media_decode_mixed,
         "irls_step_int": _q_irls_step_int,
         # r5 session-6 window re-arrangement: adding 4 raster queries
         # shifts the rotation start 4 back, so 8 never-sampled entries
@@ -2663,6 +2677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_regions": _q_tile_regions,
         "tile_pyramid_counts": _q_tile_pyramid_counts,
         "segment_box_hits": _q_segment_box_hits,
+        "points_knn_within": _q_points_knn_within,
         # r5 window arrangement: the round-4 red row (oracle dtype fixed
         # this round) and the four session-5 spatial/Q7 queries take the
         # base slots of five r04-green rows so the driver's first-50
@@ -2684,7 +2699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup_window": _q_events_dedup_window,
         # selection operators (exact quantile / hash sample / top-k per group)
         "media_similarity_int": _q_media_similarity_int,
-        "value_quantiles_by_type": _q_value_quantiles_by_type,
+        "ridge_normal_eqs": _q_ridge_normal_eqs,
         "documents_sample": _q_documents_sample,
         "documents_sample_fixed": _q_documents_sample_fixed,
         "docs_sample_per_source": _q_docs_sample_per_source,
@@ -2709,9 +2724,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # AVI/MJPEG demux through FrameSampler (sampling-invariant oracle)
         "media_frames_avi": _q_media_frames_avi,
         # mixed BMP/PPM/PNG/JPEG decode (size-invariant oracle)
-        "media_decode_mixed": _q_media_decode_mixed,
+        "shipping_priority_topk": _q_shipping_priority_topk,
         # distributed ridge sufficient statistics (exact-sum oracle)
-        "ridge_normal_eqs": _q_ridge_normal_eqs,
+        "value_quantiles_by_type": _q_value_quantiles_by_type,
         "late_shipment_stats": _q_late_shipment_stats,
         # multimodal similarity, integer-exact twin (pixels SQL-derivable)
         "value_quantiles": _q_value_quantiles,
@@ -2923,6 +2938,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_regions": oracle.sql_tile_regions(),
         "tile_pyramid_counts": oracle.sql_tile_pyramid_counts(),
         "segment_box_hits": oracle.sql_segment_box_hits(),
+        "points_knn_within": oracle.sql_knn_within(),
         "events_dedup_window": """
             WITH p AS (
               SELECT event_id, user_id, event_type, ts,

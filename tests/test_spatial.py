@@ -264,3 +264,49 @@ def test_segment_supercover_is_complete(ray_session):
             assert cx in cols
             lo, hi = cols[cx]
             assert lo <= cy <= hi, (x1, y1, x2, y2, cx, cy, lo, hi)
+
+
+def test_knn_within_equals_brute_force(ray_session, sf_dir):
+    from timezonemap_ray.pipelines.spatial import knn_within
+    doc, span, lat, lng = _all_points(sf_dir)
+    key = doc * 4 + span
+    eps, k = 80000, 3
+    d2 = ((lat[:, None] - lat[None, :]) ** 2
+          + (lng[:, None] - lng[None, :]) ** 2)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    want = set()
+    for i in range(len(key)):
+        order = np.lexsort((key, d2[i]))
+        rank = 0
+        for j in order[:k]:
+            if d2[i, j] > eps * eps:
+                break
+            rank += 1
+            want.add((int(key[i]), rank, int(key[j]), int(d2[i, j])))
+    got = knn_within(sf_dir, eps1e4=eps, k=k).to_pandas()
+    got_set = {(int(r.doc_id * 4 + r.span_idx), int(r.rank),
+                int(r.nn_doc * 4 + r.nn_span), int(r.nn_d2))
+               for r in got.itertuples()}
+    assert got_set == want
+
+
+def test_knn_within_partition_invariant(ray_session, sf_dir):
+    from timezonemap_ray.pipelines.spatial import knn_within
+    cols = ["doc_id", "span_idx", "rank"]
+    a = knn_within(sf_dir, n_parts=5).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    b = knn_within(sf_dir, n_parts=64).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_knn_within_k1_matches_argmin_join(ray_session, sf_dir):
+    """k=1 kNN must equal the dedicated argmin nearest-neighbor join."""
+    from timezonemap_ray.pipelines.spatial import (knn_within,
+                                                   nearest_neighbor_within)
+    a = knn_within(sf_dir, k=1).to_pandas() \
+        .drop(columns=["rank"]) \
+        .sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    b = nearest_neighbor_within(sf_dir).to_pandas() \
+        .sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    assert a.equals(b[a.columns.tolist()])

@@ -1266,3 +1266,30 @@ FROM s JOIN bb
   ON least(s.x1, s.x2) <= bb.xhi AND greatest(s.x1, s.x2) >= bb.xlo
  AND least(s.y1, s.y2) <= bb.yhi AND greatest(s.y1, s.y2) >= bb.ylo
  AND {cmin} <= 0 AND {cmax} >= 0"""
+
+
+def sql_knn_within(eps1e4: int = 80000, k: int = 3) -> str:
+    """Twin of ``pipelines/spatial.knn_within``: the argmin oracle's
+    candidate join with rn <= k kept and emitted as the 1-based rank."""
+    e2 = eps1e4 * eps1e4
+    d2 = ("(a.lat1e4 - b.lat1e4) * (a.lat1e4 - b.lat1e4)"
+          " + (a.lng1e4 - b.lng1e4) * (a.lng1e4 - b.lng1e4)")
+    return f"""
+WITH {geo_points_int_cte()},
+p AS (SELECT key, lat1e4, lng1e4,
+             (lng1e4 + 1800000) // {eps1e4} AS cx,
+             (lat1e4 + 900000) // {eps1e4} AS cy FROM ipts),
+o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+cand AS (
+  SELECT a.key AS key, b.key AS nn_key, CAST({d2} AS BIGINT) AS d2
+  FROM p a
+  JOIN o ON true
+  JOIN p b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy AND b.key <> a.key
+  WHERE {d2} <= {e2}),
+best AS (SELECT key, nn_key, d2,
+                row_number() OVER (PARTITION BY key
+                                   ORDER BY d2, nn_key) AS rn
+         FROM cand)
+SELECT key // 4 AS doc_id, key % 4 AS span_idx, CAST(rn AS BIGINT) AS rank,
+       nn_key // 4 AS nn_doc, nn_key % 4 AS nn_span, d2 AS nn_d2
+FROM best WHERE rn <= {k}"""

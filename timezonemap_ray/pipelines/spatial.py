@@ -932,3 +932,154 @@ def segment_box_hits(sf_dir: str, cell: int = 225000, n_parts: int = 64):
                          for c2 in ("seg_doc", "seg_j", "box_doc")})
 
     return out.map_batches(strip, batch_format="pyarrow")
+
+
+def knn_within(sf_dir: str, eps1e4: int = 80000, k: int = 3,
+               n_parts: int = 64):
+    """Bounded k-nearest-neighbor join: for every point, its ≤ ``k``
+    nearest neighbors within L2 distance ``eps1e4``, ranked by
+    (d2, key) — the top-k generalization of
+    ``nearest_neighbor_within`` (points with no neighbor in range are
+    dropped; points with fewer than k emit fewer rows).  Output
+    (doc_id, span_idx, rank, nn_doc, nn_span, nn_d2), int64, rank 1-based.
+
+    Shape: identical cell bucketing to the argmin join — the query side
+    replicates to its 9 neighbor cells, candidates stay home, and each
+    (point, candidate) pair meets in EXACTLY one partition (the
+    candidate's home cell), so per-partition partial top-k lists are
+    disjoint and the union of partials contains the global top-k; a
+    second bounded shuffle (≤ k rows per (partition, point)) merges.
+    Top-k selection is vectorized: lexsort by (point, d2, key), rank =
+    position minus segment start, keep rank < k — no Python loop."""
+    eps = np.int64(eps1e4)
+    eps2 = eps * eps
+    ncy = np.int64(WORLD_Y // eps1e4 + 4)
+
+    def prep(b: pa.Table):
+        lat = b["lat1e4"].to_numpy(zero_copy_only=False)
+        lng = b["lng1e4"].to_numpy(zero_copy_only=False)
+        key = (b["doc_id"].to_numpy(zero_copy_only=False) * 4
+               + b["span_idx"].to_numpy(zero_copy_only=False))
+        cx = (lng + LNG_OFF) // eps
+        cy = (lat + LAT_OFF) // eps
+        return key, lat, lng, cx, cy
+
+    def probe(b: pa.Table) -> pa.Table:
+        key, lat, lng, cx, cy = prep(b)
+        ks, lats, lngs, cks = [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ks.append(key)
+                lats.append(lat)
+                lngs.append(lng)
+                cks.append((cx + dx) * ncy + (cy + dy))
+        n = len(key) * 9
+        return pa.table({
+            "ckey": pa.array(np.concatenate(cks), type=pa.int64()),
+            "key": pa.array(np.concatenate(ks), type=pa.int64()),
+            "lat": pa.array(np.concatenate(lats), type=pa.int64()),
+            "lng": pa.array(np.concatenate(lngs), type=pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def home(b: pa.Table) -> pa.Table:
+        key, lat, lng, cx, cy = prep(b)
+        return pa.table({
+            "ckey": pa.array(cx * ncy + cy, type=pa.int64()),
+            "key": pa.array(key, type=pa.int64()),
+            "lat": pa.array(lat, type=pa.int64()),
+            "lng": pa.array(lng, type=pa.int64()),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+        })
+
+    pts = geo_points_int(sf_dir)
+    both = pts.map_batches(probe, batch_format="pyarrow") \
+        .union(pts.map_batches(home, batch_format="pyarrow"))
+
+    empty = pa.table({c: pa.array([], type=pa.int64())
+                      for c in ("key", "nn_key", "nn_d2")})
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = _part_of(b["ckey"].to_numpy(zero_copy_only=False), n_parts)
+        return b.append_column("_part", pa.array(part))
+
+    def _topk(ak, bk, d2, kk):
+        """First kk rows per ak group under (ak, d2, bk) order."""
+        o = np.lexsort((bk, d2, ak))
+        ak, bk, d2 = ak[o], bk[o], d2[o]
+        start = np.r_[True, ak[1:] != ak[:-1]]
+        seg = np.cumsum(start) - 1
+        seg_first = np.flatnonzero(start)
+        rank = np.arange(len(ak), dtype=np.int64) - seg_first[seg]
+        keep = rank < kk
+        return ak[keep], bk[keep], d2[keep]
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        g = g.drop_columns(["_part"])
+        side = g["side"].to_numpy(zero_copy_only=False)
+        a = g.filter(pa.array(side == 0))
+        h = g.filter(pa.array(side == 1))
+        if a.num_rows == 0 or h.num_rows == 0:
+            return empty
+        hc = h["ckey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(hc, kind="stable")
+        hc = hc[order]
+        hk = h["key"].to_numpy(zero_copy_only=False)[order]
+        hlat = h["lat"].to_numpy(zero_copy_only=False)[order]
+        hlng = h["lng"].to_numpy(zero_copy_only=False)[order]
+        ac = a["ckey"].to_numpy(zero_copy_only=False)
+        starts = np.searchsorted(hc, ac, side="left")
+        ends = np.searchsorted(hc, ac, side="right")
+        cnt = ends - starts
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        ai = np.repeat(np.arange(len(ac), dtype=np.int64), cnt)
+        bi = (np.repeat(starts, cnt)
+              + np.arange(tot, dtype=np.int64)
+              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        ak = a["key"].to_numpy(zero_copy_only=False)[ai]
+        alat = a["lat"].to_numpy(zero_copy_only=False)[ai]
+        alng = a["lng"].to_numpy(zero_copy_only=False)[ai]
+        bk, blat, blng = hk[bi], hlat[bi], hlng[bi]
+        d2 = (alat - blat) ** 2 + (alng - blng) ** 2
+        keep = (d2 <= eps2) & (ak != bk)
+        ak, bk, d2 = _topk(ak[keep], bk[keep], d2[keep], k)
+        return pa.table({"key": pa.array(ak), "nn_key": pa.array(bk),
+                         "nn_d2": pa.array(d2)})
+
+    partials = both.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+    out_empty = pa.table({c: pa.array([], type=pa.int64())
+                          for c in ("doc_id", "span_idx", "rank", "nn_doc",
+                                    "nn_span", "nn_d2")})
+
+    def add_kpart(b: pa.Table) -> pa.Table:
+        part = _part_of(b["key"].to_numpy(zero_copy_only=False), n_parts)
+        return b.append_column("_part", pa.array(part))
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_empty
+        kk = g["key"].to_numpy(zero_copy_only=False)
+        nk = g["nn_key"].to_numpy(zero_copy_only=False)
+        d2 = g["nn_d2"].to_numpy(zero_copy_only=False)
+        kk, nk, d2 = _topk(kk, nk, d2, k)
+        start = np.r_[True, kk[1:] != kk[:-1]]
+        seg_first = np.flatnonzero(start)
+        seg = np.cumsum(start) - 1
+        rank = (np.arange(len(kk), dtype=np.int64) - seg_first[seg]) + 1
+        return pa.table({
+            "doc_id": pa.array(kk // 4, type=pa.int64()),
+            "span_idx": pa.array(kk % 4, type=pa.int64()),
+            "rank": pa.array(rank, type=pa.int64()),
+            "nn_doc": pa.array(nk // 4, type=pa.int64()),
+            "nn_span": pa.array(nk % 4, type=pa.int64()),
+            "nn_d2": pa.array(d2, type=pa.int64()),
+        })
+
+    return partials.map_batches(add_kpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(finish, batch_format="pyarrow")
