@@ -903,6 +903,19 @@ def _q_points_in_doc_boxes(sf_dir: str):
     return points_in_doc_boxes(sf_dir)
 
 
+def _q_points_hexbin_counts(sf_dir: str):
+    """Hexagonal-tile rollup, ORACLE-CHECKED (round 5): per-hex point
+    count + coordinate sums over an H3-style hex tiling
+    (`pipelines/spatial.hexbin_counts`) — the hex analogue of the
+    quadkey pass (north_star: H3/S2 cell covers). The hex assignment is
+    the exact two-interleaved-lattice nearest-center rule in doubled
+    int64 coordinates, so engine and DuckDB agree bit-for-bit. One
+    shuffle; per-block partials bounded by the hex grid, not the data.
+    SQL twin: the same closed-form floor-division arithmetic."""
+    from timezonemap_ray.pipelines.spatial import hexbin_counts
+    return hexbin_counts(sf_dir)
+
+
 def _q_docs_lm_score_int(sf_dir: str):
     """CCNet-shaped bigram-LM quality scoring, ORACLE-CHECKED (round 5):
     score every document under a bigram LM learned from the corpus
@@ -2656,7 +2669,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_funcs": _q_events_window_funcs,
         "events_rolling": _q_events_rolling,
         "event_transitions": _q_event_transitions,
-        "customer_returns_topk": _q_customer_returns_topk,
         "media_decode_mixed": _q_media_decode_mixed,
         "irls_step_int": _q_irls_step_int,
         # r5 session-6 window re-arrangement: adding 4 raster queries
@@ -2690,6 +2702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_nn_within": _q_points_nn_within,
         "tile_density_smooth": _q_tile_density_smooth,
         "points_in_doc_boxes": _q_points_in_doc_boxes,
+        "points_hexbin_counts": _q_points_hexbin_counts,
         "event_funnel": _q_event_funnel,
         "large_volume_customers": _q_large_volume_customers,
         "idle_customer_balance": _q_idle_customer_balance,
@@ -2721,6 +2734,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_pipeline": _q_training_pipeline,
         # multimodal decode plumbing (decode-size invariant oracle)
         "media_decode": _q_media_decode,
+        # r5 session-6: hexbin insertion pushed media_decode (an r02
+        # failure never re-sampled) off the window tail — the r04-green
+        # customer_returns_topk gives up its base slot to pull it back in
+        "customer_returns_topk": _q_customer_returns_topk,
         # AVI/MJPEG demux through FrameSampler (sampling-invariant oracle)
         "media_frames_avi": _q_media_frames_avi,
         # mixed BMP/PPM/PNG/JPEG decode (size-invariant oracle)
@@ -2933,6 +2950,7 @@ def oracle_sql() -> dict[str, str]:
         "points_nn_within": oracle.sql_nearest_neighbor_within(),
         "tile_density_smooth": oracle.sql_tile_density_smooth(),
         "points_in_doc_boxes": oracle.sql_points_in_doc_boxes(),
+        "points_hexbin_counts": oracle.sql_hexbin_counts(),
         "box_coverage_raster": oracle.sql_box_coverage_raster(),
         "tile_runs": oracle.sql_tile_runs(),
         "tile_regions": oracle.sql_tile_regions(),

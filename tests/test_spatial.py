@@ -8,8 +8,9 @@ import pytest
 
 from timezonemap_ray.sources.docgen import geo_points_int_for
 from timezonemap_ray.pipelines.spatial import (
-    LAT_OFF, LNG_OFF, _interleave_bits, bbox_overlap_pairs, doc_boxes,
-    geo_points_int, quadkey_counts, radius_pairs)
+    HEX_H, HEX_NY, HEX_W, LAT_OFF, LNG_OFF, _hex_assign, _interleave_bits,
+    bbox_overlap_pairs, doc_boxes, geo_points_int, hexbin_counts,
+    quadkey_counts, radius_pairs)
 
 
 def _all_points(sf_dir):
@@ -52,6 +53,63 @@ def test_quadkey_counts_equals_numpy(ray_session, sf_dir):
     slat = np.zeros(len(uz), dtype=np.int64)
     np.add.at(slat, inv, lat)
     assert (got["sum_lat1e4"].to_numpy() == slat).all()
+
+
+def test_hex_assign_is_true_nearest_center():
+    """The closed-form floor-division assignment must equal the explicit
+    nearest-center rule over BOTH candidate lattices (A at (W·i, H·j),
+    B offset by (W/2, H/2)), ties to A — checked on a random grid plus
+    adversarial points sitting exactly on cell edges/corners."""
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, 3_600_001, 4000).astype(np.int64)
+    y = rng.randint(0, 1_800_001, 4000).astype(np.int64)
+    # boundary adversaries: exact centers, half-offsets, edge midpoints
+    gx = np.arange(0, 3_600_001, HEX_W // 2, dtype=np.int64)
+    gy = np.arange(0, 1_800_001, HEX_H // 2, dtype=np.int64)
+    bx, by = np.meshgrid(gx[:40], gy[:40])
+    x = np.concatenate([x, bx.ravel()])
+    y = np.concatenate([y, by.ravel()])
+    got = _hex_assign(x, y)
+    # brute force: enumerate the 8 candidate centers (4 nearest per
+    # lattice) around each point in doubled coordinates; the chosen
+    # center must be at MINIMAL distance (ties are broken
+    # deterministically by the closed form, so only assert identity
+    # where the minimum is unique)
+    dists, ids = [], []
+    for off in (0, 1):  # 0 = lattice A, 1 = lattice B (half-offset)
+        ci = (x - off * (HEX_W // 2)) // HEX_W
+        cj = (y - off * (HEX_H // 2)) // HEX_H
+        for di in (0, 1):
+            for dj in (0, 1):
+                i, j = ci + di, cj + dj
+                cx = 2 * HEX_W * i + off * HEX_W
+                cy = 2 * HEX_H * j + off * HEX_H
+                dists.append((2 * x - cx) ** 2 + (2 * y - cy) ** 2)
+                ids.append((i * HEX_NY + j) * 2 + off)
+    dists = np.stack(dists)
+    ids = np.stack(ids)
+    chosen_d = np.where(ids == got[None, :], dists,
+                        np.iinfo(np.int64).max).min(axis=0)
+    min_d = dists.min(axis=0)
+    assert (chosen_d == min_d).all(), "assignment is not nearest-center"
+    unique_min = (dists == min_d[None, :]).sum(axis=0) == 1
+    assert (got[unique_min]
+            == ids[dists.argmin(axis=0), np.arange(len(x))][unique_min]).all()
+
+
+def test_hexbin_counts_equals_numpy(ray_session, sf_dir):
+    _, _, lat, lng = _all_points(sf_dir)
+    hid = _hex_assign(lng + LNG_OFF, lat + LAT_OFF)
+    uh, inv, cnt = np.unique(hid, return_inverse=True, return_counts=True)
+    got = hexbin_counts(sf_dir).to_pandas()
+    assert (got["hexkey"].to_numpy() == uh).all()
+    assert (got["n_points"].to_numpy() == cnt).all()
+    slat = np.zeros(len(uh), dtype=np.int64)
+    slng = np.zeros(len(uh), dtype=np.int64)
+    np.add.at(slat, inv, lat)
+    np.add.at(slng, inv, lng)
+    assert (got["sum_lat1e4"].to_numpy() == slat).all()
+    assert (got["sum_lng1e4"].to_numpy() == slng).all()
 
 
 def _brute_radius(sf_dir, eps):

@@ -1293,3 +1293,36 @@ best AS (SELECT key, nn_key, d2,
 SELECT key // 4 AS doc_id, key % 4 AS span_idx, CAST(rn AS BIGINT) AS rank,
        nn_key // 4 AS nn_doc, nn_key % 4 AS nn_span, d2 AS nn_d2
 FROM best WHERE rn <= {k}"""
+
+
+def sql_hexbin_counts() -> str:
+    """Twin of ``pipelines/spatial.hexbin_counts``: the two-lattice
+    nearest-center hex assignment restated in closed form — DuckDB ``//``
+    on the non-negative shifted grid is floor, so every quantity is the
+    same int64 the engine computes (doubled coordinates, ties → lattice
+    A)."""
+    from .pipelines.spatial import HEX_H, HEX_NY, HEX_W
+    w, h = HEX_W, HEX_H
+    return f"""
+WITH {geo_points_int_cte()},
+g AS (SELECT lat1e4, lng1e4,
+             lng1e4 + 1800000 AS x, lat1e4 + 900000 AS y FROM ipts),
+c AS (SELECT lat1e4, lng1e4, x, y,
+             (2*x + {w}) // {2 * w} AS ia, (2*y + {h}) // {2 * h} AS ja,
+             x // {w} AS ib, y // {h} AS jb FROM g),
+d AS (SELECT lat1e4, lng1e4, ia, ja, ib, jb,
+             (2*x - 2*{w}*ia)*(2*x - 2*{w}*ia)
+               + (2*y - 2*{h}*ja)*(2*y - 2*{h}*ja) AS da2,
+             (2*x - (2*{w}*ib + {w}))*(2*x - (2*{w}*ib + {w}))
+               + (2*y - (2*{h}*jb + {h}))*(2*y - (2*{h}*jb + {h})) AS db2
+      FROM c),
+k AS (SELECT lat1e4, lng1e4,
+             CASE WHEN db2 < da2
+                  THEN (ib * {HEX_NY} + jb) * 2 + 1
+                  ELSE (ia * {HEX_NY} + ja) * 2 END AS hexkey
+      FROM d)
+SELECT CAST(hexkey AS BIGINT) AS hexkey,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(lat1e4) AS BIGINT) AS sum_lat1e4,
+       CAST(sum(lng1e4) AS BIGINT) AS sum_lng1e4
+FROM k GROUP BY hexkey"""

@@ -1083,3 +1083,74 @@ def knn_within(sf_dir: str, eps1e4: int = 80000, k: int = 3,
 
     return partials.map_batches(add_kpart, batch_format="pyarrow") \
         .groupby("_part").map_groups(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# hexagonal tiling (H3-style hexbin rollup)
+# ---------------------------------------------------------------------------
+# Two interleaved rectangular center lattices A=(W·i, H·j) and
+# B=(W·i + W/2, H·j + H/2) with H ≈ W·√3: the Voronoi diagram of their
+# union is a hexagonal tiling (the classic hexbin construction —
+# matplotlib's hexbin uses exactly this two-grid nearest-center rule).
+# Working in DOUBLED coordinates keeps every quantity int64-exact with no
+# parity constraint on W/H, so the assignment is bit-reproducible and has
+# a closed-form DuckDB twin (floor-division on non-negative ints).
+HEX_W = 40_000            # 4.0° center spacing in 1e-4-deg units
+HEX_H = 69_282            # ≈ W·√3 → near-regular hexagons
+HEX_NY = 64               # j-index stride for the packed hex key
+
+
+def _hex_assign(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Exact nearest-center hex id for SHIFTED non-negative int64 grid
+    coords. id = (i·HEX_NY + j)·2 + is_offset_lattice; ties (equal
+    doubled-coordinate squared distance) go to lattice A."""
+    w, h = np.int64(HEX_W), np.int64(HEX_H)
+    ia = (2 * x + w) // (2 * w)
+    ja = (2 * y + h) // (2 * h)
+    ib = x // w
+    jb = y // h
+    da2 = (2 * x - 2 * w * ia) ** 2 + (2 * y - 2 * h * ja) ** 2
+    db2 = (2 * x - (2 * w * ib + w)) ** 2 + (2 * y - (2 * h * jb + h)) ** 2
+    use_b = db2 < da2
+    i = np.where(use_b, ib, ia)
+    j = np.where(use_b, jb, ja)
+    return (i * HEX_NY + j) * 2 + use_b.astype(np.int64)
+
+
+def hexbin_counts(sf_dir: str):
+    """Hexagonal-tile rollup over the integer geo-point lattice: per-hex
+    (hexkey, n_points, sum_lat1e4, sum_lng1e4), hexkey-ascending — the
+    H3/S2-style hex tiling histogram/centroid pass (north_star: "H3/S2
+    cell covers as a pre-filter index"; this is the hex analogue of
+    ``quadkey_counts``'s square tiling).
+
+    Shape: identical to ``quadkey_counts`` — per-block np partials
+    (bounded by the hex-grid size, not the data) shrink each block before
+    ONE groupby-sum shuffle. At 100 TB the shuffle moves one partial row
+    per (block, occupied hex): O(blocks × 4k), never O(points)."""
+    from ray.data.aggregate import Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        lat = b["lat1e4"].to_numpy(zero_copy_only=False)
+        lng = b["lng1e4"].to_numpy(zero_copy_only=False)
+        hid = _hex_assign(lng + LNG_OFF, lat + LAT_OFF)
+        uh, inv, cnt = np.unique(hid, return_inverse=True,
+                                 return_counts=True)
+        slat = np.zeros(len(uh), dtype=np.int64)
+        slng = np.zeros(len(uh), dtype=np.int64)
+        np.add.at(slat, inv, lat)
+        np.add.at(slng, inv, lng)
+        return pa.table({
+            "hexkey": pa.array(uh, type=pa.int64()),
+            "n_points": pa.array(cnt.astype(np.int64)),
+            "sum_lat1e4": pa.array(slat),
+            "sum_lng1e4": pa.array(slng),
+        })
+
+    out = geo_points_int(sf_dir) \
+        .map_batches(part, batch_format="pyarrow") \
+        .groupby("hexkey").aggregate(
+            Sum("n_points", alias_name="n_points"),
+            Sum("sum_lat1e4", alias_name="sum_lat1e4"),
+            Sum("sum_lng1e4", alias_name="sum_lng1e4"))
+    return out.sort("hexkey")
