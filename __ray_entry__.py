@@ -916,6 +916,20 @@ def _q_points_hexbin_counts(sf_dir: str):
     return hexbin_counts(sf_dir)
 
 
+def _q_points_dbscan(sf_dir: str):
+    """Distributed DBSCAN density clustering, ORACLE-CHECKED (round 5):
+    per-point (cluster, is_core) labels over the integer geo-point
+    lattice at eps = 5 deg / min_pts = 4 (`pipelines/spatial.
+    dbscan_labels`) — grid-cell eps-graph (never all-pairs), per-block
+    degree partials + one groupby-sum, min-label components with pointer
+    shortcutting over the core-core subgraph, border points attached by
+    min core-neighbor label (the classic DBSCAN order-ambiguity resolved
+    deterministically), noise = -1. DuckDB twin rebuilds the labeling by
+    recursive-CTE reachability over the same exact int64 eps-graph."""
+    from timezonemap_ray.pipelines.spatial import dbscan_labels
+    return dbscan_labels(sf_dir)
+
+
 def _q_docs_lm_score_int(sf_dir: str):
     """CCNet-shaped bigram-LM quality scoring, ORACLE-CHECKED (round 5):
     score every document under a bigram LM learned from the corpus
@@ -2668,7 +2682,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "events_window_funcs": _q_events_window_funcs,
         "events_rolling": _q_events_rolling,
-        "event_transitions": _q_event_transitions,
         "media_decode_mixed": _q_media_decode_mixed,
         "irls_step_int": _q_irls_step_int,
         # r5 session-6 window re-arrangement: adding 4 raster queries
@@ -2703,6 +2716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_density_smooth": _q_tile_density_smooth,
         "points_in_doc_boxes": _q_points_in_doc_boxes,
         "points_hexbin_counts": _q_points_hexbin_counts,
+        "points_dbscan": _q_points_dbscan,
         "event_funnel": _q_event_funnel,
         "large_volume_customers": _q_large_volume_customers,
         "idle_customer_balance": _q_idle_customer_balance,
@@ -2713,7 +2727,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # selection operators (exact quantile / hash sample / top-k per group)
         "media_similarity_int": _q_media_similarity_int,
         "ridge_normal_eqs": _q_ridge_normal_eqs,
-        "documents_sample": _q_documents_sample,
         "documents_sample_fixed": _q_documents_sample_fixed,
         "docs_sample_per_source": _q_docs_sample_per_source,
         "docs_split_counts": _q_docs_split_counts,
@@ -2734,10 +2747,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_pipeline": _q_training_pipeline,
         # multimodal decode plumbing (decode-size invariant oracle)
         "media_decode": _q_media_decode,
-        # r5 session-6: hexbin insertion pushed media_decode (an r02
-        # failure never re-sampled) off the window tail — the r04-green
-        # customer_returns_topk gives up its base slot to pull it back in
+        # r5 session-6: hexbin/dbscan insertions pushed media_decode (an
+        # r02 failure never re-sampled) off the window tail — the
+        # r04-green customer_returns_topk and event_transitions give up
+        # their base slots to keep it in
         "customer_returns_topk": _q_customer_returns_topk,
+        "event_transitions": _q_event_transitions,
+        "documents_sample": _q_documents_sample,
         # AVI/MJPEG demux through FrameSampler (sampling-invariant oracle)
         "media_frames_avi": _q_media_frames_avi,
         # mixed BMP/PPM/PNG/JPEG decode (size-invariant oracle)
@@ -2951,6 +2967,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_density_smooth": oracle.sql_tile_density_smooth(),
         "points_in_doc_boxes": oracle.sql_points_in_doc_boxes(),
         "points_hexbin_counts": oracle.sql_hexbin_counts(),
+        "points_dbscan": oracle.sql_dbscan_labels(),
         "box_coverage_raster": oracle.sql_box_coverage_raster(),
         "tile_runs": oracle.sql_tile_runs(),
         "tile_regions": oracle.sql_tile_regions(),

@@ -368,3 +368,90 @@ def test_knn_within_k1_matches_argmin_join(ray_session, sf_dir):
     b = nearest_neighbor_within(sf_dir).to_pandas() \
         .sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
     assert a.equals(b[a.columns.tolist()])
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN
+# ---------------------------------------------------------------------------
+
+def _brute_dbscan(sf_dir, eps, min_pts):
+    """Reference DBSCAN: O(n²) eps-graph + union-find over core-core
+    edges, border -> min core-neighbor label, noise -> -1."""
+    doc, span, lat, lng = _all_points(sf_dir)
+    key = doc * 4 + span
+    n = len(key)
+    d2 = ((lat[:, None] - lat[None, :]) ** 2
+          + (lng[:, None] - lng[None, :]) ** 2)
+    adj = (d2 <= eps * eps)
+    np.fill_diagonal(adj, False)
+    core = adj.sum(axis=1) + 1 >= min_pts
+    parent = {int(k): int(k) for k in key}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ci = np.nonzero(core)[0]
+    for a in ci:
+        for b in np.nonzero(adj[a])[0]:
+            if core[b]:
+                ra, rb = find(int(key[a])), find(int(key[b]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    label = {}
+    for a in ci:
+        label[int(key[a])] = find(int(key[a]))
+    out = {}
+    for u in range(n):
+        k = int(key[u])
+        if core[u]:
+            out[k] = (label[k], 1)
+        else:
+            cn = [label[int(key[v])] for v in np.nonzero(adj[u])[0]
+                  if core[v]]
+            out[k] = (min(cn) if cn else -1, 0)
+    return out
+
+
+def test_dbscan_equals_brute_force(ray_session, sf_dir):
+    from timezonemap_ray.pipelines.spatial import dbscan_labels
+    eps, mp = 50000, 4
+    got = dbscan_labels(sf_dir, eps1e4=eps, min_pts=mp).to_pandas()
+    want = _brute_dbscan(sf_dir, eps, mp)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        k = int(r.doc_id) * 4 + int(r.span_idx)
+        assert (int(r.cluster), int(r.is_core)) == want[k], k
+    # sanity: the parameter choice exercises all three point classes
+    assert (got.is_core == 1).any()
+    assert ((got.cluster >= 0) & (got.is_core == 0)).any(), "no border"
+    assert (got.cluster == -1).any(), "no noise"
+
+
+def test_dbscan_plans_are_identical(ray_session, sf_dir):
+    """Broadcast+driver-UF (default), forced distributed components
+    (driver_pair_limit=0) and forced join-plan core filtering
+    (core_broadcast_limit=0) must emit bit-identical labelings."""
+    from timezonemap_ray.pipelines.spatial import dbscan_labels
+    base = dbscan_labels(sf_dir).to_pandas()
+    dist = dbscan_labels(sf_dir, driver_pair_limit=0).to_pandas()
+    joined = dbscan_labels(sf_dir, core_broadcast_limit=0,
+                           driver_pair_limit=0).to_pandas()
+    assert base.equals(dist)
+    assert base.equals(joined)
+
+
+@pytest.mark.parametrize("mp", [2, 30])
+def test_dbscan_degenerate_params(ray_session, sf_dir, mp):
+    """min_pts=2 -> every paired point is core (no border class);
+    min_pts far above any degree -> everything is noise."""
+    from timezonemap_ray.pipelines.spatial import dbscan_labels
+    got = dbscan_labels(sf_dir, eps1e4=30000, min_pts=mp).to_pandas()
+    want = _brute_dbscan(sf_dir, 30000, mp)
+    for _, r in got.iterrows():
+        k = int(r.doc_id) * 4 + int(r.span_idx)
+        assert (int(r.cluster), int(r.is_core)) == want[k], k
+    if mp == 30:
+        assert (got.cluster == -1).all() and (got.is_core == 0).all()

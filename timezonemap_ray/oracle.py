@@ -1326,3 +1326,46 @@ SELECT CAST(hexkey AS BIGINT) AS hexkey,
        CAST(sum(lat1e4) AS BIGINT) AS sum_lat1e4,
        CAST(sum(lng1e4) AS BIGINT) AS sum_lng1e4
 FROM k GROUP BY hexkey"""
+
+
+def sql_dbscan_labels(eps1e4: int = 50000, min_pts: int = 4) -> str:
+    """Twin of ``pipelines/spatial.dbscan_labels``: the same eps-graph
+    (9-offset cell-equality join + exact int64 L2 test), core = degree+1
+    >= min_pts, components by recursive-CTE reachability over core-core
+    edges (cluster = min reachable core key — identical to the engine's
+    min-label fixpoint), border = min core-neighbor label, noise = -1."""
+    e2 = eps1e4 * eps1e4
+    sent = 1 << 62
+    d2 = ("(a.lat1e4 - b.lat1e4) * (a.lat1e4 - b.lat1e4)"
+          " + (a.lng1e4 - b.lng1e4) * (a.lng1e4 - b.lng1e4)")
+    return f"""
+WITH RECURSIVE {geo_points_int_cte()},
+p AS (SELECT key, lat1e4, lng1e4,
+             (lng1e4 + 1800000) // {eps1e4} AS cx,
+             (lat1e4 + 900000) // {eps1e4} AS cy FROM ipts),
+o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+e AS (SELECT a.key AS u, b.key AS v
+      FROM p a JOIN o ON true
+      JOIN p b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+              AND a.key <> b.key
+      WHERE {d2} <= {e2}),
+deg AS (SELECT u AS key, count(*) AS deg FROM e GROUP BY u),
+core AS (SELECT key FROM deg WHERE deg + 1 >= {min_pts}),
+ce AS (SELECT e.u, e.v FROM e
+       JOIN core ca ON e.u = ca.key
+       JOIN core cb ON e.v = cb.key),
+reach(u, v) AS (SELECT key, key FROM core
+                UNION
+                SELECT r.u, ce.v FROM reach r JOIN ce ON r.v = ce.u),
+lab AS (SELECT u AS key, min(v) AS label FROM reach GROUP BY u),
+nbr AS (SELECT e.u AS key, min(l.label) AS label
+        FROM e JOIN lab l ON e.v = l.key GROUP BY e.u),
+allv AS (SELECT key, CAST({sent} AS BIGINT) AS label, 0 AS c FROM ipts
+         UNION ALL SELECT key, label, 1 FROM lab
+         UNION ALL SELECT key, label, 0 FROM nbr)
+SELECT CAST(key // 4 AS BIGINT) AS doc_id,
+       CAST(key % 4 AS BIGINT) AS span_idx,
+       CAST(CASE WHEN min(label) = {sent} THEN -1
+                 ELSE min(label) END AS BIGINT) AS cluster,
+       CAST(max(c) AS BIGINT) AS is_core
+FROM allv GROUP BY key"""

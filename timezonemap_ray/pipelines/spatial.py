@@ -1154,3 +1154,250 @@ def hexbin_counts(sf_dir: str):
             Sum("sum_lat1e4", alias_name="sum_lat1e4"),
             Sum("sum_lng1e4", alias_name="sum_lng1e4"))
     return out.sort("hexkey")
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN density clustering
+# ---------------------------------------------------------------------------
+
+_NOISE_SENTINEL = np.int64(1) << np.int64(62)
+
+
+def dbscan_labels(sf_dir: str, eps1e4: int = 50000, min_pts: int = 4,
+                  core_broadcast_limit: int = 20_000_000, n_parts: int = 64,
+                  driver_pair_limit: int | None = None):
+    """Distributed DBSCAN (Ester et al., KDD'96) over the integer
+    geo-point lattice: (doc_id, span_idx, cluster, is_core) with
+
+    - core      iff |N_eps(p)| >= min_pts (the count INCLUDES p itself);
+    - cluster   = min key (doc_id*4 + span_idx) in the point's density
+      component: core points take their component over core-core
+      eps-edges; a border point (non-core with >= 1 core neighbor) takes
+      the MIN cluster among its core neighbors (the classic DBSCAN
+      border ambiguity resolved deterministically);
+    - noise     -> cluster = -1.
+
+    Everything is exact int64 arithmetic on the lattice, so the labeling
+    is bit-reproducible under any partitioning and has a closed-form
+    DuckDB twin (recursive-CTE reachability, `oracle.sql_dbscan_labels`).
+
+    Shape: eps-neighbor pairs come from `radius_pairs` (grid-cell join,
+    never all-pairs); degrees are per-block partial counts + ONE
+    groupby-sum; components run on the CORE-CORE edge subgraph via
+    `clusters_from_pairs_ds` (min-label propagation with pointer
+    shortcutting, O(log diameter) shuffle rounds). Core membership and
+    the core->label map are broadcast once via `ray.put` when the core
+    set fits (`core_broadcast_limit`, default 20M keys = the pagerank
+    broadcast-plan cutover) — the >limit path does the same filtering
+    with two distributed hash joins instead; both plans are asserted
+    bit-identical in tests/test_spatial.py. The pair table is
+    materialized once (object-store blocks, spill-backed) because three
+    passes read it: degree, core-edge filter, border attach."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..stages.dedup import _drop_empty_blocks, clusters_from_pairs_ds
+
+    if min_pts < 2:
+        raise ValueError("min_pts must be >= 2 (min_pts <= 1 marks every "
+                         "point core; use a plain components pass)")
+
+    pts = geo_points_int(sf_dir)
+
+    def pair_keys(b: pa.Table) -> pa.Table:
+        a = (b["doc_a"].to_numpy(zero_copy_only=False) * 4
+             + b["span_a"].to_numpy(zero_copy_only=False))
+        c = (b["doc_b"].to_numpy(zero_copy_only=False) * 4
+             + b["span_b"].to_numpy(zero_copy_only=False))
+        return pa.table({"a": pa.array(a, type=pa.int64()),
+                         "b": pa.array(c, type=pa.int64())})
+
+    pk = radius_pairs(sf_dir, eps1e4, n_parts=n_parts) \
+        .map_batches(pair_keys, batch_format="pyarrow").materialize()
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        k = np.concatenate([b["a"].to_numpy(zero_copy_only=False),
+                            b["b"].to_numpy(zero_copy_only=False)])
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table({"key": pa.array(uk, type=pa.int64()),
+                         "deg": pa.array(cnt.astype(np.int64))})
+
+    deg = pk.map_batches(deg_part, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("deg", alias_name="deg"))
+
+    def core_only(b: pa.Table) -> pa.Table:
+        keep = b["deg"].to_numpy(zero_copy_only=False) + 1 >= min_pts
+        return pa.table(
+            {"key": b["key"].filter(pa.array(keep)).combine_chunks()})
+
+    core_ds = _drop_empty_blocks(
+        deg.map_batches(core_only, batch_format="pyarrow").materialize())
+    n_core = core_ds.count()
+
+    def all_noise(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "span_idx": b["span_idx"],
+            "cluster": pa.array(np.full(n, -1, dtype=np.int64)),
+            "is_core": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+
+    if n_core == 0:
+        return pts.map_batches(all_noise, batch_format="pyarrow") \
+            .sort(["doc_id", "span_idx"])
+
+    broadcast = n_core <= core_broadcast_limit
+    if broadcast:
+        import ray
+        chunks = [b["key"].to_numpy(zero_copy_only=False)
+                  for b in core_ds.iter_batches(batch_size=None,
+                                                batch_format="pyarrow")]
+        core_ref = ray.put(np.sort(np.concatenate(chunks)))
+
+        def _member(keys: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(sorted_arr, keys)
+            return (pos < len(sorted_arr)) & (sorted_arr[np.minimum(
+                pos, len(sorted_arr) - 1)] == keys)
+
+        def both_core(b: pa.Table) -> pa.Table:
+            import ray
+            ck = ray.get(core_ref)
+            a = b["a"].to_numpy(zero_copy_only=False)
+            c = b["b"].to_numpy(zero_copy_only=False)
+            keep = pa.array(_member(a, ck) & _member(c, ck))
+            return b.filter(keep)
+
+        cc_pairs = pk.map_batches(both_core, batch_format="pyarrow")
+    else:
+        width = max(2, min(16, pk.count() // 50_000 + 2))
+        flags = core_ds
+        t1 = pk.join(flags, join_type="inner", num_partitions=width,
+                     on=("a",), right_on=("key",))
+        t1 = _drop_empty_blocks(t1.select_columns(["a", "b"]).materialize())
+        cc_pairs = t1.join(flags, join_type="inner", num_partitions=width,
+                           on=("b",), right_on=("key",)) \
+            .select_columns(["a", "b"])
+
+    # transitive closure over the core-core subgraph, auto-routed like
+    # dedup.cluster_assign: pair volumes within driver RAM use union-find
+    # (zero extra shuffles — the iterative label-propagation rounds cost
+    # seconds of fixed overhead each on tiny graphs); beyond the limit
+    # the distributed min-label fixpoint runs. Identical labels either
+    # way (cluster = min key in component; forced-path equality tested).
+    from ..stages.dedup import DRIVER_PAIR_LIMIT, UnionFind
+    if driver_pair_limit is None:
+        driver_pair_limit = DRIVER_PAIR_LIMIT
+    cc_mat = cc_pairs.materialize()
+    if cc_mat.count() <= driver_pair_limit:
+        import ray.data as rd
+        uf = UnionFind()
+        for blk in cc_mat.iter_batches(batch_size=None,
+                                       batch_format="pyarrow"):
+            for a_, b_ in zip(blk["a"].to_numpy(zero_copy_only=False)
+                              .tolist(),
+                              blk["b"].to_numpy(zero_copy_only=False)
+                              .tolist()):
+                uf.union(a_, b_)
+        ck_chunks = [b["key"].to_numpy(zero_copy_only=False)
+                     for b in core_ds.iter_batches(batch_size=None,
+                                                   batch_format="pyarrow")]
+        ck = np.concatenate(ck_chunks)
+        cl = np.fromiter((uf.find(int(k)) for k in ck), dtype=np.int64,
+                         count=len(ck))
+        labels = rd.from_arrow(pa.table({
+            "key": pa.array(ck, type=pa.int64()),
+            "cluster_id": pa.array(cl, type=pa.int64()),
+        })).materialize()
+    else:
+        labels = clusters_from_pairs_ds(core_ds, cc_mat, id_col="key") \
+            .materialize()
+
+    sent = int(_NOISE_SENTINEL)
+
+    def core_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["key"],
+            "label": b["cluster_id"],
+            "corebit": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        })
+
+    def pts_rows(b: pa.Table) -> pa.Table:
+        k = (b["doc_id"].to_numpy(zero_copy_only=False) * 4
+             + b["span_idx"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "key": pa.array(k, type=pa.int64()),
+            "label": pa.array(np.full(len(k), sent, dtype=np.int64)),
+            "corebit": pa.array(np.zeros(len(k), dtype=np.int64)),
+        })
+
+    if broadcast:
+        import ray
+        lk_chunks, lv_chunks = [], []
+        for b in labels.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"):
+            lk_chunks.append(b["key"].to_numpy(zero_copy_only=False))
+            lv_chunks.append(b["cluster_id"].to_numpy(zero_copy_only=False))
+        lk = np.concatenate(lk_chunks)
+        order = np.argsort(lk, kind="stable")
+        lab_ref = ray.put((lk[order], np.concatenate(lv_chunks)[order]))
+
+        def nbr_rows(b: pa.Table) -> pa.Table:
+            import ray
+            lk, lv = ray.get(lab_ref)
+            a = b["a"].to_numpy(zero_copy_only=False)
+            c = b["b"].to_numpy(zero_copy_only=False)
+            u = np.concatenate([a, c])
+            v = np.concatenate([c, a])
+            pos = np.searchsorted(lk, v)
+            hit = (pos < len(lk)) & (lk[np.minimum(pos, len(lk) - 1)] == v)
+            return pa.table({
+                "key": pa.array(u[hit], type=pa.int64()),
+                "label": pa.array(lv[pos[hit]], type=pa.int64()),
+                "corebit": pa.array(np.zeros(int(hit.sum()),
+                                             dtype=np.int64)),
+            })
+
+        nbr = pk.map_batches(nbr_rows, batch_format="pyarrow")
+    else:
+        def directed(b: pa.Table) -> pa.Table:
+            a = b["a"].combine_chunks()
+            c = b["b"].combine_chunks()
+            return pa.table({"u": pa.concat_arrays([a, c]),
+                             "v": pa.concat_arrays([c, a])})
+
+        width = max(2, min(16, pk.count() // 50_000 + 2))
+        j = pk.map_batches(directed, batch_format="pyarrow") \
+            .join(labels, join_type="inner", num_partitions=width,
+                  on=("v",), right_on=("key",))
+
+        def from_join(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": b["u"],
+                "label": b["cluster_id"],
+                "corebit": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            })
+
+        nbr = _drop_empty_blocks(j.materialize()) \
+            .map_batches(from_join, batch_format="pyarrow")
+
+    allr = pts.map_batches(pts_rows, batch_format="pyarrow") \
+        .union(labels.map_batches(core_rows, batch_format="pyarrow")) \
+        .union(nbr)
+    agg = allr.groupby("key").aggregate(
+        Min("label", alias_name="label"),
+        Max("corebit", alias_name="is_core"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(k // 4, type=pa.int64()),
+            "span_idx": pa.array(k % 4, type=pa.int64()),
+            "cluster": pa.array(np.where(lab == sent, -1, lab)),
+            "is_core": pa.array(
+                b["is_core"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["doc_id", "span_idx"])
