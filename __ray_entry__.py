@@ -930,6 +930,19 @@ def _q_points_dbscan(sf_dir: str):
     return dbscan_labels(sf_dir)
 
 
+def _q_route_crossings(sf_dir: str):
+    """Trajectory-crossing join, ORACLE-CHECKED (round 5): every
+    cross-doc segment pair whose closed segments intersect, with a
+    proper/touch flag (`pipelines/spatial.route_crossings`) — the
+    map-overlay primitive. Segments replicate to supercover cells
+    (O(nx+ny) for world-spanning chords), one shuffle, vectorized int64
+    orientation predicate per cell (every determinant <= ~1.3e13 so
+    plain int64 IS the exact arithmetic), distinct-groupby dedup.
+    DuckDB twin: bbox-prefiltered self-join + the same determinants."""
+    from timezonemap_ray.pipelines.spatial import route_crossings
+    return route_crossings(sf_dir)
+
+
 def _q_docs_lm_score_int(sf_dir: str):
     """CCNet-shaped bigram-LM quality scoring, ORACLE-CHECKED (round 5):
     score every document under a bigram LM learned from the corpus
@@ -2681,7 +2694,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_revenue": _q_order_lineitem_revenue,
         "revenue_by_nation": _q_revenue_by_nation,
         "events_window_funcs": _q_events_window_funcs,
-        "events_rolling": _q_events_rolling,
         "media_decode_mixed": _q_media_decode_mixed,
         "irls_step_int": _q_irls_step_int,
         # r5 session-6 window re-arrangement: adding 4 raster queries
@@ -2717,6 +2729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_in_doc_boxes": _q_points_in_doc_boxes,
         "points_hexbin_counts": _q_points_hexbin_counts,
         "points_dbscan": _q_points_dbscan,
+        "route_crossings": _q_route_crossings,
         "event_funnel": _q_event_funnel,
         "large_volume_customers": _q_large_volume_customers,
         "idle_customer_balance": _q_idle_customer_balance,
@@ -2744,7 +2757,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assignments": _q_tile_assignments,
         "tiles_boxes": _q_tiles_boxes,
         # composite training-data flow (dedup -> quality -> tokens -> zones)
-        "training_pipeline": _q_training_pipeline,
         # multimodal decode plumbing (decode-size invariant oracle)
         "media_decode": _q_media_decode,
         # r5 session-6: hexbin/dbscan insertions pushed media_decode (an
@@ -2754,6 +2766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_returns_topk": _q_customer_returns_topk,
         "event_transitions": _q_event_transitions,
         "documents_sample": _q_documents_sample,
+        "events_rolling": _q_events_rolling,
+        "training_pipeline": _q_training_pipeline,
         # AVI/MJPEG demux through FrameSampler (sampling-invariant oracle)
         "media_frames_avi": _q_media_frames_avi,
         # mixed BMP/PPM/PNG/JPEG decode (size-invariant oracle)
@@ -2968,6 +2982,7 @@ def oracle_sql() -> dict[str, str]:
         "points_in_doc_boxes": oracle.sql_points_in_doc_boxes(),
         "points_hexbin_counts": oracle.sql_hexbin_counts(),
         "points_dbscan": oracle.sql_dbscan_labels(),
+        "route_crossings": oracle.sql_route_crossings(),
         "box_coverage_raster": oracle.sql_box_coverage_raster(),
         "tile_runs": oracle.sql_tile_runs(),
         "tile_regions": oracle.sql_tile_regions(),

@@ -1369,3 +1369,49 @@ SELECT CAST(key // 4 AS BIGINT) AS doc_id,
                  ELSE min(label) END AS BIGINT) AS cluster,
        CAST(max(c) AS BIGINT) AS is_core
 FROM allv GROUP BY key"""
+
+
+def sql_route_crossings() -> str:
+    """Twin of ``pipelines/spatial.route_crossings``: the direct bbox-
+    prefiltered self-join + the same four int64 orientation determinants
+    (the predicate is invariant under either segment's endpoint order,
+    so the unnormalized CTE endpoints give the engine's answer)."""
+    from .sources.docgen import geo_points_int_sql_expr
+    lat_a, lng_a = geo_points_int_sql_expr("g.j")
+    lat_b, lng_b = geo_points_int_sql_expr("(g.j + 1)")
+    d1 = "((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))"
+    d2 = "((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1))"
+    d3 = "((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))"
+    d4 = "((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1))"
+    on_b = ("{x} BETWEEN least(b.x1, b.x2) AND greatest(b.x1, b.x2) "
+            "AND {y} BETWEEN least(b.y1, b.y2) AND greatest(b.y1, b.y2)")
+    on_a = ("{x} BETWEEN least(a.x1, a.x2) AND greatest(a.x1, a.x2) "
+            "AND {y} BETWEEN least(a.y1, a.y2) AND greatest(a.y1, a.y2)")
+    proper = (f"(({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0)) "
+              f"AND (({d3} > 0 AND {d4} < 0) OR ({d3} < 0 AND {d4} > 0))")
+    touch = " OR ".join([
+        f"({d1} = 0 AND " + on_b.format(x="a.x1", y="a.y1") + ")",
+        f"({d2} = 0 AND " + on_b.format(x="a.x2", y="a.y2") + ")",
+        f"({d3} = 0 AND " + on_a.format(x="b.x1", y="b.y1") + ")",
+        f"({d4} = 0 AND " + on_a.format(x="b.x2", y="b.y2") + ")",
+    ])
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT d.doc_id AS seg_doc, CAST(g.j + 1 AS BIGINT) AS seg_j,
+         CAST({lng_a} + 1800000 AS BIGINT) AS x1,
+         CAST({lat_a} + 900000 AS BIGINT) AS y1,
+         CAST({lng_b} + 1800000 AS BIGINT) AS x2,
+         CAST({lat_b} + 900000 AS BIGINT) AS y2
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(
+                    0, CAST(d.doc_id % 3 AS BIGINT) - 1)) AS j) g)
+SELECT a.seg_doc AS doc_a, a.seg_j AS j_a,
+       b.seg_doc AS doc_b, b.seg_j AS j_b,
+       CAST(CASE WHEN {proper} THEN 1 ELSE 0 END AS BIGINT) AS proper
+FROM s a JOIN s b
+  ON a.seg_doc < b.seg_doc
+ AND least(a.x1, a.x2) <= greatest(b.x1, b.x2)
+ AND least(b.x1, b.x2) <= greatest(a.x1, a.x2)
+ AND least(a.y1, a.y2) <= greatest(b.y1, b.y2)
+ AND least(b.y1, b.y2) <= greatest(a.y1, a.y2)
+WHERE ({proper}) OR {touch}"""

@@ -756,6 +756,37 @@ def doc_segments(sf_dir: str):
     return ds.map_batches(gen, batch_format="pyarrow")
 
 
+def _segment_cell_cover(x1, y1, x2, y2, c: np.int64):
+    """Vectorized supercover: grid cells (side ``c``) each segment passes
+    through, assuming x1 <= x2 (doc_segments' normalization). Per covered
+    grid column the segment's y-extent inside that column is computed in
+    exact rational arithmetic (y·dx numerators, one floor-div), bounding
+    the row range — world-spanning segments cost O(nx + ny) replicas,
+    never the O(nx·ny) of their bbox. Returns (row_idx, col, row):
+    row_idx indexes the input arrays, (col, row) the covered cell."""
+    from .raster import _expand_ranges
+
+    si, col = _expand_ranges(x1 // c, x2 // c)
+    dx = x2[si] - x1[si]
+    dy = y2[si] - y1[si]
+    # y-extent of the segment inside this column (endpoints clamped to
+    # the column's x-interval; y is monotone in x, so the two boundary
+    # evaluations bound every segment point in the column)
+    lox = np.maximum(x1[si], col * c)
+    hix = np.minimum(x2[si], (col + 1) * c)
+    den = np.maximum(dx, 1) * c  # dx==0 rows are overridden below
+    na = y1[si] * np.maximum(dx, 1) + (lox - x1[si]) * dy
+    nb = y1[si] * np.maximum(dx, 1) + (hix - x1[si]) * dy
+    ia, ib = na // den, nb // den
+    vert = dx == 0
+    ylo_v = np.minimum(y1[si], y2[si]) // c
+    yhi_v = np.maximum(y1[si], y2[si]) // c
+    cylo = np.where(vert, ylo_v, np.minimum(ia, ib))
+    cyhi = np.where(vert, yhi_v, np.maximum(ia, ib))
+    ri, cy = _expand_ranges(cylo, cyhi)
+    return si[ri], col[ri], cy
+
+
 def segment_box_hits(sf_dir: str, cell: int = 225000, n_parts: int = 64):
     """Polyline×rectangle spatial join: every (trajectory segment, doc
     box) pair whose closed shapes intersect — the GIS overlay /
@@ -779,8 +810,6 @@ def segment_box_hits(sf_dir: str, cell: int = 225000, n_parts: int = 64):
     in up to 4 shared cells, so a final distinct-triple groupby dedups —
     it shuffles OUTPUT pairs only (bounded by the result), documented
     as the price of skipping per-pair rational clip canonicalization."""
-    from .raster import _expand_ranges
-
     assert cell > 2 * 31001, "cell must exceed the max box width"
     c = np.int64(cell)
     ncy = np.int64(WORLD_Y // cell + 4)
@@ -792,32 +821,14 @@ def segment_box_hits(sf_dir: str, cell: int = 225000, n_parts: int = 64):
         y2 = b["y2"].to_numpy(zero_copy_only=False)
         key = (b["seg_doc"].to_numpy(zero_copy_only=False) * 4
                + b["seg_j"].to_numpy(zero_copy_only=False))
-        # segment → covered grid columns
-        si, col = _expand_ranges(x1 // c, x2 // c)
-        dx = x2[si] - x1[si]
-        dy = y2[si] - y1[si]
-        # y-extent of the segment inside this column (endpoints clamped
-        # to the column's x-interval; y is monotone in x, so the two
-        # boundary evaluations bound every segment point in the column)
-        lox = np.maximum(x1[si], col * c)
-        hix = np.minimum(x2[si], (col + 1) * c)
-        den = np.maximum(dx, 1) * c  # dx==0 rows are overridden below
-        na = y1[si] * np.maximum(dx, 1) + (lox - x1[si]) * dy
-        nb = y1[si] * np.maximum(dx, 1) + (hix - x1[si]) * dy
-        ia, ib = na // den, nb // den
-        vert = dx == 0
-        ylo_v = np.minimum(y1[si], y2[si]) // c
-        yhi_v = np.maximum(y1[si], y2[si]) // c
-        cylo = np.where(vert, ylo_v, np.minimum(ia, ib))
-        cyhi = np.where(vert, yhi_v, np.maximum(ia, ib))
-        ri, cy = _expand_ranges(cylo, cyhi)
+        ri, col, cy = _segment_cell_cover(x1, y1, x2, y2, c)
         return pa.table({
-            "ckey": pa.array(col[ri] * ncy + cy, type=pa.int64()),
-            "id": pa.array(key[si][ri], type=pa.int64()),
-            "xlo": pa.array(x1[si][ri], type=pa.int64()),
-            "xhi": pa.array(x2[si][ri], type=pa.int64()),
-            "ylo": pa.array(y1[si][ri], type=pa.int64()),
-            "yhi": pa.array(y2[si][ri], type=pa.int64()),
+            "ckey": pa.array(col * ncy + cy, type=pa.int64()),
+            "id": pa.array(key[ri], type=pa.int64()),
+            "xlo": pa.array(x1[ri], type=pa.int64()),
+            "xhi": pa.array(x2[ri], type=pa.int64()),
+            "ylo": pa.array(y1[ri], type=pa.int64()),
+            "yhi": pa.array(y2[ri], type=pa.int64()),
             "side": pa.array(np.ones(len(ri), dtype=np.int8)),
         })
 
@@ -1401,3 +1412,158 @@ def dbscan_labels(sf_dir: str, eps1e4: int = 50000, min_pts: int = 4,
 
     return agg.map_batches(finish, batch_format="pyarrow") \
         .sort(["doc_id", "span_idx"])
+
+
+# ---------------------------------------------------------------------------
+# route crossings (segment-segment intersection join)
+# ---------------------------------------------------------------------------
+
+def _segments_intersect(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    """Exact closed segment-intersection predicate on int64 lattice
+    coordinates (vectorized; determinants <= ~1.3e13 so int64 is exact).
+    Returns (intersects, proper): proper = both segments STRICTLY
+    straddle each other's supporting line; the non-proper intersections
+    are endpoint touches and collinear overlaps (some orientation zero
+    with that endpoint inside the other segment's bbox)."""
+    adx, ady = ax2 - ax1, ay2 - ay1
+    bdx, bdy = bx2 - bx1, by2 - by1
+    d1 = bdx * (ay1 - by1) - bdy * (ax1 - bx1)  # orient(b1,b2,a1)
+    d2 = bdx * (ay2 - by1) - bdy * (ax2 - bx1)  # orient(b1,b2,a2)
+    d3 = adx * (by1 - ay1) - ady * (bx1 - ax1)  # orient(a1,a2,b1)
+    d4 = adx * (by2 - ay1) - ady * (bx2 - ax1)  # orient(a1,a2,b2)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) \
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+
+    def on_bbox(qx, qy, px1, py1, px2, py2):
+        return (np.minimum(px1, px2) <= qx) & (qx <= np.maximum(px1, px2)) \
+            & (np.minimum(py1, py2) <= qy) & (qy <= np.maximum(py1, py2))
+
+    touch = ((d1 == 0) & on_bbox(ax1, ay1, bx1, by1, bx2, by2)) \
+        | ((d2 == 0) & on_bbox(ax2, ay2, bx1, by1, bx2, by2)) \
+        | ((d3 == 0) & on_bbox(bx1, by1, ax1, ay1, ax2, ay2)) \
+        | ((d4 == 0) & on_bbox(bx2, by2, ax1, ay1, ax2, ay2))
+    return proper | touch, proper
+
+
+def route_crossings(sf_dir: str, cell: int = 225000, n_parts: int = 64):
+    """Trajectory-crossing join: every unordered pair of segments from
+    DIFFERENT docs whose closed segments intersect — the map-overlay /
+    route-conflict primitive. Output (doc_a, j_a, doc_b, j_b, proper),
+    ordered so doc_a*4+j_a < doc_b*4+j_b; ``proper`` = 1 for a proper
+    (transversal) crossing, 0 for an endpoint touch or collinear overlap.
+
+    The predicate is the classic exact orientation test (e.g. Shewchuk,
+    "Adaptive precision floating-point arithmetic", 1997 — here the
+    lattice keeps every 2x2 determinant <= ~1.3e13, so plain int64 IS the
+    exact arithmetic): with d1..d4 the four endpoint orientations,
+    proper crossing iff both segments strictly straddle each other's
+    supporting line; touching iff some d_i = 0 with that endpoint inside
+    the other's bbox.
+
+    Shape: segments replicate to their supercover cells
+    (`_segment_cell_cover` — O(nx+ny) replicas for world-spanning
+    chords); ONE hash shuffle on the cell key; per cell a vectorized
+    sorted-run all-pairs expansion + the int64 predicate. A pair can
+    meet in many shared cells, so a distinct groupby on the output
+    quadruple dedups — it shuffles OUTPUT pairs only (same documented
+    trade as `segment_box_hits`; canonical-cell emission would need the
+    rational intersection point's cell, whose numerator overflows
+    int64)."""
+    c = np.int64(cell)
+    ncy = np.int64(WORLD_Y // cell + 4)
+
+    def rep(b: pa.Table) -> pa.Table:
+        x1 = b["x1"].to_numpy(zero_copy_only=False)
+        y1 = b["y1"].to_numpy(zero_copy_only=False)
+        x2 = b["x2"].to_numpy(zero_copy_only=False)
+        y2 = b["y2"].to_numpy(zero_copy_only=False)
+        key = (b["seg_doc"].to_numpy(zero_copy_only=False) * 4
+               + b["seg_j"].to_numpy(zero_copy_only=False))
+        ri, col, cy = _segment_cell_cover(x1, y1, x2, y2, c)
+        return pa.table({
+            "ckey": pa.array(col * ncy + cy, type=pa.int64()),
+            "key": pa.array(key[ri], type=pa.int64()),
+            "x1": pa.array(x1[ri], type=pa.int64()),
+            "y1": pa.array(y1[ri], type=pa.int64()),
+            "x2": pa.array(x2[ri], type=pa.int64()),
+            "y2": pa.array(y2[ri], type=pa.int64()),
+        })
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = _part_of(b["ckey"].to_numpy(zero_copy_only=False), n_parts)
+        return b.append_column("_part", pa.array(part))
+
+    empty = pa.table({k: pa.array([], type=pa.int64())
+                      for k in ("doc_a", "j_a", "doc_b", "j_b", "proper")})
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        ck = g["ckey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        ck = ck[order]
+        key = g["key"].to_numpy(zero_copy_only=False)[order]
+        x1 = g["x1"].to_numpy(zero_copy_only=False)[order]
+        y1 = g["y1"].to_numpy(zero_copy_only=False)[order]
+        x2 = g["x2"].to_numpy(zero_copy_only=False)[order]
+        y2 = g["y2"].to_numpy(zero_copy_only=False)[order]
+        n = len(ck)
+        # segmented all-pairs (i < j within each equal-ckey run)
+        run_end = np.searchsorted(ck, ck, side="right")
+        partners = run_end - np.arange(n) - 1
+        tot = int(partners.sum())
+        if tot == 0:
+            return empty
+        ai = np.repeat(np.arange(n, dtype=np.int64), partners)
+        bi = (np.arange(tot, dtype=np.int64)
+              - np.repeat(np.cumsum(partners) - partners, partners)
+              + ai + 1)
+        ka, kb = key[ai], key[bi]
+        keep0 = (ka // 4) != (kb // 4)  # cross-doc only
+        ai, bi = ai[keep0], bi[keep0]
+        ka, kb = ka[keep0], kb[keep0]
+        ax1, ay1, ax2, ay2 = x1[ai], y1[ai], x2[ai], y2[ai]
+        bx1, by1, bx2, by2 = x1[bi], y1[bi], x2[bi], y2[bi]
+        # closed bbox prefilter (x already normalized ascending)
+        pre = (ax1 <= bx2) & (bx1 <= ax2) \
+            & (np.minimum(ay1, ay2) <= np.maximum(by1, by2)) \
+            & (np.minimum(by1, by2) <= np.maximum(ay1, ay2))
+        ai, bi = ai[pre], bi[pre]
+        ka, kb = ka[pre], kb[pre]
+        ax1, ay1, ax2, ay2 = ax1[pre], ay1[pre], ax2[pre], ay2[pre]
+        bx1, by1, bx2, by2 = bx1[pre], by1[pre], bx2[pre], by2[pre]
+        keep, proper = _segments_intersect(ax1, ay1, ax2, ay2,
+                                           bx1, by1, bx2, by2)
+        ka, kb, pr = ka[keep], kb[keep], proper[keep]
+        lo = np.minimum(ka, kb)
+        hi = np.maximum(ka, kb)
+        # per-partition dedup before the global distinct
+        u, idx = np.unique(np.stack([lo, hi], axis=1), axis=0,
+                           return_index=True)
+        return pa.table({
+            "doc_a": pa.array(u[:, 0] // 4, type=pa.int64()),
+            "j_a": pa.array(u[:, 0] % 4, type=pa.int64()),
+            "doc_b": pa.array(u[:, 1] // 4, type=pa.int64()),
+            "j_b": pa.array(u[:, 1] % 4, type=pa.int64()),
+            "proper": pa.array(pr[idx].astype(np.int64)),
+        })
+
+    cand = doc_segments(sf_dir) \
+        .map_batches(rep, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+    # global distinct: shared cells can land in different partitions.
+    # ``proper`` is a FUNCTION of the pair (every cell computes the same
+    # predicate on the same coordinates), so Max == the common value.
+    from ray.data.aggregate import Max
+
+    out = cand.groupby(["doc_a", "j_a", "doc_b", "j_b"]).aggregate(
+        Max("proper", alias_name="proper"))
+
+    def strip(b: pa.Table) -> pa.Table:
+        return pa.table({c2: b[c2].cast(pa.int64())
+                         for c2 in ("doc_a", "j_a", "doc_b", "j_b",
+                                    "proper")})
+
+    return out.map_batches(strip, batch_format="pyarrow")
