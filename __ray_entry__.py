@@ -943,6 +943,20 @@ def _q_route_crossings(sf_dir: str):
     return route_crossings(sf_dir)
 
 
+def _q_points_snap_segment(sf_dir: str):
+    """Map-matching join, ORACLE-CHECKED (round 5): snap every geo point
+    to its nearest cross-doc trajectory segment within 0.1°
+    (`pipelines/spatial.points_snap_segment`) under the quantized exact
+    metric floor(d²) — int64 everywhere via a filtered-exact ceil
+    division (float estimate + python-int fix-up on the <2% uncertain
+    band, cf. Shewchuk's adaptive predicates), ties on segment key.
+    Segments sit in supercover cells, points probe their 9 neighbor
+    cells, per-partition partial argmins + one bounded finish shuffle.
+    DuckDB twin rebuilds the same floor through HUGEINT."""
+    from timezonemap_ray.pipelines.spatial import points_snap_segment
+    return points_snap_segment(sf_dir)
+
+
 def _q_docs_lm_score_int(sf_dir: str):
     """CCNet-shaped bigram-LM quality scoring, ORACLE-CHECKED (round 5):
     score every document under a bigram LM learned from the corpus
@@ -2693,7 +2707,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "order_lineitem_revenue": _q_order_lineitem_revenue,
         "revenue_by_nation": _q_revenue_by_nation,
-        "events_window_funcs": _q_events_window_funcs,
         "media_decode_mixed": _q_media_decode_mixed,
         "irls_step_int": _q_irls_step_int,
         # r5 session-6 window re-arrangement: adding 4 raster queries
@@ -2730,6 +2743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_hexbin_counts": _q_points_hexbin_counts,
         "points_dbscan": _q_points_dbscan,
         "route_crossings": _q_route_crossings,
+        "points_snap_segment": _q_points_snap_segment,
         "event_funnel": _q_event_funnel,
         "large_volume_customers": _q_large_volume_customers,
         "idle_customer_balance": _q_idle_customer_balance,
@@ -2754,7 +2768,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_bloom_semi_lineitem": _q_orders_bloom_semi_lineitem,
         "orders_bloom_anti_events": _q_orders_bloom_anti_events,
         # raster <-> vector tiling
-        "tile_assignments": _q_tile_assignments,
         "tiles_boxes": _q_tiles_boxes,
         # composite training-data flow (dedup -> quality -> tokens -> zones)
         # multimodal decode plumbing (decode-size invariant oracle)
@@ -2768,6 +2781,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_sample": _q_documents_sample,
         "events_rolling": _q_events_rolling,
         "training_pipeline": _q_training_pipeline,
+        "events_window_funcs": _q_events_window_funcs,
+        "tile_assignments": _q_tile_assignments,
         # AVI/MJPEG demux through FrameSampler (sampling-invariant oracle)
         "media_frames_avi": _q_media_frames_avi,
         # mixed BMP/PPM/PNG/JPEG decode (size-invariant oracle)
@@ -2983,6 +2998,7 @@ def oracle_sql() -> dict[str, str]:
         "points_hexbin_counts": oracle.sql_hexbin_counts(),
         "points_dbscan": oracle.sql_dbscan_labels(),
         "route_crossings": oracle.sql_route_crossings(),
+        "points_snap_segment": oracle.sql_points_snap_segment(),
         "box_coverage_raster": oracle.sql_box_coverage_raster(),
         "tile_runs": oracle.sql_tile_runs(),
         "tile_regions": oracle.sql_tile_regions(),

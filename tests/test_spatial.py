@@ -570,3 +570,84 @@ def test_route_crossings_cell_invariant(ray_session, sf_dir):
     b = route_crossings(sf_dir, cell=87000, n_parts=7).to_pandas() \
         .sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# map-matching snap
+# ---------------------------------------------------------------------------
+
+def test_ceil_sq_div_exact_on_adversarial_ratios():
+    """_ceil_sq_div must equal python-int ceil(dot²/den) INCLUDING exact
+    divisions and near-integer ratios (the float fast path's uncertain
+    band), at the magnitude ceiling the snap join produces."""
+    from timezonemap_ray.pipelines.spatial import _ceil_sq_div
+    rng = np.random.RandomState(3)
+    den = rng.randint(2, 1 << 45, 5000).astype(np.int64)
+    # precondition of the clamped-interior branch: 0 < dot < den
+    dot = (rng.random(5000) * (den - 1)).astype(np.int64) + 1
+    # adversaries: exact squares (den | dot²), dot == den-1, and ratios
+    # engineered within 2^-20 of an integer — all under dot < den
+    dot = np.concatenate([dot, np.array([7, (1 << 44) - 1, 1],
+                                        dtype=np.int64)])
+    den = np.concatenate([den, np.array([49, 1 << 44, 2],
+                                        dtype=np.int64)])
+    k = rng.randint(1 << 11, 1 << 20, 200).astype(np.int64)
+    dot = np.concatenate([dot, k * 1024])
+    den = np.concatenate([den, k * k])  # dot²/den = 1024² exactly, dot<den
+    got = _ceil_sq_div(dot, den)
+    want = np.array([-((-int(a) * int(a)) // int(b))
+                     for a, b in zip(dot, den)], dtype=np.int64)
+    assert (got == want).all()
+
+
+def _brute_snap(sf_dir, r):
+    doc, span, lat, lng = _all_points(sf_dir)
+    px, py = lng + LNG_OFF, lat + LAT_OFF
+    pkey = doc * 4 + span
+    sdoc, sj, sx1, sy1, sx2, sy2 = _segments(sf_dir)
+    skey = sdoc * 4 + sj
+    want = {}
+    for i in range(len(px)):
+        best = None
+        for s in range(len(sx1)):
+            if doc[i] == sdoc[s]:
+                continue
+            wx, wy = int(px[i] - sx1[s]), int(py[i] - sy1[s])
+            vx, vy = int(sx2[s] - sx1[s]), int(sy2[s] - sy1[s])
+            den = vx * vx + vy * vy
+            dot = wx * vx + wy * vy
+            if den == 0 or dot <= 0:
+                d2q = wx * wx + wy * wy
+            elif dot >= den:
+                d2q = (int(px[i] - sx2[s]) ** 2
+                       + int(py[i] - sy2[s]) ** 2)
+            else:
+                d2q = wx * wx + wy * wy - (-((-dot * dot) // den))
+            if d2q <= r * r:
+                cand = (d2q, int(skey[s]))
+                if best is None or cand < best:
+                    best = cand
+        if best is not None:
+            want[int(pkey[i])] = best
+    return want
+
+
+def test_snap_segment_equals_brute_force(ray_session, sf_dir):
+    from timezonemap_ray.pipelines.spatial import points_snap_segment
+    got = points_snap_segment(sf_dir).to_pandas()
+    want = _brute_snap(sf_dir, 1000)
+    gk = dict(zip((got.doc_id * 4 + got.span_idx).astype(int),
+                  zip(got.snap_d2q.astype(int),
+                      (got.seg_doc * 4 + got.seg_j).astype(int))))
+    assert gk == want
+    assert 0 < len(gk) < 999, "radius should match SOME but not all"
+
+
+def test_snap_segment_partition_and_cell_invariant(ray_session, sf_dir):
+    from timezonemap_ray.pipelines.spatial import points_snap_segment
+    cols = ["doc_id", "span_idx"]
+    a = points_snap_segment(sf_dir).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    b = points_snap_segment(sf_dir, cell=80000, n_parts=5).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)

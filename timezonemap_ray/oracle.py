@@ -1415,3 +1415,60 @@ FROM s a JOIN s b
  AND least(a.y1, a.y2) <= greatest(b.y1, b.y2)
  AND least(b.y1, b.y2) <= greatest(a.y1, a.y2)
 WHERE ({proper}) OR {touch}"""
+
+
+def sql_points_snap_segment(snap1e4: int = 1000) -> str:
+    """Twin of ``pipelines/spatial.points_snap_segment``: the direct
+    cross-doc point×segment join + the same quantized distance —
+    d2q = |w|² - ceil(dot²/den) on the interior, endpoint distances on
+    the clamps; ``dot*dot`` is the one product that overflows BIGINT, so
+    it alone goes through HUGEINT (the engine's filtered-exact float
+    path computes the identical integer). Argmin by row_number over
+    (d2q, segment key)."""
+    from .sources.docgen import geo_points_int_sql_expr
+    lat_a, lng_a = geo_points_int_sql_expr("g.j")
+    lat_b, lng_b = geo_points_int_sql_expr("(g.j + 1)")
+    r2 = snap1e4 * snap1e4
+    return f"""
+WITH {geo_points_int_cte()},
+s AS MATERIALIZED (
+  SELECT d.doc_id AS seg_doc, CAST(g.j + 1 AS BIGINT) AS seg_j,
+         CAST({lng_a} + 1800000 AS BIGINT) AS x1,
+         CAST({lat_a} + 900000 AS BIGINT) AS y1,
+         CAST({lng_b} + 1800000 AS BIGINT) AS x2,
+         CAST({lat_b} + 900000 AS BIGINT) AS y2
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(
+                    0, CAST(d.doc_id % 3 AS BIGINT) - 1)) AS j) g),
+c1 AS (
+  SELECT p.key, s.seg_doc * 4 + s.seg_j AS skey,
+         p.lng1e4 + 1800000 AS px, p.lat1e4 + 900000 AS py,
+         s.x2, s.y2,
+         p.lng1e4 + 1800000 - s.x1 AS wx, p.lat1e4 + 900000 - s.y1 AS wy,
+         s.x2 - s.x1 AS vx, s.y2 - s.y1 AS vy
+  FROM ipts p JOIN s ON s.seg_doc <> p.key // 4),
+c2 AS (
+  SELECT key, skey, px, py, x2, y2,
+         wx * wx + wy * wy AS wsq,
+         wx * vx + wy * vy AS dot,
+         vx * vx + vy * vy AS den
+  FROM c1),
+c3 AS (
+  SELECT key, skey,
+         CASE WHEN den = 0 OR dot <= 0 THEN wsq
+              WHEN dot >= den
+                THEN (px - x2) * (px - x2) + (py - y2) * (py - y2)
+              ELSE wsq - CAST((CAST(dot AS HUGEINT) * dot + den - 1)
+                              // den AS BIGINT)
+         END AS d2q
+  FROM c2),
+best AS (
+  SELECT key, skey, d2q,
+         row_number() OVER (PARTITION BY key ORDER BY d2q, skey) AS rn
+  FROM c3 WHERE d2q <= {r2})
+SELECT CAST(key // 4 AS BIGINT) AS doc_id,
+       CAST(key % 4 AS BIGINT) AS span_idx,
+       CAST(skey // 4 AS BIGINT) AS seg_doc,
+       CAST(skey % 4 AS BIGINT) AS seg_j,
+       CAST(d2q AS BIGINT) AS snap_d2q
+FROM best WHERE rn = 1"""

@@ -1567,3 +1567,217 @@ def route_crossings(sf_dir: str, cell: int = 225000, n_parts: int = 64):
                                     "proper")})
 
     return out.map_batches(strip, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# map-matching: snap points to the nearest trajectory segment
+# ---------------------------------------------------------------------------
+
+def _ceil_sq_div(dot: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """Exact ceil(dot²/den), PRECONDITION 0 < dot < den < 2^46 (the
+    clamped-interior case guarantees it) — dot² overflows int64, so:
+    float64 estimate (the ratio is < dot < 2^46, two roundings cost
+    2^-52 relative ⇒ absolute error < 2^-6), then EXACT python-int
+    recomputation only where the estimate is within 1/32 of an integer
+    (the filtered-exact-predicate recipe, cf. Shewchuk '97). The
+    uncertain band is a tiny fraction of candidates; everything else
+    stays vectorized."""
+    t = dot.astype(np.float64) ** 2 / den.astype(np.float64)
+    q = np.ceil(t)
+    frac = t - np.floor(t)
+    unc = (frac < 1.0 / 32) | (frac > 1 - 1.0 / 32)
+    if unc.any():
+        idx = np.nonzero(unc)[0]
+        exact = np.fromiter(
+            (-((-int(dot[i]) * int(dot[i])) // int(den[i]))
+             for i in idx),
+            dtype=np.int64, count=len(idx))
+        q[idx] = exact
+    return q.astype(np.int64)
+
+
+def _point_segment_d2q(px, py, ax, ay, bx, by):
+    """floor() of the exact squared point-to-segment distance, all int64
+    in/out: d² = |w|² - dot²/den clamped to the endpoints (w = p-a,
+    v = b-a, dot = w·v, den = |v|²); floor(|w|² - dot²/den) =
+    |w|² - ceil(dot²/den). Degenerate zero-length segments fall back to
+    the endpoint distance."""
+    wx, wy = px - ax, py - ay
+    vx, vy = bx - ax, by - ay
+    den = vx * vx + vy * vy
+    dot = wx * vx + wy * vy
+    wsq = wx * wx + wy * wy
+    start = (dot <= 0) | (den == 0)
+    end = ~start & (dot >= den)
+    d2q = wsq.copy()
+    if end.any():
+        d2q[end] = ((px[end] - bx[end]) ** 2 + (py[end] - by[end]) ** 2)
+    mid = ~start & ~end
+    if mid.any():
+        d2q[mid] = wsq[mid] - _ceil_sq_div(dot[mid], den[mid])
+    return d2q
+
+
+def points_snap_segment(sf_dir: str, snap1e4: int = 1000,
+                        cell: int = 25000, n_parts: int = 64):
+    """Map-matching join: snap every geo point to the nearest CROSS-doc
+    trajectory segment within ``snap1e4`` (1e-4 deg), under the
+    QUANTIZED exact metric d2q = floor(true squared distance) — the
+    floor keeps every comparison in int64 (the true squared distance to
+    a segment interior is rational with denominator |v|²; its cross-
+    segment comparisons would need int128·int128), and ties break on
+    the segment key, so the winner is bit-deterministic and has a
+    closed-form DuckDB twin (HUGEINT rebuilds the same floor). Points
+    with no segment inside the radius are dropped. Output (doc_id,
+    span_idx, seg_doc, seg_j, snap_d2q), key-ascending.
+
+    Shape: two bounded shuffles, the `nearest_neighbor_within` recipe —
+    segments sit in their supercover cells (cell >= snap radius keeps
+    the 9-neighborhood sufficient: the foot point is within snap of the
+    query, hence in an adjacent cell, hence in the segment's cover);
+    points replicate to the 9 neighbor cells; per-partition partial
+    argmins (<= 1 row per partition × point) meet in a second coarse
+    shuffle. Candidates never leave their partition; duplicate
+    candidates from shared cells are harmless under argmin."""
+    assert cell >= snap1e4, "9-cell probe needs cell >= snap radius"
+    c = np.int64(cell)
+    r2 = np.int64(snap1e4) * np.int64(snap1e4)
+    ncy = np.int64(WORLD_Y // cell + 4)
+
+    def rep_segs(b: pa.Table) -> pa.Table:
+        x1 = b["x1"].to_numpy(zero_copy_only=False)
+        y1 = b["y1"].to_numpy(zero_copy_only=False)
+        x2 = b["x2"].to_numpy(zero_copy_only=False)
+        y2 = b["y2"].to_numpy(zero_copy_only=False)
+        key = (b["seg_doc"].to_numpy(zero_copy_only=False) * 4
+               + b["seg_j"].to_numpy(zero_copy_only=False))
+        ri, col, cy = _segment_cell_cover(x1, y1, x2, y2, c)
+        return pa.table({
+            "ckey": pa.array(col * ncy + cy, type=pa.int64()),
+            "key": pa.array(key[ri], type=pa.int64()),
+            "x1": pa.array(x1[ri], type=pa.int64()),
+            "y1": pa.array(y1[ri], type=pa.int64()),
+            "x2": pa.array(x2[ri], type=pa.int64()),
+            "y2": pa.array(y2[ri], type=pa.int64()),
+            "side": pa.array(np.ones(len(ri), dtype=np.int8)),
+        })
+
+    def rep_points(b: pa.Table) -> pa.Table:
+        lat = b["lat1e4"].to_numpy(zero_copy_only=False)
+        lng = b["lng1e4"].to_numpy(zero_copy_only=False)
+        key = (b["doc_id"].to_numpy(zero_copy_only=False) * 4
+               + b["span_idx"].to_numpy(zero_copy_only=False))
+        px, py = lng + LNG_OFF, lat + LAT_OFF
+        cx, cy = px // c, py // c
+        ks, xs, ys, cks = [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ks.append(key)
+                xs.append(px)
+                ys.append(py)
+                cks.append((cx + dx) * ncy + (cy + dy))
+        n = len(key) * 9
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table({
+            "ckey": pa.array(np.concatenate(cks), type=pa.int64()),
+            "key": pa.array(np.concatenate(ks), type=pa.int64()),
+            "x1": pa.array(np.concatenate(xs), type=pa.int64()),
+            "y1": pa.array(np.concatenate(ys), type=pa.int64()),
+            "x2": pa.array(z),
+            "y2": pa.array(z),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    both = doc_segments(sf_dir) \
+        .map_batches(rep_segs, batch_format="pyarrow") \
+        .union(geo_points_int(sf_dir).map_batches(rep_points,
+                                                  batch_format="pyarrow"))
+
+    partial_schema = ("key", "seg_key", "snap_d2q")
+    empty = pa.table({k: pa.array([], type=pa.int64())
+                      for k in partial_schema})
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = _part_of(b["ckey"].to_numpy(zero_copy_only=False), n_parts)
+        return b.append_column("_part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
+        p = g.filter(pa.array(side == 0))
+        s = g.filter(pa.array(side == 1))
+        if p.num_rows == 0 or s.num_rows == 0:
+            return empty
+        sc = s["ckey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sc, kind="stable")
+        sc = sc[order]
+        sk = s["key"].to_numpy(zero_copy_only=False)[order]
+        sx1 = s["x1"].to_numpy(zero_copy_only=False)[order]
+        sy1 = s["y1"].to_numpy(zero_copy_only=False)[order]
+        sx2 = s["x2"].to_numpy(zero_copy_only=False)[order]
+        sy2 = s["y2"].to_numpy(zero_copy_only=False)[order]
+        pc = p["ckey"].to_numpy(zero_copy_only=False)
+        starts = np.searchsorted(sc, pc, side="left")
+        ends = np.searchsorted(sc, pc, side="right")
+        cnt = ends - starts
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        ai = np.repeat(np.arange(len(pc), dtype=np.int64), cnt)
+        bi = (np.repeat(starts, cnt)
+              + np.arange(tot, dtype=np.int64)
+              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        pk = p["key"].to_numpy(zero_copy_only=False)[ai]
+        px = p["x1"].to_numpy(zero_copy_only=False)[ai]
+        py = p["y1"].to_numpy(zero_copy_only=False)[ai]
+        skk = sk[bi]
+        keep0 = (pk // 4) != (skk // 4)  # cross-doc only
+        pk, px, py, skk, bi = pk[keep0], px[keep0], py[keep0], \
+            skk[keep0], bi[keep0]
+        if len(pk) == 0:
+            return empty
+        d2q = _point_segment_d2q(px, py, sx1[bi], sy1[bi],
+                                 sx2[bi], sy2[bi])
+        keep = d2q <= r2
+        pk, skk, d2q = pk[keep], skk[keep], d2q[keep]
+        if len(pk) == 0:
+            return empty
+        o = np.lexsort((skk, d2q, pk))
+        pk, skk, d2q = pk[o], skk[o], d2q[o]
+        first = np.r_[True, pk[1:] != pk[:-1]]
+        return pa.table({"key": pa.array(pk[first]),
+                         "seg_key": pa.array(skk[first]),
+                         "snap_d2q": pa.array(d2q[first])})
+
+    partials = both.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+    out_empty = pa.table({k: pa.array([], type=pa.int64())
+                          for k in ("doc_id", "span_idx", "seg_doc",
+                                    "seg_j", "snap_d2q")})
+
+    def add_kpart(b: pa.Table) -> pa.Table:
+        part = _part_of(b["key"].to_numpy(zero_copy_only=False), n_parts)
+        return b.append_column("_part", pa.array(part))
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_empty
+        k = g["key"].to_numpy(zero_copy_only=False)
+        sk = g["seg_key"].to_numpy(zero_copy_only=False)
+        d2 = g["snap_d2q"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((sk, d2, k))
+        k, sk, d2 = k[o], sk[o], d2[o]
+        first = np.r_[True, k[1:] != k[:-1]]
+        k, sk, d2 = k[first], sk[first], d2[first]
+        return pa.table({
+            "doc_id": pa.array(k // 4, type=pa.int64()),
+            "span_idx": pa.array(k % 4, type=pa.int64()),
+            "seg_doc": pa.array(sk // 4, type=pa.int64()),
+            "seg_j": pa.array(sk % 4, type=pa.int64()),
+            "snap_d2q": pa.array(d2, type=pa.int64()),
+        })
+
+    return partials.map_batches(add_kpart, batch_format="pyarrow") \
+        .groupby("_part").map_groups(finish, batch_format="pyarrow")
