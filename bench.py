@@ -209,7 +209,11 @@ def run_bench(num_cpus: int) -> dict:
                   # round-5 session-5 spatial ops (int-lattice plans)
                   "points_quadkey_counts", "points_radius_pairs",
                   "points_nn_within", "tile_density_smooth",
-                  "points_in_doc_boxes"):
+                  "points_in_doc_boxes",
+                  # round-5 session-6 spatial ops (hex tiling, DBSCAN,
+                  # segment-intersection join, map-matching snap)
+                  "points_hexbin_counts", "points_dbscan",
+                  "route_crossings", "points_snap_segment"):
         timings[qname] = _min_of(
             2, lambda q=qname: _entry.queries()[q](SF_DIR).count())
 
