@@ -957,6 +957,58 @@ def _q_points_snap_segment(sf_dir: str):
     return points_snap_segment(sf_dir)
 
 
+def _q_zone_point_stats(sf_dir: str):
+    """Spatial-join rollup, ORACLE-CHECKED (round 5): per-zone point and
+    distinct-document counts over the flagship's top-1 smallest-area PIP
+    assignment — the zone-level aggregate view of the engine's core
+    query (reference parity: TimeZoneMap.getOverlappingTimeZones's
+    area-asc rule, TimeZoneMap.kt:141). Shape: the flagship join stays
+    lazy; matched rows project to (zone_id, doc_id); n_points folds from
+    per-block partials (bounded by the zone count, zero shuffles);
+    n_docs needs exact distinct, so ONE shuffle on the (zone, doc) pair
+    builds the distinct set and its per-block partials fold the same
+    way. DuckDB twin: the tz_lookup_top1 ranked CTE + GROUP BY zone."""
+    from timezonemap_ray.pipelines.flagship import flagship
+    ds = flagship(sf_dir, _engine())
+
+    def project(b: pa.Table) -> pa.Table:
+        t = b.filter(b["matched"])
+        return pa.table({
+            "zone_id": pc.cast(t["zone_id"], pa.string()),
+            "doc_id": t["doc_id"],
+        })
+
+    m = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    def part_counts(b: pa.Table) -> pa.Table:
+        import numpy as np
+        z = b["zone_id"].to_numpy(zero_copy_only=False)
+        uz, cnt = np.unique(z, return_counts=True)
+        return pa.table({"zone_id": pa.array(uz, type=pa.string()),
+                         "n": pa.array(cnt.astype("int64"))})
+
+    def fold(dset):
+        acc: dict = {}
+        for b in dset.iter_batches(batch_size=None,
+                                   batch_format="pyarrow"):
+            for z, n in zip(b["zone_id"].to_pylist(),
+                            b["n"].to_pylist()):
+                acc[z] = acc.get(z, 0) + n
+        return acc
+
+    n_points = fold(m.map_batches(part_counts, batch_format="pyarrow"))
+    distinct = m.groupby(["zone_id", "doc_id"]).count()
+    n_docs = fold(distinct.map_batches(part_counts,
+                                       batch_format="pyarrow"))
+    zones = sorted(n_points)
+    return pa.table({
+        "zone_id": pa.array(zones, type=pa.string()),
+        "n_points": pa.array([n_points[z] for z in zones],
+                             type=pa.int64()),
+        "n_docs": pa.array([n_docs[z] for z in zones], type=pa.int64()),
+    })
+
+
 def _q_docs_lm_score_int(sf_dir: str):
     """CCNet-shaped bigram-LM quality scoring, ORACLE-CHECKED (round 5):
     score every document under a bigram LM learned from the corpus
@@ -2652,6 +2704,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tz_lookup_lazy": _q_tz_lookup_lazy,
         "tz_lookup_fallback": _q_tz_lookup_fallback,
         "tz_boundary_d2": _q_tz_boundary_d2,
+        # zone_point_stats sits in the rotation's out-of-window head:
+        # session-6 ran out of already-green rows to trade for base
+        # slots (the window must keep the three r01/r02 failures and
+        # every never-sampled entry), so this composite of
+        # already-green machinery waits for a later rotation; it is
+        # strict-gated locally at sf0.001/sf0.01
+        "zone_point_stats": _q_zone_point_stats,
         # text analysis
         "token_count": _q_token_count,
         "token_diversity": _q_token_diversity,
@@ -2705,8 +2764,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": _q_top_orders,
         "events_user_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
-        "order_lineitem_revenue": _q_order_lineitem_revenue,
-        "revenue_by_nation": _q_revenue_by_nation,
         "media_decode_mixed": _q_media_decode_mixed,
         "irls_step_int": _q_irls_step_int,
         # r5 session-6 window re-arrangement: adding 4 raster queries
@@ -2783,6 +2840,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_pipeline": _q_training_pipeline,
         "events_window_funcs": _q_events_window_funcs,
         "tile_assignments": _q_tile_assignments,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "order_lineitem_revenue": _q_order_lineitem_revenue,
         # AVI/MJPEG demux through FrameSampler (sampling-invariant oracle)
         "media_frames_avi": _q_media_frames_avi,
         # mixed BMP/PPM/PNG/JPEG decode (size-invariant oracle)
@@ -2999,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         "points_dbscan": oracle.sql_dbscan_labels(),
         "route_crossings": oracle.sql_route_crossings(),
         "points_snap_segment": oracle.sql_points_snap_segment(),
+        "zone_point_stats": oracle.sql_zone_point_stats(),
         "box_coverage_raster": oracle.sql_box_coverage_raster(),
         "tile_runs": oracle.sql_tile_runs(),
         "tile_regions": oracle.sql_tile_regions(),

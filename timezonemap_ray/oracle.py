@@ -1472,3 +1472,20 @@ SELECT CAST(key // 4 AS BIGINT) AS doc_id,
        CAST(skey % 4 AS BIGINT) AS seg_j,
        CAST(d2q AS BIGINT) AS snap_d2q
 FROM best WHERE rn = 1"""
+
+
+def sql_zone_point_stats() -> str:
+    """Twin of the ``zone_point_stats`` composite: top-1 smallest-area
+    zone per point (the flagship PIP rule, same ranked CTE as
+    ``sql_tz_lookup_top1``), then the per-zone rollup."""
+    return f"""WITH {geo_points_cte()},
+{zones_join_cte()},
+ranked AS (
+  SELECT doc_id, span_idx, zone_id,
+         row_number() OVER (PARTITION BY doc_id, span_idx
+                            ORDER BY area_rank) AS rn
+  FROM zone_match),
+top1 AS (SELECT doc_id, zone_id FROM ranked WHERE rn = 1)
+SELECT zone_id, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM top1 GROUP BY zone_id"""
