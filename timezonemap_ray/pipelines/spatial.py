@@ -1508,35 +1508,58 @@ def route_crossings(sf_dir: str, cell: int = 225000, n_parts: int = 64):
         x2 = g["x2"].to_numpy(zero_copy_only=False)[order]
         y2 = g["y2"].to_numpy(zero_copy_only=False)[order]
         n = len(ck)
-        # segmented all-pairs (i < j within each equal-ckey run)
+        # segmented all-pairs (i < j within each equal-ckey run),
+        # enumerated in BOUNDED CHUNKS: the index arrays for a dense
+        # cell are quadratic in its population (a 20k-replica cell is a
+        # 200M-pair expansion — tens of GB if materialized at once), so
+        # slice the element range wherever the cumulative pair count
+        # crosses ~4M and run the filter cascade per slice. Peak memory
+        # is O(chunk + one element's run), independent of cell density.
         run_end = np.searchsorted(ck, ck, side="right")
         partners = run_end - np.arange(n) - 1
-        tot = int(partners.sum())
+        cum = np.cumsum(partners)
+        tot = int(cum[-1]) if n else 0
         if tot == 0:
             return empty
-        ai = np.repeat(np.arange(n, dtype=np.int64), partners)
-        bi = (np.arange(tot, dtype=np.int64)
-              - np.repeat(np.cumsum(partners) - partners, partners)
-              + ai + 1)
-        ka, kb = key[ai], key[bi]
-        keep0 = (ka // 4) != (kb // 4)  # cross-doc only
-        ai, bi = ai[keep0], bi[keep0]
-        ka, kb = ka[keep0], kb[keep0]
-        ax1, ay1, ax2, ay2 = x1[ai], y1[ai], x2[ai], y2[ai]
-        bx1, by1, bx2, by2 = x1[bi], y1[bi], x2[bi], y2[bi]
-        # closed bbox prefilter (x already normalized ascending)
-        pre = (ax1 <= bx2) & (bx1 <= ax2) \
-            & (np.minimum(ay1, ay2) <= np.maximum(by1, by2)) \
-            & (np.minimum(by1, by2) <= np.maximum(ay1, ay2))
-        ai, bi = ai[pre], bi[pre]
-        ka, kb = ka[pre], kb[pre]
-        ax1, ay1, ax2, ay2 = ax1[pre], ay1[pre], ax2[pre], ay2[pre]
-        bx1, by1, bx2, by2 = bx1[pre], by1[pre], bx2[pre], by2[pre]
-        keep, proper = _segments_intersect(ax1, ay1, ax2, ay2,
-                                           bx1, by1, bx2, by2)
-        ka, kb, pr = ka[keep], kb[keep], proper[keep]
-        lo = np.minimum(ka, kb)
-        hi = np.maximum(ka, kb)
+        chunk = 4_000_000
+        cuts = np.searchsorted(cum, np.arange(chunk, tot, chunk),
+                               side="left") + 1
+        el_bounds = np.unique(np.r_[0, cuts, n])
+        outs: list = []
+        for s, e in zip(el_bounds[:-1], el_bounds[1:]):
+            p_slice = partners[s:e]
+            t = int(p_slice.sum())
+            if t == 0:
+                continue
+            ai = np.repeat(np.arange(s, e, dtype=np.int64), p_slice)
+            bi = (np.arange(t, dtype=np.int64)
+                  - np.repeat(np.cumsum(p_slice) - p_slice, p_slice)
+                  + ai + 1)
+            ka, kb = key[ai], key[bi]
+            keep0 = (ka // 4) != (kb // 4)  # cross-doc only
+            ai, bi = ai[keep0], bi[keep0]
+            ka, kb = ka[keep0], kb[keep0]
+            ax1, ay1, ax2, ay2 = x1[ai], y1[ai], x2[ai], y2[ai]
+            bx1, by1, bx2, by2 = x1[bi], y1[bi], x2[bi], y2[bi]
+            # closed bbox prefilter (x already normalized ascending)
+            pre = (ax1 <= bx2) & (bx1 <= ax2) \
+                & (np.minimum(ay1, ay2) <= np.maximum(by1, by2)) \
+                & (np.minimum(by1, by2) <= np.maximum(ay1, ay2))
+            ka, kb = ka[pre], kb[pre]
+            ax1, ay1, ax2, ay2 = ax1[pre], ay1[pre], ax2[pre], ay2[pre]
+            bx1, by1, bx2, by2 = bx1[pre], by1[pre], bx2[pre], by2[pre]
+            keep, proper = _segments_intersect(ax1, ay1, ax2, ay2,
+                                               bx1, by1, bx2, by2)
+            outs.append((np.minimum(ka[keep], kb[keep]),
+                         np.maximum(ka[keep], kb[keep]),
+                         proper[keep]))
+        if not outs:
+            return empty
+        lo = np.concatenate([o[0] for o in outs])
+        hi = np.concatenate([o[1] for o in outs])
+        pr = np.concatenate([o[2] for o in outs])
+        if len(lo) == 0:
+            return empty
         # per-partition dedup before the global distinct
         u, idx = np.unique(np.stack([lo, hi], axis=1), axis=0,
                            return_index=True)
