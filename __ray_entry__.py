@@ -957,6 +957,30 @@ def _q_points_snap_segment(sf_dir: str):
     return points_snap_segment(sf_dir)
 
 
+def _q_box_point_counts(sf_dir: str):
+    """Spatial LEFT aggregate, ORACLE-CHECKED (round 5): per-box
+    contained-point count including empty boxes at 0
+    (`pipelines/spatial.box_point_counts`) — the zonal-count primitive.
+    Pairs come from the exactly-once big-big point-in-rectangle join;
+    counts contract per block before ONE groupby-sum; the zero fill
+    unions the box table into the same aggregate (no left join
+    operator). Twin: LEFT JOIN BETWEEN + count."""
+    from timezonemap_ray.pipelines.spatial import box_point_counts
+    return box_point_counts(sf_dir)
+
+
+def _q_points_outside_boxes(sf_dir: str):
+    """Spatial ANTI-join, ORACLE-CHECKED (round 5): points contained in
+    NO document box (`pipelines/spatial.points_outside_boxes`) — the
+    coverage-gap filter. Matched keys contract per block, then one
+    union-groupby keeps max(hit) = 0 — a distributed anti-join with no
+    broadcast and no join operator; coordinates re-derive from the key
+    (pure int64 generator), so only (key, flag) shuffles. Twin:
+    NOT EXISTS over the same BETWEEN predicate."""
+    from timezonemap_ray.pipelines.spatial import points_outside_boxes
+    return points_outside_boxes(sf_dir)
+
+
 def _q_zone_point_stats(sf_dir: str):
     """Spatial-join rollup, ORACLE-CHECKED (round 5): per-zone point and
     distinct-document counts over the flagship's top-1 smallest-area PIP
@@ -2704,13 +2728,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tz_lookup_lazy": _q_tz_lookup_lazy,
         "tz_lookup_fallback": _q_tz_lookup_fallback,
         "tz_boundary_d2": _q_tz_boundary_d2,
-        # zone_point_stats sits in the rotation's out-of-window head:
-        # session-6 ran out of already-green rows to trade for base
-        # slots (the window must keep the three r01/r02 failures and
-        # every never-sampled entry), so this composite of
-        # already-green machinery waits for a later rotation; it is
-        # strict-gated locally at sf0.001/sf0.01
+        # zone_point_stats / box_point_counts / points_outside_boxes sit
+        # in the rotation's out-of-window head: session-6 ran out of
+        # already-green rows to trade for base slots (the window must
+        # keep the three r01/r02 failures and every never-sampled
+        # entry), so these derivatives of already-green machinery wait
+        # for a later rotation; each is strict-gated locally at
+        # sf0.001 + sf0.01
         "zone_point_stats": _q_zone_point_stats,
+        "box_point_counts": _q_box_point_counts,
+        "points_outside_boxes": _q_points_outside_boxes,
         # text analysis
         "token_count": _q_token_count,
         "token_diversity": _q_token_diversity,
@@ -2760,10 +2787,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms": _q_heavy_hitter_terms,
         "heavy_hitter_users": _q_heavy_hitter_users,
         # relational / wide operators
-        "lineitem_pricing": _q_lineitem_pricing,
-        "top_revenue_orders": _q_top_orders,
-        "events_user_hourly": _q_events_hourly,
-        "events_sessionize": _q_events_sessionize,
         "media_decode_mixed": _q_media_decode_mixed,
         "irls_step_int": _q_irls_step_int,
         # r5 session-6 window re-arrangement: adding 4 raster queries
@@ -2842,6 +2865,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assignments": _q_tile_assignments,
         "revenue_by_nation": _q_revenue_by_nation,
         "order_lineitem_revenue": _q_order_lineitem_revenue,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "top_revenue_orders": _q_top_orders,
+        "events_user_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
         # AVI/MJPEG demux through FrameSampler (sampling-invariant oracle)
         "media_frames_avi": _q_media_frames_avi,
         # mixed BMP/PPM/PNG/JPEG decode (size-invariant oracle)
@@ -3059,6 +3086,8 @@ def oracle_sql() -> dict[str, str]:
         "route_crossings": oracle.sql_route_crossings(),
         "points_snap_segment": oracle.sql_points_snap_segment(),
         "zone_point_stats": oracle.sql_zone_point_stats(),
+        "box_point_counts": oracle.sql_box_point_counts(),
+        "points_outside_boxes": oracle.sql_points_outside_boxes(),
         "box_coverage_raster": oracle.sql_box_coverage_raster(),
         "tile_runs": oracle.sql_tile_runs(),
         "tile_regions": oracle.sql_tile_regions(),

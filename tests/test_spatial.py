@@ -651,3 +651,38 @@ def test_snap_segment_partition_and_cell_invariant(ray_session, sf_dir):
     b = points_snap_segment(sf_dir, cell=80000, n_parts=5).to_pandas() \
         .sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# spatial left-aggregate + anti-join
+# ---------------------------------------------------------------------------
+
+def test_box_point_counts_and_outside_equals_brute(ray_session, sf_dir):
+    from timezonemap_ray.pipelines.spatial import (box_point_counts,
+                                                   points_outside_boxes)
+    boxes = doc_boxes(sf_dir).to_pandas()
+    doc, span, lat, lng = _all_points(sf_dir)
+    x, y = lng + LNG_OFF, lat + LAT_OFF
+    inside = ((boxes.xlo.to_numpy()[:, None] <= x[None, :])
+              & (x[None, :] <= boxes.xhi.to_numpy()[:, None])
+              & (boxes.ylo.to_numpy()[:, None] <= y[None, :])
+              & (y[None, :] <= boxes.yhi.to_numpy()[:, None]))
+    got = box_point_counts(sf_dir).to_pandas()
+    assert (got.doc_id.to_numpy()
+            == np.sort(boxes.doc_id.to_numpy())).all()
+    order = np.argsort(boxes.doc_id.to_numpy())
+    assert (got.n_points.to_numpy() == inside.sum(axis=1)[order]).all()
+    # every box is centered on its own doc's first geo point, so empty
+    # boxes cannot occur on this data — the zero-fill union still runs
+    # for every box (each contributes a +0 row to the aggregate); its
+    # arithmetic is covered by the exact equality above
+    assert (got.n_points >= 1).all()
+    out = points_outside_boxes(sf_dir).to_pandas()
+    want_out = ~inside.any(axis=0)
+    key = doc * 4 + span
+    assert set((out.doc_id * 4 + out.span_idx).tolist()) \
+        == set(key[want_out].tolist())
+    # coordinates re-derived from the key must match the generator
+    assert (out.lat1e4.to_numpy()
+            == lat[np.searchsorted(key, (out.doc_id * 4
+                                         + out.span_idx).to_numpy())]).all()

@@ -1489,3 +1489,33 @@ top1 AS (SELECT doc_id, zone_id FROM ranked WHERE rn = 1)
 SELECT zone_id, CAST(count(*) AS BIGINT) AS n_points,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM top1 GROUP BY zone_id"""
+
+
+def sql_box_point_counts() -> str:
+    """Twin of ``pipelines/spatial.box_point_counts``: LEFT JOIN BETWEEN
+    point-in-rectangle + count, zero for empty boxes."""
+    return f"""
+WITH {geo_points_int_cte()},
+{_doc_boxes_cte()},
+p AS (SELECT key, lng1e4 + 1800000 AS x, lat1e4 + 900000 AS y FROM ipts)
+SELECT bb.doc_id AS doc_id, CAST(count(p.key) AS BIGINT) AS n_points
+FROM bb LEFT JOIN p ON p.x BETWEEN bb.xlo AND bb.xhi
+                   AND p.y BETWEEN bb.ylo AND bb.yhi
+GROUP BY bb.doc_id"""
+
+
+def sql_points_outside_boxes() -> str:
+    """Twin of ``pipelines/spatial.points_outside_boxes``: NOT EXISTS
+    anti-join over the same BETWEEN predicate."""
+    return f"""
+WITH {geo_points_int_cte()},
+{_doc_boxes_cte()},
+p AS (SELECT key, lat1e4, lng1e4,
+             lng1e4 + 1800000 AS x, lat1e4 + 900000 AS y FROM ipts)
+SELECT CAST(key // 4 AS BIGINT) AS doc_id,
+       CAST(key % 4 AS BIGINT) AS span_idx,
+       lat1e4, lng1e4
+FROM p
+WHERE NOT EXISTS (SELECT 1 FROM bb
+                  WHERE p.x BETWEEN bb.xlo AND bb.xhi
+                    AND p.y BETWEEN bb.ylo AND bb.yhi)"""

@@ -1804,3 +1804,93 @@ def points_snap_segment(sf_dir: str, snap1e4: int = 1000,
 
     return partials.map_batches(add_kpart, batch_format="pyarrow") \
         .groupby("_part").map_groups(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# spatial left-aggregate and anti-join over the point-in-box pairs
+# ---------------------------------------------------------------------------
+
+def box_point_counts(sf_dir: str, cell: int = 65536, n_parts: int = 64):
+    """Spatial LEFT aggregate: per-box contained-point count, INCLUDING
+    empty boxes at 0 — the zonal-count / coverage-report primitive.
+    Output (doc_id, n_points), doc_id-ascending.
+
+    Shape: `points_in_doc_boxes` emits each qualifying pair exactly once
+    (canonical-cell construction), so counts are a per-block partial
+    contraction + ONE groupby-sum; the zero fill unions the box table
+    (one row per box) into the same aggregate instead of a left join."""
+    from ray.data.aggregate import Sum
+
+    pairs = points_in_doc_boxes(sf_dir, cell=cell, n_parts=n_parts)
+
+    def part(b: pa.Table) -> pa.Table:
+        d = b["box_doc"].to_numpy(zero_copy_only=False)
+        ud, cnt = np.unique(d, return_counts=True)
+        return pa.table({"doc_id": pa.array(ud, type=pa.int64()),
+                         "n_points": pa.array(cnt.astype(np.int64))})
+
+    def zero(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "n_points": pa.array(
+                np.zeros(b.num_rows, dtype=np.int64)),
+        })
+
+    out = pairs.map_batches(part, batch_format="pyarrow") \
+        .union(doc_boxes(sf_dir).map_batches(zero, batch_format="pyarrow")) \
+        .groupby("doc_id").aggregate(Sum("n_points",
+                                         alias_name="n_points"))
+    return out.sort("doc_id")
+
+
+def points_outside_boxes(sf_dir: str, cell: int = 65536, n_parts: int = 64):
+    """Spatial ANTI-join: every point contained in NO document box — the
+    coverage-gap / out-of-region filter. Output (doc_id, span_idx,
+    lat1e4, lng1e4), key-ascending.
+
+    Shape: matched point keys contract per block (np.unique) before ONE
+    groupby that unions them with the full point list and keeps
+    max(flag) = 0 — a distributed anti-join with no broadcast and no
+    join operator (the same union-groupby trick the bloom anti joins
+    fall back to). Coordinates are re-derived from the key by the
+    generator (pure int64 function), so only (key, flag) ever
+    shuffles."""
+    from ray.data.aggregate import Max
+
+    pairs = points_in_doc_boxes(sf_dir, cell=cell, n_parts=n_parts)
+
+    def matched(b: pa.Table) -> pa.Table:
+        k = np.unique(b["pt_doc"].to_numpy(zero_copy_only=False) * 4
+                      + b["pt_span"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "key": pa.array(k, type=pa.int64()),
+            "hit": pa.array(np.ones(len(k), dtype=np.int64)),
+        })
+
+    def allpts(b: pa.Table) -> pa.Table:
+        k = (b["doc_id"].to_numpy(zero_copy_only=False) * 4
+             + b["span_idx"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "key": pa.array(k, type=pa.int64()),
+            "hit": pa.array(np.zeros(len(k), dtype=np.int64)),
+        })
+
+    agg = pairs.map_batches(matched, batch_format="pyarrow") \
+        .union(geo_points_int(sf_dir).map_batches(
+            allpts, batch_format="pyarrow")) \
+        .groupby("key").aggregate(Max("hit", alias_name="hit"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)
+        k = k[b["hit"].to_numpy(zero_copy_only=False) == 0]
+        doc, span = k // 4, k % 4
+        lat, lng = geo_points_int_for(doc, span - 1)
+        return pa.table({
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "span_idx": pa.array(span, type=pa.int64()),
+            "lat1e4": pa.array(lat, type=pa.int64()),
+            "lng1e4": pa.array(lng, type=pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["doc_id", "span_idx"])
