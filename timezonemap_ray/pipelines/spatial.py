@@ -1445,7 +1445,7 @@ def _segments_intersect(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
     return proper | touch, proper
 
 
-def route_crossings(sf_dir: str, cell: int = 225000, n_parts: int = 64):
+def route_crossings(sf_dir: str, cell: int = 56250, n_parts: int = 64):
     """Trajectory-crossing join: every unordered pair of segments from
     DIFFERENT docs whose closed segments intersect — the map-overlay /
     route-conflict primitive. Output (doc_a, j_a, doc_b, j_b, proper),
@@ -1468,7 +1468,11 @@ def route_crossings(sf_dir: str, cell: int = 225000, n_parts: int = 64):
     quadruple dedups — it shuffles OUTPUT pairs only (same documented
     trade as `segment_box_hits`; canonical-cell emission would need the
     rational intersection point's cell, whose numerator overflows
-    int64)."""
+    int64). Total per-cell work is scale-free in the cell size for line
+    data (R²/C constant in c), so the cell knob tunes LOAD BALANCE, not
+    work: the swept default 56250 (2048 world cells over 64 partitions)
+    beat 225000 (128 cells — 3-vs-1 lumpy hash assignment) by ~15% at
+    sf0.1."""
     c = np.int64(cell)
     ncy = np.int64(WORLD_Y // cell + 4)
 
