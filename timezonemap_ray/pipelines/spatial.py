@@ -1258,12 +1258,17 @@ def dbscan_labels(sf_dir: str, eps1e4: int = 50000, min_pts: int = 4,
             .sort(["doc_id", "span_idx"])
 
     broadcast = n_core <= core_broadcast_limit
+    # shuffle width for the non-broadcast hash joins, sized like
+    # clusters_from_pairs_ds (tiny tables don't pay 16 aggregator actors)
+    width = max(2, min(16, pk.count() // 50_000 + 2))
+    core_sorted: np.ndarray | None = None
     if broadcast:
         import ray
-        chunks = [b["key"].to_numpy(zero_copy_only=False)
-                  for b in core_ds.iter_batches(batch_size=None,
-                                                batch_format="pyarrow")]
-        core_ref = ray.put(np.sort(np.concatenate(chunks)))
+        core_sorted = np.sort(np.concatenate(
+            [b["key"].to_numpy(zero_copy_only=False)
+             for b in core_ds.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")]))
+        core_ref = ray.put(core_sorted)
 
         def _member(keys: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
             pos = np.searchsorted(sorted_arr, keys)
@@ -1280,7 +1285,6 @@ def dbscan_labels(sf_dir: str, eps1e4: int = 50000, min_pts: int = 4,
 
         cc_pairs = pk.map_batches(both_core, batch_format="pyarrow")
     else:
-        width = max(2, min(16, pk.count() // 50_000 + 2))
         flags = core_ds
         t1 = pk.join(flags, join_type="inner", num_partitions=width,
                      on=("a",), right_on=("key",))
@@ -1295,11 +1299,14 @@ def dbscan_labels(sf_dir: str, eps1e4: int = 50000, min_pts: int = 4,
     # seconds of fixed overhead each on tiny graphs); beyond the limit
     # the distributed min-label fixpoint runs. Identical labels either
     # way (cluster = min key in component; forced-path equality tested).
+    # The union-find route needs the core keys driver-side, so it is
+    # gated on the broadcast plan (which already folded them, sorted).
     from ..stages.dedup import DRIVER_PAIR_LIMIT, UnionFind
     if driver_pair_limit is None:
         driver_pair_limit = DRIVER_PAIR_LIMIT
     cc_mat = cc_pairs.materialize()
-    if cc_mat.count() <= driver_pair_limit:
+    label_arrays: tuple | None = None  # (sorted keys, labels) if local
+    if broadcast and cc_mat.count() <= driver_pair_limit:
         import ray.data as rd
         uf = UnionFind()
         for blk in cc_mat.iter_batches(batch_size=None,
@@ -1309,14 +1316,11 @@ def dbscan_labels(sf_dir: str, eps1e4: int = 50000, min_pts: int = 4,
                               blk["b"].to_numpy(zero_copy_only=False)
                               .tolist()):
                 uf.union(a_, b_)
-        ck_chunks = [b["key"].to_numpy(zero_copy_only=False)
-                     for b in core_ds.iter_batches(batch_size=None,
-                                                   batch_format="pyarrow")]
-        ck = np.concatenate(ck_chunks)
-        cl = np.fromiter((uf.find(int(k)) for k in ck), dtype=np.int64,
-                         count=len(ck))
+        cl = np.fromiter((uf.find(int(k)) for k in core_sorted),
+                         dtype=np.int64, count=len(core_sorted))
+        label_arrays = (core_sorted, cl)
         labels = rd.from_arrow(pa.table({
-            "key": pa.array(ck, type=pa.int64()),
+            "key": pa.array(core_sorted, type=pa.int64()),
             "cluster_id": pa.array(cl, type=pa.int64()),
         })).materialize()
     else:
@@ -1343,14 +1347,19 @@ def dbscan_labels(sf_dir: str, eps1e4: int = 50000, min_pts: int = 4,
 
     if broadcast:
         import ray
-        lk_chunks, lv_chunks = [], []
-        for b in labels.iter_batches(batch_size=None,
-                                     batch_format="pyarrow"):
-            lk_chunks.append(b["key"].to_numpy(zero_copy_only=False))
-            lv_chunks.append(b["cluster_id"].to_numpy(zero_copy_only=False))
-        lk = np.concatenate(lk_chunks)
-        order = np.argsort(lk, kind="stable")
-        lab_ref = ray.put((lk[order], np.concatenate(lv_chunks)[order]))
+        if label_arrays is not None:  # union-find route: already local
+            lab_ref = ray.put(label_arrays)
+        else:
+            lk_chunks, lv_chunks = [], []
+            for b in labels.iter_batches(batch_size=None,
+                                         batch_format="pyarrow"):
+                lk_chunks.append(b["key"].to_numpy(zero_copy_only=False))
+                lv_chunks.append(
+                    b["cluster_id"].to_numpy(zero_copy_only=False))
+            lk = np.concatenate(lk_chunks)
+            order = np.argsort(lk, kind="stable")
+            lab_ref = ray.put((lk[order],
+                               np.concatenate(lv_chunks)[order]))
 
         def nbr_rows(b: pa.Table) -> pa.Table:
             import ray
@@ -1376,7 +1385,6 @@ def dbscan_labels(sf_dir: str, eps1e4: int = 50000, min_pts: int = 4,
             return pa.table({"u": pa.concat_arrays([a, c]),
                              "v": pa.concat_arrays([c, a])})
 
-        width = max(2, min(16, pk.count() // 50_000 + 2))
         j = pk.map_batches(directed, batch_format="pyarrow") \
             .join(labels, join_type="inner", num_partitions=width,
                   on=("v",), right_on=("key",))
