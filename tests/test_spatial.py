@@ -686,3 +686,30 @@ def test_box_point_counts_and_outside_equals_brute(ray_session, sf_dir):
     assert (out.lat1e4.to_numpy()
             == lat[np.searchsorted(key, (out.doc_id * 4
                                          + out.span_idx).to_numpy())]).all()
+
+
+def test_minlabel_components_equals_union_find():
+    """The vectorized driver closure must equal UnionFind's min-root
+    labeling on random graphs, including long paths (pointer-doubling
+    convergence) and singletons."""
+    from timezonemap_ray.pipelines.spatial import _minlabel_components
+    from timezonemap_ray.stages.dedup import UnionFind
+    rng = np.random.RandomState(5)
+    for trial in range(20):
+        n = rng.randint(2, 400)
+        ids = np.unique(rng.randint(0, 10_000, n).astype(np.int64))
+        m = rng.randint(0, 3 * len(ids))
+        ea = ids[rng.randint(0, len(ids), m)]
+        eb = ids[rng.randint(0, len(ids), m)]
+        got = _minlabel_components(ids, ea, eb)
+        uf = UnionFind()
+        for a, b in zip(ea.tolist(), eb.tolist()):
+            uf.union(a, b)
+        want = np.array([uf.find(int(k)) for k in ids], dtype=np.int64)
+        assert (got == want).all()
+    # adversarial: one long path (diameter = n-1) in DESCENDING id order
+    ids = np.arange(1000, dtype=np.int64)
+    ea = np.arange(999, 0, -1, dtype=np.int64)
+    eb = ea - 1
+    got = _minlabel_components(ids, ea, eb)
+    assert (got == 0).all()

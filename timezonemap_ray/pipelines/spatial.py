@@ -1174,6 +1174,30 @@ def hexbin_counts(sf_dir: str):
 _NOISE_SENTINEL = np.int64(1) << np.int64(62)
 
 
+def _minlabel_components(ids_sorted: np.ndarray, ea: np.ndarray,
+                         eb: np.ndarray) -> np.ndarray:
+    """Driver-local connected components, fully vectorized: min-label
+    propagation over the edge arrays with pointer doubling — the same
+    fixpoint `stages/dedup.UnionFind` computes (label = min id in the
+    component) without a Python loop over edges. O(log diameter) rounds,
+    each a couple of `minimum.at` passes over the edge arrays."""
+    lab = ids_sorted.copy()
+    ai = np.searchsorted(ids_sorted, ea)
+    bi = np.searchsorted(ids_sorted, eb)
+    if len(ai) == 0:
+        return lab
+    prev = -1
+    while True:
+        np.minimum.at(lab, ai, lab[bi])
+        np.minimum.at(lab, bi, lab[ai])
+        # pointer doubling: label <- label(label) (labels ARE member ids)
+        lab = lab[np.searchsorted(ids_sorted, lab)]
+        s = int(lab.sum())
+        if s == prev:
+            return lab
+        prev = s
+
+
 def dbscan_labels(sf_dir: str, eps1e4: int = 50000, min_pts: int = 4,
                   core_broadcast_limit: int = 20_000_000, n_parts: int = 64,
                   driver_pair_limit: int | None = None):
@@ -1301,23 +1325,24 @@ def dbscan_labels(sf_dir: str, eps1e4: int = 50000, min_pts: int = 4,
     # way (cluster = min key in component; forced-path equality tested).
     # The union-find route needs the core keys driver-side, so it is
     # gated on the broadcast plan (which already folded them, sorted).
-    from ..stages.dedup import DRIVER_PAIR_LIMIT, UnionFind
+    from ..stages.dedup import DRIVER_PAIR_LIMIT
     if driver_pair_limit is None:
         driver_pair_limit = DRIVER_PAIR_LIMIT
     cc_mat = cc_pairs.materialize()
     label_arrays: tuple | None = None  # (sorted keys, labels) if local
     if broadcast and cc_mat.count() <= driver_pair_limit:
         import ray.data as rd
-        uf = UnionFind()
-        for blk in cc_mat.iter_batches(batch_size=None,
-                                       batch_format="pyarrow"):
-            for a_, b_ in zip(blk["a"].to_numpy(zero_copy_only=False)
-                              .tolist(),
-                              blk["b"].to_numpy(zero_copy_only=False)
-                              .tolist()):
-                uf.union(a_, b_)
-        cl = np.fromiter((uf.find(int(k)) for k in core_sorted),
-                         dtype=np.int64, count=len(core_sorted))
+        ea = np.concatenate(
+            [b["a"].to_numpy(zero_copy_only=False)
+             for b in cc_mat.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")]
+            or [np.empty(0, dtype=np.int64)])
+        eb = np.concatenate(
+            [b["b"].to_numpy(zero_copy_only=False)
+             for b in cc_mat.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")]
+            or [np.empty(0, dtype=np.int64)])
+        cl = _minlabel_components(core_sorted, ea, eb)
         label_arrays = (core_sorted, cl)
         labels = rd.from_arrow(pa.table({
             "key": pa.array(core_sorted, type=pa.int64()),
