@@ -981,6 +981,18 @@ def _q_points_outside_boxes(sf_dir: str):
     return points_outside_boxes(sf_dir)
 
 
+def _q_hexbin_kring(sf_dir: str):
+    """H3-style k-ring neighborhood aggregation, ORACLE-CHECKED (round
+    5): for every occupied hex, its count plus its 6 Voronoi neighbors'
+    (`pipelines/spatial.hexbin_kring_counts`) — the hex analogue of
+    `tile_density_smooth`, running entirely on the grid-bounded rollup
+    (points touched once). The symmetric 1-ring relation drives a
+    scatter + one groupby-sum in the engine and the identical gather
+    join in the DuckDB twin."""
+    from timezonemap_ray.pipelines.spatial import hexbin_kring_counts
+    return hexbin_kring_counts(sf_dir)
+
+
 def _q_zone_point_stats(sf_dir: str):
     """Spatial-join rollup, ORACLE-CHECKED (round 5): per-zone point and
     distinct-document counts over the flagship's top-1 smallest-area PIP
@@ -2784,8 +2796,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq_fullprobe_topk": _q_ann_ivfpq_fullprobe,
         "ann_opq_fullrerank_topk": _q_ann_opq_fullrerank,
         "events_quartile_counts": _q_events_quartile_counts,
-        "heavy_hitter_terms": _q_heavy_hitter_terms,
-        "heavy_hitter_users": _q_heavy_hitter_users,
         # relational / wide operators
         "media_decode_mixed": _q_media_decode_mixed,
         "irls_step_int": _q_irls_step_int,
@@ -2821,6 +2831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_density_smooth": _q_tile_density_smooth,
         "points_in_doc_boxes": _q_points_in_doc_boxes,
         "points_hexbin_counts": _q_points_hexbin_counts,
+        "points_hexbin_kring": _q_hexbin_kring,
         "points_dbscan": _q_points_dbscan,
         "route_crossings": _q_route_crossings,
         "points_snap_segment": _q_points_snap_segment,
@@ -2869,6 +2880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": _q_top_orders,
         "events_user_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "heavy_hitter_terms": _q_heavy_hitter_terms,
+        "heavy_hitter_users": _q_heavy_hitter_users,
         # AVI/MJPEG demux through FrameSampler (sampling-invariant oracle)
         "media_frames_avi": _q_media_frames_avi,
         # mixed BMP/PPM/PNG/JPEG decode (size-invariant oracle)
@@ -3082,6 +3095,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_density_smooth": oracle.sql_tile_density_smooth(),
         "points_in_doc_boxes": oracle.sql_points_in_doc_boxes(),
         "points_hexbin_counts": oracle.sql_hexbin_counts(),
+        "points_hexbin_kring": oracle.sql_hexbin_kring_counts(),
         "points_dbscan": oracle.sql_dbscan_labels(),
         "route_crossings": oracle.sql_route_crossings(),
         "points_snap_segment": oracle.sql_points_snap_segment(),

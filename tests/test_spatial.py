@@ -713,3 +713,61 @@ def test_minlabel_components_equals_union_find():
     eb = ea - 1
     got = _minlabel_components(ids, ea, eb)
     assert (got == 0).all()
+
+
+def test_hexbin_kring_equals_numpy(ray_session, sf_dir):
+    from timezonemap_ray.pipelines.spatial import (_HEX_RING,
+                                                   hexbin_kring_counts)
+    _, _, lat, lng = _all_points(sf_dir)
+    hid = _hex_assign(lng + LNG_OFF, lat + LAT_OFF)
+    uh, cnt = np.unique(hid, return_counts=True)
+    counts = dict(zip(uh.tolist(), cnt.tolist()))
+    want = {}
+    for h, n in counts.items():
+        b, ij = h & 1, h >> 1
+        i, j = ij // HEX_NY, ij % HEX_NY
+        s = 0
+        for sb, di, dj, tb in _HEX_RING:
+            if sb != b:
+                continue
+            s += counts.get(((i + di) * HEX_NY + (j + dj)) * 2 + tb, 0)
+        want[h] = (n, s)
+    got = hexbin_kring_counts(sf_dir).to_pandas()
+    assert dict(zip(got.hexkey.tolist(),
+                    zip(got.n_points.tolist(),
+                        got.kring_points.tolist()))) == want
+    # the ring adds neighbors somewhere (not all hexes are isolated)
+    assert (got.kring_points > got.n_points).any()
+
+
+def test_hex_ring_relation_is_true_voronoi_adjacency():
+    """_HEX_RING must be exactly {self} + the 6 nearest center offsets
+    (A↔A at distance W along x; A↔B at the four half-offset diagonals,
+    also distance W for H = W·√3 — up to lattice rounding), symmetric,
+    and closed under inversion."""
+    from timezonemap_ray.pipelines.spatial import _HEX_RING
+    rel = set(_HEX_RING)
+    assert len(rel) == len(_HEX_RING) == 14
+    # symmetry: every (sb, di, dj, tb) has its inverse edge
+    for sb, di, dj, tb in rel:
+        if sb == tb:
+            assert (tb, -di, -dj, sb) in rel
+        else:
+            # A(i,j) -> B(i+di, j+dj) inverts to B(i',j') -> A(i'-di, ...)
+            assert (tb, -di, -dj, sb) in rel
+    # geometric check: each non-self target is among the 6 nearest
+    # centers of its source (doubled coordinates, W=40000 H=69282)
+    W, H = 40000, 69282
+    for sb, di, dj, tb in rel:
+        sx = 0 + sb * W  # doubled source center at i=j=10 offset removed
+        sy = 0 + sb * H
+        tx = 2 * W * di + tb * W
+        ty = 2 * H * dj + tb * H
+        d2 = (tx - sx) ** 2 + (ty - sy) ** 2
+        if (sb, di, dj, tb) in ((0, 0, 0, 0), (1, 0, 0, 1)):
+            assert d2 == 0
+        else:
+            # all six neighbors sit at doubled distance 2W or
+            # sqrt(W²+H²)·... : accept the two shell radii only
+            shell = {(2 * W) ** 2, W * W + H * H}
+            assert d2 in shell, (sb, di, dj, tb, d2)

@@ -1295,16 +1295,15 @@ SELECT key // 4 AS doc_id, key % 4 AS span_idx, CAST(rn AS BIGINT) AS rank,
 FROM best WHERE rn <= {k}"""
 
 
-def sql_hexbin_counts() -> str:
-    """Twin of ``pipelines/spatial.hexbin_counts``: the two-lattice
-    nearest-center hex assignment restated in closed form — DuckDB ``//``
-    on the non-negative shifted grid is floor, so every quantity is the
-    same int64 the engine computes (doubled coordinates, ties → lattice
-    A)."""
+def _hexbin_assign_ctes() -> str:
+    """CTE chain ending in ``k(lat1e4, lng1e4, hexkey)`` — the
+    two-lattice nearest-center hex assignment restated in closed form
+    (DuckDB ``//`` on the non-negative shifted grid is floor, so every
+    quantity is the same int64 the engine computes: doubled
+    coordinates, ties → lattice A)."""
     from .pipelines.spatial import HEX_H, HEX_NY, HEX_W
     w, h = HEX_W, HEX_H
-    return f"""
-WITH {geo_points_int_cte()},
+    return f"""{geo_points_int_cte()},
 g AS (SELECT lat1e4, lng1e4,
              lng1e4 + 1800000 AS x, lat1e4 + 900000 AS y FROM ipts),
 c AS (SELECT lat1e4, lng1e4, x, y,
@@ -1320,12 +1319,44 @@ k AS (SELECT lat1e4, lng1e4,
              CASE WHEN db2 < da2
                   THEN (ib * {HEX_NY} + jb) * 2 + 1
                   ELSE (ia * {HEX_NY} + ja) * 2 END AS hexkey
-      FROM d)
+      FROM d)"""
+
+
+def sql_hexbin_counts() -> str:
+    """Twin of ``pipelines/spatial.hexbin_counts``: the closed-form hex
+    assignment (`_hexbin_assign_ctes`) + the per-hex rollup."""
+    return f"""
+WITH {_hexbin_assign_ctes()}
 SELECT CAST(hexkey AS BIGINT) AS hexkey,
        CAST(count(*) AS BIGINT) AS n_points,
        CAST(sum(lat1e4) AS BIGINT) AS sum_lat1e4,
        CAST(sum(lng1e4) AS BIGINT) AS sum_lng1e4
 FROM k GROUP BY hexkey"""
+
+
+def sql_hexbin_kring_counts() -> str:
+    """Twin of ``pipelines/spatial.hexbin_kring_counts``: the same hex
+    rollup, then a gather join over the symmetric 1-ring relation
+    (self + 6 Voronoi neighbors, enumerated per source lattice) —
+    identical id arithmetic to the engine's scatter."""
+    from .pipelines.spatial import _HEX_RING, HEX_NY
+    rel = ", ".join(f"({sb}, {di}, {dj}, {tb})"
+                    for sb, di, dj, tb in _HEX_RING)
+    return f"""
+WITH {_hexbin_assign_ctes()},
+roll AS (SELECT hexkey, CAST(count(*) AS BIGINT) AS n
+         FROM k GROUP BY hexkey),
+rel(sb, di, dj, tb) AS (VALUES {rel}),
+x AS (SELECT hexkey, hexkey % 2 AS b,
+             (hexkey // 2) // {HEX_NY} AS i,
+             (hexkey // 2) % {HEX_NY} AS j, n FROM roll)
+SELECT a.hexkey, CAST(a.n AS BIGINT) AS n_points,
+       CAST(sum(t.n) AS BIGINT) AS kring_points
+FROM x a
+JOIN rel ON rel.sb = a.b
+JOIN x t ON t.hexkey = ((a.i + rel.di) * {HEX_NY} + (a.j + rel.dj)) * 2
+                       + rel.tb
+GROUP BY a.hexkey, a.n"""
 
 
 def sql_dbscan_labels(eps1e4: int = 50000, min_pts: int = 4) -> str:

@@ -1931,3 +1931,81 @@ def points_outside_boxes(sf_dir: str, cell: int = 65536, n_parts: int = 64):
 
     return agg.map_batches(finish, batch_format="pyarrow") \
         .sort(["doc_id", "span_idx"])
+
+
+# hex 1-ring neighbor relation on the two-lattice tiling: (src_lattice,
+# di, dj, dst_lattice) — 6 Voronoi neighbors per hex (A↔A along x at
+# spacing W; A↔B at the four half-offset diagonals, distance
+# sqrt((W/2)²+(H/2)²) = W for H = W·√3). SYMMETRIC by construction
+# (each A→B row has its B→A inverse), so the same table serves both the
+# gather (oracle) and scatter (engine) formulations.
+_HEX_RING = (
+    (0, 0, 0, 0), (1, 0, 0, 1),                      # self
+    (0, -1, 0, 0), (0, 1, 0, 0),                     # A ↔ A
+    (0, 0, 0, 1), (0, -1, 0, 1),                     # A → B
+    (0, 0, -1, 1), (0, -1, -1, 1),
+    (1, -1, 0, 1), (1, 1, 0, 1),                     # B ↔ B
+    (1, 0, 0, 0), (1, 1, 0, 0),                      # B → A
+    (1, 0, 1, 0), (1, 1, 1, 0),
+)
+
+
+def hexbin_kring_counts(sf_dir: str):
+    """H3-style k-ring (k=1) smoothing over the hexagonal tiling: for
+    every OCCUPIED hex, its own count plus the counts of its 6 Voronoi
+    neighbors — the hex analogue of `tile_density_smooth`'s 3×3 box
+    filter and the signature H3 neighborhood aggregation. Output
+    (hexkey, n_points, kring_points), hexkey-ascending.
+
+    Shape: runs entirely on the grid-bounded hex rollup (points touched
+    once, in `hexbin_counts`' partial pass): each rollup row scatters to
+    its ≤7 ring ids, one groupby-sum folds scatter + occupancy flags,
+    halo rows (rings of occupied hexes that are themselves empty) drop
+    on the occ flag. Out-of-range neighbor ids can alias only j-indices
+    ≥ 27 or negative keys — never an occupiable hex (j ≤ 26 on this
+    lattice), same arithmetic as the SQL twin."""
+    from ray.data.aggregate import Max, Sum
+
+    roll = hexbin_counts(sf_dir)
+
+    def scatter(b: pa.Table) -> pa.Table:
+        h = b["hexkey"].to_numpy(zero_copy_only=False)
+        n = b["n_points"].to_numpy(zero_copy_only=False)
+        lb = h & 1
+        ij = h >> 1
+        i, j = ij // HEX_NY, ij % HEX_NY
+        outs = []
+        for sb, di, dj, tb in _HEX_RING:
+            m = lb == sb
+            if not m.any():
+                continue
+            tgt = ((i[m] + di) * HEX_NY + (j[m] + dj)) * 2 + tb
+            outs.append(pa.table({
+                "hexkey": pa.array(tgt, type=pa.int64()),
+                "kn": pa.array(n[m], type=pa.int64()),
+                "n0": pa.array(np.zeros(int(m.sum()), dtype=np.int64)),
+                "occ": pa.array(np.zeros(int(m.sum()), dtype=np.int64)),
+            }))
+        outs.append(pa.table({
+            "hexkey": pa.array(h, type=pa.int64()),
+            "kn": pa.array(np.zeros(len(h), dtype=np.int64)),
+            "n0": pa.array(n, type=pa.int64()),
+            "occ": pa.array(np.ones(len(h), dtype=np.int64)),
+        }))
+        return pa.concat_tables(outs)
+
+    agg = roll.map_batches(scatter, batch_format="pyarrow") \
+        .groupby("hexkey").aggregate(
+            Sum("kn", alias_name="kring_points"),
+            Sum("n0", alias_name="n_points"),
+            Max("occ", alias_name="occ"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["occ"], 1))
+        return pa.table({
+            "hexkey": t["hexkey"].cast(pa.int64()),
+            "n_points": t["n_points"].cast(pa.int64()),
+            "kring_points": t["kring_points"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("hexkey")
