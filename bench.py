@@ -212,8 +212,9 @@ def run_bench(num_cpus: int) -> dict:
                   "points_in_doc_boxes",
                   # round-5 session-6 spatial ops (hex tiling, DBSCAN,
                   # segment-intersection join, map-matching snap)
-                  "points_hexbin_counts", "points_dbscan",
-                  "route_crossings", "points_snap_segment"):
+                  "points_hexbin_counts", "points_hexbin_kring",
+                  "points_dbscan", "route_crossings",
+                  "points_snap_segment"):
         timings[qname] = _min_of(
             2, lambda q=qname: _entry.queries()[q](SF_DIR).count())
 
