@@ -132,6 +132,38 @@ def _part_of(keys: np.ndarray, n_parts: int) -> np.ndarray:
             % np.uint64(n_parts)).astype(np.int64)
 
 
+def _expand_pairs_chunked(starts: np.ndarray, ends: np.ndarray,
+                          chunk: int = 4_000_000):
+    """Yield (probe_idx, home_idx) int64 index-array chunks of the
+    segmented searchsorted join expansion (probe row i pairs with home
+    rows ``starts[i]..ends[i]``), slicing the probe range wherever the
+    cumulative pair count crosses ``chunk``. Peak memory is
+    O(chunk + one probe's run) regardless of cell density — a dense
+    cell's expansion is quadratic in its population if materialized at
+    once (the route_crossings 10×-scale lesson); every cell-join kernel
+    in this module goes through here."""
+    cnt = ends - starts
+    if len(cnt) == 0:
+        return
+    cum = np.cumsum(cnt)
+    tot = int(cum[-1])
+    if tot == 0:
+        return
+    cuts = np.searchsorted(cum, np.arange(chunk, tot, chunk),
+                           side="left") + 1
+    bounds = np.unique(np.r_[0, cuts, len(cnt)])
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        c = cnt[s:e]
+        t = int(c.sum())
+        if t == 0:
+            continue
+        ai = np.repeat(np.arange(s, e, dtype=np.int64), c)
+        bi = (np.arange(t, dtype=np.int64)
+              - np.repeat(np.cumsum(c) - c, c)
+              + np.repeat(starts[s:e], c))
+        yield ai, bi
+
+
 # forward-neighbor offsets: (0,0) plus the 4 cells lexicographically after
 # it — every unordered cross-cell pair is probed from exactly one side
 _FWD = ((0, 0), (1, 0), (-1, 1), (0, 1), (1, 1))
@@ -216,27 +248,27 @@ def radius_pairs(sf_dir: str, eps1e4: int = 30000, n_parts: int = 64):
         hlat = h["lat"].to_numpy(zero_copy_only=False)[order]
         hlng = h["lng"].to_numpy(zero_copy_only=False)[order]
         ac = a["ckey"].to_numpy(zero_copy_only=False)
+        a_key = a["key"].to_numpy(zero_copy_only=False)
+        a_lat = a["lat"].to_numpy(zero_copy_only=False)
+        a_lng = a["lng"].to_numpy(zero_copy_only=False)
         starts = np.searchsorted(hc, ac, side="left")
         ends = np.searchsorted(hc, ac, side="right")
-        cnt = ends - starts
-        tot = int(cnt.sum())
-        if tot == 0:
+        outs = []
+        for ai, bi in _expand_pairs_chunked(starts, ends):
+            ak, alat, alng = a_key[ai], a_lat[ai], a_lng[ai]
+            bk, blat, blng = hk[bi], hlat[bi], hlng[bi]
+            d2 = (alat - blat) ** 2 + (alng - blng) ** 2
+            # same home cell ⇒ both probe directions exist: keep ak < bk;
+            # cross-cell ⇒ single direction: keep ak != bk and normalize
+            same = ((alng + LNG_OFF) // eps == (blng + LNG_OFF) // eps) \
+                & ((alat + LAT_OFF) // eps == (blat + LAT_OFF) // eps)
+            keep = (d2 <= eps2) & np.where(same, ak < bk, ak != bk)
+            outs.append((ak[keep], bk[keep], d2[keep]))
+        if not outs:
             return empty
-        ai = np.repeat(np.arange(len(ac), dtype=np.int64), cnt)
-        bi = (np.repeat(starts, cnt)
-              + np.arange(tot, dtype=np.int64)
-              - np.repeat(np.cumsum(cnt) - cnt, cnt))
-        ak = a["key"].to_numpy(zero_copy_only=False)[ai]
-        alat = a["lat"].to_numpy(zero_copy_only=False)[ai]
-        alng = a["lng"].to_numpy(zero_copy_only=False)[ai]
-        bk, blat, blng = hk[bi], hlat[bi], hlng[bi]
-        d2 = (alat - blat) ** 2 + (alng - blng) ** 2
-        # same home cell ⇒ both probe directions exist: keep ak < bk;
-        # cross-cell ⇒ single direction: keep ak != bk and normalize
-        same = ((alng + LNG_OFF) // eps == (blng + LNG_OFF) // eps) \
-            & ((alat + LAT_OFF) // eps == (blat + LAT_OFF) // eps)
-        keep = (d2 <= eps2) & np.where(same, ak < bk, ak != bk)
-        ak, bk, d2 = ak[keep], bk[keep], d2[keep]
+        ak = np.concatenate([o[0] for o in outs])
+        bk = np.concatenate([o[1] for o in outs])
+        d2 = np.concatenate([o[2] for o in outs])
         lo = np.minimum(ak, bk)
         hi = np.maximum(ak, bk)
         return pa.table({
@@ -380,132 +412,16 @@ def nearest_neighbor_within(sf_dir: str, eps1e4: int = 80000,
     (partition, point)), and a second coarse shuffle over those partials
     finishes the argmin. Two shuffles total, both over rows bounded by
     the point count; candidates never leave their partition."""
-    eps = np.int64(eps1e4)
-    eps2 = eps * eps
-    ncy = np.int64(WORLD_Y // eps1e4 + 4)
+    # k=1 of the generalized kNN pipeline (identical cell bucketing,
+    # partial argmins and tie order — `test_knn_within_k1_matches_argmin
+    # _join` pins the equivalence), minus the rank column. One
+    # implementation to maintain instead of two.
+    out = knn_within(sf_dir, eps1e4=eps1e4, k=1, n_parts=n_parts)
 
-    def prep(b: pa.Table):
-        lat = b["lat1e4"].to_numpy(zero_copy_only=False)
-        lng = b["lng1e4"].to_numpy(zero_copy_only=False)
-        key = (b["doc_id"].to_numpy(zero_copy_only=False) * 4
-               + b["span_idx"].to_numpy(zero_copy_only=False))
-        cx = (lng + LNG_OFF) // eps
-        cy = (lat + LAT_OFF) // eps
-        return key, lat, lng, cx, cy
+    def drop_rank(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["rank"])
 
-    def probe(b: pa.Table) -> pa.Table:
-        key, lat, lng, cx, cy = prep(b)
-        ks, lats, lngs, cks = [], [], [], []
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                ks.append(key)
-                lats.append(lat)
-                lngs.append(lng)
-                cks.append((cx + dx) * ncy + (cy + dy))
-        n = len(key) * 9
-        return pa.table({
-            "ckey": pa.array(np.concatenate(cks), type=pa.int64()),
-            "key": pa.array(np.concatenate(ks), type=pa.int64()),
-            "lat": pa.array(np.concatenate(lats), type=pa.int64()),
-            "lng": pa.array(np.concatenate(lngs), type=pa.int64()),
-            "side": pa.array(np.zeros(n, dtype=np.int8)),
-        })
-
-    def home(b: pa.Table) -> pa.Table:
-        key, lat, lng, cx, cy = prep(b)
-        return pa.table({
-            "ckey": pa.array(cx * ncy + cy, type=pa.int64()),
-            "key": pa.array(key, type=pa.int64()),
-            "lat": pa.array(lat, type=pa.int64()),
-            "lng": pa.array(lng, type=pa.int64()),
-            "side": pa.array(np.ones(len(key), dtype=np.int8)),
-        })
-
-    pts = geo_points_int(sf_dir)
-    both = pts.map_batches(probe, batch_format="pyarrow") \
-        .union(pts.map_batches(home, batch_format="pyarrow"))
-
-    partial_schema = ("key", "nn_key", "nn_d2")
-    empty = pa.table({c: pa.array([], type=pa.int64())
-                      for c in partial_schema})
-
-    def add_part(b: pa.Table) -> pa.Table:
-        part = _part_of(b["ckey"].to_numpy(zero_copy_only=False), n_parts)
-        return b.append_column("_part", pa.array(part))
-
-    def per_part(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return empty
-        g = g.drop_columns(["_part"])
-        side = g["side"].to_numpy(zero_copy_only=False)
-        a = g.filter(pa.array(side == 0))
-        h = g.filter(pa.array(side == 1))
-        if a.num_rows == 0 or h.num_rows == 0:
-            return empty
-        hc = h["ckey"].to_numpy(zero_copy_only=False)
-        order = np.argsort(hc, kind="stable")
-        hc = hc[order]
-        hk = h["key"].to_numpy(zero_copy_only=False)[order]
-        hlat = h["lat"].to_numpy(zero_copy_only=False)[order]
-        hlng = h["lng"].to_numpy(zero_copy_only=False)[order]
-        ac = a["ckey"].to_numpy(zero_copy_only=False)
-        starts = np.searchsorted(hc, ac, side="left")
-        ends = np.searchsorted(hc, ac, side="right")
-        cnt = ends - starts
-        tot = int(cnt.sum())
-        if tot == 0:
-            return empty
-        ai = np.repeat(np.arange(len(ac), dtype=np.int64), cnt)
-        bi = (np.repeat(starts, cnt)
-              + np.arange(tot, dtype=np.int64)
-              - np.repeat(np.cumsum(cnt) - cnt, cnt))
-        ak = a["key"].to_numpy(zero_copy_only=False)[ai]
-        alat = a["lat"].to_numpy(zero_copy_only=False)[ai]
-        alng = a["lng"].to_numpy(zero_copy_only=False)[ai]
-        bk, blat, blng = hk[bi], hlat[bi], hlng[bi]
-        d2 = (alat - blat) ** 2 + (alng - blng) ** 2
-        keep = (d2 <= eps2) & (ak != bk)
-        ak, bk, d2 = ak[keep], bk[keep], d2[keep]
-        if len(ak) == 0:
-            return empty
-        o = np.lexsort((bk, d2, ak))
-        ak, bk, d2 = ak[o], bk[o], d2[o]
-        first = np.r_[True, ak[1:] != ak[:-1]]
-        return pa.table({"key": pa.array(ak[first]),
-                         "nn_key": pa.array(bk[first]),
-                         "nn_d2": pa.array(d2[first])})
-
-    partials = both.map_batches(add_part, batch_format="pyarrow") \
-        .groupby("_part").map_groups(per_part, batch_format="pyarrow")
-
-    out_empty = pa.table({c: pa.array([], type=pa.int64())
-                          for c in ("doc_id", "span_idx", "nn_doc",
-                                    "nn_span", "nn_d2")})
-
-    def add_kpart(b: pa.Table) -> pa.Table:
-        part = _part_of(b["key"].to_numpy(zero_copy_only=False), n_parts)
-        return b.append_column("_part", pa.array(part))
-
-    def finish(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return out_empty
-        k = g["key"].to_numpy(zero_copy_only=False)
-        nk = g["nn_key"].to_numpy(zero_copy_only=False)
-        d2 = g["nn_d2"].to_numpy(zero_copy_only=False)
-        o = np.lexsort((nk, d2, k))
-        k, nk, d2 = k[o], nk[o], d2[o]
-        first = np.r_[True, k[1:] != k[:-1]]
-        k, nk, d2 = k[first], nk[first], d2[first]
-        return pa.table({
-            "doc_id": pa.array(k // 4, type=pa.int64()),
-            "span_idx": pa.array(k % 4, type=pa.int64()),
-            "nn_doc": pa.array(nk // 4, type=pa.int64()),
-            "nn_span": pa.array(nk % 4, type=pa.int64()),
-            "nn_d2": pa.array(d2, type=pa.int64()),
-        })
-
-    return partials.map_batches(add_kpart, batch_format="pyarrow") \
-        .groupby("_part").map_groups(finish, batch_format="pyarrow")
+    return out.map_batches(drop_rank, batch_format="pyarrow")
 
 
 def tile_counts_xy(sf_dir: str, level: int = 8):
@@ -549,7 +465,10 @@ def tile_density_smooth(sf_dir: str, level: int = 8):
     from ray.data.aggregate import Sum
 
     n = 1 << level
-    tiles = tile_counts_xy(sf_dir, level)
+    # materialized: consumed twice (the scatter lineage AND the driver
+    # fold below) — without this the point scan + rollup re-execute per
+    # consumer. Grid-bounded (≤ 4^level rows), so the blocks are tiny.
+    tiles = tile_counts_xy(sf_dir, level).materialize()
 
     def scatter(b: pa.Table) -> pa.Table:
         tk = b["tkey"].to_numpy(zero_copy_only=False)
@@ -692,27 +611,27 @@ def points_in_doc_boxes(sf_dir: str, cell: int = 65536, n_parts: int = 64):
         px = pt["xlo"].to_numpy(zero_copy_only=False)[order]
         py = pt["ylo"].to_numpy(zero_copy_only=False)[order]
         bc = bx["ckey"].to_numpy(zero_copy_only=False)
+        b_id = bx["id"].to_numpy(zero_copy_only=False)
+        b_xlo = bx["xlo"].to_numpy(zero_copy_only=False)
+        b_xhi = bx["xhi"].to_numpy(zero_copy_only=False)
+        b_ylo = bx["ylo"].to_numpy(zero_copy_only=False)
+        b_yhi = bx["yhi"].to_numpy(zero_copy_only=False)
         starts = np.searchsorted(pc_, bc, side="left")
         ends = np.searchsorted(pc_, bc, side="right")
-        cnt = ends - starts
-        tot = int(cnt.sum())
-        if tot == 0:
+        outs = []
+        for ai, pi in _expand_pairs_chunked(starts, ends):
+            x, y, k = px[pi], py[pi], pk[pi]
+            keep = (b_xlo[ai] <= x) & (x <= b_xhi[ai]) \
+                & (b_ylo[ai] <= y) & (y <= b_yhi[ai])
+            outs.append((b_id[ai][keep], k[keep]))
+        if not outs:
             return empty
-        ai = np.repeat(np.arange(len(bc), dtype=np.int64), cnt)
-        pi = (np.repeat(starts, cnt)
-              + np.arange(tot, dtype=np.int64)
-              - np.repeat(np.cumsum(cnt) - cnt, cnt))
-        bid = bx["id"].to_numpy(zero_copy_only=False)[ai]
-        xlo = bx["xlo"].to_numpy(zero_copy_only=False)[ai]
-        xhi = bx["xhi"].to_numpy(zero_copy_only=False)[ai]
-        ylo = bx["ylo"].to_numpy(zero_copy_only=False)[ai]
-        yhi = bx["yhi"].to_numpy(zero_copy_only=False)[ai]
-        x, y, k = px[pi], py[pi], pk[pi]
-        keep = (xlo <= x) & (x <= xhi) & (ylo <= y) & (y <= yhi)
+        bid = np.concatenate([o[0] for o in outs])
+        k = np.concatenate([o[1] for o in outs])
         return pa.table({
-            "box_doc": pa.array(bid[keep], type=pa.int64()),
-            "pt_doc": pa.array(k[keep] // 4, type=pa.int64()),
-            "pt_span": pa.array(k[keep] % 4, type=pa.int64()),
+            "box_doc": pa.array(bid, type=pa.int64()),
+            "pt_doc": pa.array(k // 4, type=pa.int64()),
+            "pt_span": pa.array(k % 4, type=pa.int64()),
         })
 
     return both.map_batches(add_part, batch_format="pyarrow") \
@@ -822,6 +741,10 @@ def segment_box_hits(sf_dir: str, cell: int = 225000, n_parts: int = 64):
         key = (b["seg_doc"].to_numpy(zero_copy_only=False) * 4
                + b["seg_j"].to_numpy(zero_copy_only=False))
         ri, col, cy = _segment_cell_cover(x1, y1, x2, y2, c)
+        # CAVEAT: the union with rep_boxes forces the shared xlo/../yhi
+        # schema, but on the SEGMENT side these are endpoints (x sorted
+        # ascending by doc_segments; y1 > y2 is common) — NOT intervals.
+        # per_part re-derives min/max where an interval is needed.
         return pa.table({
             "ckey": pa.array(col * ncy + cy, type=pa.int64()),
             "id": pa.array(key[ri], type=pa.int64()),
@@ -893,34 +816,37 @@ def segment_box_hits(sf_dir: str, cell: int = 225000, n_parts: int = 64):
         bylo = bx["ylo"].to_numpy(zero_copy_only=False)[order]
         byhi = bx["yhi"].to_numpy(zero_copy_only=False)[order]
         sc = sg["ckey"].to_numpy(zero_copy_only=False)
+        s_id = sg["id"].to_numpy(zero_copy_only=False)
+        s_x1 = sg["xlo"].to_numpy(zero_copy_only=False)
+        s_x2 = sg["xhi"].to_numpy(zero_copy_only=False)
+        s_y1 = sg["ylo"].to_numpy(zero_copy_only=False)
+        s_y2 = sg["yhi"].to_numpy(zero_copy_only=False)
         starts = np.searchsorted(bc, sc, side="left")
         ends = np.searchsorted(bc, sc, side="right")
-        cnt = ends - starts
-        tot = int(cnt.sum())
-        if tot == 0:
+        outs = []
+        for ai, bi in _expand_pairs_chunked(starts, ends):
+            k = s_id[ai]
+            x1, x2 = s_x1[ai], s_x2[ai]
+            y1, y2 = s_y1[ai], s_y2[ai]
+            xlo, xhi = bxlo[bi], bxhi[bi]
+            ylo, yhi = bylo[bi], byhi[bi]
+            keep = (x1 <= xhi) & (x2 >= xlo) \
+                & (np.minimum(y1, y2) <= yhi) \
+                & (np.maximum(y1, y2) >= ylo)
+            dx, dy = x2 - x1, y2 - y1
+            cmin = None
+            cmax = None
+            for cx, cy in ((xlo, ylo), (xlo, yhi), (xhi, ylo),
+                           (xhi, yhi)):
+                cr = dx * (cy - y1) - dy * (cx - x1)
+                cmin = cr if cmin is None else np.minimum(cmin, cr)
+                cmax = cr if cmax is None else np.maximum(cmax, cr)
+            keep &= (cmin <= 0) & (cmax >= 0)
+            outs.append((k[keep], bid[bi][keep]))
+        if not outs:
             return empty
-        ai = np.repeat(np.arange(len(sc), dtype=np.int64), cnt)
-        bi = (np.repeat(starts, cnt)
-              + np.arange(tot, dtype=np.int64)
-              - np.repeat(np.cumsum(cnt) - cnt, cnt))
-        k = sg["id"].to_numpy(zero_copy_only=False)[ai]
-        x1 = sg["xlo"].to_numpy(zero_copy_only=False)[ai]
-        x2 = sg["xhi"].to_numpy(zero_copy_only=False)[ai]
-        y1 = sg["ylo"].to_numpy(zero_copy_only=False)[ai]
-        y2 = sg["yhi"].to_numpy(zero_copy_only=False)[ai]
-        xlo, xhi = bxlo[bi], bxhi[bi]
-        ylo, yhi = bylo[bi], byhi[bi]
-        keep = (x1 <= xhi) & (x2 >= xlo) \
-            & (np.minimum(y1, y2) <= yhi) & (np.maximum(y1, y2) >= ylo)
-        dx, dy = x2 - x1, y2 - y1
-        cmin = None
-        cmax = None
-        for cx, cy in ((xlo, ylo), (xlo, yhi), (xhi, ylo), (xhi, yhi)):
-            cr = dx * (cy - y1) - dy * (cx - x1)
-            cmin = cr if cmin is None else np.minimum(cmin, cr)
-            cmax = cr if cmax is None else np.maximum(cmax, cr)
-        keep &= (cmin <= 0) & (cmax >= 0)
-        k, bd = k[keep], bid[bi][keep]
+        k = np.concatenate([o[0] for o in outs])
+        bd = np.concatenate([o[1] for o in outs])
         # per-partition dedup (a pair can meet in ≤ 4 shared cells)
         u = np.unique(np.stack([k, bd], axis=1), axis=0)
         return pa.table({
@@ -1041,23 +967,28 @@ def knn_within(sf_dir: str, eps1e4: int = 80000, k: int = 3,
         hlat = h["lat"].to_numpy(zero_copy_only=False)[order]
         hlng = h["lng"].to_numpy(zero_copy_only=False)[order]
         ac = a["ckey"].to_numpy(zero_copy_only=False)
+        a_key = a["key"].to_numpy(zero_copy_only=False)
+        a_lat = a["lat"].to_numpy(zero_copy_only=False)
+        a_lng = a["lng"].to_numpy(zero_copy_only=False)
         starts = np.searchsorted(hc, ac, side="left")
         ends = np.searchsorted(hc, ac, side="right")
-        cnt = ends - starts
-        tot = int(cnt.sum())
-        if tot == 0:
+        outs = []
+        for ai, bi in _expand_pairs_chunked(starts, ends):
+            ak, alat, alng = a_key[ai], a_lat[ai], a_lng[ai]
+            bk, blat, blng = hk[bi], hlat[bi], hlng[bi]
+            d2 = (alat - blat) ** 2 + (alng - blng) ** 2
+            keep = (d2 <= eps2) & (ak != bk)
+            # contract each chunk to its per-key top-k before
+            # accumulating — top-k is a combiner (the global top-k is a
+            # subset of the union of per-chunk top-ks), so the final
+            # _topk over the concatenation below is exact even when one
+            # key's probe rows land in different chunks
+            outs.append(_topk(ak[keep], bk[keep], d2[keep], k))
+        if not outs:
             return empty
-        ai = np.repeat(np.arange(len(ac), dtype=np.int64), cnt)
-        bi = (np.repeat(starts, cnt)
-              + np.arange(tot, dtype=np.int64)
-              - np.repeat(np.cumsum(cnt) - cnt, cnt))
-        ak = a["key"].to_numpy(zero_copy_only=False)[ai]
-        alat = a["lat"].to_numpy(zero_copy_only=False)[ai]
-        alng = a["lng"].to_numpy(zero_copy_only=False)[ai]
-        bk, blat, blng = hk[bi], hlat[bi], hlng[bi]
-        d2 = (alat - blat) ** 2 + (alng - blng) ** 2
-        keep = (d2 <= eps2) & (ak != bk)
-        ak, bk, d2 = _topk(ak[keep], bk[keep], d2[keep], k)
+        ak, bk, d2 = _topk(np.concatenate([o[0] for o in outs]),
+                           np.concatenate([o[1] for o in outs]),
+                           np.concatenate([o[2] for o in outs]), k)
         return pa.table({"key": pa.array(ak), "nn_key": pa.array(bk),
                          "nn_d2": pa.array(d2)})
 
@@ -1553,25 +1484,9 @@ def route_crossings(sf_dir: str, cell: int = 56250, n_parts: int = 64):
         # crosses ~4M and run the filter cascade per slice. Peak memory
         # is O(chunk + one element's run), independent of cell density.
         run_end = np.searchsorted(ck, ck, side="right")
-        partners = run_end - np.arange(n) - 1
-        cum = np.cumsum(partners)
-        tot = int(cum[-1]) if n else 0
-        if tot == 0:
-            return empty
-        chunk = 4_000_000
-        cuts = np.searchsorted(cum, np.arange(chunk, tot, chunk),
-                               side="left") + 1
-        el_bounds = np.unique(np.r_[0, cuts, n])
+        starts = np.arange(1, n + 1, dtype=np.int64)  # i pairs with i+1..
         outs: list = []
-        for s, e in zip(el_bounds[:-1], el_bounds[1:]):
-            p_slice = partners[s:e]
-            t = int(p_slice.sum())
-            if t == 0:
-                continue
-            ai = np.repeat(np.arange(s, e, dtype=np.int64), p_slice)
-            bi = (np.arange(t, dtype=np.int64)
-                  - np.repeat(np.cumsum(p_slice) - p_slice, p_slice)
-                  + ai + 1)
+        for ai, bi in _expand_pairs_chunked(starts, run_end):
             ka, kb = key[ai], key[bi]
             keep0 = (ka // 4) != (kb // 4)  # cross-doc only
             ai, bi = ai[keep0], bi[keep0]
@@ -1699,7 +1614,11 @@ def points_snap_segment(sf_dir: str, snap1e4: int = 1000,
     argmins (<= 1 row per partition × point) meet in a second coarse
     shuffle. Candidates never leave their partition; duplicate
     candidates from shared cells are harmless under argmin."""
-    assert cell >= snap1e4, "9-cell probe needs cell >= snap radius"
+    # STRICT: the quantized keep (floor(d²) <= r²) admits true distances
+    # up to sqrt(r²+1), so the 9-neighborhood coverage proof needs
+    # cell >= r+1 — cell == r exactly could miss a boundary-sitting
+    # point whose foot lands two rows away
+    assert cell > snap1e4, "9-cell probe needs cell > snap radius"
     c = np.int64(cell)
     r2 = np.int64(snap1e4) * np.int64(snap1e4)
     ncy = np.int64(WORLD_Y // cell + 4)
@@ -1778,31 +1697,37 @@ def points_snap_segment(sf_dir: str, snap1e4: int = 1000,
         sx2 = s["x2"].to_numpy(zero_copy_only=False)[order]
         sy2 = s["y2"].to_numpy(zero_copy_only=False)[order]
         pc = p["ckey"].to_numpy(zero_copy_only=False)
+        p_key = p["key"].to_numpy(zero_copy_only=False)
+        p_x = p["x1"].to_numpy(zero_copy_only=False)
+        p_y = p["y1"].to_numpy(zero_copy_only=False)
         starts = np.searchsorted(sc, pc, side="left")
         ends = np.searchsorted(sc, pc, side="right")
-        cnt = ends - starts
-        tot = int(cnt.sum())
-        if tot == 0:
+        outs = []
+        for ai, bi in _expand_pairs_chunked(starts, ends):
+            pk, px, py = p_key[ai], p_x[ai], p_y[ai]
+            skk = sk[bi]
+            keep0 = (pk // 4) != (skk // 4)  # cross-doc only
+            pk, px, py, skk, bi = pk[keep0], px[keep0], py[keep0], \
+                skk[keep0], bi[keep0]
+            if len(pk) == 0:
+                continue
+            d2q = _point_segment_d2q(px, py, sx1[bi], sy1[bi],
+                                     sx2[bi], sy2[bi])
+            keep = d2q <= r2
+            # per-chunk partial argmin (argmin is a combiner; the final
+            # lexsort-first below stays exact across chunks)
+            pk, skk, d2q = pk[keep], skk[keep], d2q[keep]
+            if len(pk) == 0:
+                continue
+            o = np.lexsort((skk, d2q, pk))
+            pk, skk, d2q = pk[o], skk[o], d2q[o]
+            first = np.r_[True, pk[1:] != pk[:-1]]
+            outs.append((pk[first], skk[first], d2q[first]))
+        if not outs:
             return empty
-        ai = np.repeat(np.arange(len(pc), dtype=np.int64), cnt)
-        bi = (np.repeat(starts, cnt)
-              + np.arange(tot, dtype=np.int64)
-              - np.repeat(np.cumsum(cnt) - cnt, cnt))
-        pk = p["key"].to_numpy(zero_copy_only=False)[ai]
-        px = p["x1"].to_numpy(zero_copy_only=False)[ai]
-        py = p["y1"].to_numpy(zero_copy_only=False)[ai]
-        skk = sk[bi]
-        keep0 = (pk // 4) != (skk // 4)  # cross-doc only
-        pk, px, py, skk, bi = pk[keep0], px[keep0], py[keep0], \
-            skk[keep0], bi[keep0]
-        if len(pk) == 0:
-            return empty
-        d2q = _point_segment_d2q(px, py, sx1[bi], sy1[bi],
-                                 sx2[bi], sy2[bi])
-        keep = d2q <= r2
-        pk, skk, d2q = pk[keep], skk[keep], d2q[keep]
-        if len(pk) == 0:
-            return empty
+        pk = np.concatenate([o[0] for o in outs])
+        skk = np.concatenate([o[1] for o in outs])
+        d2q = np.concatenate([o[2] for o in outs])
         o = np.lexsort((skk, d2q, pk))
         pk, skk, d2q = pk[o], skk[o], d2q[o]
         first = np.r_[True, pk[1:] != pk[:-1]]
