@@ -387,3 +387,83 @@ def test_zscore_join_fallback_equals_broadcast(ray_session, monkeypatch):
         .sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         broad, joined[broad.columns.tolist()], check_exact=True)
+
+
+def test_grouped_stats_null_string_group_key(ray_session):
+    """Null STRING group keys crashed Ray's sort-based groupby (TypeError
+    None < str) — the merge now runs inside hash partitions of the key
+    (review-found). Null forms its own group, like SQL GROUP BY."""
+    tbl = pa.table({
+        "g": pa.array(["a", None, "a", None, "b", "a"]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 7.0]),
+    })
+    got = grouped_stats(_ds(tbl, blocks=3), "g", "value").to_pandas()
+    got = got.sort_values("g", na_position="last").reset_index(drop=True)
+    con = _con(tbl)
+    want = con.execute("""
+        SELECT g, count(*) AS n,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                   AS sum_c
+        FROM t GROUP BY g ORDER BY g NULLS LAST""").df()
+    assert got["g"].where(got["g"].notna(), None).tolist() \
+        == want["g"].where(want["g"].notna(), None).tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["sum_c"].tolist() == want["sum_c"].tolist()
+
+
+def test_pivot_counts_null_string_key(ray_session):
+    """Same null-string-key hazard for pivot_counts (review-found)."""
+    tbl = pa.table({
+        "url": pa.array(["u1", None, "u1", None, "u2"]),
+        "etype": pa.array(["click", "view", "view", "click", "click"]),
+    })
+    got = pivot_counts(_ds(tbl, blocks=2), "url", "etype",
+                       ["click", "view"]).to_pandas() \
+        .sort_values("url", na_position="last").reset_index(drop=True)
+    assert got["url"].where(got["url"].notna(), None).tolist() \
+        == ["u1", "u2", None]
+    assert got["click"].tolist() == [1, 1, 1]
+    assert got["view"].tolist() == [1, 0, 1]
+
+
+def test_zscore_null_group_same_on_both_plans(ray_session, monkeypatch):
+    """The broadcast path's pc.index_in matches null group keys to the
+    null-group stats row; the hash-join path dropped them to NULL —
+    plan-divergent semantics (review-found). Both plans now normalize
+    null-group rows against the null group's own stats."""
+    import timezonemap_ray.stages.agg as agg_mod
+    from timezonemap_ray.stages.agg import zscore_by_group
+    tbl = pa.table({
+        "g": pa.array(["a", "a", None, None, None, "b", "b"]),
+        "value": pa.array([1.0, 3.0, 10.0, 20.0, 40.0, 5.0, 9.0]),
+    })
+    a = zscore_by_group(_ds(tbl, blocks=3), "g", "value").to_pandas() \
+        .sort_values(["value"]).reset_index(drop=True)
+    monkeypatch.setattr(agg_mod, "BROADCAST_STATS_MAX", 0)
+    b = zscore_by_group(_ds(tbl, blocks=3), "g", "value").to_pandas() \
+        .sort_values(["value"]).reset_index(drop=True)
+    assert np.allclose(a["zscore"].to_numpy(), b["zscore"].to_numpy(),
+                       equal_nan=True)
+    # and the null-group rows really are normalized (not NULL)
+    an = a[a["g"].isna()]["zscore"]
+    assert an.notna().all()
+
+
+def test_grouped_ohlc_string_group_schema(ray_session):
+    """The empty-batch fold branch hardcoded int64/timestamp[us] types,
+    emitting schema-divergent empty blocks for string groups
+    (review-found) — now derived from the input."""
+    from timezonemap_ray.stages.agg import grouped_ohlc
+    tbl = pa.table({
+        "sym": pa.array(["x", "y", "x", None]),
+        "ts": pa.array([3, 1, 2, 9], type=pa.int64()),
+        "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0, None]),
+    })
+    got = grouped_ohlc(_ds(tbl, blocks=4), "sym", "ts", "event_id",
+                       "value").to_pandas() \
+        .sort_values("sym").reset_index(drop=True)
+    assert got["sym"].tolist() == ["x", "y"]
+    assert got["open"].tolist() == [3.0, 2.0]   # x: ts 2 first
+    assert got["close"].tolist() == [1.0, 2.0]  # x: ts 3 last
+    assert got["n"].tolist() == [2, 1]

@@ -406,3 +406,79 @@ def test_asof_join_time_salted_timestamp_columns(ray_session):
     width = max(1, (hi - lo) // 4 + 1)
     bkt = np.clip((_tv_ns_i8(lt) - lo) // width, 0, 3)
     assert len(np.unique(bkt)) > 1
+
+
+def test_range_join_int64_exact_above_2_53(ray_session):
+    """Integer bounds must not round through float64: at ns-epoch
+    magnitudes a value 2 below an interval start has the same float64 as
+    the start and was mislabeled inside (review-found)."""
+    import ray.data as rd
+    lo = 1_700_000_000_000_000_000
+    ds = rd.from_arrow(pa.table({"v": pa.array(
+        [lo - 2, lo, lo + 5], type=pa.int64())}))
+    out = range_join(ds, lows=[lo], highs=[lo + 10], labels=["in"],
+                     value_col="v").to_pandas().sort_values("v")
+    got = out["bucket"].astype("object") \
+        .where(out["bucket"].notna(), None).tolist()
+    assert got == [None, "in", "in"]
+
+
+def test_range_join_zero_width_interval_accepted(ray_session):
+    """A zero-width [5,5) sharing its lo with [5,8) overlaps nothing but
+    was spuriously rejected when argsort put it second (review-found:
+    lexsort by (lo, hi) fixes the tie order)."""
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"v": [5.0, 6.0, 9.0]}))
+    out = range_join(ds, lows=[5, 5], highs=[8, 5], labels=["b", "a"],
+                     value_col="v").to_pandas().sort_values("v")
+    got = out["bucket"].astype("object") \
+        .where(out["bucket"].notna(), None).tolist()
+    assert got == ["b", "b", None]
+
+
+def test_asof_join_null_keys_never_match(ray_session):
+    """pd.merge_asof by-groups never match null keys; the dictionary
+    index NaN->int64 cast made nulls match EACH OTHER (review-found).
+    Null-key left rows stay in the output with null values."""
+    import ray.data as rd
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", None, "a"]),
+        "t": pa.array([10, 10, 5], type=pa.int64()),
+        "lid": pa.array([0, 1, 2], type=pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["a", None]),
+        "t": pa.array([7, 1], type=pa.int64()),
+        "val": pa.array(["r-a", "r-null"]),
+    }))
+    out = asof_join(left, right, key="k", right_key="k", on="t",
+                    right_on="t", value_cols=["val"]).to_pandas() \
+        .sort_values("lid").reset_index(drop=True)
+    assert out["val"].where(out["val"].notna(), None).tolist() \
+        == ["r-a", None, None]
+
+
+def test_bloom_semi_join_rejects_unknown_mode(ray_session):
+    """bloom_semi_join silently fell through to the shuffle plan on a
+    typo'd mode while bloom_anti_join raised (review-found)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.join import bloom_semi_join
+    fact = rd.from_arrow(pa.table({"k": [1, 2]}))
+    keys = rd.from_arrow(pa.table({"k": [1]}))
+    with pytest.raises(ValueError, match="unknown exact mode"):
+        bloom_semi_join(fact, keys, "k", exact="broadcst")
+
+
+def test_broadcast_lookup_null_dim_key_gives_null(ray_session):
+    """A null dimension key must not capture null fact keys
+    (review-found: pc.index_in's default semantics match null->null)."""
+    import ray.data as rd
+    from timezonemap_ray.stages.join import broadcast_lookup
+    fact = rd.from_arrow(pa.table({"k": pa.array([1, None, 2])}))
+    dim = pa.table({"k": pa.array([1, None], type=pa.int64()),
+                    "name": pa.array(["one", "NULLROW"])})
+    out = broadcast_lookup(fact, dim, key="k", small_key="k",
+                           value_cols=["name"]).to_pandas()
+    vals = out.sort_values("k", na_position="last")["name"] \
+        .where(lambda s: s.notna(), None).tolist()
+    assert vals == ["one", None, None]

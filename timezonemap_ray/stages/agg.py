@@ -90,6 +90,46 @@ def latest_per_group(ds, group_col: str, order_cols: list,
         .groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
 
+def _null_safe_grouped_sum(partials, group_col: str, sum_cols: list,
+                           n_parts: int = 64):
+    """``groupby(group_col).Sum(sum_cols)`` with SQL null-group
+    semantics: Ray's sort-based groupby crashes on null keys (TypeError
+    comparing None against the key type — review-found; the partials
+    deliberately EMIT a null-group row because null is a legitimate SQL
+    group), so partial rows merge inside coarse hash partitions of the
+    key instead (`select.group_row_counts`' pattern). Sums are exact
+    int64 (stable argsort + add.reduceat — never float bincount weights,
+    whose 2^53 window the partials may already exceed)."""
+    from .select import _group_codes
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_part", pa.array(_hash_part_of(b[group_col], n_parts)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return pa.table(
+                {group_col: pa.array([], type=g[group_col].type),
+                 **{c: pa.array([], type=pa.int64()) for c in sum_cols}})
+        codes, dict_vals = _group_codes(g[group_col])
+        order = np.argsort(codes, kind="stable")
+        cc = codes[order]
+        starts = np.flatnonzero(np.r_[True, cc[1:] != cc[:-1]])
+        sel = cc[starts]
+        vals = [dict_vals[c].as_py() if c < len(dict_vals) else None
+                for c in sel]
+        out = {group_col: pa.array(vals, type=g[group_col].type)}
+        for c in sum_cols:
+            v = g[c].to_numpy(zero_copy_only=False)[order]
+            out[c] = pa.array(np.add.reduceat(v, starts)
+                              .astype(np.int64))
+        return pa.table(out)
+
+    return partials.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(merge, batch_format="pyarrow")
+
+
 def grouped_stats(ds, group_col: str, value_col: str, scale: float = 100.0,
                   n_parts: int = 64):
     """Per-group count / integer sum / integer sum-of-squares (+ derived
@@ -101,7 +141,6 @@ def grouped_stats(ds, group_col: str, value_col: str, scale: float = 100.0,
     CTE). std is the population σ of the SCALED values divided back by
     ``scale`` (σ is shift/scale-covariant, so this equals σ of the rounded
     values exactly)."""
-    from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
         v = b[value_col]
@@ -153,11 +192,9 @@ def grouped_stats(ds, group_col: str, value_col: str, scale: float = 100.0,
             "sum_c": pa.array(s[present].astype(np.int64)),
             "sumsq_c": pa.array(sq[present].astype(np.int64))})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(group_col).aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sum_c", alias_name="sum_c"),
-            Sum("sumsq_c", alias_name="sumsq_c"))
+    agg = _null_safe_grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        group_col, ["n", "sum_c", "sumsq_c"])
 
     def finish(b: pa.Table) -> pa.Table:
         n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -183,8 +220,6 @@ def pivot_counts(ds, key_col: str, pivot_col: str, categories: list,
     Per-block combiner: one flat bincount over
     ``key_code × n_cat + cat_code`` — a single vectorized pass, then the
     groupby sums wide partial rows (≤ keys-per-block rows per block)."""
-    from ray.data.aggregate import Sum
-
     categories = list(categories)
     cat_arr = pa.array(categories, type=pa.string())
     ncat = len(categories)
@@ -213,9 +248,9 @@ def pivot_counts(ds, key_col: str, pivot_col: str, categories: list,
             cols[c] = pa.array(counts[present, j].astype(np.int64))
         return pa.table(cols)
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(key_col).aggregate(
-            *[Sum(c, alias_name=c) for c in categories])
+    return _null_safe_grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_col, categories, n_parts=n_parts)
 
 
 def rollup_agg(ds, cols: list, value_col: str | None = None,
@@ -315,13 +350,20 @@ def grouped_ohlc(ds, group_col: str, ts_col: str, id_col: str,
 
     def fold(t: pa.Table, pre_folded: bool) -> pa.Table:
         if t.num_rows == 0:
+            # derive the empty schema from the INPUT types (hardcoding
+            # int64/timestamp[us] emitted schema-divergent empty blocks
+            # for string groups or second-resolution timestamps —
+            # review-found)
+            gty = t[group_col].type
+            tty = t["_ots" if pre_folded else ts_col].type
+            ity = t["_oid" if pre_folded else id_col].type
             return pa.table({
-                group_col: pa.array([], type=pa.int64()),
-                "_ots": pa.array([], type=pa.timestamp("us")),
-                "_oid": pa.array([], type=pa.int64()),
+                group_col: pa.array([], type=gty),
+                "_ots": pa.array([], type=tty),
+                "_oid": pa.array([], type=ity),
                 "open": pa.array([], type=pa.float64()),
-                "_cts": pa.array([], type=pa.timestamp("us")),
-                "_cid": pa.array([], type=pa.int64()),
+                "_cts": pa.array([], type=tty),
+                "_cid": pa.array([], type=ity),
                 "close": pa.array([], type=pa.float64()),
                 "high": pa.array([], type=pa.float64()),
                 "low": pa.array([], type=pa.float64()),
@@ -421,6 +463,16 @@ def zscore_by_group(ds, group_col: str, value_col: str,
         cpus = int(ray.cluster_resources().get("CPU", 8))
         joined = ds.join(_drop_empty_blocks(stats), join_type="left_outer",
                          num_partitions=max(2, cpus * 2), on=(group_col,))
+        # Ray's hash join never matches null keys, but the broadcast
+        # path's pc.index_in DOES (and SQL GROUP BY treats null as its
+        # own group) — fetch the at-most-one null-group stats row via a
+        # distributed filter and patch null-key rows after the join so
+        # both plans implement the same semantics (review-found
+        # divergence at the broadcast→join threshold).
+        null_rows = stats.map_batches(
+            lambda b: b.filter(pc.is_null(b[group_col])),
+            batch_format="pyarrow").take_all()
+        null_stats = (null_rows[0] if null_rows else None)
 
         def apply_joined(b: pa.Table) -> pa.Table:
             nf = pc.fill_null(b["n"], 0).to_numpy(zero_copy_only=False) \
@@ -430,6 +482,13 @@ def zscore_by_group(ds, group_col: str, value_col: str,
             sqf = pc.fill_null(b["sumsq_c"], 0) \
                 .to_numpy(zero_copy_only=False).astype(np.float64)
             have = pc.is_valid(b["n"]).to_numpy(zero_copy_only=False)
+            if null_stats is not None:
+                isnull = pc.is_null(b[group_col]) \
+                    .to_numpy(zero_copy_only=False)
+                nf = np.where(isnull, float(null_stats["n"]), nf)
+                sf = np.where(isnull, float(null_stats["sum_c"]), sf)
+                sqf = np.where(isnull, float(null_stats["sumsq_c"]), sqf)
+                have = have | isnull
             out = _z_apply(b, value_col, scale, nf, sf, sqf, have, out_col)
             return out.drop_columns(
                 [c for c in ("n", "sum_c", "sumsq_c", "mean", "std")

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -32,6 +33,11 @@ def broadcast_lookup(ds, small_table: pa.Table, key: str, small_key: str,
     value column — no per-row Python, nulls where the key has no match.
     Duplicate dim keys resolve to the FIRST occurrence (dim keys are unique
     in every use here)."""
+    # a null dim key would otherwise MATCH null fact keys (pc.index_in's
+    # default null semantics), contradicting the nulls-where-no-match
+    # contract above — drop it at build time (review-found; mirrors
+    # broadcast_semi_join's keys.drop_null())
+    small_table = small_table.filter(pc.is_valid(small_table[small_key]))
     payload = {
         "keys": small_table[small_key].combine_chunks(),
         "vals": {c: small_table[c].combine_chunks() for c in value_cols},
@@ -175,6 +181,10 @@ def bloom_semi_join(fact, keys_ds, key_col: str, keys_col: str | None = None,
         return b.filter(pa.array(keep))
 
     survivors = fact.map_batches(prefilter, batch_format="pyarrow")
+    if exact not in ("none", "broadcast", "shuffle"):
+        # fail fast like bloom_anti_join — a typo'd mode used to fall
+        # through silently into the full shuffle join (review-found)
+        raise ValueError(f"unknown exact mode {exact!r}")
     if exact == "none":
         return survivors
     if exact == "broadcast":
@@ -302,21 +312,40 @@ def range_join(ds, lows, highs, labels, value_col: str,
     batch, no shuffle. (Overlapping intervals would need the cell-cover
     pattern instead.)
     """
-    lows = np.asarray(lows, dtype=np.float64)
-    highs = np.asarray(highs, dtype=np.float64)
+    lows = np.asarray(lows)
+    highs = np.asarray(highs)
+    # integer bounds stay int64 end-to-end: float64 loses exactness above
+    # 2^53 (at ns-epoch magnitudes a value 2 below an interval start
+    # rounds ONTO it — review-found), so only degrade to float when the
+    # bounds themselves are fractional
+    int_mode = lows.dtype.kind in "iu" and highs.dtype.kind in "iu"
+    dt = np.int64 if int_mode else np.float64
+    lows = lows.astype(dt)
+    highs = highs.astype(dt)
     labels = list(labels)
-    order = np.argsort(lows)
+    # lexsort by (lo, hi): a zero-width [x, x) sharing its lo with a real
+    # interval must sort FIRST or the non-overlap check spuriously
+    # rejects valid input (review-found)
+    order = np.lexsort((highs, lows))
     lows, highs = lows[order], highs[order]
     labels = [labels[i] for i in order]
     if not (lows[1:] >= highs[:-1]).all():
         raise ValueError("range_join requires non-overlapping intervals")
-    payload_ref = ray.put({"lows": lows, "highs": highs, "labels": labels})
+    payload_ref = ray.put({"lows": lows, "highs": highs, "labels": labels,
+                           "int_mode": int_mode})
 
     def attach(b: pa.Table) -> pa.Table:
         p = ray.get(payload_ref)
-        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        i = np.searchsorted(p["lows"], v, side="right") - 1
-        valid = (i >= 0) & (v < p["highs"][np.clip(i, 0, None)])
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        if p["int_mode"] and v.dtype.kind in "iu":
+            v = v.astype(np.int64)
+            plo, phi = p["lows"], p["highs"]
+        else:
+            v = v.astype(np.float64)
+            plo = p["lows"].astype(np.float64)
+            phi = p["highs"].astype(np.float64)
+        i = np.searchsorted(plo, v, side="right") - 1
+        valid = (i >= 0) & (v < phi[np.clip(i, 0, None)])
         idx = pa.array(np.where(valid, i, 0).astype(np.int32), mask=~valid)
         col = pa.DictionaryArray.from_arrays(
             idx, pa.array(p["labels"], type=pa.string()))
@@ -479,9 +508,18 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
         side = g["_side"].to_numpy(zero_copy_only=False)
         lidx = np.flatnonzero(side == 0)
         ridx = np.flatnonzero(side == 1)
-        # shared key codes across both sides (any key type, incl. strings)
-        codes = g.column(key).chunk(0).dictionary_encode() \
-            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # shared key codes across both sides (any key type, incl.
+        # strings). Null keys NEVER match (pd.merge_asof / SQL ASOF
+        # semantics): a null dictionary index to_numpy's as NaN whose
+        # int64 cast is UB (INT64_MIN on both sides — nulls would match
+        # each other AND overflow the packed key; review-found), so
+        # null-key right rows leave the probe set and null-key left rows
+        # force-invalidate below.
+        karr = g.column(key).chunk(0)
+        null_key = pc.is_null(karr).to_numpy(zero_copy_only=False)
+        codes = pc.fill_null(karr.dictionary_encode().indices, -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ridx = ridx[~null_key[ridx]]
         tv = g.column(on).to_numpy(zero_copy_only=False)
         if tv.dtype.kind in "Mm":
             tv = tv.view("i8")
@@ -497,6 +535,7 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
         clamped = np.maximum(pos, 0)
         valid = (pos >= 0) & (pk_rs[clamped] // m == codes[lidx]) \
             if len(pk_rs) else np.zeros(len(lidx), dtype=bool)
+        valid = valid & ~null_key[lidx]
         match = ridx[ro][clamped] if len(pk_rs) else clamped
         # emit left rows time-ordered (the merge_asof output convention)
         lorder = np.argsort(rank[lidx], kind="stable")
@@ -519,8 +558,11 @@ def asof_join(left, right, key: str, right_key: str, on: str, right_on: str,
 
     def _last_per_key_bucket(b: pa.Table) -> pa.Table:
         """Keep the last right row per (key, bucket) of this batch — a
-        combiner: each batch contributes ≤ distinct(key,bucket) rows."""
-        b = b.filter(pc.equal(b["_side"], 1)).combine_chunks()
+        combiner: each batch contributes ≤ distinct(key,bucket) rows.
+        Null-key right rows drop here too (they can never match — see
+        merge_part)."""
+        b = b.filter(pc.and_(pc.equal(b["_side"], 1),
+                             pc.is_valid(b[key]))).combine_chunks()
         if b.num_rows == 0:
             return b
         codes = b.column(key).chunk(0).dictionary_encode() \
@@ -603,6 +645,10 @@ def interval_overlap_join(left, right, key_col: str, lo_col: str,
 
     def replicate(side: int):
         def fn(b: pa.Table) -> pa.Table:
+            # a null key can never join (SQL inner semantics) and its
+            # dictionary index would int64-cast through NaN downstream —
+            # drop those rows before replication
+            b = b.filter(pc.is_valid(b[key_col]))
             ids = b[left_id if side == 0 else right_id] \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
             lo = b[lo_col].to_numpy(zero_copy_only=False).astype(np.int64)
