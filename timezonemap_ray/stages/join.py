@@ -703,31 +703,48 @@ def interval_overlap_join(left, right, key_col: str, lo_col: str,
         lo = g["lo"].to_numpy(zero_copy_only=False)
         hi = g["hi"].to_numpy(zero_copy_only=False)
         side = g["side"].to_numpy(zero_copy_only=False)
-        out_l, out_r = [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s > max_run:
-                logging.getLogger(__name__).warning(
-                    "interval_overlap_join: run capped %d -> %d",
-                    e - s, max_run)
-                e = s + max_run
-            sl = slice(s, e)
-            ls = np.flatnonzero(side[sl] == 0) + s
-            rs = np.flatnonzero(side[sl] == 1) + s
-            if ls.size == 0 or rs.size == 0:
-                continue
-            b_val = bk[s]
-            for li in ls:
-                ov = (lo[li] < hi[rs]) & (lo[rs] < hi[li])
-                # exactly-once: emit only in the overlap's FIRST bucket
-                rep = (np.maximum(lo[li], lo[rs]) // bucket_width) == b_val
-                hit = rs[ov & rep]
-                if hit.size:
-                    out_l.extend([rid[li]] * hit.size)
-                    out_r.extend(rid[hit].tolist())
-        if not out_l:
+        # fully vectorized run processing (the old per-left-row Python
+        # loop paid the small-batch dispatch tax on every row —
+        # review-found): after the (key, bucket, side, rid) sort each
+        # run is [lefts..., rights...], so every left row's candidate
+        # range is (first_right_of_run, run_end) and the whole cross
+        # product is one segmented expansion, memory-bounded by the
+        # shared chunked enumerator.
+        from ..pipelines.spatial import _expand_pairs_chunked
+        runs_s = bounds[:-1]
+        runs_e_full = bounds[1:]
+        runs_e = np.minimum(runs_e_full, runs_s + max_run)
+        capped = runs_e_full - runs_s > max_run
+        if capped.any():
+            logging.getLogger(__name__).warning(
+                "interval_overlap_join: %d runs capped at %d rows",
+                int(capped.sum()), max_run)
+        c0 = np.cumsum(side == 0)
+        nl = c0[runs_e - 1] - np.where(runs_s > 0, c0[runs_s - 1], 0)
+        m = runs_s + nl                       # first right row per run
+        tot_l = int(nl.sum())
+        if tot_l == 0:
             return empty
-        return pa.table({"id_l": pa.array(out_l, type=pa.int64()),
-                         "id_r": pa.array(out_r, type=pa.int64())})
+        li = (np.arange(tot_l, dtype=np.int64)
+              - np.repeat(np.cumsum(nl) - nl, nl)
+              + np.repeat(runs_s, nl))        # global left row indices
+        st = np.repeat(m, nl)
+        en = np.repeat(runs_e, nl)
+        outs = []
+        for ai, ri_ in _expand_pairs_chunked(st, en):
+            gl = li[ai]
+            ov = (lo[gl] < hi[ri_]) & (lo[ri_] < hi[gl])
+            # exactly-once: emit only in the overlap's FIRST bucket
+            rep = (np.maximum(lo[gl], lo[ri_]) // bucket_width) == bk[gl]
+            keep = ov & rep
+            outs.append((rid[gl[keep]], rid[ri_[keep]]))
+        if not outs:
+            return empty
+        return pa.table({
+            "id_l": pa.array(np.concatenate([o[0] for o in outs]),
+                             type=pa.int64()),
+            "id_r": pa.array(np.concatenate([o[1] for o in outs]),
+                             type=pa.int64())})
 
     return both.map_batches(add_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(per_part, batch_format="pyarrow")
