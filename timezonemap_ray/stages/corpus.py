@@ -44,8 +44,8 @@ SPLIT_NAMES = ("train", "val", "test")
 
 
 def _hash_of(ids: np.ndarray) -> np.ndarray:
-    v = ids.astype(np.int64)
-    return (v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)
+    from .select import _hash_mod
+    return _hash_mod(ids.astype(np.int64))
 
 
 def _split_codes(ids: np.ndarray) -> np.ndarray:
@@ -267,9 +267,9 @@ def mixture_sample(ds, group_col: str, id_col: str, rates_bp: dict):
         pos = pc.index_in(b[group_col], value_set=keys)
         posn = pc.fill_null(pos, -1).to_numpy(zero_copy_only=False)
         rate = np.where(posn >= 0, rates[np.clip(posn, 0, None)], 0)
+        from .select import _hash_bp
         v = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)
-        return b.filter(pa.array((h % np.int64(SAMPLE_SPACE)) < rate))
+        return b.filter(pa.array(_hash_bp(v) < rate))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 

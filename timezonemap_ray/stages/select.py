@@ -342,7 +342,11 @@ def _hash_mod(v: np.ndarray) -> np.ndarray:
     """The deterministic id hash ``(id·SAMPLE_MULT) mod SAMPLE_MOD`` —
     THE single definition of the sampling hash; every engine-side use
     must route through here (or :func:`_hash_bp`) so the rule can never
-    diverge from ``sample_hash_sql_pred``."""
+    diverge from ``sample_hash_sql_pred``. PRECONDITION |id| <
+    2^63/SAMPLE_MULT ≈ 3.47e9 (true for every testdata id space): above
+    it numpy wraps silently while the SQL twins raise an int64 overflow
+    — a caller with wider ids (snowflake-style 64-bit) must pre-fold
+    them (e.g. ``id % SAMPLE_MOD``) on BOTH sides."""
     return (v * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)
 
 
@@ -773,7 +777,11 @@ def target_selection_int(ds, dim: int = 64, target_rate_bp: int = 1_000,
     scoring; this variant scores with exact integer COUNT-RATIO
     differences instead of float log-likelihood ratios + Gumbel
     resampling, so the whole op is RNG-free and a SQL twin reproduces
-    the selected set bit-for-bit):
+    the selected set bit-for-bit). PRECONDITION: ``id_col`` values are
+    UNIQUE (true for doc_id). The engine scores each ROW independently
+    while the SQL twin's string_agg groups rows per id and its target
+    join multiplies duplicated target ids into ``n_t`` — duplicate ids
+    would silently diverge from the oracle (review-found):
 
     1. a deterministic hash sample of documents (``sample_hash``
        semantics, ``target_rate_bp``/10000) stands in for the target

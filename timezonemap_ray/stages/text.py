@@ -577,8 +577,8 @@ def mask_tokens(batch: pa.Table, rate_bp: int = 1500,
     M = np.int64(SAMPLE_MOD)
     d = ((doc_ids[parent] % M) + M) % M                # SQL-sign parity
     x = (d * np.int64(_MASK_MIX) + pos) % M
-    h = ((x * np.int64(SAMPLE_MULT)) % M) % np.int64(SAMPLE_SPACE)
-    masked = h < rate_bp
+    from .select import _hash_bp
+    masked = _hash_bp(x) < rate_bp
     toks = pc.if_else(pa.array(masked), pa.scalar(MASK_TOKEN), flat)
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
     if isinstance(toks, pa.ChunkedArray):
@@ -643,9 +643,10 @@ def feature_hash_counts(batch: pa.Table, dim: int = 256,
         if signed:
             signs = np.where((hh >> np.uint64(63)).astype(bool), -1, 1) \
                 .astype(np.int64)
+            np.add.at(out, (parent, buckets[codes]), signs[codes])
         else:
-            signs = np.ones(len(hh), dtype=np.int64)
-        np.add.at(out, (parent, buckets[codes]), signs[codes])
+            # unsigned: the constant weight needs no sign table/gather
+            np.add.at(out, (parent, buckets[codes]), 1)
     flat_vals = pa.array(out.reshape(-1))
     emb = pa.FixedSizeListArray.from_arrays(flat_vals, dim)
     return pa.table({id_col: batch[id_col], out_col: emb})
