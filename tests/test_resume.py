@@ -91,3 +91,20 @@ def test_resume_after_staging_crash(ray_session, sf_dir, engine, tmp_path):
     got = _result_df(out2)
     cols = ["doc_id", "span_idx", "lat", "lng", "zone_id", "matched"]
     pd.testing.assert_frame_equal(got[cols], expected[cols])
+
+
+def test_resume_rejects_changed_partitioning(ray_session, sf_dir, engine,
+                                             tmp_path):
+    """Resuming with a different n_partitions used to silently drop the
+    staged dirs beyond the new range (review-found) — the staged marker
+    now records the partitioning parameters and the resume validates
+    them."""
+    pts = fs.geo_points(sf_dir)
+    d = str(tmp_path / "mismatch")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(pts, engine, d, n_partitions=8, fail_after=3)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        run_checkpointed(pts, engine, d, n_partitions=16)
+    # the original parameters still resume cleanly
+    run_checkpointed(pts, engine, d, n_partitions=8)
+    assert len(Manifest(d).completed()) == 8

@@ -250,3 +250,35 @@ def test_sharded_stream_equals_batch_groupby(ray_session):
     a = single.to_pandas().reset_index(drop=True)
     b = sharded.to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_double_crash_replay_exactly_once(ray_session):
+    """A replay run that crashes BEFORE its first drain must report the
+    watermark it resumed FROM (drained_wm was initialized to -2^62, so a
+    second resume re-emitted everything the first run had durably
+    drained — review-found). Crash, resume-and-crash-immediately, then
+    resume again: the three-run union must still equal the no-crash
+    run exactly."""
+    import ray.data as rd
+    tbl = _events()
+    ds = rd.from_arrow(tbl).repartition(8)
+    kw = dict(window_s=3600, lateness_s=600, num_shards=4, drain_every=2,
+              micro_batch=1024)
+    full, _ = run_windowed_stream(ds, **kw)
+    a, s_a = run_windowed_stream(ds, fail_after=7, **kw)
+    # run B resumes but dies before its first drain (fail_after=1 <
+    # drain_every=2): it drains nothing, and must NOT regress the
+    # durable watermark below what run A reported
+    b, s_b = run_windowed_stream(ds, fail_after=1,
+                                 resume_watermarks=s_a[
+                                     "drained_watermarks"], **kw)
+    assert b.num_rows == 0
+    assert s_b["drained_watermarks"] == s_a["drained_watermarks"]
+    c, _ = run_windowed_stream(ds, resume_watermarks=s_b[
+        "drained_watermarks"], **kw)
+    combined = pa.concat_tables([a, b, c]).to_pandas() \
+        .sort_values(["window_start_us", "key"]).reset_index(drop=True)
+    assert not combined.duplicated(["window_start_us", "key"]).any()
+    pd.testing.assert_frame_equal(
+        combined, full.to_pandas()
+        .sort_values(["window_start_us", "key"]).reset_index(drop=True))

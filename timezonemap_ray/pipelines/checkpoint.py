@@ -95,17 +95,44 @@ def run_checkpointed(points_ds, engine, out_dir: str, n_partitions: int = 16,
     staged = os.path.join(out_dir, "staged")
     marker = os.path.join(out_dir, STAGED_DONE)
 
+    cell_size = engine.index.cell_size
     if not os.path.exists(marker):
         # a crash mid-staging leaves partial files; re-running write_parquet
         # into the same dir would APPEND and duplicate rows — wipe first
         if os.path.isdir(staged):
             shutil.rmtree(staged)
+        # bind the SCALAR cell_size, not the engine: a lambda closing
+        # over `engine` cloudpickles the whole polygon index into the
+        # staging UDF shipped to every worker (review-found; reattach
+        # below already uses default-arg binding for the same reason)
         keyed = points_ds.map_batches(
-            lambda b: _assign_partition(b, engine.index.cell_size, n_partitions),
+            lambda b, _cs=cell_size, _np=n_partitions:
+                _assign_partition(b, _cs, _np),
             batch_format="pyarrow")
         keyed.write_parquet(staged, partition_cols=["part_id"])
         with open(marker, "w") as f:
-            f.write("ok")
+            # record the partitioning parameters: a resume with a
+            # DIFFERENT n_partitions would silently drop staged dirs
+            # beyond the new range (or scatter rows outside the wave's
+            # wipe list) — review-found
+            import json as _json
+            f.write(_json.dumps({"n_partitions": n_partitions,
+                                 "cell_size": float(cell_size)}))
+    else:
+        import json as _json
+        with open(marker) as f:
+            raw = f.read()
+        if raw != "ok":  # legacy markers predate the parameter record
+            rec = _json.loads(raw)
+            if (rec["n_partitions"] != n_partitions
+                    or rec["cell_size"] != float(cell_size)):
+                raise ValueError(
+                    "run_checkpointed resume parameter mismatch: staged "
+                    f"state has n_partitions={rec['n_partitions']}, "
+                    f"cell_size={rec['cell_size']} but this invocation "
+                    f"passed n_partitions={n_partitions}, "
+                    f"cell_size={float(cell_size)} — resume with the "
+                    "original parameters or delete the output dir")
 
     pending = [k for k in range(n_partitions)
                if os.path.isdir(os.path.join(staged, f"part_id={k}"))

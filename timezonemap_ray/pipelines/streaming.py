@@ -69,22 +69,32 @@ class StreamingWindower:
         self.replay_skipped = 0
         self._applied_keys: set = set()  # worker-fed retry dedup
 
-    def feed(self, batch: pa.Table) -> int:
-        ts = batch[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
-        vals = batch[self.val_col].to_numpy(zero_copy_only=False)
-        late = ts < self.watermark_us
+    def _late_resume_mask(self, ts: np.ndarray, wm_us: int) -> np.ndarray:
+        """Shared admit mask + stats for both feed paths: drop events
+        late vs ``wm_us``; in replay mode additionally skip events whose
+        window END ≤ the resume point (already emitted pre-crash). NOT
+        the late test: an event inside the window STRADDLING the resume
+        watermark must still accumulate (that window was open, never
+        drained, at crash time). One definition so the two feed modes
+        can never diverge (review-found duplication)."""
+        late = ts < wm_us
         self.dropped_late += int(late.sum())
         ok = ~late
         if self.resume_wm_us is not None:
-            # window END ≤ resume point ⇒ already emitted pre-crash. NOT the
-            # late test: an event inside the window STRADDLING the resume
-            # watermark must still accumulate (that window was open, never
-            # drained, at crash time).
             win_end = (ts // self.window_us + 1) * self.window_us
             done = ok & (win_end <= self.resume_wm_us)
             self.replay_skipped += int(done.sum())
             ok &= ~done
+        return ok
+
+    def feed(self, batch: pa.Table) -> int:
+        ts = batch[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        vals = batch[self.val_col].to_numpy(zero_copy_only=False)
+        ok = self._late_resume_mask(ts, self.watermark_us)
+        # NOTE: accumulation stays per-EVENT here (not the stamped path's
+        # per-batch bincount partials) — the float sum association is
+        # part of this mode's replay-equality contract
         win = (ts[ok] // self.window_us) * self.window_us
         for w, k, v in zip(win, keys[ok], vals[ok]):
             slot = self.open.setdefault((int(w), int(k)), [0, 0.0])
@@ -152,14 +162,7 @@ class StreamingWindower:
         ts = batch[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         keys = batch[self.key_col].to_numpy(zero_copy_only=False)
         vals = batch[self.val_col].to_numpy(zero_copy_only=False)
-        late = ts < wm_us
-        self.dropped_late += int(late.sum())
-        ok = ~late
-        if self.resume_wm_us is not None:
-            win_end = (ts // self.window_us + 1) * self.window_us
-            done = ok & (win_end <= self.resume_wm_us)
-            self.replay_skipped += int(done.sum())
-            ok &= ~done
+        ok = self._late_resume_mask(ts, wm_us)
         if ok.any():
             win = (ts[ok] // self.window_us) * self.window_us
             k = np.asarray(keys[ok], dtype=np.int64)
@@ -237,32 +240,59 @@ def run_windowed_stream(ds, window_s: int = 3600, lateness_s: int = 600,
         for i in range(num_shards)]
     inflight: list = []
     drained: list = []
-    drained_wm = [-(1 << 62)] * num_shards  # per-shard last-drain watermark
+    # per-shard last-drain watermark — FLOORED at the resume watermark:
+    # a replay run that crashes before its first drain must still report
+    # the durable watermark it resumed FROM, or a second resume would
+    # re-emit windows the first run already emitted (exactly-once
+    # violation, review-found)
+    drained_wm = [(resume_watermarks[i] if resume_watermarks is not None
+                   else -(1 << 62)) for i in range(num_shards)]
 
     def collect(refs, record_wm=True):
         for i, (t, wm) in enumerate(ray.get(refs)):
             if t.num_rows:
                 drained.append(t)
             if record_wm:
-                drained_wm[i] = wm
+                drained_wm[i] = max(drained_wm[i], wm)
 
+    # deterministic block order: the exactly-once replay contract needs
+    # the pre-crash run and the replay to see the SAME event order (the
+    # worker-fed mode already pins this; the ordered mode relied on the
+    # Ray default, which is completion-order under parallel upstreams —
+    # review-found)
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    prev_order = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+
+    per_shard: dict = {i: [] for i in range(num_shards)}
     n_fed = 0
     crashed = False
     for b in ds.iter_batches(batch_size=micro_batch, batch_format="pyarrow"):
         t = pa.table(b)
         if num_shards == 1:
             inflight.append(shards[0].feed.remote(t))
+            per_shard[0].append(inflight[-1])
         else:
             keys = t[key_col].to_numpy(zero_copy_only=False)
             shard_of = (keys.astype(np.int64) % num_shards)
             for s in np.unique(shard_of):
                 sub = t.filter(pa.array(shard_of == s))
-                inflight.append(shards[int(s)].feed.remote(sub))
+                ref = shards[int(s)].feed.remote(sub)
+                inflight.append(ref)
+                per_shard[int(s)].append(ref)
         n_fed += 1
-        if len(inflight) > max_inflight * num_shards:
-            ready, inflight = ray.wait(
-                inflight, num_returns=len(inflight) - max_inflight * num_shards)
-            ray.get(ready)  # surface feed exceptions — never drop a batch
+        # PER-SHARD backpressure: the documented bound is max_inflight
+        # outstanding feeds per shard — a global bound let a hot key
+        # queue num_shards× that on one actor (review-found)
+        for s in range(num_shards):
+            if len(per_shard[s]) > max_inflight:
+                excess = len(per_shard[s]) - max_inflight
+                ready, per_shard[s] = ray.wait(per_shard[s],
+                                               num_returns=excess)
+                ray.get(ready)  # surface feed exceptions
+                done = set(ready)
+                inflight = [r for r in inflight if r not in done]
         if n_fed % drain_every == 0:
             collect([s.drain.remote() for s in shards])
         if fail_after is not None and n_fed >= fail_after:
@@ -290,6 +320,7 @@ def run_windowed_stream(ds, window_s: int = 3600, lateness_s: int = 600,
                                        for s in stats_list),
                  "num_shards": num_shards,
                  "drained_watermarks": list(drained_wm)}
+    ctx.execution_options.preserve_order = prev_order
     if not drained:
         return EMPTY_WINDOWS, stats
     out = pa.concat_tables(drained)
@@ -385,7 +416,11 @@ def run_windowed_stream_worker_fed(
     ctx.execution_options.preserve_order = True  # deterministic block order
     drained: list = []
     drained_rows = 0
-    drained_wm = -(1 << 62)
+    # floored at the resume watermark — a replay crashing before its
+    # first drain must still report the durable watermark it resumed
+    # from (review-found; same fix as the ordered mode)
+    drained_wm = (min(resume_wm) if resume_wm is not None
+                  else -(1 << 62))
     w_cur = -(1 << 62)              # watermark from the acked prefix
     pending: deque = deque()        # (ordinal, stamp, ack_ref)
     feeder_pids: set = set()
@@ -419,7 +454,8 @@ def run_windowed_stream_worker_fed(
                     drained.append(t)
                     drained_rows += t.num_rows
         if record_wm:
-            drained_wm = w_safe
+            # never regress below the resume floor mid-replay
+            drained_wm = max(drained_wm, w_safe)
         drain_seq += 1
 
     try:
