@@ -218,3 +218,26 @@ def test_par_searchsorted_matches_numpy_across_chunk_boundaries():
         got = _par_searchsorted(keys, vals, chunk=1_000)
         assert got.dtype == np.int64
         assert (got == np.searchsorted(keys, vals)).all()
+
+
+def test_triangle_counts_maximal_packable_id(ray_session):
+    """Apex id 2^31-1 (the largest _validate_packable_ids allows): the
+    broadcast plan's segment upper-bound probe `(u + 1) << 32`
+    overflowed int64 and silently dropped that apex's wedges
+    (review-found) — now probed via side='right' on (u << 32) | 0xFFFF_FFFF."""
+    import ray.data as rd
+
+    from timezonemap_ray.stages.graph import triangle_counts
+    M = 2**31 - 1
+    # M has the LOWEST degree, so orientation points both its edges away
+    # from M and M is the wedge apex of the (M, 10, 20) triangle
+    e = [(M, 10), (M, 20), (10, 20), (10, 30), (20, 40), (30, 40),
+         (10, 40)]
+    tbl = pa.table({"src": pa.array([a for a, _ in e], type=pa.int64()),
+                    "dst": pa.array([b for _, b in e], type=pa.int64())})
+    want = _naive_triangles(e)
+    got = triangle_counts(rd.from_arrow(tbl),
+                          broadcast_edges_max=5_000_000).to_pandas()
+    got_map = dict(zip(got["node_id"], got["n_triangles"]))
+    assert got_map == want
+    assert want[M] >= 1  # the boundary apex really is in a triangle

@@ -47,6 +47,12 @@ class BlockTopK:
         v = list_column_to_matrix(batch[self.vec_col])
         sims = _normalize(v) @ self.qmat.T  # (n, q)
         k = min(self.k, sims.shape[0])
+        if sims.shape[1] == 0 or k == 0:
+            # empty query set / empty block: concatenate([]) raises
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64())})
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[1]):
             col = sims[:, qi]
@@ -140,6 +146,12 @@ def mips_topk_int(ds, query_ids, query_matrix_int, k: int = 10,
         dots = x @ p["m"].T  # (n, nq) int64
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         kk = min(k, len(ids))
+        if len(p["ids"]) == 0 or kk == 0:
+            # an empty query set (or empty block) otherwise dies in the
+            # np.concatenate below (review-found empty-input hardening)
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "dot": pa.array([], type=pa.int64())})
         out_q, out_v, out_d = [], [], []
         for qi in range(len(p["ids"])):
             col = dots[:, qi]
@@ -193,8 +205,14 @@ def brute_topk(ds, query_ids, query_matrix, k: int = 10,
 def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
                     seed: int = 5) -> np.ndarray:
     """Mini-KMeans on a driver-side sample (cosine/normalized space)."""
+    sample = np.asarray(sample, dtype=np.float64)
+    if sample.size == 0:
+        # a zero-row sample otherwise dies inside _normalize with an
+        # opaque AxisError (review-found empty-input hardening)
+        raise ValueError("train_centroids: empty sample — the dataset "
+                         "has no vectors to train on")
     rng = np.random.default_rng(seed)
-    x = _normalize(np.asarray(sample, dtype=np.float64))
+    x = _normalize(sample)
     init = rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]),
                       replace=False)
     c = x[init]
@@ -438,7 +456,11 @@ def pq_train(sample: np.ndarray, m: int = 8, ks: int = 16,
     deterministic sample is the sanctioned scale path — codebooks are a
     few KB regardless of corpus size. Deterministic (seeded init, argmin
     first-wins ties)."""
-    return _pq_train_raw(_normalize(np.asarray(sample, dtype=np.float64)),
+    sample = np.asarray(sample, dtype=np.float64)
+    if sample.size == 0:
+        raise ValueError("pq_train: empty sample — the dataset has no "
+                         "vectors to train on")
+    return _pq_train_raw(_normalize(sample),
                          m=m, ks=ks, iters=iters, seed=seed)
 
 
@@ -453,11 +475,18 @@ def _exact_rerank(rerank_ds, shortlist, query_ids, qn, k,
     risk in the duplicated copies)."""
     import pyarrow.compute as pc
 
-    allowed = {(int(r.query_id), int(r.vec_id))
-               for r in shortlist.itertuples()}
+    qids_arr = np.asarray(query_ids, dtype=np.int64)
+    # per-query sorted shortlists, broadcast: the score pass emits ONLY
+    # the (query, vec) pairs the ADC shortlist proposed — the previous
+    # version shipped the full candidate×query cross product to the
+    # driver and filtered it with a per-row Python set probe
+    # (review-found: nq·(nq·L) rows instead of nq·L)
+    allow = {int(q): np.sort(shortlist.loc[shortlist["query_id"] == q,
+                                           "vec_id"]
+                             .to_numpy().astype(np.int64))
+             for q in qids_arr}
     cand_ref = ray.put(np.unique(shortlist["vec_id"].to_numpy()))
-    qref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64),
-                    "mat": qn})
+    qref = ray.put({"qids": qids_arr, "mat": qn, "allow": allow})
 
     def exact_scores(b: pa.Table) -> pa.Table:
         cd = ray.get(cand_ref)
@@ -472,17 +501,29 @@ def _exact_rerank(rerank_ds, shortlist, query_ids, qn, k,
         v = _normalize(list_column_to_matrix(b[vec_col]))
         sims = v @ p["mat"].T                         # (n_cand, nq)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        nq = sims.shape[1]
+        out_q, out_v, out_s = [], [], []
+        for qi, q in enumerate(p["qids"]):
+            sl = p["allow"][int(q)]
+            pos = np.searchsorted(sl, ids)
+            hit = (pos < len(sl)) & (sl[np.minimum(pos, len(sl) - 1)]
+                                     == ids)
+            if hit.any():
+                out_q.append(np.full(int(hit.sum()), q, dtype=np.int64))
+                out_v.append(ids[hit])
+                out_s.append(sims[hit, qi])
+        if not out_q:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64())})
         return pa.table({
-            "query_id": pa.array(np.repeat(p["qids"], ids.size)),
-            "vec_id": pa.array(np.tile(ids, nq)),
-            "score": pa.array(sims.T.reshape(-1), type=pa.float64())})
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64())})
 
     scored = rerank_ds.map_batches(exact_scores,
                                    batch_format="pyarrow").to_pandas()
-    mask = [(int(a), int(b_)) in allowed
-            for a, b_ in zip(scored["query_id"], scored["vec_id"])]
-    scored = scored[mask].sort_values(
+    scored = scored.sort_values(
         ["query_id", "score", "vec_id"], ascending=[True, False, True])
     scored = scored.groupby("query_id", sort=True).head(k) \
         .reset_index(drop=True)
@@ -490,6 +531,32 @@ def _exact_rerank(rerank_ds, shortlist, query_ids, qn, k,
     return pa.Table.from_pandas(
         scored[["query_id", "vec_id", "rank", "score"]],
         preserve_index=False)
+
+
+def _pq_encode_kernel(v: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Shared per-subspace argmin encode: (n, d) vectors → (n, m) uint8
+    codes under codebooks (m, ks, d/m). ONE definition for pq_encode and
+    ivfpq_build (review-found drift risk in the duplicated copies)."""
+    m, ks, dsub = cb.shape
+    codes = np.empty((v.shape[0], m), dtype=np.uint8)
+    for j in range(m):
+        sub = v[:, j * dsub:(j + 1) * dsub]
+        dist = -2.0 * sub @ cb[j].T + (cb[j] ** 2).sum(1)[None, :]
+        codes[:, j] = np.argmin(dist, axis=1).astype(np.uint8)
+    return codes
+
+
+def _pq_lut(q: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Shared ADC lookup-table build: LUT[qi, j, c] = ‖q_sub − cent‖²
+    → (nq, m, ks). ONE definition for pq_topk and ivfpq_query's
+    non-residual path."""
+    m, ks, dsub = cb.shape
+    lut = np.empty((q.shape[0], m, ks), dtype=np.float64)
+    for j in range(m):
+        qs = q[:, j * dsub:(j + 1) * dsub]
+        diff = qs[:, None, :] - cb[j][None, :, :]
+        lut[:, j, :] = (diff ** 2).sum(axis=2)
+    return lut
 
 
 def pq_encode(ds, codebooks: np.ndarray, vec_col="embedding",
@@ -502,17 +569,12 @@ def pq_encode(ds, codebooks: np.ndarray, vec_col="embedding",
 
     def enc(b: pa.Table) -> pa.Table:
         cb = ray.get(ref)
-        m, ks, dsub = cb.shape
         v = _normalize(list_column_to_matrix(b[vec_col]))
-        codes = np.empty((v.shape[0], m), dtype=np.uint8)
-        for j in range(m):
-            sub = v[:, j * dsub:(j + 1) * dsub]
-            dist = -2.0 * sub @ cb[j].T + (cb[j] ** 2).sum(1)[None, :]
-            codes[:, j] = np.argmin(dist, axis=1).astype(np.uint8)
+        codes = _pq_encode_kernel(v, cb)
         flat = pa.array(codes.reshape(-1), type=pa.uint8())
         return pa.table({
             id_col: b[id_col],
-            "codes": pa.FixedSizeListArray.from_arrays(flat, m)})
+            "codes": pa.FixedSizeListArray.from_arrays(flat, cb.shape[0])})
 
     return ds.map_batches(enc, batch_format="pyarrow")
 
@@ -537,13 +599,7 @@ def pq_topk(ds, query_ids, query_matrix, k: int = 10, m: int = 8,
     codes = pq_encode(ds, cbs, vec_col=vec_col, id_col=id_col)
 
     q = _normalize(np.asarray(query_matrix, dtype=np.float64))
-    dsub = q.shape[1] // m
-    # LUT[qi, j, c] = ‖q_sub − centroid‖² → (nq, m, ks)
-    lut = np.empty((q.shape[0], m, ks), dtype=np.float64)
-    for j in range(m):
-        qs = q[:, j * dsub:(j + 1) * dsub]
-        diff = qs[:, None, :] - cbs[j][None, :, :]
-        lut[:, j, :] = (diff ** 2).sum(axis=2)
+    lut = _pq_lut(q, cbs)
     payload = ray.put({"lut": lut,
                        "qids": np.asarray(query_ids, dtype=np.int64)})
 
@@ -633,18 +689,13 @@ def ivfpq_build(ds, index_dir: str, n_centroids: int = 16, m: int = 16,
         a = np.argmax(v @ c.T, axis=1).astype(np.int64)
         if residual:
             v = v - c[a]
-        m_, ks_, dsub = cb.shape
-        codes = np.empty((v.shape[0], m_), dtype=np.uint8)
-        for j in range(m_):
-            sub = v[:, j * dsub:(j + 1) * dsub]
-            dist = -2.0 * sub @ cb[j].T + (cb[j] ** 2).sum(1)[None, :]
-            codes[:, j] = np.argmin(dist, axis=1).astype(np.uint8)
+        codes = _pq_encode_kernel(v, cb)
         flat = pa.array(codes.reshape(-1), type=pa.uint8())
         return pa.table({
             id_col: b[id_col],
             "centroid_id": pa.array(a),
             "cid": pa.array(a),
-            "codes": pa.FixedSizeListArray.from_arrays(flat, m_)})
+            "codes": pa.FixedSizeListArray.from_arrays(flat, cb.shape[0])})
 
     os.makedirs(index_dir, exist_ok=True)
     code_dir = os.path.join(index_dir, "codes")
@@ -722,11 +773,7 @@ def ivfpq_query(index_dir: str, query_ids, query_matrix, k: int = 10,
                            "qids": np.asarray(query_ids,
                                               dtype=np.int64)})
     else:
-        lut = np.empty((qn.shape[0], m, ks), dtype=np.float64)
-        for j in range(m):
-            qs = qn[:, j * dsub:(j + 1) * dsub]
-            diff = qs[:, None, :] - cbs[j][None, :, :]
-            lut[:, j, :] = (diff ** 2).sum(axis=2)
+        lut = _pq_lut(qn, cbs)
         payload = ray.put({"lut": lut, "probe": probe,
                            "qids": np.asarray(query_ids,
                                               dtype=np.int64)})

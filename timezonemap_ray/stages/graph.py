@@ -335,20 +335,7 @@ def _pagerank_int_driver(raw, iters: int, damping_num: int,
             # codes from the remap are already dense in [0, n_nodes)
             ids, s_idx, t_idx = remap, cs, cd
         else:
-            mx = int(max(cs.max(), cd.max()))
-            if mx <= DENSE_REMAP_ID_MAX:
-                present = np.zeros(mx + 1, dtype=bool)
-                present[cs] = True
-                present[cd] = True
-                ids = np.flatnonzero(present).astype(np.int64)
-                codebook = np.zeros(mx + 1, dtype=np.int32)
-                codebook[ids] = np.arange(len(ids), dtype=np.int32)
-                s_idx = codebook[cs]
-                t_idx = codebook[cd]
-            else:
-                ids = _sorted_unique_i64(np.concatenate([cs, cd]))
-                s_idx = _par_searchsorted(ids, cs)
-                t_idx = _par_searchsorted(ids, cd)
+            ids, s_idx, t_idx = _dense_remap(cs, cd)
     outdeg = np.bincount(s_idx, minlength=len(ids)).astype(np.int64)
     safe_deg = np.maximum(outdeg, 1)
     # float64 bincount is exact only while the max possible in-sum
@@ -471,6 +458,25 @@ SELECT id AS node_id, r AS rank_int FROM r{iters}""")
 # cap route to the join plan; the raw canonical pairs both plans read are
 # materialized TRANSIENTLY (one upstream execution, spills under
 # pressure) and released once the join plan has its deduped edge set.
+def _dense_remap(a: np.ndarray, b: np.ndarray):
+    """Shared node remap (was copy-pasted between the pagerank and
+    triangle broadcast plans — review-found): dense scatter table when
+    ids are small enough (O(edges) gathers replace O(n log n)
+    searchsorted probes), else sorted-unique + parallel probes. Returns
+    (sorted node ids, a positions, b positions)."""
+    mx = int(max(a.max(), b.max())) if a.size else 0
+    if a.size and mx <= DENSE_REMAP_ID_MAX:
+        present = np.zeros(mx + 1, dtype=bool)
+        present[a] = True
+        present[b] = True
+        ids = np.flatnonzero(present).astype(np.int64)
+        codebook = np.zeros(mx + 1, dtype=np.int32)
+        codebook[ids] = np.arange(len(ids), dtype=np.int32)
+        return ids, codebook[a], codebook[b]
+    ids = _sorted_unique_i64(np.concatenate([a, b]))
+    return ids, _par_searchsorted(ids, a), _par_searchsorted(ids, b)
+
+
 BROADCAST_EDGES_MAX = 20_000_000
 
 # Max wedge pairs materialized at once inside a count_block chunk. Small
@@ -533,22 +539,7 @@ def _triangle_counts_broadcast(edges, num_partitions: int):
     pairs_u = _sorted_unique_i64((ca << 32) | cb)
     ca = cb = None
     ab = np.stack([pairs_u >> 32, pairs_u & 0xFFFFFFFF])
-    # node remap: dense scatter table when ids are small enough (O(edges)
-    # gathers replace O(n log n) searchsorted probes), else sorted-unique
-    mx = int(ab.max()) if ab.size else 0
-    if ab.size and mx <= DENSE_REMAP_ID_MAX:
-        present = np.zeros(mx + 1, dtype=bool)
-        present[ab[0]] = True
-        present[ab[1]] = True
-        ids = np.flatnonzero(present).astype(np.int64)
-        codebook = np.zeros(mx + 1, dtype=np.int32)
-        codebook[ids] = np.arange(len(ids), dtype=np.int32)
-        a_pos = codebook[ab[0]]
-        b_pos = codebook[ab[1]]
-    else:
-        ids = _sorted_unique_i64(ab.reshape(-1))
-        a_pos = _par_searchsorted(ids, ab[0])
-        b_pos = _par_searchsorted(ids, ab[1])
+    ids, a_pos, b_pos = _dense_remap(ab[0], ab[1])
     deg = (np.bincount(a_pos, minlength=len(ids))
            + np.bincount(b_pos, minlength=len(ids))).astype(np.int64)
 
@@ -571,7 +562,12 @@ def _triangle_counts_broadcast(edges, num_partitions: int):
         counts = np.zeros(len(ids_l), dtype=np.int64)
         us = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
         lo_i = np.searchsorted(pk, us << 32)
-        hi_i = np.searchsorted(pk, (us + 1) << 32)
+        # upper bound via side="right" on (u << 32) | 0xFFFFFFFF — the
+        # previous (us + 1) << 32 probe overflowed int64 for the maximal
+        # packable apex id 2^31-1, wrapping the bound negative and
+        # silently dropping that apex's wedges (review-found)
+        hi_i = np.searchsorted(pk, (us << 32) | np.int64(0xFFFFFFFF),
+                               side="right")
         seg_len = hi_i - lo_i
         keep = seg_len >= 2
         us, lo_i, seg_len = us[keep], lo_i[keep], seg_len[keep]

@@ -422,7 +422,17 @@ _CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
 
 def _cms_cols(keys: np.ndarray, depth: int, width: int) -> np.ndarray:
     """(depth, n) bucket columns for int64 keys — one splitmix per row
-    seed, vectorized."""
+    seed, vectorized. PRECONDITION keys >= 0 (loud, review-found): a
+    negative key wraps through uint64 here while the DuckDB twin XORs a
+    negative HUGEINT in 128-bit two's complement — the hashes silently
+    diverge, so the oracle would compare the wrong cells. Pre-fold
+    signed key spaces to non-negative (e.g. ``id & (2^63-1)``) on BOTH
+    sides before sketching."""
+    if len(keys) and keys.min() < 0:
+        raise ValueError(
+            "count-min sketch keys must be non-negative — the SQL twin's "
+            "HUGEINT xor diverges from the engine's uint64 wrap for "
+            "negative keys; pre-fold the key space on both sides")
     from .text import _splitmix64
     k = keys.astype(np.uint64)
     return np.stack([
